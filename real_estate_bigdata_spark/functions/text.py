@@ -1,0 +1,165 @@
+"""Text-analysis functions for training-data pipelines.
+
+All JVM-side Column expressions (no Python UDFs): tokenization, n-gram
+shingling, quality scoring, language ID, fingerprinting. These power the
+dedup / quality operators in ``operators.dedup`` and the ``documents``
+queries. The reference has no text analytics (SURVEY §2.10 ABSENT) — this
+is north-star surface, so Spark built-in semantics are authoritative.
+
+Scale notes: every function here is a narrow map expression — fused into
+the scan by whole-stage codegen, shuffle-free. ``word_ngrams`` produces
+``O(tokens)`` shingles per doc; downstream explode/join operators own the
+shuffle strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "bpe_ish_token_count",
+    "word_ngrams",
+    "char_shingles",
+    "quality_metrics",
+    "lang_id",
+    "fingerprint64",
+    "minhash_signature",
+]
+
+#: Tiny per-language stopword lists for the n-gram language-ID heuristic.
+#: Deliberately small + deterministic; real pipelines would swap in a model.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization -> array<string>. Empty/blank -> empty array."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokenize(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-pieces matched by a GPT-2-style
+    pre-tokenizer regex (runs of letters, digits, or single non-space
+    symbols). Approximates subword token counts without a vocab."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-zÀ-ỹ]+|[0-9]+|[^\sA-Za-zÀ-ỹ0-9])"), 1)
+    ).cast("bigint")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (space-joined, distinct not
+    applied). Docs shorter than ``n`` tokens -> empty array."""
+    toks = tokenize(text)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingles -> array<string>; shorter than ``k`` -> empty."""
+    return F.when(F.length(text) < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (k - 1)),
+            lambda i: F.substring(text, i, k),
+        )
+    )
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Heuristic quality features (all double/bigint, deterministic):
+
+    - ``n_chars``, ``n_tokens``
+    - ``avg_token_len`` — mean token length (0.0 for empty docs)
+    - ``punct_ratio`` — punctuation chars / chars
+    - ``alpha_ratio`` — alphabetic chars / chars
+    - ``stopword_ratio`` — English-stopword tokens / tokens
+    - ``uniq_token_ratio`` — distinct tokens / tokens (repetition signal)
+    """
+    toks = tokenize(text)
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ỹ]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / safe_tokens,
+            6,
+        ),
+        "punct_ratio": F.round(punct / safe_chars, 6),
+        "alpha_ratio": F.round(alpha / safe_chars, 6),
+        "stopword_ratio": F.round(stop_hits / safe_tokens, 6),
+        "uniq_token_ratio": F.round(F.size(F.array_distinct(toks)) / safe_tokens, 6),
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram-free language-ID heuristic: argmax over per-language stopword
+    hit counts; deterministic tie-break by language code order; no hits at
+    all -> 'und'."""
+    toks = tokenize(F.lower(text))
+    scored = None
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in sorted order so ties resolve deterministically to the
+    # alphabetically-first language with the max score (strict > below).
+    for code in sorted(LANG_STOPWORDS):
+        words = LANG_STOPWORDS[code]
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        cond = score > best_score
+        best_lang = F.when(cond, F.lit(code)).otherwise(best_lang)
+        best_score = F.when(cond, score).otherwise(best_score)
+        scored = True
+    assert scored
+    return best_lang
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint via xxhash64 over the
+    whitespace-normalized text — an exact-dup key robust to spacing."""
+    return F.xxhash64(F.concat_ws(" ", tokenize(text)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature -> array<bigint> of length ``num_hashes``.
+
+    Each hash family member is ``min(xxhash64(shingle, seed=i))`` over the
+    doc's shingle set. Pure Column expression: one pass over the shingle
+    array per hash (num_hashes fused multiplications, no shuffle, no UDF).
+    Empty shingle set -> array of NULLs (never matches anything).
+    """
+    sigs = []
+    for i in range(num_hashes):
+        h = F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+        )
+        sigs.append(h)
+    return F.array(*sigs)

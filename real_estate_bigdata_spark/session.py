@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+The reference creates bare sessions (`spark_jobs/count_by_district.py:7-9`)
+and relies on defaults. We pin the settings that matter at scale:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — at 100 TB
+  the static shuffle-partition count is always wrong for some stage.
+- Arrow on — every Pandas UDF / toPandas crossing is batched, not per-row.
+- ``spark.sql.shuffle.partitions`` sized from the env (tests/local runs
+  use the core count; a real cluster overrides to ~2-3x total cores).
+- Parquet pushdown knobs left at defaults (on) — predicate pushdown and
+  column pruning are load-bearing for the scan-heavy queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "real_estate_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster, ``master`` comes from spark-submit and the shuffle
+    partition count should be overridden; locally we default to
+    ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # The normalization layer targets permissive casts (try_cast /
+        # try_to_date); ANSI off keeps plain casts null-on-error too, which
+        # matches the reference's swallow-malformed-rows semantics
+        # (mapper.py:29-40) and DuckDB's TRY_CAST oracle behavior.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
