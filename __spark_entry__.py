@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (same column
+names/aliases; doubles rounded identically on both sides).
+
+Query implementations live in ``real_estate_bigdata_spark``; this module
+only wires them to the driver testdata tables.
 """
 
 from __future__ import annotations
@@ -12,27 +15,454 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.functions.normalize import normalize_listings
+from real_estate_bigdata_spark.operators import aggregates as agg
+from real_estate_bigdata_spark.operators import events as ev
+from real_estate_bigdata_spark.operators import joins as jn
+from real_estate_bigdata_spark.operators import setops as so
+from real_estate_bigdata_spark.operators import windows as win
+from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA, load_table, load_tables
+
+# --------------------------------------------------------------------------
+# Listing-normalization parity corpus (FIXTURES.md §5). The same rows feed
+# the Spark query (createDataFrame) and the DuckDB oracle (VALUES literal),
+# so the normalization layer (SURVEY §2.8 F1-F8) is oracle-checked without
+# a listings table in the driver testdata.
+# --------------------------------------------------------------------------
+
+_RAW_COLS = [f.name for f in RAW_LISTING_SCHEMA.fields]
+
+_LISTING_CORPUS: list[tuple] = [
+    # (raw_post_date, duong_pho, phuong_xa, quan_huyen, thanh_pho, loai_bds,
+    #  raw_price, raw_area, raw_kich_thuoc, duong_truoc_nha, so_tang,
+    #  so_phong_ngu, cho_de_xe, source, link, title)
+    ("hôm nay", "Đường Láng", "Phường Láng Thượng", "Quận Đống Đa", "Hà Nội",
+     "Nhà đất", "giá 1,5 tỷ", "45,5 m2", "Kích thước: 4,5x20m", "5m",
+     "3 lầu", "4 phòng ngủ", "Có", "alonhadat", None, None),
+    ("hôm qua", "Phố Huế", "Xã Tân Triều", "Huyện Thanh Trì", "Hà Nội",
+     "Nhà đất", "800 triệu", "100 m", "---", None, None, None, None,
+     "alonhadat", None, None),
+    ("24/04/2025", "Nguyễn Trãi", "Thanh Xuân Trung", "Quận Thanh Xuân",
+     "Hà Nội", "Nhà đất", "Thỏa thuận", "", "Kích thước: 5 x 18,5m", "8m",
+     "2 lầu", "3 phòng ngủ", None, "alonhadat", None, None),
+    ("05/01/2024", "Lê Lợi", "Bến Nghé", "Quận 1", "Hồ Chí Minh", "Nhà đất",
+     "12.3 tỷ", "abc", "", "12m", "10 lầu", "8 phòng ngủ", "Có",
+     "alonhadat", None, None),
+    ("n/a", "Trần Phú", "Phường 5", "Gò Vấp", "Hồ Chí Minh", "Nhà đất",
+     "call me", "60 m2", "4x15m", None, "1 lầu", "2 phòng ngủ", None,
+     "alonhadat", None, None),
+    ("", None, None, "  ", "Hà Nội", "Nhà đất", "", None, None, None, None,
+     None, None, "alonhadat", None, None),
+]
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _listing_values_sql() -> str:
+    rows = ",\n    ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in _LISTING_CORPUS
+    )
+    return f"(VALUES\n    {rows}\n) AS raw({', '.join(_RAW_COLS)})"
+
+
+# --------------------------------------------------------------------------
+# Query registry
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-shaped pricing summary at sf0.001."""
+    return agg.pricing_summary(load_table(spark, "/root/testdata/sf0.001", "lineitem"))
+
+
+def _q01_pricing_summary(spark, sf):
+    return agg.pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+def _q02_count_by_event_type(spark, sf):
+    # Reference parity: count_by_district (count_by_district.py:26-29 +
+    # mapper trim semantics) applied to the events table's type column.
+    return agg.count_by_key(load_table(spark, sf, "events"), "event_type")
+
+
+def _q03_shipping_priority(spark, sf):
+    return jn.shipping_priority(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q05_local_supplier_volume(spark, sf):
+    return jn.local_supplier_volume(
+        load_tables(spark, sf, ("region", "nation", "customer", "supplier", "orders", "lineitem"))
+    )
+
+
+def _q10_returned_items(spark, sf):
+    return jn.returned_items(
+        load_tables(spark, sf, ("nation", "customer", "orders", "lineitem"))
+    )
+
+
+def _q_distinct_counts(spark, sf):
+    return agg.distinct_counts(load_table(spark, sf, "orders"))
+
+
+def _q_rollup_orders(spark, sf):
+    return agg.rollup_counts(load_table(spark, sf, "orders"))
+
+
+def _q_cube_lineitem(spark, sf):
+    return agg.cube_counts(load_table(spark, sf, "lineitem"))
+
+
+def _q_topk_orders(spark, sf):
+    return agg.top_k(
+        load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        15,
+    )
+
+
+def _q_semi_active_customers(spark, sf):
+    return jn.active_segment_customers(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def _q_anti_customers_no_orders(spark, sf):
+    return jn.customers_without_orders(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def _q_outer_customer_profile(spark, sf):
+    return jn.customer_order_profile(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def _q_set_nation_coverage(spark, sf):
+    return so.nation_coverage(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "supplier")
+    )
+
+
+def _q_window_top_customers(spark, sf):
+    return win.top_n_per_group(
+        load_table(spark, sf, "customer").select("c_custkey", "c_nationkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+    )
+
+
+def _q_window_running_totals(spark, sf):
+    return win.running_totals(load_table(spark, sf, "events"))
+
+
+def _q_window_moving_avg(spark, sf):
+    return win.moving_average(load_table(spark, sf, "events"))
+
+
+def _q_rank_dense_ntile(spark, sf):
+    return win.rank_dense_ntile(load_table(spark, sf, "customer"))
+
+
+def _q_tumbling_events(spark, sf):
+    return ev.tumbling_window_stats(load_table(spark, sf, "events"))
+
+
+def _q_json_props(spark, sf):
+    return ev.json_prop_stats(load_table(spark, sf, "events"))
+
+
+def _q_sessionize(spark, sf):
+    return ev.sessionize(load_table(spark, sf, "events"))
+
+
+def _q_normalize_listings(spark, sf):
+    raw = spark.createDataFrame(_LISTING_CORPUS, RAW_LISTING_SCHEMA)
+    return normalize_listings(raw).drop("ingest_date")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q10_returned_items": _q10_returned_items,
+        "q_distinct_counts": _q_distinct_counts,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_topk_orders": _q_topk_orders,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_set_nation_coverage": _q_set_nation_coverage,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_window_running_totals": _q_window_running_totals,
+        "q_window_moving_avg": _q_window_moving_avg,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_json_props": _q_json_props,
+        "q_sessionize": _q_sessionize,
+        "q_normalize_listings": _q_normalize_listings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL, same aliases + rounding as the Spark side)
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                                  AS sum_qty,
+                   round(sum(l_extendedprice), 2)                             AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6)                                  AS avg_qty,
+                   round(avg(l_extendedprice), 6)                             AS avg_price,
+                   round(avg(l_discount), 6)                                  AS avg_disc,
+                   count(*)                                                   AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_count_by_event_type": """
+            SELECT trim(event_type) AS event_type, count(*) AS so_luong
+            FROM events
+            WHERE event_type IS NOT NULL AND trim(event_type) <> ''
+            GROUP BY trim(event_type)
+        """,
+        "q03_shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM customer c
+            JOIN orders o   ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15'
+              AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "q05_local_supplier_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM region r
+            JOIN nation n   ON n.n_regionkey = r.r_regionkey
+            JOIN supplier s ON s.s_nationkey = n.n_nationkey
+            JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "q_distinct_counts": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey)        AS n_customers,
+                   count(*)                         AS n_orders,
+                   round(sum(o_totalprice), 2)      AS total_price
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "q_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_cube_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 15
+        """,
+        "q_semi_active_customers": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE c.c_mktsegment = 'AUTOMOBILE'
+              AND EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND extract(year FROM o.o_orderdate) = 1995)
+        """,
+        "q_anti_customers_no_orders": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_outer_customer_profile": """
+            SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                   coalesce(p.n_orders, 0)      AS n_orders,
+                   coalesce(p.total_spend, 0.0) AS total_spend
+            FROM customer c
+            LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders,
+                       round(sum(o_totalprice), 2) AS total_spend
+                FROM orders GROUP BY o_custkey
+            ) p ON p.o_custkey = c.c_custkey
+        """,
+        "q_set_nation_coverage": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+            SELECT nationkey, 'both' AS coverage FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+            UNION ALL
+            SELECT nationkey, 'customer_only' FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+            UNION ALL
+            SELECT nationkey, 'supplier_only' FROM (SELECT * FROM s EXCEPT SELECT * FROM c)
+        """,
+        "q_window_top_customers": """
+            SELECT c_custkey, c_nationkey, c_acctbal, rn
+            FROM (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer
+            ) WHERE rn <= 3
+        """,
+        "q_window_running_totals": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+                   round(value - coalesce(lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 0.0), 6) AS delta_value
+            FROM events
+        """,
+        "q_window_moving_avg": """
+            SELECT event_id, event_type,
+                   round(avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM events
+        """,
+        "q_rank_dense_ntile": """
+            SELECT c_custkey, c_nationkey, c_acctbal,
+                   rank()       OVER w AS bal_rank,
+                   dense_rank() OVER w AS bal_dense_rank,
+                   ntile(4)     OVER w AS bal_quartile
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        """,
+        "q_tumbling_events": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   round(avg(k), 6) AS avg_k,
+                   max(k) AS max_k,
+                   min(k) AS min_k,
+                   count(*) AS n
+            FROM (
+                SELECT event_type,
+                       try_cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+                FROM events
+            ) WHERE k IS NOT NULL
+            GROUP BY event_type
+        """,
+        "q_sessionize": """
+            WITH seq AS (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM seq
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM sess
+            GROUP BY user_id, session_seq
+        """,
+        "q_normalize_listings": f"""
+            SELECT
+                CASE WHEN lower(trim(raw_post_date)) LIKE '%hôm nay%' THEN current_date
+                     WHEN lower(trim(raw_post_date)) LIKE '%hôm qua%' THEN current_date - 1
+                     ELSE coalesce(try_strptime(lower(trim(raw_post_date)), '%d/%m/%Y')::DATE,
+                                   current_date)
+                END AS post_date,
+                regexp_replace(duong_pho, 'Đường |Phố ', '', 'g') AS duong_pho,
+                regexp_replace(phuong_xa, 'Phường |Xã ', '', 'g') AS phuong_xa,
+                trim(regexp_replace(quan_huyen, 'Quận |Huyện ', '', 'g')) AS quan_huyen,
+                thanh_pho,
+                loai_bds,
+                CASE WHEN regexp_extract(trim(raw_area), '([\\d.,]+)\\s*m', 1) <> ''
+                     THEN try_cast(replace(regexp_extract(trim(raw_area), '([\\d.,]+)\\s*m', 1), ',', '.') AS DOUBLE)
+                END AS area,
+                CASE WHEN replace(replace(trim(raw_kich_thuoc), 'Kích thước: ', ''), 'm', '') <> '---'
+                      AND len(string_split(replace(replace(trim(raw_kich_thuoc), 'Kích thước: ', ''), 'm', ''), 'x')) >= 2
+                     THEN try_cast(replace(trim(string_split(replace(replace(trim(raw_kich_thuoc), 'Kích thước: ', ''), 'm', ''), 'x')[1]), ',', '.') AS DOUBLE)
+                END AS chieu_ngang,
+                CASE WHEN replace(replace(trim(raw_kich_thuoc), 'Kích thước: ', ''), 'm', '') <> '---'
+                      AND len(string_split(replace(replace(trim(raw_kich_thuoc), 'Kích thước: ', ''), 'm', ''), 'x')) >= 2
+                     THEN try_cast(replace(trim(string_split(replace(replace(trim(raw_kich_thuoc), 'Kích thước: ', ''), 'm', ''), 'x')[2]), ',', '.') AS DOUBLE)
+                END AS chieu_dai,
+                try_cast(replace(trim(replace(duong_truoc_nha, 'm', '')), ',', '.') AS DOUBLE) AS duong_truoc_nha,
+                try_cast(trim(replace(so_tang, ' lầu', '')) AS INTEGER) AS so_tang,
+                try_cast(trim(replace(so_phong_ngu, ' phòng ngủ', '')) AS INTEGER) AS so_phong_ngu,
+                CASE WHEN trim(cho_de_xe) = 'Có' THEN true ELSE false END AS cho_de_xe,
+                CASE WHEN lower(trim(raw_price)) LIKE '%thỏa thuận%' THEN NULL
+                     WHEN regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*tỷ', 1) <> ''
+                     THEN try_cast(replace(regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*tỷ', 1), ',', '.') AS DOUBLE)
+                     WHEN regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*triệu', 1) <> ''
+                     THEN try_cast(replace(regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*triệu', 1), ',', '.') AS DOUBLE) / 1000
+                END AS price_ty,
+                CASE WHEN lower(trim(raw_price)) LIKE '%thỏa thuận%' THEN 'negotiable'
+                     WHEN regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*tỷ', 1) <> ''
+                          AND try_cast(replace(regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*tỷ', 1), ',', '.') AS DOUBLE) IS NOT NULL
+                     THEN 'listed'
+                     WHEN regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*triệu', 1) <> ''
+                          AND try_cast(replace(regexp_extract(lower(trim(raw_price)), '([\\d.,]+)\\s*triệu', 1), ',', '.') AS DOUBLE) IS NOT NULL
+                     THEN 'listed'
+                     ELSE 'unknown'
+                END AS price_status,
+                source
+            FROM {_listing_values_sql()}
+        """,
+    }

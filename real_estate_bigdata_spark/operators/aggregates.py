@@ -1,0 +1,106 @@
+"""Aggregation operators (SURVEY §2.4 + ABSENT categories filled in).
+
+The reference's whole aggregate surface is one group-by count implemented
+twice (`spark_jobs/count_by_district.py:28-29` and the mapper/reducer pair
+`batch_jobs/listing_count_by_district/{mapper,reducer}.py`). We keep that
+exact semantics (``count_by_key``) and add the standard aggregate family
+the reference lacks: multi-measure, distinct, rollup/cube, top-k.
+
+Scale notes: all of these compile to partial (map-side) + final hash
+aggregation with a single shuffle on the group keys — the plan that holds
+at 100 TB. AQE coalesces the post-shuffle partitions; no driver-side
+loops anywhere. Rounding on double measures is part of the public
+contract (stable, oracle-comparable output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "count_by_key",
+    "pricing_summary",
+    "distinct_counts",
+    "rollup_counts",
+    "cube_counts",
+    "top_k",
+]
+
+
+def count_by_key(df: DataFrame, key: str, alias: str = "so_luong") -> DataFrame:
+    """The reference's batch view: listings-per-district
+    (`count_by_district.py:26-29`), generalized to any key column.
+
+    Trim-superset filter semantics (mapper.py:21-24 + SURVEY §7.4):
+    null/empty/whitespace-only keys are dropped, keys are trimmed before
+    grouping. One shuffle on the (pruned, pre-filtered) key column.
+    """
+    k = F.trim(F.col(key))
+    return (
+        df.select(k.alias(key))
+        .filter(F.col(key).isNotNull() & (F.col(key) != ""))
+        .groupBy(key)
+        .agg(F.count("*").alias(alias))
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "2000-12-01") -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the engine's flagship aggregate.
+
+    Filter pushes to the parquet scan (l_shipdate predicate), then a
+    partial+final hash agg over the 6-value (returnflag, linestatus) key
+    space; the shuffle moves only 6 groups x partials, not data.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def distinct_counts(orders: DataFrame) -> DataFrame:
+    """Distinct + plain counts per priority (ABSENT in reference,
+    SURVEY §2.4). `countDistinct` plans as a two-stage expand/agg —
+    fine here because the distinct key (custkey) is bounded; for
+    ultra-high-cardinality keys use approx_count_distinct instead."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def rollup_counts(orders: DataFrame) -> DataFrame:
+    """ROLLUP (status, priority): subtotal + grand-total rows with NULL
+    group keys, matching ANSI ROLLUP null semantics."""
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def cube_counts(lineitem: DataFrame) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping sets."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k via orderBy+limit. Spark plans this as TakeOrdered —
+    each partition keeps k rows, the driver merges k*partitions rows; no
+    full sort, no full shuffle. Include a unique tiebreaker column in
+    ``order_cols`` for deterministic results."""
+    return df.orderBy(*order_cols).limit(k)

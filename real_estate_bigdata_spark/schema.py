@@ -198,7 +198,18 @@ def load_table(spark, sf_dir: str, name: str):
 
     Parquet carries its own schema, so no inference pass happens; column
     pruning + predicate pushdown apply at the scan.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw nanos (legacy conf) and
+    truncate to microsecond TimestampType — the same ns->us truncation
+    DuckDB applies, so both engines see identical values.
     """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
