@@ -19,9 +19,12 @@ from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.functions.normalize import normalize_listings
 from real_estate_bigdata_spark.operators import aggregates as agg
+from real_estate_bigdata_spark.operators import dedup as dd
 from real_estate_bigdata_spark.operators import events as ev
 from real_estate_bigdata_spark.operators import joins as jn
 from real_estate_bigdata_spark.operators import setops as so
+from real_estate_bigdata_spark.operators import similarity as sim
+from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators import windows as win
 from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA, load_table, load_tables
 
@@ -193,6 +196,59 @@ def _q_normalize_listings(spark, sf):
     return normalize_listings(raw).drop("ingest_date")
 
 
+# ---- training-data pipeline queries (documents / embeddings) ----
+
+
+def _q_dedup_exact_docs(spark, sf):
+    return dd.exact_dup_groups(load_table(spark, sf, "documents"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    return dd.ngram_jaccard_pairs(load_table(spark, sf, "documents"), n=3, threshold=0.8)
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    return dd.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), n=3, num_hashes=64, bands=16, threshold=0.8
+    )
+
+
+def _q_dedup_simhash(spark, sf):
+    # rows-only: xxhash64-based signatures have no DuckDB twin
+    return dd.simhash_pairs(load_table(spark, sf, "documents"), max_hamming=8)
+
+
+def _q_dedup_embedding(spark, sf):
+    return dd.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _q_embed_cosine_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_embed_lsh_topk(spark, sf):
+    # rows-only: approximate by construction (recall < 1)
+    emb = load_table(spark, sf, "embeddings")
+    return sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+
+
+def _q_text_quality(spark, sf):
+    return ta.doc_quality_profile(load_table(spark, sf, "documents"))
+
+
+def _q_token_accounting(spark, sf):
+    return ta.token_accounting(load_table(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    return ta.lang_id_report(load_table(spark, sf, "documents"))
+
+
+def _q_doc_fingerprints(spark, sf):
+    return ta.doc_fingerprints(load_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": _q01_pricing_summary,
@@ -216,12 +272,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q_sessionize": _q_sessionize,
         "q_normalize_listings": _q_normalize_listings,
+        "q_dedup_exact_docs": _q_dedup_exact_docs,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "q_dedup_simhash": _q_dedup_simhash,
+        "q_dedup_embedding": _q_dedup_embedding,
+        "q_embed_cosine_topk": _q_embed_cosine_topk,
+        "q_embed_lsh_topk": _q_embed_lsh_topk,
+        "q_text_quality": _q_text_quality,
+        "q_token_accounting": _q_token_accounting,
+        "q_lang_id": _q_lang_id,
+        "q_doc_fingerprints": _q_doc_fingerprints,
     }
 
 
 # --------------------------------------------------------------------------
 # DuckDB oracles (ANSI SQL, same aliases + rounding as the Spark side)
 # --------------------------------------------------------------------------
+
+#: exact word-3-gram Jaccard pairs >= threshold — shared by the exact and
+#: the MinHash-LSH query (LSH verification makes the approximate pipeline
+#: exact up to a ~4e-8 per-pair miss probability at j>=0.9).
+_JACCARD_PAIRS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+_EN_STOP = "'the','a','of','and','to','in','is','that'"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -464,5 +563,106 @@ def oracle_sql() -> dict[str, str]:
                 END AS price_status,
                 source
             FROM {_listing_values_sql()}
+        """,
+        "q_dedup_exact_docs": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "q_dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "q_dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        "q_dedup_embedding": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        6) >= 0.4
+        """,
+        "q_embed_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+                SELECT query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(qv, v)
+                             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                             6) AS cosine
+                FROM q JOIN e ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, rn FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rn
+                FROM scored
+            ) WHERE rn <= 10
+        """,
+        "q_text_quality": rf"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(toks)::BIGINT AS n_tokens,
+                   round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS avg_token_len,
+                   round(length(regexp_replace(text, '[^.,;:!?''"()\[\]{{}}-]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^A-Za-zÀ-ỹ]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(len(list_filter(toks, x -> x IN ({_EN_STOP})))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS stopword_ratio,
+                   round(len(list_distinct(toks))::DOUBLE
+                         / greatest(len(toks), 1), 6) AS uniq_token_ratio
+            FROM t
+        """,
+        "q_token_accounting": r"""
+            WITH t AS (
+                SELECT source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END::BIGINT AS ws,
+                       len(regexp_extract_all(text,
+                           '([A-Za-zÀ-ỹ]+|[0-9]+|[^\sA-Za-zÀ-ỹ0-9])'))::BIGINT AS bpe
+                FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   sum(ws)::BIGINT AS ws_tokens,
+                   sum(bpe)::BIGINT AS bpe_tokens,
+                   round(avg(ws), 6) AS avg_ws_tokens
+            FROM t GROUP BY source
+        """,
+        "q_lang_id": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+                       len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that'))) AS s_en,
+                       len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','es'))) AS s_es,
+                       len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','est'))) AS s_fr,
+                       len(list_filter(toks, x -> x IN ('的','是','了','在','我','有','和','不'))) AS s_zh
+                FROM t
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                        WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                        WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                        WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                        WHEN s_fr >= s_zh THEN 'fr'
+                        ELSE 'zh' END AS lang_pred
+            FROM s
+        """,
+        "q_doc_fingerprints": r"""
+            SELECT doc_id,
+                   ('0x' || substr(md5(array_to_string(
+                        string_split_regex(trim(text), '\s+'), ' ')), 1, 15))::BIGINT
+                   AS fingerprint
+            FROM documents
         """,
     }

@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star surface (BASELINE.json): the reference only *implies* dedup
+(its Kafka key was meant to be the listing link but is never populated —
+`kafka_cc/producer/kafka_producer.py:59-61`, SURVEY §1.2 note). Here the
+full family, each designed scale-out first:
+
+- **exact**      — hash-groupBy on content (or fingerprint): one shuffle
+  on the dup key; canonical row = min id (deterministic, unlike
+  ``dropDuplicates``'s arbitrary pick).
+- **n-gram Jaccard** — explode distinct shingles -> self-join on shingle
+  -> per-pair intersection counts. Exact but O(sum of postings²) in the
+  worst case; at 100 TB run it *after* LSH candidate pruning.
+- **MinHash + LSH** — signature per doc (map-only), banded bucket keys,
+  shuffle on (band, bucket) so only same-bucket docs ever meet; candidate
+  pairs verified with exact Jaccard. The scale path: cost is
+  O(docs x bands) + postings within buckets, never all-pairs.
+- **SimHash**    — 64-bit signature; near-dups = small Hamming distance;
+  banded exact-match blocking + ``bit_count(xor)`` verify.
+- **Embedding cosine** — near-dup by semantic similarity; exact
+  threshold join at small scale, hyperplane-LSH blocking at large.
+
+All signatures are computed with xxhash64 (JVM-side, seeded,
+deterministic) — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.functions.text import (
+    minhash_signature,
+    tokenize,
+    word_ngrams,
+)
+from real_estate_bigdata_spark.functions.vectors import cosine_similarity
+
+__all__ = [
+    "exact_dup_groups",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def exact_dup_groups(
+    df: DataFrame, key: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct key value: canonical (min) id + group size.
+    The exact-dedup 'report' view; single shuffle on the key."""
+    return (
+        df.groupBy(key)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly the min-id row per duplicate group (all columns).
+
+    Window row_number over the dup key: one shuffle, deterministic
+    survivor — `dropDuplicates` keeps an arbitrary row, which is
+    unacceptable for reproducible training sets.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _distinct_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard).
+
+    Plan: explode distinct shingles -> shuffle on shingle -> per-pair
+    intersection counts -> join shingle-set sizes (broadcastable) ->
+    jaccard filter. The division is exact int/int in double, so results
+    are bit-identical across engines.
+    """
+    sh = _distinct_shingles(docs, n, id_col, text_col)
+    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "g")
+    b = exploded.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    1. signature: array<num_hashes> of min-xxhash64 per doc (map-only)
+    2. banding: ``bands`` keys of ``num_hashes/bands`` signature rows each;
+       shuffle on (band_idx, band_hash) — only same-bucket docs pair up
+    3. candidates: distinct (id_a, id_b) from bucket self-joins
+    4. verify: exact Jaccard on distinct shingle arrays via
+       array_intersect (candidates are few; arrays travel with the join)
+
+    With 16 bands x 4 rows, P(miss) at j=0.9 is ~4e-8 — the verified
+    output is exact for any realistic corpus, at a fraction of the
+    all-pairs cost. Output matches :func:`ngram_jaccard_pairs`.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _distinct_shingles(docs, n, id_col, text_col).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        F.col(id_col),
+        F.col("shingles"),
+        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "bb.band", "bb.bucket")
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text_col, n: int = 2):
+    """64-bit SimHash Column over word n-gram features.
+
+    Classic bit-voting: for each of 64 bit positions, sum +1/-1 votes of
+    each feature's xxhash64 bit; sign -> bit. Expressed as one aggregate
+    over the feature array per row — map-only, no shuffle.
+    """
+    feats = word_ngrams(text_col, n)
+    hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), i)) != 0, 1
+            ).otherwise(-1),
+        )
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("bigint")
+    for i, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking (a pair within Hamming
+    distance ``max_hamming`` <= bands-1 must agree exactly on >=1 of
+    ``bands`` 16-bit bands) + bit_count(xor) verification."""
+    sig = docs.select(F.col(id_col), simhash64(F.col(text_col), n).alias("sim"))
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col(id_col),
+        F.col("sim"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sim", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "sim", "bb.band", "bb.key")
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    All-pairs formulation — correct and fine to a few 10^4 vectors per
+    partition-broadcast side. At 100 TB, block first (hyperplane LSH in
+    ``similarity.hyperplane_lsh_bucket``) and run this within buckets.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("v_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("v_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,172 @@
+"""Multimodal columns: image/audio/video as opaque BinaryType + typed
+metadata, with Arrow-batched Pandas-UDF processing.
+
+North-star surface for training-data pipelines. The Spark-side plumbing
+(schemas, partitioning, mapInPandas batch shape, deterministic outputs)
+is real and tested; the actual media DECODE is stubbed behind
+``_decode_image_stub`` — a deterministic fake (media codecs aren't in
+this container). Swapping in PIL/librosa/cv2 changes one function body,
+not the dataflow.
+
+Scale notes: media bytes are the widest column in the table — every
+operator here projects metadata-only columns where possible, and the
+mapInPandas paths stream Arrow record batches (bounded memory per task,
+no collect). Partition by content-size bucketing upstream when batches
+skew (one 4 GB video next to a thousand thumbnails).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_stats",
+    "extract_image_features",
+    "sample_video_frames",
+]
+
+#: One row per media object: opaque payload + typed metadata struct.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("width", LongType()),
+                    StructField("height", LongType()),
+                    StructField("duration_ms", LongType()),
+                    StructField("source_uri", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+        StructField("content_sha256", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only profile (never touches `content` — column pruning
+    keeps the binary payload out of the scan): count + byte stats per
+    mime type."""
+    return (
+        media.select(
+            F.col("meta.mime").alias("mime"), F.length("content").alias("n_bytes")
+        )
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
+def _decode_image_stub(content: bytes) -> np.ndarray:
+    """STUB decode: deterministic fake 'pixels' derived from the payload
+    hash. Replace with `PIL.Image.open(io.BytesIO(content))` when the
+    codec is available; everything downstream is agnostic."""
+    digest = hashlib.sha256(content).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    return rng.random((8, 8, 3))
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """content -> FEATURE_DIM-dim feature vector via mapInPandas.
+
+    Arrow streams batches of (media_id, content); each batch is decoded
+    (stub) and reduced to a deterministic feature vector. The output
+    drops the binary column — downstream similarity search runs on the
+    16-float feature, not the payload.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, shas, sizes = [], [], []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                px = _decode_image_stub(raw)
+                flat = px.reshape(-1)
+                # pooled 'embedding': fixed-length mean-pool over chunks
+                chunks = np.array_split(flat, FEATURE_DIM)
+                feats.append([float(round(c.mean(), 9)) for c in chunks])
+                shas.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "content_sha256": shas,
+                    "n_bytes": sizes,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame index,
+    computed from metadata duration (decode stubbed — frame payloads are
+    represented by a deterministic per-(id, idx) hash).
+
+    A real implementation decodes only the sampled frames (seek, not
+    full-scan) inside the same mapInPandas shape.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
+                # NULL duration arrives as NaN through Arrow
+                n = 0 if pd.isna(dur) else max(int(dur) // every_ms, 0)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(f"{mid}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
+            )
+
+    return media.select(
+        "media_id", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(batches, schema=_FRAMES_SCHEMA)

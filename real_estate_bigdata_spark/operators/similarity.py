@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star surface: approximate-nearest-neighbor for training-data
+curation. Two tiers:
+
+- **brute-force top-k** — broadcast the (small) query set against the
+  corpus, cosine per (query, candidate), per-query top-k via window.
+  Exact; the baseline and the verifier for the approximate tier. Scales
+  linearly in corpus size with zero shuffle of the corpus (queries are
+  broadcast, top-k folds map-side through TakeOrdered-like window).
+- **hyperplane LSH** — deterministic pseudo-random hyperplanes (seeded),
+  sign-bit bucket key per vector; candidates share a bucket in >=1 of
+  several bands. Approximate; recall tunable by bands x bits.
+
+All vector math is ``zip_with``/``aggregate`` in double — JVM-side,
+deterministic, no UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.functions.vectors import cosine_similarity
+
+__all__ = ["brute_force_topk", "hyperplane_lsh_bucket", "lsh_topk"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    ``queries`` must be small (it is broadcast); the corpus streams
+    through map-side, so the only shuffle is the per-query top-k window
+    over k*|queries| surviving rows... which AQE collapses to almost
+    nothing. Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rn")
+    )
+
+
+def _planes(dim: int, bits: int, bands: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bands, bits, dim))
+
+
+def hyperplane_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    bits: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach (band, bucket) keys: per band, ``bits`` sign-bits of dot
+    products with seeded Gaussian hyperplanes, packed into a bigint.
+
+    The planes are literal arrays baked into the plan (deterministic
+    across runs/executors); each row fans out to ``bands`` rows — the
+    blocking shuffle key for within-bucket candidate generation.
+    """
+    planes = _planes(dim, bits, bands, seed)
+    v = F.col(vec_col).cast("array<double>")
+    band_structs = []
+    for b in range(bands):
+        key = F.lit(0).cast("bigint")
+        for i in range(bits):
+            plane = F.array(*[F.lit(float(x)) for x in planes[b, i]])
+            dot = F.aggregate(
+                F.zip_with(v, plane, lambda x, p: x * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.alias("bucket"))
+        )
+    return df.withColumn("bb", F.explode(F.array(*band_structs))).select(
+        "*", "bb.band", "bb.bucket"
+    ).drop("bb")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 4,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing >=1 LSH
+    bucket with the query, then exact cosine + per-query window top-k.
+
+    Recall < 1 by construction (rows-only correctness check); the win is
+    that each query only scores its bucket mates. Tune bits/bands to the
+    similarity regime: high-similarity near-dup search tolerates many
+    bits (tight buckets); top-k over weakly-correlated embeddings (cosine
+    ~0.3-0.5) needs few bits + more bands — P(bucket hit) =
+    (1 - theta/pi)^bits per band. Defaults (4 bits x 8 bands) target the
+    weak-correlation regime; at 10^9 vectors raise bits and bands
+    together to keep buckets small AND recall up.
+    """
+    cb = hyperplane_lsh_bucket(corpus, dim, bits, bands, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        "band",
+        "bucket",
+    )
+    qb = hyperplane_lsh_bucket(queries, dim, bits, bands, vec_col=vec_col).select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rn")
+    )
