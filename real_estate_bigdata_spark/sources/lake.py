@@ -1,0 +1,147 @@
+"""Data-lake layout: raw JSONL ingest zone + partitioned Parquet tables.
+
+Replaces the reference's hand-rolled WebHDFS JSONL lake
+(`kafka_cc/consumer/kafka_to_hdfs_consumer.py:78-151`: date-path
+`YYYY/MM/DD/data_<ts>.jsonl`, append-only, schema-free) with:
+
+- **raw zone**: JSONL read under an explicit schema, PERMISSIVE with a
+  `_corrupt_record` column — malformed rows are *quarantinable* instead
+  of silently dropped (mapper.py:29-40) or silently nulled.
+- **lake tables**: Parquet partitioned by `ingest_date` (ST3 semantics:
+  processing-time partitioning, kafka_to_hdfs_consumer.py:89-90) and
+  `source` — partition pruning turns date-ranged queries into
+  directory-level skips at any scale.
+- **compaction**: the one physical-layout concern Catalyst does not own
+  (SURVEY §4): micro-batches at 1-minute cadence produce thousands of
+  small files/day; `compact_partitions` rewrites each partition to
+  size-targeted files with a dynamic partition overwrite (readers never
+  see a partial partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA
+
+__all__ = [
+    "read_raw_jsonl",
+    "quarantine_split",
+    "write_lake",
+    "read_lake",
+    "compact_partitions",
+]
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_raw_jsonl(
+    spark: SparkSession, path: str, schema: StructType = RAW_LISTING_SCHEMA
+) -> DataFrame:
+    """Read raw JSONL with the explicit listing schema + corrupt-record
+    capture. No inference scan (the reference pays one at
+    count_by_district.py:22); bad lines land in `_corrupt_record`."""
+    full = StructType(schema.fields + [StructField(CORRUPT_COL, StringType())])
+    return spark.read.schema(full).option("mode", "PERMISSIVE").json(path)
+
+
+def quarantine_split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) — quarantined keeps the original line for
+    replay/debugging; clean drops the corrupt column entirely.
+
+    Caches the parsed scan: Spark forbids queries that reference only
+    `_corrupt_record` against a raw JSON scan (the column exists only
+    during parse), and both halves share one parse this way anyway.
+    """
+    raw = raw.cache()
+    clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, bad
+
+
+def write_lake(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("ingest_date", "source"),
+    mode: str = "append",
+) -> None:
+    """Partitioned Parquet lake write (S8 + ST3). Append is the streaming/
+    incremental default; 'overwrite' with dynamic partition mode only
+    replaces partitions present in `df` (safe view refresh, unlike the
+    reference's whole-table overwrite at count_by_district.py:36)."""
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned lake; partition columns come back typed via
+    directory discovery, and `WHERE ingest_date = ...` prunes at the
+    directory level (never touches other partitions' files)."""
+    return spark.read.parquet(path)
+
+
+def _is_streaming_sink_table(spark: SparkSession, path: str) -> bool:
+    """True if `path` was written by a Structured Streaming file sink
+    (has a `_spark_metadata` transaction log)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_spark_metadata")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    dest_path: str | None = None,
+    predicate: str | None = None,
+    target_rows_per_file: int = 1_000_000,
+    partition_cols: tuple[str, ...] = ("ingest_date", "source"),
+) -> None:
+    """Rewrite small files into ~target-sized ones, per partition.
+
+    Two modes:
+
+    - **bronze -> silver** (``dest_path`` given): read the (possibly
+      streaming-sink) source, write size-targeted files to a separate
+      compacted table. The ONLY safe mode for a live streaming sink —
+      its `_spark_metadata` log pins the exact file set, so rewriting
+      in place would corrupt every subsequent root-path read.
+    - **in place** (``dest_path=None``, batch tables only): lineage is
+      severed with an eager localCheckpoint before the dynamic partition
+      overwrite, so the rewrite never reads files it is deleting.
+      Refused with ValueError on streaming-sink tables.
+
+    ``predicate`` (e.g. ``"ingest_date = '2025-04-24'"``) limits work to
+    the partitions it selects — dynamic overwrite touches only those.
+    """
+    streaming_table = _is_streaming_sink_table(spark, path)
+    if streaming_table and dest_path is None:
+        raise ValueError(
+            f"{path} is a streaming-sink table (_spark_metadata present); "
+            "in-place compaction would invalidate its transaction log. "
+            "Pass dest_path to compact into a separate table."
+        )
+    if streaming_table:
+        # bypass the metadata log (glob + basePath) so the read sees the
+        # real file set, not the sink's view of it
+        df = spark.read.option("basePath", path).parquet(f"{path}/*")
+    else:
+        df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+    if dest_path is None:
+        # in-place: materialize before overwriting the files being read
+        df = df.localCheckpoint(eager=True)
+    n_rows = df.count()
+    n_files = max(1, (n_rows + target_rows_per_file - 1) // target_rows_per_file)
+    (
+        df.repartition(n_files, *partition_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(dest_path or path)
+    )
