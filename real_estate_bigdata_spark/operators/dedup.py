@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash64",
+    "simhash_signatures",
     "simhash_pairs",
     "embedding_neardup_pairs",
 ]
@@ -224,6 +225,45 @@ def simhash64(text_col, n: int = 2):
     return out
 
 
+def simhash_signatures(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sim) SimHash signatures, computed the scale-out way.
+
+    Identical bits to :func:`simhash64`, but instead of 64 higher-order
+    aggregate passes over the feature array per row (a giant interpreted
+    expression tree), this explodes features once and runs ONE
+    whole-stage-codegen hash aggregate with 64 conditional sums —
+    partial-aggregated map-side, a single shuffle on the doc id. This is
+    the formulation that survives 100 TB; the per-row Column variant is
+    kept as the readable spec and for ad-hoc use on small inputs.
+
+    Docs with no features (empty/whitespace text) keep signature 0, as in
+    the per-row variant.
+    """
+    feats = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).select(F.col(id_col), F.xxhash64("g").alias("h"))
+    one = F.lit(1).cast("bigint")
+    votes = feats.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(0)
+    sigs = votes.select(F.col(id_col), sim.alias("sim"))
+    return (
+        docs.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(F.col(id_col), F.coalesce("sim", F.lit(0).cast("bigint")).alias("sim"))
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
@@ -235,7 +275,7 @@ def simhash_pairs(
     """SimHash near-dup pairs: banded blocking (a pair within Hamming
     distance ``max_hamming`` <= bands-1 must agree exactly on >=1 of
     ``bands`` 16-bit bands) + bit_count(xor) verification."""
-    sig = docs.select(F.col(id_col), simhash64(F.col(text_col), n).alias("sim"))
+    sig = simhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sig.select(

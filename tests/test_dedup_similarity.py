@@ -53,6 +53,25 @@ def test_simhash_deterministic_and_neardup_sensitive(spark):
     assert ham(sigs1[1], sigs1[2]) < ham(sigs1[1], sigs1[3])
 
 
+def test_simhash_signatures_match_per_row_spec(spark):
+    """The exploded/group-by formulation (the 100 TB path) must produce
+    bit-identical signatures to the per-row Column spec, including the
+    zero signature for empty docs."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "completely different words about spark and parquet"),
+            (4, ""),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    spec = {r.doc_id: r.s for r in df.select("doc_id", dd.simhash64(F.col("text")).alias("s")).collect()}
+    fast = {r.doc_id: r.sim for r in dd.simhash_signatures(df).collect()}
+    assert fast == spec
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     """Hyperplane-LSH ANN should recover a reasonable share of the true
     top-10 (approximate; 8 bands x 4 bits tuned for the weak-correlation
