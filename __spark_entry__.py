@@ -222,6 +222,14 @@ def _q_dedup_embedding(spark, sf):
     return dd.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
 
 
+def _q_dedup_embedding_gemm(spark, sf):
+    # blocked-GEMM formulation (applyInPandas block-nested-loop); output
+    # is bit-identical to the expression-tree variant at round-6
+    return dd.embedding_neardup_pairs_blocked(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    )
+
+
 def _q_embed_cosine_topk(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -277,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_dedup_embedding": _q_dedup_embedding,
+        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_text_quality": _q_text_quality,
@@ -318,6 +327,20 @@ _JACCARD_PAIRS_SQL = r"""
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+#: exact all-pairs embedding cosine >= threshold — shared by the
+#: expression-tree and the blocked-GEMM query (verified bit-identical).
+_EMB_NEARDUP_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                6) >= 0.4
 """
 
 _EN_STOP = "'the','a','of','and','to','in','is','that'"
@@ -570,17 +593,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "q_dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
-        "q_dedup_embedding": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v)
-                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                         6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v)
-                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                        6) >= 0.4
-        """,
+        "q_dedup_embedding": _EMB_NEARDUP_SQL,
+        "q_dedup_embedding_gemm": _EMB_NEARDUP_SQL,
         "q_embed_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

@@ -34,7 +34,7 @@ from real_estate_bigdata_spark.functions.text import (
     tokenize,
     word_ngrams,
 )
-from real_estate_bigdata_spark.functions.vectors import cosine_similarity
+from real_estate_bigdata_spark.functions.vectors import dot, l2_norm
 
 __all__ = [
     "exact_dup_groups",
@@ -45,6 +45,7 @@ __all__ = [
     "simhash_signatures",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_blocked",
 ]
 
 
@@ -312,15 +313,22 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    All-pairs formulation — correct and fine to a few 10^4 vectors per
-    partition-broadcast side. At 100 TB, block first (hyperplane LSH in
-    ``similarity.hyperplane_lsh_bucket``) and run this within buckets.
+    All-pairs formulation with norms computed ONCE per row before the
+    crossJoin (3x less per-pair work than recomputing both norms inside
+    each pair; arithmetic is unchanged — same sequential-fold dot, same
+    sqrt — so results stay bit-identical to the oracle). Correct and fine
+    to a few 10^4 vectors; at scale use
+    :func:`embedding_neardup_pairs_blocked` (GEMM block-nested-loop) or
+    LSH-block first (``similarity.hyperplane_lsh_bucket``).
     """
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("v_a")
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("v_b")
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b")
     )
     return (
         a.crossJoin(b)
@@ -328,7 +336,90 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+            F.round(
+                F.when(
+                    F.col("n_a") * F.col("n_b") != 0.0,
+                    dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine via blocked GEMM — the 100 TB formulation.
+
+    Block-nested-loop join: vectors are hashed into ``n_blocks`` blocks,
+    every block *pair* (bx <= by) becomes one task whose rows are crunched
+    as a single numpy matrix multiply (``A @ B.T``) inside Arrow-batched
+    ``applyInPandas``. Data motion is each vector replicated ~n_blocks/2
+    times — O(N * sqrt(P)) per executor instead of the O(N^2) row-pair
+    materialization of the expression-tree variant; the flops run in BLAS
+    instead of per-row codegen. Size n_blocks so one block pair
+    (~(N/n_blocks)^2 doubles) fits executor memory.
+
+    Output matches :func:`embedding_neardup_pairs` up to BLAS summation
+    order (differences ~1e-15, far below the round-6 contract).
+    """
+    import pandas as pd
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int"))
+    blks = e.select("blk").distinct()
+    bp = (
+        blks.select(F.col("blk").alias("bx"))
+        .crossJoin(blks.select(F.col("blk").alias("by")))
+        .filter(F.col("bx") <= F.col("by"))
+    )
+    lhs = bp.join(e, F.col("bx") == F.col("blk")).select(
+        "bx", "by", "vid", "v", F.lit("a").alias("side")
+    )
+    rhs = (
+        bp.filter(F.col("bx") != F.col("by"))
+        .join(e, F.col("by") == F.col("blk"))
+        .select("bx", "by", "vid", "v", F.lit("b").alias("side"))
+    )
+
+    def _gram(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a_rows = pdf[pdf["side"] == "a"]
+        b_rows = pdf[pdf["side"] == "b"]
+        same_block = len(b_rows) == 0
+        if same_block:
+            b_rows = a_rows
+        ids_a = a_rows["vid"].to_numpy()
+        ids_b = b_rows["vid"].to_numpy()
+        A = np.stack(a_rows["v"].to_numpy())
+        B = np.stack(b_rows["v"].to_numpy())
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.round(np.where(denom != 0.0, (A @ B.T) / denom, np.nan), 6)
+        ii, jj = np.nonzero(C >= threshold)
+        id_a, id_b = ids_a[ii], ids_b[jj]
+        if same_block:
+            # both orientations present in C — keep one
+            keep = id_a < id_b
+            id_a, id_b, cos = id_a[keep], id_b[keep], C[ii, jj][keep]
+        else:
+            # each unordered pair appears once with arbitrary orientation
+            cos = C[ii, jj]
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    return (
+        lhs.unionByName(rhs)
+        .groupBy("bx", "by")
+        .applyInPandas(_gram, "id_a long, id_b long, cosine double")
     )

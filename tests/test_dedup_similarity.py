@@ -72,6 +72,19 @@ def test_simhash_signatures_match_per_row_spec(spark):
     assert fast == spec
 
 
+def test_embedding_blocked_gemm_matches_exact(spark):
+    """Blocked-GEMM all-pairs cosine (applyInPandas, the scale path) must
+    emit the same pairs with bit-identical round-6 cosines as the
+    expression-tree variant."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine for r in dd.embedding_neardup_pairs(emb, 0.4).collect()}
+    gemm = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs_blocked(emb, 0.4, n_blocks=5).collect()
+    }
+    assert gemm == exact and len(exact) > 0
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     """Hyperplane-LSH ANN should recover a reasonable share of the true
     top-10 (approximate; 8 bands x 4 bits tuned for the weak-correlation
