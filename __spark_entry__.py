@@ -114,6 +114,73 @@ def _q10_returned_items(spark, sf):
     )
 
 
+def _q04_order_priority(spark, sf):
+    return jn.order_priority_checking(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q06_forecast_revenue(spark, sf):
+    return agg.forecast_revenue(load_table(spark, sf, "lineitem"))
+
+
+def _q07_volume_shipping(spark, sf):
+    return jn.volume_shipping(
+        load_tables(spark, sf, ("nation", "customer", "supplier", "orders", "lineitem"))
+    )
+
+
+def _q08_market_share(spark, sf):
+    return jn.market_share(
+        load_tables(
+            spark, sf,
+            ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"),
+        )
+    )
+
+
+def _q13_customer_distribution(spark, sf):
+    return jn.customer_distribution(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def _q14_promo_revenue(spark, sf):
+    return jn.promo_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def _q17_small_quantity(spark, sf):
+    return jn.small_quantity_parts(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def _q18_large_orders(spark, sf):
+    return agg.large_orders(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q19_disjunctive_revenue(spark, sf):
+    return jn.disjunctive_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+
+
+def _q21_waiting_suppliers(spark, sf):
+    return jn.waiting_suppliers(
+        load_tables(spark, sf, ("supplier", "orders", "lineitem"))
+    )
+
+
+def _q22_sales_opportunity(spark, sf):
+    return jn.sales_opportunity(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
 def _q_distinct_counts(spark, sf):
     return agg.distinct_counts(load_table(spark, sf, "orders"))
 
@@ -264,6 +331,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": _q03_shipping_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q10_returned_items": _q10_returned_items,
+        "q04_order_priority": _q04_order_priority,
+        "q06_forecast_revenue": _q06_forecast_revenue,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q08_market_share": _q08_market_share,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_quantity": _q17_small_quantity,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
         "q_distinct_counts": _q_distinct_counts,
         "q_rollup_orders": _q_rollup_orders,
         "q_cube_lineitem": _q_cube_lineitem,
@@ -409,6 +487,141 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
             ORDER BY revenue DESC, c.c_custkey
             LIMIT 20
+        """,
+        "q04_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q06_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q07_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       extract(year FROM l.l_shipdate) AS l_year,
+                       l.l_extendedprice * (1 - l.l_discount) AS volume
+                FROM lineitem l
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+                JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+                WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+                  AND n2.n_name IN ('NATION_3', 'NATION_7')
+                  AND n1.n_name <> n2.n_name
+                  AND extract(year FROM l.l_shipdate) BETWEEN 1996 AND 1997
+            ) GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q08_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                                  ELSE 0 END) / sum(volume), 6) AS mkt_share
+            FROM (
+                SELECT extract(year FROM o.o_orderdate) AS o_year,
+                       l.l_extendedprice * (1 - l.l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+                JOIN region r   ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+            ) GROUP BY o_year
+        """,
+        "q13_customer_distribution": """
+            SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey
+            ) GROUP BY n_orders
+        """,
+        "q14_promo_revenue": """
+            SELECT extract(month FROM l_shipdate) AS l_month,
+                   round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE extract(year FROM l_shipdate) = 1997
+            GROUP BY l_month
+        """,
+        "q17_small_quantity": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#3'
+            ), a AS (
+                SELECT l_partkey AS ap_key, avg(l_quantity) * 0.5 AS qty_cut
+                FROM li GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_small
+            FROM li JOIN a ON l_partkey = ap_key
+            WHERE l_quantity < qty_cut
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING round(sum(l_quantity), 2) > 200) ON o_orderkey = l_orderkey
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_suppliers": """
+            WITH l1 AS (
+                SELECT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE o.o_orderstatus = 'F'
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM l1 l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 25
+        """,
+        "q22_sales_opportunity": """
+            WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer
+                        WHERE c_acctbal > 0.0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, ab
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c_nationkey
         """,
         "q_distinct_counts": """
             SELECT o_orderpriority,

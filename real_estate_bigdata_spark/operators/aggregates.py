@@ -24,6 +24,8 @@ __all__ = [
     "distinct_counts",
     "rollup_counts",
     "cube_counts",
+    "forecast_revenue",
+    "large_orders",
     "top_k",
 ]
 
@@ -95,6 +97,61 @@ def cube_counts(lineitem: DataFrame) -> DataFrame:
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count("*").alias("n_items"),
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from discount-band lineitems.
+
+    Every predicate is a plain column comparison, so all four push into
+    the parquet scan (row-group pruning on l_shipdate at rest); the agg
+    itself is a single global partial+final sum — the shuffle carries one
+    row per partition.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def large_orders(
+    orders: DataFrame, lineitem: DataFrame, min_qty: float = 200.0, k: int = 20
+) -> DataFrame:
+    """TPC-H Q18 shape: top-k orders whose total quantity exceeds a
+    threshold (GROUP BY + HAVING + join back to the order header).
+
+    The heavy aggregate (sum quantity per orderkey) runs FIRST and its
+    HAVING filter drops ~all groups before the join — so the join input
+    is tiny and broadcastable, not the full lineitem table.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(k)
     )
 
 

@@ -27,6 +27,15 @@ __all__ = [
     "customer_order_profile",
     "customers_without_orders",
     "active_segment_customers",
+    "order_priority_checking",
+    "volume_shipping",
+    "market_share",
+    "customer_distribution",
+    "promo_revenue",
+    "small_quantity_parts",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "sales_opportunity",
 ]
 
 def shipping_priority(
@@ -128,6 +137,316 @@ def returned_items(
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
+    )
+
+
+def order_priority_checking(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    late_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority with >= 1 slow lineitem.
+
+    The driver testdata has no commit/receipt dates (TESTDATA.md), so
+    "slow" is l_shipdate > o_orderdate + late_days — same correlated-
+    EXISTS structure as Q4. Planned as a left-semi join with a non-equi
+    residual; the quarter filter prunes orders before the join.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    slow = ords.join(
+        li,
+        (ords.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(ords.o_orderdate, late_days)),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def volume_shipping(
+    tables: dict[str, DataFrame],
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+    year_from: int = 1996,
+    year_to: int = 1997,
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by direction
+    and ship year.
+
+    Both nation lookups broadcast (25 rows); lineitem ⋈ orders is the one
+    real shuffle. The (supp_nation, cust_nation) pair filter is applied
+    as soon as both sides are bound.
+    """
+    nat = tables["nation"].filter(F.col("n_name").isin(nation_a, nation_b))
+    supp = tables["supplier"].join(
+        F.broadcast(nat.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = tables["customer"].join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    li = tables["lineitem"].filter(
+        (F.year("l_shipdate") >= year_from) & (F.year("l_shipdate") <= year_to)
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(tables["orders"].select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def market_share(
+    tables: dict[str, DataFrame],
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+    share_nation: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of one part type's revenue within
+    one region's customer market, per order year.
+
+    part is filtered then broadcast (it gates everything); region ->
+    nation -> customer restricts the customer side; the conditional
+    numerator (share nation only) and the total run in ONE aggregate pass
+    — no second scan, no self-join.
+    """
+    part = tables["part"].filter(F.col("p_type") == part_type).select("p_partkey")
+    region = tables["region"].filter(F.col("r_name") == region_name)
+    cust_nat = tables["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = tables["customer"].join(
+        F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    supp = tables["supplier"].join(
+        F.broadcast(tables["nation"].select(F.col("n_nationkey").alias("sn_key"),
+                                            F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(tables["orders"].select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == share_nation, vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def customer_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count (including
+    the zero-order bucket via left outer join).
+
+    Two aggregates, two shuffles — but the second groups on n_orders
+    (tiny domain) over one row per customer, so shuffle #2 is noise.
+    """
+    per_cust = (
+        customer.select("c_custkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+def promo_revenue(
+    lineitem: DataFrame, part: DataFrame, year: int = 1997
+) -> DataFrame:
+    """TPC-H Q14 shape: promo part types' share of revenue per ship month.
+
+    part prunes to (partkey, type) and broadcasts; conditional numerator
+    and denominator in one pass, like :func:`market_share`.
+    """
+    li = lineitem.filter(F.year("l_shipdate") == year).select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = part.select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("l_month"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def small_quantity_parts(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3", factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly-average revenue lost to small-quantity
+    orders of one brand's parts.
+
+    The per-part average quantity (Q17's correlated scalar subquery) is
+    computed as a pre-aggregate over ONLY the brand's lineitems and
+    broadcast-joined back — lineitem is scanned once for the aggregate
+    and once for the probe, both scans pruned by the broadcast part
+    filter; no window over the full fact table.
+    """
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * factor).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (brand, size, quantity)
+    predicate branches — the classic disjunctive-pushdown test.
+
+    The join is a plain equi-join on partkey with the disjunction as a
+    residual; Catalyst extracts the common l_quantity bounds and the
+    per-branch part predicates so both scans still prune.
+    """
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def waiting_suppliers(
+    tables: dict[str, DataFrame], late_days: int = 90, k: int = 25
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finalized multi-supplier order.
+
+    No commit/receipt dates in the testdata, so "late" is l_shipdate >
+    o_orderdate + late_days. Structure preserved: semi join ("another
+    supplier shipped on this order") + anti join ("no OTHER supplier was
+    late") + count per supplier. The l2/l3 probes project only
+    (orderkey, suppkey[, shipdate]) so the extra scans are narrow.
+    """
+    li = tables["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    ords = tables["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l1 = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key"))
+    exists_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
+        "left_semi",
+    )
+    l3 = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    )
+    only_late = exists_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")),
+        "left_anti",
+    )
+    supp = tables["supplier"].select("s_suppkey", "s_name")
+    return (
+        only_late.join(F.broadcast(supp), only_late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )
+
+
+def sales_opportunity(
+    customer: DataFrame, orders: DataFrame, inactive_since: str = "1999-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: per nation, the count + balance of above-average-
+    balance customers with no recent orders.
+
+    The global average (Q22's scalar subquery) is a one-row aggregate
+    joined in as a broadcast cross join — evaluated once, streamed past
+    every row; the no-recent-orders test is a left-anti join against the
+    date-pruned orders scan.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(inactive_since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
     )
 
 
