@@ -29,11 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.functions.text import (
-    minhash_signature,
-    tokenize,
-    word_ngrams,
-)
+from real_estate_bigdata_spark.functions.text import tokenize, word_ngrams
 from real_estate_bigdata_spark.functions.vectors import dot, l2_norm
 
 __all__ = [
@@ -82,6 +78,64 @@ def _distinct_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> D
     )
 
 
+def _hashed_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, hs: distinct array<bigint>) — 64-bit word-n-gram shingle ids.
+
+    Built from per-token xxhash64 + a rolling n-wise combine, so no
+    n-gram strings are ever materialized: the build is one cheap pass
+    over the token array instead of per-position string slicing and
+    concatenation. Two hashed shingles are equal iff the underlying
+    n-grams are equal, up to xxhash64 collisions (~|S|^2 * 2^-64 per
+    doc pair — immaterial), so set sizes and intersections match the
+    string formulation the oracle computes.
+    """
+    toks = tokenize(F.col(text_col))
+    th = docs.select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
+    sh = F.when(F.size("th") < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("th") - n),
+            lambda i: F.xxhash64(*[F.col("th")[i + k] for k in range(n)]),
+        )
+    )
+    return th.select(F.col(id_col), F.array_distinct(sh).alias("hs"))
+
+
+def _posting_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b, n_inter) co-occurrence counts from an exploded
+    (id, g) posting stream — one shuffle on g to build posting lists,
+    pair expansion inside each list, one shuffle on the pair.
+
+    This halves the work of the classic self-join-on-g formulation,
+    which evaluates the (expensive) shingle pipeline once per join side.
+    At extreme scale a stop-shingle cap (drop postings longer than k)
+    belongs here; uncapped keeps exact-oracle semantics.
+    """
+    post = (
+        exploded.groupBy("g")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = post.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x: F.transform(
+                            "ids",
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -91,22 +145,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard).
 
-    Plan: explode distinct shingles -> shuffle on shingle -> per-pair
-    intersection counts -> join shingle-set sizes (broadcastable) ->
-    jaccard filter. The division is exact int/int in double, so results
-    are bit-identical across engines.
+    Plan: hashed distinct shingles (64-bit ids, no n-gram strings
+    materialized) -> explode -> posting lists per shingle -> pair
+    expansion within postings -> per-pair intersection counts -> join
+    shingle-set sizes (broadcastable) -> jaccard filter. The division is
+    exact int/int in double, so results are bit-identical across engines.
     """
-    sh = _distinct_shingles(docs, n, id_col, text_col)
-    sizes = sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
-    exploded = sh.select(F.col(id_col), F.explode("shingles").alias("g"))
-    a = exploded.select(F.col(id_col).alias("id_a"), "g")
-    b = exploded.select(F.col(id_col).alias("id_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    hsh = _hashed_shingles(docs, n, id_col, text_col)
+    sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
+    exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
+    inter = _posting_pairs(exploded, id_col)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -148,11 +196,30 @@ def minhash_lsh_pairs(
     all-pairs cost. Output matches :func:`ngram_jaccard_pairs`.
     """
     rows_per_band = num_hashes // bands
-    sh = _distinct_shingles(docs, n, id_col, text_col).filter(F.size("shingles") > 0)
-    sig = sh.select(
-        F.col(id_col),
-        F.col("shingles"),
-        minhash_signature(F.col("shingles"), num_hashes).alias("sig"),
+    # NOTE: no size(hs)>0 pre-filter — a Filter on a computed array column
+    # gets pushed below the Project and re-evaluates the whole shingle
+    # expression per row; explode() drops empty arrays on its own.
+    hsh = _hashed_shingles(docs, n, id_col, text_col)
+    # Signatures the scale-out way (same trick as simhash_signatures):
+    # explode hashed shingles once, then ONE codegen'd hash aggregate
+    # computing all num_hashes mins — instead of num_hashes interpreted
+    # transform+array_min passes over the array per row. The hash family
+    # is min(xxhash64(shingle_id, i)) over the 64-bit shingle universe —
+    # same structure as functions.text.minhash_signature (the per-row
+    # spec), applied to hashed rather than string shingles.
+    sig = (
+        hsh.select(F.col(id_col), F.explode("hs").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
     banded = sig.select(
         F.col(id_col),
@@ -178,8 +245,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_a = hsh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    sh_b = hsh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
     return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")

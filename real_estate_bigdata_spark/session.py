@@ -50,6 +50,17 @@ def get_spark(
         # matches the reference's swallow-malformed-rows semantics
         # (mapper.py:29-40) and DuckDB's TRY_CAST oracle behavior.
         .config("spark.sql.ansi.enabled", "false")
+        # InferFiltersFromGenerate rewrites `Project[expr AS a] -> explode(a)`
+        # into a pre-Generate Filter whose predicate inlines `expr` — and
+        # every array subscript inside the filter then re-evaluates the full
+        # nested higher-order expression, turning O(len) shingle builds into
+        # O(len^2) per row (measured 25x slowdown on the dedup operators).
+        # The rule only helps when exploding STORED arrays with many
+        # empties; this engine explodes computed arrays, so exclude it.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     if master is not None:
         builder = builder.master(master)

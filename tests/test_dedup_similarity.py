@@ -72,6 +72,52 @@ def test_simhash_signatures_match_per_row_spec(spark):
     assert fast == spec
 
 
+def test_minhash_agg_signatures_match_per_row_spec(spark):
+    """The exploded/group-by minhash signature (minhash_lsh_pairs'
+    formulation) must equal the per-row Column spec in
+    functions.text.minhash_signature applied to the same hashed-shingle
+    arrays."""
+    from real_estate_bigdata_spark.functions.text import minhash_signature
+    from real_estate_bigdata_spark.operators.dedup import _hashed_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    hsh = _hashed_shingles(df, 3, "doc_id", "text")
+    spec = {
+        r.doc_id: r.sig
+        for r in hsh.select(
+            "doc_id", minhash_signature(F.col("hs"), 16).alias("sig")
+        ).collect()
+    }
+    agg = (
+        hsh.select(F.col("doc_id"), F.explode("hs").alias("s"))
+        .groupBy("doc_id")
+        .agg(*[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(16)])
+        .select("doc_id", F.array(*[F.col(f"h{i}") for i in range(16)]).alias("sig"))
+    )
+    fast = {r.doc_id: r.sig for r in agg.collect()}
+    assert fast == spec
+
+
+def test_hashed_shingles_match_string_shingles(spark):
+    """Hashed shingle ids must be exactly xxhash64-consistent in set
+    size with the string n-gram formulation (no duplicate collapse
+    beyond true duplicates)."""
+    from real_estate_bigdata_spark.operators.dedup import (
+        _distinct_shingles,
+        _hashed_shingles,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    s1 = {r[0]: r[1] for r in _distinct_shingles(docs, 3, "doc_id", "text")
+          .select("doc_id", F.size("shingles")).collect()}
+    s2 = {r[0]: r[1] for r in _hashed_shingles(docs, 3, "doc_id", "text")
+          .select("doc_id", F.size("hs")).collect()}
+    assert s1 == s2
+
+
 def test_embedding_blocked_gemm_matches_exact(spark):
     """Blocked-GEMM all-pairs cosine (applyInPandas, the scale path) must
     emit the same pairs with bit-identical round-6 cosines as the
