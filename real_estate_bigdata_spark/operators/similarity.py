@@ -12,17 +12,20 @@ curation. Two tiers:
   sign-bit bucket key per vector; candidates share a bucket in >=1 of
   several bands. Approximate; recall tunable by bands x bits.
 
-All vector math is ``zip_with``/``aggregate`` in double — JVM-side,
-deterministic, no UDFs.
+Pair scoring is ``zip_with``/``aggregate`` in double — JVM-side and
+deterministic (norms hoisted to once per row). The many-projection LSH
+key computation runs as one Arrow-batched BLAS matrix multiply per
+batch (seeded planes — still deterministic across runs/executors).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.functions.vectors import cosine_similarity
+from real_estate_bigdata_spark.functions.vectors import dot, l2_norm
 
 __all__ = ["brute_force_topk", "hyperplane_lsh_bucket", "lsh_topk"]
 
@@ -45,20 +48,25 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                F.when(
+                    F.col("q_nrm") * F.col("c_nrm") != 0.0,
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_nrm") * F.col("c_nrm")),
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -87,29 +95,32 @@ def hyperplane_lsh_bucket(
     """Attach (band, bucket) keys: per band, ``bits`` sign-bits of dot
     products with seeded Gaussian hyperplanes, packed into a bigint.
 
-    The planes are literal arrays baked into the plan (deterministic
-    across runs/executors); each row fans out to ``bands`` rows — the
-    blocking shuffle key for within-bucket candidate generation.
+    All bands*bits projections happen in ONE Arrow-batched matrix
+    multiply per batch (V @ P.T in BLAS) instead of bands*bits
+    interpreted fold expressions per row — the same batched-GEMM shape
+    as ``dedup.embedding_neardup_pairs_blocked``. The planes are
+    seeded and baked into the closure (deterministic across
+    runs/executors); each row fans out to ``bands`` rows — the blocking
+    shuffle key for within-bucket candidate generation.
     """
+    from pyspark.sql.functions import pandas_udf
+
     planes = _planes(dim, bits, bands, seed)
-    v = F.col(vec_col).cast("array<double>")
-    band_structs = []
-    for b in range(bands):
-        key = F.lit(0).cast("bigint")
-        for i in range(bits):
-            plane = F.array(*[F.lit(float(x)) for x in planes[b, i]])
-            dot = F.aggregate(
-                F.zip_with(v, plane, lambda x, p: x * p),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            key = key + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.alias("bucket"))
-        )
-    return df.withColumn("bb", F.explode(F.array(*band_structs))).select(
-        "*", "bb.band", "bb.bucket"
-    ).drop("bb")
+    P = planes.reshape(bands * bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        A = np.stack(v.to_numpy())
+        signs = (A @ P.T) > 0
+        B = signs.reshape(len(A), bands, bits) @ weights
+        return pd.Series(list(B))
+
+    return (
+        df.withColumn("bb", band_keys(F.col(vec_col).cast("array<double>")))
+        .select("*", F.posexplode("bb").alias("band", "bucket"))
+        .drop("bb")
+    )
 
 
 def lsh_topk(
@@ -135,27 +146,45 @@ def lsh_topk(
     weak-correlation regime; at 10^9 vectors raise bits and bands
     together to keep buckets small AND recall up.
     """
+    # Candidate generation on ids only (cheap distinct over 8-byte
+    # pairs); vectors join back AFTER dedup so each surviving candidate
+    # is scored exactly once — scoring before distinct would re-evaluate
+    # the dot product once per shared band.
     cb = hyperplane_lsh_bucket(corpus, dim, bits, bands, vec_col=vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-        "band",
-        "bucket",
+        F.col(id_col).alias("neighbor_id"), "band", "bucket"
     )
     qb = hyperplane_lsh_bucket(queries, dim, bits, bands, vec_col=vec_col).select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-        "band",
-        "bucket",
+        F.col(id_col).alias(query_id_col), "band", "bucket"
     )
-    cand = (
+    cand_ids = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id")
+        .distinct()
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
+    q_vecs = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
+    cand = (
+        cand_ids.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), query_id_col)
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            F.round(
+                F.when(
+                    F.col("q_nrm") * F.col("c_nrm") != 0.0,
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_nrm") * F.col("c_nrm")),
+                ),
+                6,
+            ).alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

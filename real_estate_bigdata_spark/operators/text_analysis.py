@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.functions.text import (
     bpe_ish_token_count,
-    lang_id,
     quality_metrics,
     token_count,
 )
@@ -57,10 +56,34 @@ def token_accounting(docs: DataFrame) -> DataFrame:
 
 def lang_id_report(docs: DataFrame) -> DataFrame:
     """Predicted language per doc (stopword-argmax heuristic) alongside
-    the labeled language — the confusion-matrix input."""
-    return docs.select(
-        "doc_id", "lang", lang_id(F.col("text")).alias("lang_pred")
-    )
+    the labeled language — the confusion-matrix input.
+
+    Staged projections (tokens -> per-language scores -> argmax) instead
+    of the single nested Column expression in ``functions.text.lang_id``:
+    the chained argmax there embeds every score expression into every
+    branch of the when-tree, so each language's token scan is
+    re-evaluated many times per row. Splitting the stages keeps each
+    score computed once; the argmax then compares 5 cheap ints. Same
+    output (lang_id stays as the per-row spec for ad-hoc use).
+    """
+    from real_estate_bigdata_spark.functions.text import LANG_STOPWORDS, tokenize
+
+    toks_df = docs.select("doc_id", "lang", tokenize(F.lower(F.col("text"))).alias("toks"))
+    score_cols = []
+    for code in sorted(LANG_STOPWORDS):
+        arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
+        score_cols.append(
+            F.size(F.filter("toks", lambda t: F.array_contains(arr, t))).alias(f"s_{code}")
+        )
+    scored = toks_df.select("doc_id", "lang", *score_cols)
+    codes = sorted(LANG_STOPWORDS)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for code in codes:
+        cond = F.col(f"s_{code}") > best_score
+        best = F.when(cond, F.lit(code)).otherwise(best)
+        best_score = F.when(cond, F.col(f"s_{code}")).otherwise(best_score)
+    return scored.select("doc_id", "lang", best.alias("lang_pred"))
 
 
 def portable_fingerprint(text: Column) -> Column:
