@@ -24,6 +24,7 @@ from real_estate_bigdata_spark.operators import events as ev
 from real_estate_bigdata_spark.operators import joins as jn
 from real_estate_bigdata_spark.operators import setops as so
 from real_estate_bigdata_spark.operators import similarity as sim
+from real_estate_bigdata_spark.operators import temporal as tm
 from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators import windows as win
 from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA, load_table, load_tables
@@ -258,6 +259,26 @@ def _q_sessionize(spark, sf):
     return ev.sessionize(load_table(spark, sf, "events"))
 
 
+def _q_asof_view_purchase(spark, sf):
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return tm.asof_join(p, v, on="user_id", prefix="view_")
+
+
+def _q_interval_signup_errors(spark, sf):
+    ev = load_table(spark, sf, "events")
+    s = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return tm.interval_join(s, e, on="user_id", width_seconds=3600)
+
+
 def _q_normalize_listings(spark, sf):
     raw = spark.createDataFrame(_LISTING_CORPUS, RAW_LISTING_SCHEMA)
     return normalize_listings(raw).drop("ingest_date")
@@ -357,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_events": _q_tumbling_events,
         "q_json_props": _q_json_props,
         "q_sessionize": _q_sessionize,
+        "q_asof_view_purchase": _q_asof_view_purchase,
+        "q_interval_signup_errors": _q_interval_signup_errors,
         "q_normalize_listings": _q_normalize_listings,
         "q_dedup_exact_docs": _q_dedup_exact_docs,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -754,6 +777,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS session_value
             FROM sess
             GROUP BY user_id, session_seq
+        """,
+        "q_asof_view_purchase": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   v2.event_id AS view_event_id, v2.ts AS view_ts,
+                   v2.value AS view_value
+            FROM p LEFT JOIN LATERAL (
+                SELECT v.event_id, v.ts, v.value FROM v
+                WHERE v.user_id = p.user_id AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v2 ON true
+        """,
+        "q_interval_signup_errors": """
+            SELECT s.event_id, s.user_id, s.ts,
+                   e.event_id AS r_event_id, e.ts AS r_ts, e.value AS r_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'signup') s
+            JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'error') e
+              ON e.user_id = s.user_id
+             AND e.ts > s.ts
+             AND e.ts <= s.ts + INTERVAL 3600 SECOND
         """,
         "q_normalize_listings": f"""
             SELECT

@@ -1,0 +1,138 @@
+"""Temporal join operators: as-of and interval/range joins.
+
+SURVEY §2.3: the reference has NO joins at all; the full join surface is
+north-star scope, and as-of/range joins are the two shapes Spark lacks
+as built-ins. Both are implemented as compositions of existing
+DataFrame ops (no UDFs, no driver loops):
+
+- **as-of join** — "for each left row, the latest right row at or
+  before its timestamp (same key)". The scalable formulation is NOT a
+  windowed self-join (quadratic in ts-ties) or a per-row subquery; it is
+  the classic union trick: tag both sides, union, ONE shuffle on the
+  key, sort within partition by (ts, side, id), and carry the right
+  side's payload forward with last(ignorenulls) over an unbounded-
+  preceding window. O(n log n) per key group, exactly one exchange —
+  the plan survives a 100 TB event log.
+- **interval join** — equi-key join with a time-window residual
+  (right.ts in (left.ts, left.ts + width]). The equi key bounds the
+  match space, so Catalyst plans a plain shuffled hash/sort-merge join
+  with the range as a cheap post-filter.
+- **bucketed range join** — when there is NO equi key, a raw
+  inequality join degenerates to broadcast-nested-loop. Bucketing the
+  timeline to `bucket` seconds and exploding each left interval to the
+  buckets it covers turns it into an equi join on the bucket id +
+  residual filter — the standard scale-out rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join", "bucketed_range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_payload: tuple[str, ...] = ("event_id", "ts", "value"),
+    id_col: str = "event_id",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: attach the most recent right row with
+    ``right.ts <= left.ts`` per ``on`` key; unmatched lefts keep NULLs.
+
+    Ties: a right row at exactly left.ts matches; among right rows with
+    identical (key, ts) the one with the greatest ``id_col`` wins —
+    deterministic, mirroring ``ORDER BY ts DESC, id DESC LIMIT 1``.
+    """
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.withColumn("__side", F.lit(0))
+    for c in right_payload:
+        lhs = lhs.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
+        rhs = rhs.withColumn(f"{prefix}{c}", F.col(c))
+    cols = [on, ts_col, id_col, "__side"] + [f"{prefix}{c}" for c in right_payload]
+    u = lhs.select(*cols, *[c for c in left.columns if c not in (on, ts_col, id_col)]) \
+        .unionByName(rhs.select(*cols), allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col), F.col("__side"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_payload
+        ],
+    )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in right_payload
+    ]
+    return carried.filter(F.col("__side") == 1).select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    width_seconds: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Pairs (left, right) with the same key and
+    ``left.ts < right.ts <= left.ts + width_seconds``.
+
+    Columns of both sides survive; right columns get an ``r_`` prefix.
+    The equi key carries the shuffle; the interval is a residual filter.
+    """
+    r = right.select(
+        F.col(on).alias("__rk"), *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on]
+    )
+    cond = (
+        (F.col(on) == F.col("__rk"))
+        & (F.col(f"r_{ts_col}") > F.col(ts_col))
+        & (
+            F.col(f"r_{ts_col}")
+            <= F.col(ts_col) + F.make_interval(secs=F.lit(width_seconds))
+        )
+    )
+    return left.join(r, cond).drop("__rk")
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_ts: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Keyless range containment join (right.ts in [start, end]) via
+    time bucketing: each left interval explodes to the bucket ids it
+    covers, each right row maps to one bucket id, and the match becomes
+    an equi join on bucket + residual range filter — instead of a
+    broadcast-nested-loop over the full cross product.
+
+    Intervals are assumed << bucket count; pick ``bucket_seconds`` near
+    the typical interval length so each left row explodes to O(1) rows.
+    """
+    start_b = F.floor(F.unix_timestamp(F.col(left_start)) / bucket_seconds)
+    end_b = F.floor(F.unix_timestamp(F.col(left_end)) / bucket_seconds)
+    l = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(start_b.cast("long"), end_b.cast("long"))),
+    )
+    r = right.withColumn(
+        "__bucket",
+        F.floor(F.unix_timestamp(F.col(right_ts)) / bucket_seconds).cast("long"),
+    ).select("__bucket", *[F.col(c).alias(f"r_{c}") for c in right.columns])
+    return (
+        l.join(r, "__bucket")
+        .filter(
+            (F.col(f"r_{right_ts}") >= F.col(left_start))
+            & (F.col(f"r_{right_ts}") <= F.col(left_end))
+        )
+        .drop("__bucket")
+    )

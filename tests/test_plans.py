@@ -1,0 +1,100 @@
+"""Plan-shape tests: lock the scale properties of headline queries.
+
+These assert the PHYSICAL plan, not results — a regression here means a
+query still returns the right rows but would fall over (or crawl) at
+100 TB: a lost broadcast hint turns a dimension lookup into a fact-fact
+shuffle; a lost pushdown makes a scan read everything.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from real_estate_bigdata_spark.plans import assert_plan, plan_stats
+
+SF = "/root/testdata/sf0.01"
+QUERIES = entry_mod.queries()
+
+
+def test_q01_single_shuffle_with_pushdown(spark):
+    # scan-filter-aggregate: one exchange (partial->final agg), filter
+    # pushed into the parquet scan, zero joins, no Python
+    assert_plan(
+        QUERIES["q01_pricing_summary"](spark, SF),
+        max_shuffles=1,
+        min_scans_with_pushdown=1,
+        forbid_python=True,
+    )
+
+
+def test_q03_broadcasts_dimensions(spark):
+    # customer (filtered) and orders broadcast; lineitem never shuffles
+    # for the join — only the final aggregate exchanges
+    assert_plan(
+        QUERIES["q03_shipping_priority"](spark, SF),
+        min_broadcast_joins=2,
+        max_sortmerge_joins=0,
+        min_scans_with_pushdown=2,
+    )
+
+
+def test_q05_dimension_chain_broadcasts(spark):
+    stats = assert_plan(
+        QUERIES["q05_local_supplier_volume"](spark, SF),
+        min_broadcast_joins=3,
+        min_scans_with_pushdown=2,
+    )
+    # the only sort-merge-eligible joins are the fact-fact ones
+    assert stats.sortmerge_joins <= 2, stats
+
+
+def test_q06_scan_only_aggregate(spark):
+    # all four predicates reach the scan; single global agg
+    assert_plan(
+        QUERIES["q06_forecast_revenue"](spark, SF),
+        max_shuffles=1,
+        min_scans_with_pushdown=1,
+        forbid_python=True,
+    )
+
+
+def test_q18_having_prunes_before_join(spark):
+    # the aggregate runs before the join; the join side is broadcast
+    assert_plan(
+        QUERIES["q18_large_orders"](spark, SF),
+        min_broadcast_joins=1,
+        max_sortmerge_joins=0,
+    )
+
+
+def test_asof_join_exactly_one_shuffle(spark):
+    assert_plan(
+        QUERIES["q_asof_view_purchase"](spark, SF),
+        max_shuffles=1,
+        max_sortmerge_joins=0,
+        forbid_python=True,
+    )
+
+
+def test_exact_dedup_single_shuffle(spark):
+    assert_plan(
+        QUERIES["q_dedup_exact_docs"](spark, SF),
+        max_shuffles=1,
+        forbid_python=True,
+    )
+
+
+def test_gemm_neardup_is_python_but_bounded_shuffles(spark):
+    # the blocked-GEMM variant is SUPPOSED to cross into Python (Arrow
+    # applyInPandas); assert it does, and with a bounded shuffle count
+    stats = plan_stats(QUERIES["q_dedup_embedding_gemm"](spark, SF))
+    assert stats.python_stages >= 1, stats
+    assert stats.shuffles <= 6, stats
+
+
+def test_normalize_listings_no_shuffle_no_python(spark):
+    # the whole normalization layer is a map-only projection
+    assert_plan(
+        QUERIES["q_normalize_listings"](spark, SF),
+        max_shuffles=0,
+        forbid_python=True,
+    )

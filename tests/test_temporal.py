@@ -1,0 +1,102 @@
+"""Semantic tests for temporal joins: the scalable formulations must
+match naive quadratic reference computations on small inputs."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators import temporal as tm
+
+T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+def test_asof_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5), 1.0), (2, 10, _ts(10), 2.0), (3, 20, _ts(3), 3.0),
+         (4, 30, _ts(7), 4.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(4), 10.0), (101, 10, _ts(5), 11.0), (102, 10, _ts(9), 12.0),
+         (103, 20, _ts(6), 13.0), (104, 40, _ts(1), 14.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.r_event_id, r.r_ts, r.r_value)
+        for r in tm.asof_join(left, right, on="user_id").collect()
+    }
+    # naive: latest right with ts <= left.ts, ties by max event_id
+    lrows = left.collect()
+    rrows = right.collect()
+    for lr in lrows:
+        cands = [r for r in rrows if r.user_id == lr.user_id and r.ts <= lr.ts]
+        expected = (None, None, None)
+        if cands:
+            best = max(cands, key=lambda r: (r.ts, r.event_id))
+            expected = (best.event_id, best.ts, best.value)
+        assert out[lr.event_id] == expected, lr.event_id
+    # every left row exactly once
+    assert len(out) == len(lrows)
+    # tie at equal ts matched (event 1 at t=5 sees right 101 at t=5)
+    assert out[1][0] == 101
+    # user with no rights at all -> NULLs survive
+    assert out[4] == (None, None, None)
+
+
+def test_asof_join_one_shuffle(spark):
+    """The as-of plan must contain exactly ONE exchange (the key
+    partition) — no join-shaped second shuffle."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5), 1.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    plan = tm.asof_join(left, left, on="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_interval_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(0)), (2, 10, _ts(50)), (3, 20, _ts(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(30), 1.0), (101, 10, _ts(61), 2.0), (102, 20, _ts(0), 3.0),
+         (103, 20, _ts(59), 4.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r.event_id, r.r_event_id)
+        for r in tm.interval_join(left, right, on="user_id", width_seconds=3600).collect()
+    }
+    # (1,100): 30min in (0,60] yes; (1,101): 61min > 60 no; (2,101): 11min yes
+    # (3,102): ts equal -> strict > excludes; (3,103): 59min yes
+    assert out == {(1, 100), (2, 101), (3, 103)}
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    intervals = spark.createDataFrame(
+        [(1, _ts(0), _ts(90)), (2, _ts(120), _ts(130)), (3, _ts(500), _ts(700))],
+        "iv_id long, start timestamp, end timestamp",
+    )
+    points = spark.createDataFrame(
+        [(100, _ts(45.0)), (101, _ts(90.0)), (102, _ts(91.0)), (103, _ts(125.0)),
+         (104, _ts(600.0)), (105, _ts(710.0))],
+        "pt_id long, ts timestamp",
+    )
+    out = {
+        (r.iv_id, r.r_pt_id)
+        for r in tm.bucketed_range_join(
+            intervals, points, "start", "end", bucket_seconds=1800
+        ).collect()
+    }
+    naive = set()
+    for iv in intervals.collect():
+        for p in points.collect():
+            if iv.start <= p.ts <= iv.end:
+                naive.add((iv.iv_id, p.pt_id))
+    assert out == naive and (1, 101) in out and (1, 102) not in out
