@@ -186,6 +186,14 @@ def _q_distinct_counts(spark, sf):
     return agg.distinct_counts(load_table(spark, sf, "orders"))
 
 
+def _q_stats_orders(spark, sf):
+    return agg.stats_summary(load_table(spark, sf, "orders"))
+
+
+def _q_corr_lineitem(spark, sf):
+    return agg.correlation_profile(load_table(spark, sf, "lineitem"))
+
+
 def _q_rollup_orders(spark, sf):
     return agg.rollup_counts(load_table(spark, sf, "orders"))
 
@@ -364,6 +372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_sales_opportunity": _q22_sales_opportunity,
         "q_distinct_counts": _q_distinct_counts,
+        "q_stats_orders": _q_stats_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
         "q_rollup_orders": _q_rollup_orders,
         "q_cube_lineitem": _q_cube_lineitem,
         "q_topk_orders": _q_topk_orders,
@@ -653,6 +663,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2)      AS total_price
             FROM orders
             GROUP BY o_orderpriority
+        """,
+        "q_stats_orders": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(avg(o_totalprice), 6) AS avg_price,
+                   round(stddev_samp(o_totalprice), 6) AS sd_price,
+                   round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+                   round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "q_corr_lineitem": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                   round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "q_rollup_orders": """
             SELECT o_orderstatus, o_orderpriority,

@@ -24,6 +24,8 @@ __all__ = [
     "distinct_counts",
     "rollup_counts",
     "cube_counts",
+    "stats_summary",
+    "correlation_profile",
     "forecast_revenue",
     "large_orders",
     "top_k",
@@ -96,6 +98,34 @@ def cube_counts(lineitem: DataFrame) -> DataFrame:
     """CUBE (returnflag, linestatus): all 2^2 grouping sets."""
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def stats_summary(orders: DataFrame) -> DataFrame:
+    """Statistical aggregates per priority: exact interpolated
+    percentiles (median/p90) + sample stddev.
+
+    ``percentile`` is the exact sort-based aggregate (matches ANSI
+    ``quantile_cont``); at extreme group sizes switch to
+    ``approx_percentile`` and accept sketch error — kept exact here
+    because the oracle is exact.
+    """
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+def correlation_profile(lineitem: DataFrame) -> DataFrame:
+    """Per-returnflag quantity/price correlation + sample covariance —
+    the two-pass-free streaming formulas (single partial+final agg)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
         F.count("*").alias("n_items"),
     )
 
