@@ -78,7 +78,9 @@ def _distinct_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> D
     )
 
 
-def _hashed_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+def _hashed_shingles(
+    docs: DataFrame, n: int, id_col: str, text_col: str, distinct: bool = True
+) -> DataFrame:
     """(id, hs: distinct array<bigint>) — 64-bit word-n-gram shingle ids.
 
     Built from per-token xxhash64 + a rolling n-wise combine, so no
@@ -99,7 +101,9 @@ def _hashed_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> Dat
             lambda i: F.xxhash64(*[F.col("th")[i + k] for k in range(n)]),
         )
     )
-    return th.select(F.col(id_col), F.array_distinct(sh).alias("hs"))
+    return th.select(
+        F.col(id_col), (F.array_distinct(sh) if distinct else sh).alias("hs")
+    )
 
 
 def _posting_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
@@ -271,11 +275,20 @@ def simhash64(text_col, n: int = 2):
     """64-bit SimHash Column over word n-gram features.
 
     Classic bit-voting: for each of 64 bit positions, sum +1/-1 votes of
-    each feature's xxhash64 bit; sign -> bit. Expressed as one aggregate
-    over the feature array per row — map-only, no shuffle.
+    each feature's hash bit; sign -> bit. Expressed as one aggregate
+    over the feature array per row — map-only, no shuffle. Features are
+    hashed n-grams built from per-token xxhash64 with a rolling n-wise
+    combine (no n-gram strings materialized — same construction as
+    ``_hashed_shingles``, duplicates kept so they vote repeatedly).
     """
-    feats = word_ngrams(text_col, n)
-    hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    toks = tokenize(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.when(F.size(th) < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - n),
+            lambda i: F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(n)]),
+        )
+    )
     bit_votes = [
         F.aggregate(
             hashes,
@@ -309,9 +322,9 @@ def simhash_signatures(
     Docs with no features (empty/whitespace text) keep signature 0, as in
     the per-row variant.
     """
-    feats = docs.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    ).select(F.col(id_col), F.xxhash64("g").alias("h"))
+    feats = _hashed_shingles(docs, n, id_col, text_col, distinct=False).select(
+        F.col(id_col), F.explode("hs").alias("h")
+    )
     one = F.lit(1).cast("bigint")
     votes = feats.groupBy(id_col).agg(
         *[
