@@ -198,6 +198,10 @@ def _q_rollup_orders(spark, sf):
     return agg.rollup_counts(load_table(spark, sf, "orders"))
 
 
+def _q_groupingsets_orders(spark, sf):
+    return agg.grouping_sets_counts(load_table(spark, sf, "orders"))
+
+
 def _q_cube_lineitem(spark, sf):
     return agg.cube_counts(load_table(spark, sf, "lineitem"))
 
@@ -375,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stats_orders": _q_stats_orders,
         "q_corr_lineitem": _q_corr_lineitem,
         "q_rollup_orders": _q_rollup_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
         "q_cube_lineitem": _q_cube_lineitem,
         "q_topk_orders": _q_topk_orders,
         "q_semi_active_customers": _q_semi_active_customers,
@@ -688,6 +693,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_groupingsets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "q_cube_lineitem": """
             SELECT l_returnflag, l_linestatus,

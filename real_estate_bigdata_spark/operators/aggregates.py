@@ -24,6 +24,8 @@ __all__ = [
     "distinct_counts",
     "rollup_counts",
     "cube_counts",
+    "grouping_sets_counts",
+    "approx_distinct_counts",
     "stats_summary",
     "correlation_profile",
     "forecast_revenue",
@@ -99,6 +101,31 @@ def cube_counts(lineitem: DataFrame) -> DataFrame:
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count("*").alias("n_items"),
+    )
+
+
+def grouping_sets_counts(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) — the general
+    form that rollup/cube specialize. One Expand + one hash aggregate;
+    the shuffle carries (sets x groups) partials, still tiny."""
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def approx_distinct_counts(orders: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct customers per priority — the
+    high-cardinality path where exact countDistinct's expand would
+    explode: constant memory per group, one shuffle, mergeable sketches.
+    `rsd` is the target relative standard deviation."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
     )
 
 

@@ -38,6 +38,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_stats",
     "extract_image_features",
+    "resize_images",
+    "extract_audio_features",
     "sample_video_frames",
 ]
 
@@ -139,6 +141,97 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=_FEATURES_SCHEMA
+    )
+
+
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """content -> resized image payload via mapInPandas.
+
+    The decode+resample is stubbed (nearest-neighbor over the stub
+    pixel grid, re-serialized as raw float bytes); a real implementation
+    swaps in ``PIL.Image.resize`` — the Arrow batch shape, the
+    binary-in/binary-out schema, and the metadata update are the
+    production plumbing. Output rows carry the new dimensions so the
+    downstream MEDIA_SCHEMA meta can be rebuilt.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_bytes = []
+            for content in pdf["content"]:
+                px = _decode_image_stub(bytes(content))
+                ys = np.linspace(0, px.shape[0] - 1, height).round().astype(int)
+                xs = np.linspace(0, px.shape[1] - 1, width).round().astype(int)
+                resized = px[np.ix_(ys, xs)]
+                out_bytes.append(resized.astype(np.float32).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_bytes,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=_RESIZED_SCHEMA
+    )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+    """content -> per-band audio energy features via mapInPandas.
+
+    Decode is stubbed (deterministic fake waveform from the payload
+    hash; real impl: ``librosa.load`` / ``soundfile``), the feature is a
+    real computation over it: per-band mean absolute amplitude over
+    ``n_bands`` equal time slices plus global RMS — the same
+    fixed-width-vector contract as the image path, so audio near-dup
+    and ANN search reuse the embedding operators unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, counts, rms = [], [], []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                digest = hashlib.sha256(raw).digest()
+                rng = np.random.default_rng(int.from_bytes(digest[8:16], "big"))
+                wave = rng.standard_normal(1024)
+                bands = np.array_split(np.abs(wave), n_bands)
+                feats.append([float(round(b.mean(), 9)) for b in bands])
+                counts.append(wave.size)
+                rms.append(float(round(np.sqrt((wave**2).mean()), 9)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": feats,
+                    "n_samples": counts,
+                    "rms": rms,
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=_AUDIO_SCHEMA
     )
 
 

@@ -45,3 +45,27 @@ def test_video_frame_sampling_counts(spark):
     assert per_id == {3: 2, 4: 3}
     idxs = sorted(r.frame_idx for r in out if r.media_id == 4)
     assert idxs == [0, 1, 2]
+
+
+def test_resize_images_schema_and_determinism(spark):
+    out1 = mm.resize_images(_media_df(spark), width=4, height=4).collect()
+    out2 = mm.resize_images(_media_df(spark), width=4, height=4).collect()
+    assert len(out1) == 4
+    by_id1 = {r.media_id: r for r in out1}
+    by_id2 = {r.media_id: r for r in out2}
+    for mid in by_id1:
+        assert by_id1[mid].width == 4 and by_id1[mid].height == 4
+        # 4x4x3 float32 payload
+        assert len(by_id1[mid].content) == 4 * 4 * 3 * 4
+        assert bytes(by_id1[mid].content) == bytes(by_id2[mid].content)
+
+
+def test_audio_features_fixed_dim_and_rms(spark):
+    out = {r.media_id: r for r in mm.extract_audio_features(_media_df(spark), n_bands=8).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert len(r.feature) == 8
+        assert r.n_samples == 1024
+        assert 0.5 < r.rms < 2.0  # standard-normal stub waveform
+    # distinct payloads -> distinct features
+    assert out[1].feature != out[2].feature

@@ -88,3 +88,21 @@ def test_every_query_has_oracle_or_is_documented():
         "q_embed_lsh_topk",  # approximate by construction (recall < 1)
     }
     assert set(missing) <= allowed_rows_only
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ approximate distinct counts must land within 5x the target
+    relative standard deviation of the exact counts (generous bound —
+    rsd is a standard deviation, not a hard limit)."""
+    from real_estate_bigdata_spark.operators.aggregates import (
+        approx_distinct_counts,
+        distinct_counts,
+    )
+    from real_estate_bigdata_spark.schema import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx = {r.o_orderpriority: r.approx_customers for r in approx_distinct_counts(orders, 0.02).collect()}
+    exact = {r.o_orderpriority: r.n_customers for r in distinct_counts(orders).collect()}
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.10 * exact[k], 5), (k, approx[k], exact[k])
