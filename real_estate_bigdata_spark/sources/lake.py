@@ -31,6 +31,9 @@ __all__ = [
     "quarantine_split",
     "write_lake",
     "read_lake",
+    "write_csv_view",
+    "read_csv",
+    "write_bucketed",
     "compact_partitions",
 ]
 
@@ -82,6 +85,47 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     directory discovery, and `WHERE ingest_date = ...` prunes at the
     directory level (never touches other partitions' files)."""
     return spark.read.parquet(path)
+
+
+def write_csv_view(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV serving-view sink (reference S9, the commented-out alternative
+    at count_by_district.py:38): header on, UTF-8, overwrite by default —
+    for handoff to spreadsheet/BI consumers, not as a lake format."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema'd CSV scan (header expected). Explicit schema, like every
+    scan in this engine — no inference pass, wrong-typed cells null out
+    (PERMISSIVE default, matching the swallow-malformed contract)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write an external bucketed (and optionally sort-ordered) table.
+
+    Bucketing pre-partitions data by hash(bucket_cols) at WRITE time, so
+    joins and aggregations on those columns read co-located buckets and
+    skip the exchange entirely — the biggest single lever for repeated
+    fact-fact joins at 100 TB (pay the shuffle once at ingest, never
+    again). `sort_cols` additionally pre-sorts within buckets, removing
+    the sort from sort-merge joins. Requires saveAsTable (bucket
+    metadata lives in the catalog); `path` keeps the data external.
+    """
+    writer = df.write.mode(mode).option("path", path).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 
 def _is_streaming_sink_table(spark: SparkSession, path: str) -> bool:

@@ -1,0 +1,108 @@
+"""CSV sink/source, bucketed tables (shuffle-free co-located joins),
+and the multi-source registry fan-out."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.plans import plan_stats
+from real_estate_bigdata_spark.schema import load_table
+from real_estate_bigdata_spark.sources import lake
+from real_estate_bigdata_spark.sources.registry import SourceRegistry, SourceSpec
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Đống Đa", 3), ("Gò Vấp", 7)], "quan_huyen string, so_luong int"
+    )
+    path = str(tmp_path / "view_csv")
+    lake.write_csv_view(df, path)
+    back = lake.read_csv(spark, path, df.schema)
+    assert {(r.quan_huyen, r.so_luong) for r in back.collect()} == {
+        ("Đống Đa", 3),
+        ("Gò Vấp", 7),
+    }
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    exchanges and zero extra sorts — the pay-the-shuffle-once-at-ingest
+    contract that makes repeated fact-fact joins viable at scale."""
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    try:
+        lake.write_bucketed(
+            orders, "t_orders_b", str(tmp_path / "ob"), ("o_orderkey",), 8,
+            sort_cols=("o_orderkey",),
+        )
+        lake.write_bucketed(
+            lineitem, "t_lineitem_b", str(tmp_path / "lb"), ("l_orderkey",), 8,
+            sort_cols=("l_orderkey",),
+        )
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        stats = plan_stats(ob.join(lb, ob.o_orderkey == lb.l_orderkey))
+        assert stats.shuffles == 0, stats
+        # and the full aggregate query still returns correct results
+        plain = (
+            orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_registry_multi_source_fanout(spark, tmp_path):
+    rec = {
+        "raw_post_date": "24/04/2025", "duong_pho": "Lê Lợi", "phuong_xa": "Bến Nghé",
+        "quan_huyen": "Quận 1", "thanh_pho": "Hồ Chí Minh", "loai_bds": "Nhà đất",
+        "raw_price": "1,5 tỷ", "raw_area": "45 m2", "raw_kich_thuoc": "4x10m",
+        "duong_truoc_nha": "5m", "so_tang": "2 lầu", "so_phong_ngu": "3 phòng ngủ",
+        "cho_de_xe": "Có", "source": "payload-claims-otherwise", "link": None,
+        "title": None,
+    }
+    for src in ("alpha", "beta"):
+        d = tmp_path / src
+        d.mkdir()
+        with open(d / "drop.jsonl", "w", encoding="utf-8") as f:
+            for i in range(3):
+                f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+
+    reg = (
+        SourceRegistry()
+        .register(SourceSpec(name="alpha", src=str(tmp_path / "alpha")))
+        .register(SourceSpec(name="beta", src=str(tmp_path / "beta")))
+    )
+    queries = reg.start_all(
+        spark, str(tmp_path / "lake"), str(tmp_path / "ckpt"), available_now=True
+    )
+    assert len(queries) == 2
+    for q in queries:
+        q.awaitTermination(120)
+    out = lake.read_lake(spark, str(tmp_path / "lake"))
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # registry name wins over the payload's claimed source
+    assert counts == {"alpha": 3, "beta": 3}
+
+
+def test_registry_rejects_duplicates():
+    reg = SourceRegistry().register(SourceSpec(name="x", src="/tmp/x"))
+    try:
+        reg.register(SourceSpec(name="x", src="/tmp/y"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
