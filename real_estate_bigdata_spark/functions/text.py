@@ -22,6 +22,7 @@ __all__ = [
     "token_count",
     "bpe_ish_token_count",
     "word_ngrams",
+    "hashed_ngrams_from_token_hashes",
     "char_shingles",
     "quality_metrics",
     "lang_id",
@@ -70,6 +71,27 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def hashed_ngrams_from_token_hashes(th: Column, n: int) -> Column:
+    """Rolling n-wise xxhash64 combine over a token-hash array ->
+    array<bigint> of hashed n-gram ids (duplicates kept; < n tokens ->
+    empty array).
+
+    THE single definition of the hashed-n-gram feature used by both the
+    per-row spec Columns (``dedup.simhash64``) and the scale-out
+    DataFrame paths (``dedup._hashed_shingles``) — the bit-equality
+    contracts between spec and fast formulations hang on this combine
+    never forking. Callers materialize ``th`` as a projected column
+    first when the expression feeds further per-element access (avoids
+    re-evaluating the token-hash transform per subscript).
+    """
+    return F.when(F.size(th) < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - n),
+            lambda i: F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(n)]),
         )
     )
 

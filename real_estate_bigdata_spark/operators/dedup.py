@@ -29,8 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.functions.text import tokenize, word_ngrams
-from real_estate_bigdata_spark.functions.vectors import dot, l2_norm
+from real_estate_bigdata_spark.functions.text import (
+    hashed_ngrams_from_token_hashes,
+    tokenize,
+    word_ngrams,
+)
+from real_estate_bigdata_spark.functions.vectors import cosine_from_norms, l2_norm
 
 __all__ = [
     "exact_dup_groups",
@@ -95,12 +99,7 @@ def _hashed_shingles(
     th = docs.select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
     )
-    sh = F.when(F.size("th") < n, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("th") - n),
-            lambda i: F.xxhash64(*[F.col("th")[i + k] for k in range(n)]),
-        )
-    )
+    sh = hashed_ngrams_from_token_hashes(F.col("th"), n)
     return th.select(
         F.col(id_col), (F.array_distinct(sh) if distinct else sh).alias("hs")
     )
@@ -118,22 +117,24 @@ def _posting_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
     """
     post = (
         exploded.groupBy("g")
-        .agg(F.collect_list(id_col).alias("ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # sorted ids -> emit ONLY the upper triangle (ids[i] pairs with the
+    # strictly-later suffix), never the full n^2 product + filter: a
+    # k-doc posting materializes k(k-1)/2 structs, not k^2
     pairs = post.select(
         F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x: F.transform(
-                            "ids",
-                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice("ids", i + 1, F.size("ids") - i),
+                        lambda y: F.struct(
+                            F.element_at("ids", i).alias("id_a"), y.alias("id_b")
                         ),
-                    )
-                ),
-                lambda p: p["id_a"] < p["id_b"],
+                    ),
+                )
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
@@ -283,12 +284,7 @@ def simhash64(text_col, n: int = 2):
     """
     toks = tokenize(text_col)
     th = F.transform(toks, lambda t: F.xxhash64(t))
-    hashes = F.when(F.size(th) < n, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(th) - n),
-            lambda i: F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(n)]),
-        )
-    )
+    hashes = hashed_ngrams_from_token_hashes(th, n)
     bit_votes = [
         F.aggregate(
             hashes,
@@ -416,12 +412,8 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.when(
-                    F.col("n_a") * F.col("n_b") != 0.0,
-                    dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
-                ),
-                6,
+            cosine_from_norms(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -159,10 +159,15 @@ def order_priority_checking(
         & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
     ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = lineitem.select("l_orderkey", "l_shipdate")
+    # timestamp + interval, NOT date_add (which truncates time-of-day to
+    # DATE and would diverge from the oracle on non-midnight timestamps)
     slow = ords.join(
         li,
         (ords.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(ords.o_orderdate, late_days)),
+        & (
+            li.l_shipdate
+            > ords.o_orderdate + F.make_interval(days=F.lit(late_days))
+        ),
         "left_semi",
     )
     return slow.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
@@ -389,7 +394,12 @@ def waiting_suppliers(
     )
     l1 = (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
+        # timestamp + interval, not date_add (DATE truncation diverges
+        # from the oracle off-midnight)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.make_interval(days=F.lit(late_days))
+        )
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
     l2 = li.select(F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key"))
@@ -398,10 +408,11 @@ def waiting_suppliers(
         (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
         "left_semi",
     )
-    l3 = (
-        li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days))
-        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    # the NOT-EXISTS probe is l1 itself (Q21 requires the SAME late set);
+    # reusing the plan keeps them identical and lets exchange reuse
+    # deduplicate the subtree
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
     )
     only_late = exists_other.join(
         l3,

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.functions.vectors import dot, l2_norm
+from real_estate_bigdata_spark.functions.vectors import cosine_from_norms, l2_norm
 
 __all__ = ["brute_force_topk", "hyperplane_lsh_bucket", "lsh_topk"]
 
@@ -59,13 +59,8 @@ def brute_force_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(
-                F.when(
-                    F.col("q_nrm") * F.col("c_nrm") != 0.0,
-                    dot(F.col("q_vec"), F.col("c_vec"))
-                    / (F.col("q_nrm") * F.col("c_nrm")),
-                ),
-                6,
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
             ).alias("cosine"),
         )
     )
@@ -111,7 +106,15 @@ def hyperplane_lsh_bucket(
 
     @pandas_udf("array<bigint>")
     def band_keys(v: pd.Series) -> pd.Series:
-        A = np.stack(v.to_numpy())
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        # NULL / wrong-length vectors project as zero vectors: every dot
+        # is 0, no sign bit set, bucket 0 per band — the same well-
+        # defined key the Column-expression formulation produced.
+        A = np.zeros((len(v), P.shape[1]))
+        for i, vec in enumerate(v.to_numpy()):
+            if vec is not None and len(vec) == P.shape[1]:
+                A[i] = vec
         signs = (A @ P.T) > 0
         B = signs.reshape(len(A), bands, bits) @ weights
         return pd.Series(list(B))
@@ -176,13 +179,8 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(
-                F.when(
-                    F.col("q_nrm") * F.col("c_nrm") != 0.0,
-                    dot(F.col("q_vec"), F.col("c_vec"))
-                    / (F.col("q_nrm") * F.col("c_nrm")),
-                ),
-                6,
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
             ).alias("cosine"),
         )
     )

@@ -47,29 +47,37 @@ def asof_join(
     Ties: a right row at exactly left.ts matches; among right rows with
     identical (key, ts) the one with the greatest ``id_col`` wins —
     deterministic, mirroring ``ORDER BY ts DESC, id DESC LIMIT 1``.
+
+    The right payload is carried as ONE struct through a single
+    last(ignorenulls) — never as independent per-column lasts, which
+    would backfill a NULL payload field from an OLDER right row and
+    fabricate a row that never existed.
     """
-    lhs = left.withColumn("__side", F.lit(1))
-    rhs = right.withColumn("__side", F.lit(0))
-    for c in right_payload:
-        lhs = lhs.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
-        rhs = rhs.withColumn(f"{prefix}{c}", F.col(c))
-    cols = [on, ts_col, id_col, "__side"] + [f"{prefix}{c}" for c in right_payload]
-    u = lhs.select(*cols, *[c for c in left.columns if c not in (on, ts_col, id_col)]) \
-        .unionByName(rhs.select(*cols), allowMissingColumns=True)
+    payload = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    lhs = left.withColumn("__side", F.lit(1)).withColumn(
+        "__payload",
+        F.lit(None).cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}"
+                for c in right_payload
+            )
+            + ">"
+        ),
+    )
+    rhs = right.withColumn("__side", F.lit(0)).withColumn("__payload", payload)
+    cols = [on, ts_col, id_col, "__side", "__payload"]
+    u = lhs.select(
+        *cols, *[c for c in left.columns if c not in (on, ts_col, id_col)]
+    ).unionByName(rhs.select(*cols), allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col), F.col("__side"), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_payload
-        ],
-    )
+    carried = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"__m_{c}").alias(f"{prefix}{c}") for c in right_payload
+        F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_payload
     ]
     return carried.filter(F.col("__side") == 1).select(*out_cols)
 

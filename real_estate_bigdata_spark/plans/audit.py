@@ -37,7 +37,7 @@ def executed_plan_str(df: DataFrame) -> str:
 class PlanStats:
     """Counts of the plan features that matter at 100 TB."""
 
-    shuffles: int          # Exchange hashpartitioning / rangepartitioning
+    shuffles: int          # Exchange hash/range partitioning + SinglePartition
     broadcast_joins: int   # BroadcastHashJoin + BroadcastNestedLoopJoin
     sortmerge_joins: int   # SortMergeJoin
     scans: int             # FileScan parquet
@@ -57,7 +57,9 @@ class PlanStats:
 def plan_stats(df: DataFrame) -> PlanStats:
     plan = executed_plan_str(df)
     return PlanStats(
-        shuffles=len(re.findall(r"Exchange (?:hash|range)partitioning", plan)),
+        shuffles=len(
+            re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan)
+        ),
         broadcast_joins=len(re.findall(r"Broadcast(?:Hash|NestedLoop)Join", plan)),
         sortmerge_joins=plan.count("SortMergeJoin"),
         scans=plan.count("FileScan parquet"),

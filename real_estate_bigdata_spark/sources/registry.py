@@ -73,13 +73,16 @@ class SourceRegistry:
         (`source` comes back as a partition column on a root read) while
         giving every query exclusive sink ownership. Provenance is the
         registry name, never the payload's claimed source."""
+        # validate EVERY spec before starting ANY query — failing midway
+        # would orphan already-started queries with no handle returned
+        unsupported = [s.name for s in self.specs() if s.kind != "file"]
+        if unsupported:
+            raise NotImplementedError(
+                f"source kind(s) for {unsupported} need a live broker; "
+                "use sources.kafka builders directly"
+            )
         queries = []
         for spec in self.specs():
-            if spec.kind != "file":
-                raise NotImplementedError(
-                    f"source kind {spec.kind!r} needs a live broker; "
-                    "use sources.kafka builders directly"
-                )
             raw = file_stream_ingest(spark, spec.src, schema=spec.schema)
             normalized = normalize_listings(raw).drop("source")
             writer = (

@@ -131,6 +131,19 @@ def test_embedding_blocked_gemm_matches_exact(spark):
     assert gemm == exact and len(exact) > 0
 
 
+def test_lsh_bucket_tolerates_null_vectors(spark):
+    """NULL / wrong-length embeddings must hash to a well-defined bucket
+    (0 per band), not crash the Arrow worker."""
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, None), (3, [0.1] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    out = sim.hyperplane_lsh_bucket(df, dim=8, bits=4, bands=2).collect()
+    assert len(out) == 6  # 3 rows x 2 bands
+    null_buckets = {r.bucket for r in out if r.vec_id in (2, 3)}
+    assert null_buckets == {0}
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark):
     """Hyperplane-LSH ANN should recover a reasonable share of the true
     top-10 (approximate; 8 bands x 4 bits tuned for the weak-correlation

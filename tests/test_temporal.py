@@ -49,6 +49,22 @@ def test_asof_join_matches_naive(spark):
     assert out[4] == (None, None, None)
 
 
+def test_asof_join_null_payload_not_torn(spark):
+    """A NULL in one payload column of the matching right row must NOT
+    be backfilled from an older right row (atomic struct carry)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, _ts(1), 5.0), (101, 10, _ts(2), None)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    (row,) = tm.asof_join(left, right, on="user_id").collect()
+    # the matched row is R101 (latest <= ts); its NULL value must survive
+    assert (row.r_event_id, row.r_ts, row.r_value) == (101, _ts(2), None)
+
+
 def test_asof_join_one_shuffle(spark):
     """The as-of plan must contain exactly ONE exchange (the key
     partition) — no join-shaped second shuffle."""
@@ -100,3 +116,27 @@ def test_bucketed_range_join_matches_naive(spark):
             if iv.start <= p.ts <= iv.end:
                 naive.add((iv.iv_id, p.pt_id))
     assert out == naive and (1, 101) in out and (1, 102) not in out
+
+
+def test_order_priority_interval_not_date_truncated(spark):
+    """Q4's lateness threshold is o_orderdate + 60 DAYS as a TIMESTAMP:
+    an order placed at 10:00 shipped 59d19h later is NOT late. date_add
+    would truncate the threshold to midnight and miscount it."""
+    from real_estate_bigdata_spark.operators.joins import order_priority_checking
+
+    orders = spark.createDataFrame(
+        [(1, datetime(1996, 2, 1, 10, 0), "1-URGENT")],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, datetime(1996, 4, 1, 5, 0))],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = order_priority_checking(orders, lineitem, late_days=60).collect()
+    assert out == []
+    # and one genuinely late lineitem flips it
+    late = spark.createDataFrame(
+        [(1, datetime(1996, 4, 2, 11, 0))], "l_orderkey long, l_shipdate timestamp"
+    )
+    out2 = order_priority_checking(orders, late, late_days=60).collect()
+    assert [(r.o_orderpriority, r.order_count) for r in out2] == [("1-URGENT", 1)]
