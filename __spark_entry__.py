@@ -140,6 +140,12 @@ def _q08_market_share(spark, sf):
     )
 
 
+def _q09_product_profit(spark, sf):
+    return jn.product_type_profit(
+        load_tables(spark, sf, ("nation", "supplier", "part", "orders", "lineitem"))
+    )
+
+
 def _q13_customer_distribution(spark, sf):
     return jn.customer_distribution(
         load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
@@ -368,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
         "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
         "q13_customer_distribution": _q13_customer_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_quantity": _q17_small_quantity,
@@ -581,6 +588,19 @@ def oracle_sql() -> dict[str, str]:
                 JOIN supplier s ON s.s_suppkey = l.l_suppkey
                 JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
             ) GROUP BY o_year
+        """,
+        "q09_product_profit": """
+            SELECT n_name, o_year, round(sum(amount), 2) AS sum_profit FROM (
+                SELECT n.n_name, extract(year FROM o.o_orderdate) AS o_year,
+                       l.l_extendedprice * (1 - l.l_discount)
+                           - p.p_retailprice * l.l_quantity * 0.6 AS amount
+                FROM lineitem l
+                JOIN part p     ON p.p_partkey = l.l_partkey
+                                AND p.p_name LIKE '%red%'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            ) GROUP BY n_name, o_year
         """,
         "q13_customer_distribution": """
             SELECT n_orders, count(*) AS n_customers FROM (

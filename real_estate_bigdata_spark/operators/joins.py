@@ -30,6 +30,7 @@ __all__ = [
     "order_priority_checking",
     "volume_shipping",
     "market_share",
+    "product_type_profit",
     "customer_distribution",
     "promo_revenue",
     "small_quantity_parts",
@@ -261,6 +262,44 @@ def market_share(
                 6,
             ).alias("mkt_share")
         )
+    )
+
+
+def product_type_profit(
+    tables: dict[str, DataFrame],
+    name_like: str = "%red%",
+    cost_factor: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year for a
+    part-name family.
+
+    The testdata has no partsupp, so supply cost is approximated as
+    ``cost_factor * p_retailprice`` per unit — structure preserved:
+    5-table join gated by a part-name LIKE, two-level grouping. part
+    (filtered) and the nation-keyed supplier side broadcast; lineitem ⋈
+    orders shuffles once on orderkey.
+    """
+    part = tables["part"].filter(F.col("p_name").like(name_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = tables["supplier"].join(
+        F.broadcast(tables["nation"].select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * cost_factor
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(tables["orders"].select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
     )
 
 
