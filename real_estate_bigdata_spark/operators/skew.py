@@ -35,8 +35,9 @@ def salted_agg_count(
     measure: str | None = None,
 ) -> DataFrame:
     """Group-by count (and optional sum of ``measure``) with two-stage
-    salted aggregation: identical output to
-    ``df.groupBy(key).count()``, balanced shuffle under any key skew.
+    salted aggregation: same groups and totals as
+    ``df.groupBy(key).agg(count(*) AS n [, round(sum(measure), 2) AS
+    sum_<measure>])``, with a balanced shuffle under any key skew.
     """
     salted = df.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     partial_aggs = [F.count("*").alias("__n")]
@@ -60,13 +61,20 @@ def salted_join(
     """Shuffled equi-join with the fact side salted and the dim side
     exploded across all salts — each hot fact key spreads over
     ``n_salts`` tasks instead of one. Semantically identical to
-    ``fact.join(dim, fact[fact_key] == dim[dim_key], how)`` for
-    inner/left joins (the dim replication is keyed, never duplicating
-    matches).
+    ``fact.join(dim, fact[fact_key] == dim[dim_key], how)`` ONLY for
+    fact-side-preserving joins (the dim replication is keyed, so
+    matches never duplicate — but each unmatched dim row would surface
+    once per salt under right/full joins, so those are rejected).
     """
+    allowed = ("inner", "left", "left_outer", "left_semi", "left_anti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {allowed}; {how!r} would emit each "
+            "unmatched dim row once per salt"
+        )
     salted_fact = fact.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     exploded_dim = dim.withColumn(
-        "__dsalt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+        "__dsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     cond = (salted_fact[fact_key] == exploded_dim[dim_key]) & (
         salted_fact["__salt"] == exploded_dim["__dsalt"]

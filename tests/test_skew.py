@@ -48,3 +48,13 @@ def test_salted_join_matches_plain(spark):
         .collect()
     )
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    fact = _skewed(spark)
+    dim = spark.createDataFrame([("hot", "H")], "dkey string, label string")
+    import pytest
+
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(fact, dim, "key", "dkey", n_salts=4, how=how)
