@@ -22,6 +22,7 @@ from real_estate_bigdata_spark.operators import aggregates as agg
 from real_estate_bigdata_spark.operators import dedup as dd
 from real_estate_bigdata_spark.operators import events as ev
 from real_estate_bigdata_spark.operators import joins as jn
+from real_estate_bigdata_spark.operators import scalars as sc
 from real_estate_bigdata_spark.operators import setops as so
 from real_estate_bigdata_spark.operators import similarity as sim
 from real_estate_bigdata_spark.operators import temporal as tm
@@ -212,6 +213,10 @@ def _q_cube_lineitem(spark, sf):
     return agg.cube_counts(load_table(spark, sf, "lineitem"))
 
 
+def _q_scalar_gallery(spark, sf):
+    return sc.scalar_function_gallery(load_table(spark, sf, "orders"))
+
+
 def _q_topk_orders(spark, sf):
     return agg.top_k(
         load_table(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
@@ -388,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_orders": _q_rollup_orders,
         "q_groupingsets_orders": _q_groupingsets_orders,
         "q_cube_lineitem": _q_cube_lineitem,
+        "q_scalar_gallery": _q_scalar_gallery,
         "q_topk_orders": _q_topk_orders,
         "q_semi_active_customers": _q_semi_active_customers,
         "q_anti_customers_no_orders": _q_anti_customers_no_orders,
@@ -727,6 +733,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_scalar_gallery": """
+            SELECT o_orderkey,
+                   upper(o_orderpriority) AS prio_upper,
+                   substr(o_orderpriority, 1, 1) AS prio_code,
+                   concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+                   length(o_orderpriority) AS prio_len,
+                   extract(year FROM o_orderdate) AS o_year,
+                   extract(quarter FROM o_orderdate) AS o_quarter,
+                   extract(month FROM o_orderdate) AS o_month,
+                   extract(dow FROM o_orderdate) AS o_dow,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   round(sqrt(o_totalprice), 6) AS price_sqrt,
+                   round(ln(o_totalprice), 6) AS price_ln,
+                   round(pow(o_totalprice, 0.25), 6) AS price_qroot,
+                   CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+                   o_totalprice % 100 AS price_mod,
+                   CASE WHEN o_totalprice > 200000 THEN 'high'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'low' END AS price_band
+            FROM orders
+            WHERE o_orderkey % 100 = 0
         """,
         "q_topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

@@ -91,6 +91,45 @@ def test_gemm_neardup_is_python_but_bounded_shuffles(spark):
     assert stats.shuffles <= 6, stats
 
 
+def test_q07_q09_broadcast_dimensions(spark):
+    for name, min_bc in (("q07_volume_shipping", 2), ("q09_product_profit", 2)):
+        stats = assert_plan(
+            QUERIES[name](spark, SF),
+            min_broadcast_joins=min_bc,
+            min_scans_with_pushdown=1,
+        )
+        # only the fact-fact join may sort-merge
+        assert stats.sortmerge_joins <= 1, (name, stats)
+
+
+def test_q22_scalar_subquery_broadcasts(spark):
+    # the one-row average crosses as a broadcast, anti join stays shuffled
+    assert_plan(
+        QUERIES["q22_sales_opportunity"](spark, SF),
+        min_broadcast_joins=1,
+        min_scans_with_pushdown=1,
+    )
+
+
+def test_minhash_pipeline_shuffle_budget(spark):
+    # shingle postings + signature agg + banding self-join + verify joins:
+    # bounded exchanges, no Python crossing anywhere in the pipeline
+    assert_plan(
+        QUERIES["q_dedup_minhash_lsh"](spark, SF),
+        max_shuffles=10,
+        forbid_python=True,
+    )
+
+
+def test_scalar_gallery_map_only(spark):
+    assert_plan(
+        QUERIES["q_scalar_gallery"](spark, SF),
+        max_shuffles=0,
+        min_scans_with_pushdown=1,
+        forbid_python=True,
+    )
+
+
 def test_normalize_listings_no_shuffle_no_python(spark):
     # the whole normalization layer is a map-only projection
     assert_plan(
