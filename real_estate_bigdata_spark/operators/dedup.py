@@ -35,6 +35,7 @@ from real_estate_bigdata_spark.functions.text import (
     word_ngrams,
 )
 from real_estate_bigdata_spark.functions.vectors import cosine_from_norms, l2_norm
+from real_estate_bigdata_spark.util import ensure_min_parallelism
 
 __all__ = [
     "exact_dup_groups",
@@ -96,7 +97,7 @@ def _hashed_shingles(
     string formulation the oracle computes.
     """
     toks = tokenize(F.col(text_col))
-    th = docs.select(
+    th = ensure_min_parallelism(docs).select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
     )
     sh = hashed_ngrams_from_token_hashes(F.col("th"), n)
@@ -401,14 +402,11 @@ def embedding_neardup_pairs(
     :func:`embedding_neardup_pairs_blocked` (GEMM block-nested-loop) or
     LSH-block first (``similarity.hyperplane_lsh_bucket``).
     """
-    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = (
+    e = ensure_min_parallelism(
         embeddings.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .repartition(parallelism)
-        .withColumn("nrm", l2_norm(F.col("v")))
-    )
+    ).withColumn("nrm", l2_norm(F.col("v")))
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from real_estate_bigdata_spark.util import ensure_min_parallelism
 from real_estate_bigdata_spark.functions.text import (
     bpe_ish_token_count,
     quality_metrics,
@@ -23,7 +24,7 @@ __all__ = ["doc_quality_profile", "token_accounting", "lang_id_report", "doc_fin
 def doc_quality_profile(docs: DataFrame) -> DataFrame:
     """Per-document quality features (map-only projection)."""
     m = quality_metrics(F.col("text"))
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         "doc_id",
         m["n_chars"].alias("n_chars"),
         m["n_tokens"].alias("n_tokens"),
@@ -39,7 +40,7 @@ def token_accounting(docs: DataFrame) -> DataFrame:
     """Corpus token budget per source: whitespace + BPE-ish counts.
     Partial aggregation makes the shuffle carry one row per source."""
     return (
-        docs.select(
+        ensure_min_parallelism(docs).select(
             "source",
             token_count(F.col("text")).alias("ws"),
             bpe_ish_token_count(F.col("text")).alias("bpe"),
@@ -68,7 +69,9 @@ def lang_id_report(docs: DataFrame) -> DataFrame:
     """
     from real_estate_bigdata_spark.functions.text import LANG_STOPWORDS, tokenize
 
-    toks_df = docs.select("doc_id", "lang", tokenize(F.lower(F.col("text"))).alias("toks"))
+    toks_df = ensure_min_parallelism(docs).select(
+        "doc_id", "lang", tokenize(F.lower(F.col("text"))).alias("toks")
+    )
     score_cols = []
     for code in sorted(LANG_STOPWORDS):
         arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
@@ -97,6 +100,6 @@ def portable_fingerprint(text: Column) -> Column:
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """doc_id + whitespace-normalized portable fingerprint."""
     normalized = F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))
-    return docs.select(
+    return ensure_min_parallelism(docs).select(
         "doc_id", portable_fingerprint(normalized).alias("fingerprint")
     )

@@ -1,0 +1,25 @@
+"""Small cross-cutting helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ensure_min_parallelism"]
+
+
+def ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism IF the input
+    has fewer partitions — otherwise return the input untouched.
+
+    Expensive map stages (shingle builds, per-row scoring) run at the
+    SCAN's partition count until the first exchange; a small or
+    single-file input pins them to 1-3 cores (measured ~2x on the text
+    operators at sf0.1). On a real many-file 100 TB input the partition
+    count already exceeds parallelism and this is a no-op — the check
+    makes the repartition safe to bake into operators without taxing
+    the large-scale path with a gratuitous full shuffle.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
