@@ -69,3 +69,23 @@ def test_audio_features_fixed_dim_and_rms(spark):
         assert 0.5 < r.rms < 2.0  # standard-normal stub waveform
     # distinct payloads -> distinct features
     assert out[1].feature != out[2].feature
+
+
+def test_audio_features_compose_with_ann_search(spark):
+    """The fixed-width audio feature vector must flow through the
+    embedding similarity operators unchanged — the cross-modal contract
+    the module docstring promises."""
+    from pyspark.sql import functions as F
+
+    from real_estate_bigdata_spark.operators import similarity as sim
+
+    feats = mm.extract_audio_features(_media_df(spark), n_bands=8).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    out = sim.brute_force_topk(feats, feats.filter(F.col("vec_id") == 1), k=2)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.query_id == 1 and r.neighbor_id != 1 for r in rows)
+    cos = [r.cosine for r in sorted(rows, key=lambda r: r.rn)]
+    assert cos == sorted(cos, reverse=True)
