@@ -48,6 +48,8 @@ def merge_rollup_increment(
     one partition of a years-deep rollup. The read of existing rows is
     partition-pruned by the same predicate it overwrites.
     """
+    from pyspark.errors import AnalysisException
+
     inc = hourly_rollup(increment)
     dates = [r.bucket_date for r in inc.select("bucket_date").distinct().collect()]
     try:
@@ -55,7 +57,7 @@ def merge_rollup_increment(
             F.col("bucket_date").isin(dates)
         )
         merged_src = inc.unionByName(existing)
-    except Exception:  # first write — no table yet
+    except AnalysisException:  # first write — table does not exist yet
         merged_src = inc
     merged = merged_src.groupBy("bucket_date", "bucket_hour", "event_type").agg(
         F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")

@@ -22,7 +22,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["sessionize_stream", "SESSION_OUTPUT_SCHEMA", "SESSION_STATE_SCHEMA"]
+__all__ = [
+    "sessionize_stream",
+    "dedup_stream",
+    "SESSION_OUTPUT_SCHEMA",
+    "SESSION_STATE_SCHEMA",
+]
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first record per key,
+    dropping replays that arrive within the watermark horizon.
+
+    `dropDuplicatesWithinWatermark` bounds state to the watermark window
+    (plain streaming dropDuplicates retains key state FOREVER — a memory
+    leak on an unbounded keyspace like listing links). This is the
+    streaming twin of the batch `operators.dedup.exact_dedup`, matched
+    to the reference's re-crawl policy (ST5: pages 1..N re-scraped every
+    run, so duplicates arrive minutes apart — well inside one horizon).
+    Records of a key recurring AFTER the horizon pass through again:
+    downstream batch dedup (exact/MinHash) owns cross-horizon identity.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_seq long, session_start timestamp, "

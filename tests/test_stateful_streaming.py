@@ -109,3 +109,41 @@ def test_stateful_sessionize_converges_to_batch(spark, tmp_path):
     assert final[(1, 1)].closed is True
     assert final[(1, 2)].closed is False
     assert final[(2, 1)].closed is False
+
+
+def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
+    """Replayed records (same key) arriving in later micro-batches
+    within the watermark must be dropped; distinct keys all survive."""
+    import os
+    import time
+
+    from real_estate_bigdata_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    b1 = [_event(1, 1, 0, 1.0), _event(2, 2, 1, 2.0)]
+    b2 = [_event(1, 1, 0, 1.0), _event(3, 3, 2, 3.0)]  # event 1 replayed
+    _write_jsonl(src / "a.jsonl", b1)
+    _write_jsonl(src / "b.jsonl", b2)
+    now = time.time()
+    os.utime(src / "a.jsonl", (now - 60, now - 60))
+    os.utime(src / "b.jsonl", (now, now))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id from dedup_out").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], ids
