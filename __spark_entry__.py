@@ -346,6 +346,12 @@ def _q_embed_cosine_topk(spark, sf):
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_embed_ivf_topk(spark, sf):
+    # rows-only: approximate by construction (recall < 1)
+    emb = load_table(spark, sf, "embeddings")
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_probe=6)
+
+
 def _q_embed_lsh_topk(spark, sf):
     # rows-only: approximate by construction (recall < 1)
     emb = load_table(spark, sf, "embeddings")
@@ -417,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
+        "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_text_quality": _q_text_quality,
         "q_token_accounting": _q_token_accounting,
         "q_lang_id": _q_lang_id,

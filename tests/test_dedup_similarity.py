@@ -165,3 +165,15 @@ def test_brute_force_topk_excludes_self_and_ranks(spark):
     assert all(r.neighbor_id != 0 for r in out)
     cosines = [r.cosine for r in sorted(out, key=lambda r: r.rn)]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF (k-means inverted lists, nprobe=6/16) should recover most of
+    the true top-10 on random embeddings (measured ~0.8; assert a
+    conservative floor)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in sim.brute_force_topk(emb, queries, k=10).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, queries, k=10, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"

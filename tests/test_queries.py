@@ -86,6 +86,7 @@ def test_every_query_has_oracle_or_is_documented():
     allowed_rows_only: set[str] = {
         "q_dedup_simhash",  # xxhash64 signatures have no DuckDB twin
         "q_embed_lsh_topk",  # approximate by construction (recall < 1)
+        "q_embed_ivf_topk",  # approximate by construction (recall < 1)
     }
     assert set(missing) <= allowed_rows_only
 
