@@ -23,3 +23,23 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism)
     return df
+
+
+def with_run_metrics(df, name: str = "run_metrics", count_col: str | None = None):
+    """Attach an Observation collecting row count (and an optional
+    non-null count) as the query runs — the engine's replacement for the
+    reference's driver-side telemetry counters (`len(data_list)`,
+    `success_count`; SURVEY A5), which each cost a separate action.
+    Observation metrics ride along with whatever action executes the
+    DataFrame: zero extra jobs, zero extra scans.
+
+    Returns (df, observation); read ``observation.get`` AFTER an action.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if count_col is not None:
+        metrics.append(F.count(count_col).alias(f"n_{count_col}_nonnull"))
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

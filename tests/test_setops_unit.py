@@ -21,3 +21,14 @@ def test_union_all_tagged(spark):
 def test_union_all_tagged_rejects_empty():
     with pytest.raises(ValueError):
         union_all_tagged({})
+
+
+def test_with_run_metrics_piggybacks_on_action(spark):
+    from real_estate_bigdata_spark.util import with_run_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id int, v string"
+    )
+    observed, obs = with_run_metrics(df, count_col="v")
+    assert observed.count() == 3  # the one and only action
+    assert obs.get == {"n_rows": 3, "n_v_nonnull": 2}
