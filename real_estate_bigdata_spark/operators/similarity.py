@@ -222,10 +222,16 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql.functions import pandas_udf
 
-    train = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("__mlvec", array_to_vector(F.col("c_vec")))
+    # NULL/ragged vectors cannot be indexed or scored — excluded up
+    # front (k-means would reject them at fit; cosine is undefined)
+    train = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        )
+        .filter(F.col("c_vec").isNotNull())
+        .withColumn("__mlvec", array_to_vector(F.col("c_vec")))
+    )
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="__mlvec", predictionCol="__list"
     ).fit(train)

@@ -177,3 +177,15 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     approx = {(r.query_id, r.neighbor_id) for r in sim.ivf_topk(emb, queries, k=10, n_probe=6).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_ivf_topk_tolerates_null_corpus_vectors(spark):
+    """NULL corpus vectors must be excluded from the index, not crash
+    the k-means fit; queries still get ranked neighbors."""
+    rows = [(i, [float(i % 7 + j) for j in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.ivf_topk(df, df.filter(F.col("vec_id") == 0), k=5, n_lists=4, n_probe=2)
+    got = out.collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id not in (100, 101) for r in got)
