@@ -402,11 +402,19 @@ def embedding_neardup_pairs(
     :func:`embedding_neardup_pairs_blocked` (GEMM block-nested-loop) or
     LSH-block first (``similarity.hyperplane_lsh_bucket``).
     """
-    e = ensure_min_parallelism(
+    # UNCONDITIONAL round-robin repartition (not ensure_min_parallelism):
+    # the downstream stage is O(n^2), so even with enough partitions a
+    # row-count skew (199 near-empty files + 1 full one after a filter)
+    # would pin the quadratic work to a few cores; the rebalance cost is
+    # linear and trivially amortized here, unlike in the linear text ops
+    parallelism = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = (
         embeddings.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-    ).withColumn("nrm", l2_norm(F.col("v")))
+        .repartition(parallelism)
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
     a = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
     )

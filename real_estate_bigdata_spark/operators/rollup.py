@@ -48,26 +48,44 @@ def merge_rollup_increment(
     one partition of a years-deep rollup. The read of existing rows is
     partition-pruned by the same predicate it overwrites.
     """
-    from pyspark.errors import AnalysisException
-
-    inc = hourly_rollup(increment)
-    dates = [r.bucket_date for r in inc.select("bucket_date").distinct().collect()]
+    # one aggregation pass feeds both the dates collect and the merge
+    inc = hourly_rollup(increment).persist()
     try:
-        existing = spark.read.parquet(rollup_path).filter(
-            F.col("bucket_date").isin(dates)
+        dates = [
+            r.bucket_date for r in inc.select("bucket_date").distinct().collect()
+        ]
+        if _path_exists(spark, rollup_path):
+            # isin() never matches SQL NULL — the null-date partition
+            # (events with NULL ts) must be selected explicitly or its
+            # accumulated partials would be silently overwritten
+            non_null = [d for d in dates if d is not None]
+            cond = F.col("bucket_date").isin(non_null)
+            if any(d is None for d in dates):
+                cond = cond | F.col("bucket_date").isNull()
+            existing = spark.read.parquet(rollup_path).filter(cond)
+            merged_src = inc.unionByName(existing)
+        else:  # first write — table does not exist yet; any OTHER read
+            # error (schema drift, corrupt files) must surface, not be
+            # misread as a first write that clobbers history
+            merged_src = inc
+        merged = merged_src.groupBy("bucket_date", "bucket_hour", "event_type").agg(
+            F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
         )
-        merged_src = inc.unionByName(existing)
-    except AnalysisException:  # first write — table does not exist yet
-        merged_src = inc
-    merged = merged_src.groupBy("bucket_date", "bucket_hour", "event_type").agg(
-        F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value")
-    )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket_date")
-        .parquet(rollup_path)
-    )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket_date")
+            .parquet(rollup_path)
+        )
+    finally:
+        inc.unpersist()
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -223,14 +223,20 @@ def ivf_topk(
     from pyspark.sql.functions import pandas_udf
 
     # NULL/ragged vectors cannot be indexed or scored — excluded up
-    # front (k-means would reject them at fit; cosine is undefined)
-    train = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).cast("array<double>").alias("c_vec"),
-        )
-        .filter(F.col("c_vec").isNotNull())
-        .withColumn("__mlvec", array_to_vector(F.col("c_vec")))
+    # front on BOTH sides (k-means rejects dimension mismatches at fit;
+    # a NULL query would otherwise probe as the zero vector and return
+    # k fake neighbors with NULL cosines). The expected dimension is
+    # taken from the first indexable corpus vector.
+    raw_corpus = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).filter(F.col("c_vec").isNotNull())
+    first = raw_corpus.select(F.size("c_vec").alias("d")).first()
+    if first is None:
+        raise ValueError("ivf_topk: corpus has no non-null vectors to index")
+    dim = first.d
+    train = raw_corpus.filter(F.size("c_vec") == dim).withColumn(
+        "__mlvec", array_to_vector(F.col("c_vec"))
     )
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="__mlvec", predictionCol="__list"
@@ -259,6 +265,7 @@ def ivf_topk(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).cast("array<double>").alias("q_vec"),
         )
+        .filter(F.col("q_vec").isNotNull() & (F.size("q_vec") == dim))
         .withColumn("q_nrm", l2_norm(F.col("q_vec")))
         .withColumn("__list", F.explode(probe_lists(F.col("q_vec"))))
     )

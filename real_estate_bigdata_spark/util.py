@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_min_parallelism"]
+__all__ = ["ensure_min_parallelism", "with_run_metrics"]
 
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:

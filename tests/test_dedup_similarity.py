@@ -189,3 +189,19 @@ def test_ivf_topk_tolerates_null_corpus_vectors(spark):
     got = out.collect()
     assert len(got) == 5
     assert all(r.neighbor_id not in (100, 101) for r in got)
+
+
+def test_ivf_topk_tolerates_ragged_and_null_queries(spark):
+    """Wrong-length corpus vectors must be excluded (not crash the
+    k-means fit) and NULL/ragged QUERY vectors must return no rows, not
+    k fake NULL-cosine neighbors."""
+    rows = [(i, [float(i % 7 + j) for j in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, [1.0, 2.0, 3.0])]  # null + ragged corpus
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [float(j) for j in range(8)]), (200, None), (201, [9.9] * 3)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sim.ivf_topk(df, queries, k=5, n_lists=4, n_probe=2).collect()
+    assert {r.query_id for r in got} == {0}
+    assert all(r.neighbor_id not in (100, 101) for r in got)

@@ -67,3 +67,19 @@ def test_untouched_partition_not_rewritten(spark, tmp_path):
              for f in os.listdir(day1_dir) if f.endswith(".parquet")}
     assert before == after  # day-1 files untouched by the day-2 increment
     assert ru.read_rollup(spark, path).count() == 2
+
+
+def test_null_timestamp_partition_accumulates(spark, tmp_path):
+    """Events with NULL ts land in the null bucket partition; a second
+    increment must MERGE with it, not silently overwrite it (isin never
+    matches SQL NULL)."""
+    path = str(tmp_path / "rollup")
+    ru.merge_rollup_increment(
+        spark, _events(spark, [(1, None, "click", 1.0)]), path
+    )
+    ru.merge_rollup_increment(
+        spark, _events(spark, [(2, None, "click", 5.0)]), path
+    )
+    rows = ru.read_rollup(spark, path).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_events, rows[0].total_value) == (2, 6.0)
