@@ -209,6 +209,14 @@ def _q_groupingsets_orders(spark, sf):
     return agg.grouping_sets_counts(load_table(spark, sf, "orders"))
 
 
+def _q_pivot_status(spark, sf):
+    return agg.pivot_status_counts(load_table(spark, sf, "orders"))
+
+
+def _q_collect_top_keys(spark, sf):
+    return agg.top_keys_per_group(load_table(spark, sf, "orders"))
+
+
 def _q_cube_lineitem(spark, sf):
     return agg.cube_counts(load_table(spark, sf, "lineitem"))
 
@@ -398,6 +406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_lineitem": _q_corr_lineitem,
         "q_rollup_orders": _q_rollup_orders,
         "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_pivot_status": _q_pivot_status,
+        "q_collect_top_keys": _q_collect_top_keys,
         "q_cube_lineitem": _q_cube_lineitem,
         "q_scalar_gallery": _q_scalar_gallery,
         "q_topk_orders": _q_topk_orders,
@@ -726,6 +736,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS price_f,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS price_o,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS price_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_collect_top_keys": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS top_keys
+            FROM (SELECT * FROM orders
+                  QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                                             ORDER BY o_totalprice DESC, o_orderkey) <= 5)
+            GROUP BY o_orderpriority
         """,
         "q_groupingsets_orders": """
             SELECT o_orderstatus, o_orderpriority,

@@ -25,6 +25,8 @@ __all__ = [
     "rollup_counts",
     "cube_counts",
     "grouping_sets_counts",
+    "pivot_status_counts",
+    "top_keys_per_group",
     "approx_distinct_counts",
     "stats_summary",
     "correlation_profile",
@@ -101,6 +103,58 @@ def cube_counts(lineitem: DataFrame) -> DataFrame:
     return lineitem.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count("*").alias("n_items"),
+    )
+
+
+def pivot_status_counts(orders: DataFrame) -> DataFrame:
+    """Pivot: order status across the columns, one row per priority
+    (count + rounded price sum per cell).
+
+    Values are ENUMERATED ("F"/"O"/"P"), not discovered: without the
+    list Spark runs an extra distinct-collect job AND the output schema
+    becomes data-dependent — both wrong for a production view. Plans as
+    one partial+final hash agg (pivot compiles to conditional
+    aggregates; no extra shuffle vs a plain groupBy).
+    """
+    statuses = ["F", "O", "P"]
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("price"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.col(f"{s}_n").alias(f"n_{s.lower()}") for s in statuses],
+        *[F.col(f"{s}_price").alias(f"price_{s.lower()}") for s in statuses],
+    )
+
+
+def top_keys_per_group(orders: DataFrame, k: int = 5) -> DataFrame:
+    """Sorted array aggregation: the k highest-price order keys per
+    priority, aggregated via window prune -> sort_array(collect_list) —
+    collect_list order is nondeterministic across partitions, so the
+    deterministic contract MUST come from sort_array, never from
+    assuming arrival order. Serialized to a comma-joined string for
+    engine-portable comparison (array cells hash differently across
+    engines)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"),
+                ",",
+            ).alias("top_keys")
+        )
     )
 
 
