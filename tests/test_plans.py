@@ -137,3 +137,22 @@ def test_normalize_listings_no_shuffle_no_python(spark):
         max_shuffles=0,
         forbid_python=True,
     )
+
+
+def test_pivot_two_stage_aggregate_no_discovery(spark):
+    # enumerated pivot plans as pre-agg on (group, pivot) + pivot agg —
+    # exactly two exchanges, no Python, and (the point of enumerating
+    # values) no distinct-discovery job baked into the plan
+    assert_plan(
+        QUERIES["q_pivot_status"](spark, SF),
+        max_shuffles=2,
+        forbid_python=True,
+    )
+
+
+def test_groupingsets_single_expand_aggregate(spark):
+    assert_plan(
+        QUERIES["q_groupingsets_orders"](spark, SF),
+        max_shuffles=1,
+        forbid_python=True,
+    )
