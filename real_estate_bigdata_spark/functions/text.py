@@ -49,18 +49,29 @@ def tokenize(text: Column) -> Column:
     )
 
 
+def _nullsafe_size(arr: Column) -> Column:
+    """``size`` that propagates NULL for NULL arrays instead of Spark's
+    legacy -1 (ANSI off) — counting a missing document must yield NULL
+    (skipped by sum/avg), matching ANSI/DuckDB semantics, not -1 silently
+    corrupting aggregates."""
+    return F.when(arr.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.size(arr).cast("bigint")
+    )
+
+
 def token_count(text: Column) -> Column:
-    """Whitespace token count (bigint)."""
-    return F.size(tokenize(text)).cast("bigint")
+    """Whitespace token count (bigint); NULL text -> NULL."""
+    return _nullsafe_size(tokenize(text))
 
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish token estimate: count of word-pieces matched by a GPT-2-style
     pre-tokenizer regex (runs of letters, digits, or single non-space
-    symbols). Approximates subword token counts without a vocab."""
-    return F.size(
+    symbols). Approximates subword token counts without a vocab.
+    NULL text -> NULL."""
+    return _nullsafe_size(
         F.regexp_extract_all(text, F.lit(r"([A-Za-zÀ-ỹ]+|[0-9]+|[^\sA-Za-zÀ-ỹ0-9])"), 1)
-    ).cast("bigint")
+    )
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
@@ -118,13 +129,13 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     """
     toks = tokenize(text)
     n_chars = F.length(text).cast("bigint")
-    n_tokens = F.size(toks).cast("bigint")
+    n_tokens = _nullsafe_size(toks)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-zÀ-ỹ]", ""))
     stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_hits = _nullsafe_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
@@ -138,7 +149,9 @@ def quality_metrics(text: Column) -> dict[str, Column]:
         "punct_ratio": F.round(punct / safe_chars, 6),
         "alpha_ratio": F.round(alpha / safe_chars, 6),
         "stopword_ratio": F.round(stop_hits / safe_tokens, 6),
-        "uniq_token_ratio": F.round(F.size(F.array_distinct(toks)) / safe_tokens, 6),
+        "uniq_token_ratio": F.round(
+            _nullsafe_size(F.array_distinct(toks)) / safe_tokens, 6
+        ),
     }
 
 
@@ -166,8 +179,12 @@ def lang_id(text: Column) -> Column:
 
 def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint via xxhash64 over the
-    whitespace-normalized text — an exact-dup key robust to spacing."""
-    return F.xxhash64(F.concat_ws(" ", tokenize(text)))
+    whitespace-normalized text — an exact-dup key robust to spacing.
+    NULL text -> NULL (``concat_ws`` would otherwise silently collapse
+    NULL to "" and collide with the empty document)."""
+    return F.when(text.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.xxhash64(F.concat_ws(" ", tokenize(text)))
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:

@@ -29,6 +29,7 @@ __all__ = [
     "top_keys_per_group",
     "approx_distinct_counts",
     "stats_summary",
+    "stats_profile",
     "correlation_profile",
     "forecast_revenue",
     "large_orders",
@@ -194,6 +195,22 @@ def stats_summary(orders: DataFrame) -> DataFrame:
     """
     return orders.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+def stats_profile(orders: DataFrame) -> DataFrame:
+    """``distinct_counts`` + ``stats_summary`` fused into one aggregate
+    over the same group key — one shuffle produces the distinct count,
+    the multi-measure stats, and the exact percentiles together (the
+    plan a production view would use instead of two passes)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),

@@ -201,6 +201,14 @@ def minhash_lsh_pairs(
     output is exact for any realistic corpus, at a fraction of the
     all-pairs cost. Output matches :func:`ngram_jaccard_pairs`.
     """
+    if not 0 < bands <= num_hashes or num_hashes % bands != 0:
+        # a non-divisor silently drops trailing signature rows from the
+        # banding; bands > num_hashes makes every band key the hash of an
+        # empty slice, degenerating candidate generation to all-pairs
+        raise ValueError(
+            f"bands must divide num_hashes with 0 < bands <= num_hashes; "
+            f"got bands={bands}, num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     # NOTE: no size(hs)>0 pre-filter — a Filter on a computed array column
     # gets pushed below the Project and re-evaluates the whole shingle

@@ -37,6 +37,8 @@ __all__ = [
     "disjunctive_revenue",
     "waiting_suppliers",
     "sales_opportunity",
+    "priority_line_counts",
+    "supplier_variety",
 ]
 
 def shipping_priority(
@@ -172,6 +174,76 @@ def order_priority_checking(
         "left_semi",
     )
     return slow.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def priority_line_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority line counts per lineitem class.
+
+    The driver testdata has no l_shipmode / l_commitdate / l_receiptdate
+    (TESTDATA.md), so l_returnflag stands in as the group key and the
+    l_shipdate year-window as the receipt filter — same join + conditional
+    aggregation structure as Q12.
+
+    Plan: the shipdate window pushes into the lineitem scan; the
+    orderkey equi-join is the one fact-sized exchange; the conditional
+    counts compile to one partial+final hash aggregate over 3 groups
+    (count-FILTER, not sum-of-CASE, so no post-agg cast is needed).
+    """
+    items = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    ords = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+def supplier_variety(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#45",
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per part attribute.
+
+    Adapted to the driver testdata (no partsupp table / comment columns):
+    lineitem supplies the (partkey, suppkey) relation, one brand is
+    excluded, and suppliers with negative account balance play Q16's
+    "customer complaints" blacklist via an anti join.
+
+    Plan: the blacklist (handful of rows) broadcasts into an anti join on
+    the lineitem scan; the pruned part table broadcasts for the attribute
+    lookup; the only fact-sized exchange is the distinct aggregation's
+    expand+shuffle on (brand, type, size) — one pass over lineitem at
+    any scale.
+    """
+    blacklist = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter(F.col("p_brand") != excluded_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
 
 
 def volume_shipping(

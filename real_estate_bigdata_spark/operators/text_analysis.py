@@ -98,8 +98,12 @@ def portable_fingerprint(text: Column) -> Column:
 
 
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
-    """doc_id + whitespace-normalized portable fingerprint."""
-    normalized = F.concat_ws(" ", F.split(F.trim(F.col("text")), r"\s+"))
-    return ensure_min_parallelism(docs).select(
-        "doc_id", portable_fingerprint(normalized).alias("fingerprint")
+    """doc_id + whitespace-normalized portable fingerprint.
+    NULL text -> NULL fingerprint (``concat_ws`` would otherwise collapse
+    NULL to "" and collide with the empty document)."""
+    text = F.col("text")
+    normalized = F.concat_ws(" ", F.split(F.trim(text), r"\s+"))
+    fp = F.when(text.isNull(), F.lit(None).cast("bigint")).otherwise(
+        portable_fingerprint(normalized)
     )
+    return ensure_min_parallelism(docs).select("doc_id", fp.alias("fingerprint"))

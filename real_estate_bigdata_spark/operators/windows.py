@@ -18,6 +18,7 @@ __all__ = [
     "top_n_per_group",
     "running_totals",
     "moving_average",
+    "window_frames",
     "rank_dense_ntile",
 ]
 
@@ -68,6 +69,35 @@ def moving_average(events: DataFrame, lookback: int = 3) -> DataFrame:
         "event_id",
         "event_type",
         F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    )
+
+
+def window_frames(events: DataFrame, lookback: int = 3) -> DataFrame:
+    """``running_totals`` + ``moving_average`` in one query: the
+    unbounded-preceding running frame (per user) and the bounded
+    trailing frame (per event type) evaluated over the same scan.
+
+    Two window specs with different partition keys plan as two
+    sequential exchanges — the same total shuffle work as running the
+    two queries separately, but one scan instead of two.
+    """
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(
+            F.sum("value").over(wu.rowsBetween(Window.unboundedPreceding, 0)), 6
+        ).alias("running_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(wu), F.lit(0.0)), 6
+        ).alias("delta_value"),
+        F.round(F.avg("value").over(wt), 6).alias("moving_avg"),
     )
 
 

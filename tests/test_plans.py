@@ -156,3 +156,48 @@ def test_groupingsets_single_expand_aggregate(spark):
         max_shuffles=1,
         forbid_python=True,
     )
+
+
+def test_q12_one_fact_exchange_with_pushdown(spark):
+    # shipdate window pushes into the lineitem scan; the orderkey join is
+    # the only fact-sized structure (broadcast at this SF, shuffle at
+    # scale); the conditional counts are one partial+final aggregate
+    assert_plan(
+        QUERIES["q12_priority_lines"](spark, SF),
+        max_shuffles=2,
+        min_scans_with_pushdown=2,
+        forbid_python=True,
+    )
+
+
+def test_q16_broadcast_lookups_distinct_agg(spark):
+    # supplier blacklist + pruned part both broadcast; the only
+    # fact-sized exchanges belong to the two-phase distinct aggregate
+    assert_plan(
+        QUERIES["q16_supplier_variety"](spark, SF),
+        max_shuffles=2,
+        min_broadcast_joins=2,
+        max_sortmerge_joins=0,
+        min_scans_with_pushdown=3,
+        forbid_python=True,
+    )
+
+
+def test_stats_profile_single_scan(spark):
+    # fused distinct+stats profile: one scan, two-phase distinct agg
+    assert_plan(
+        QUERIES["q_stats_profile_orders"](spark, SF),
+        max_shuffles=2,
+        forbid_python=True,
+    )
+
+
+def test_window_frames_two_exchanges_one_scan(spark):
+    # two window specs over different keys = exactly two exchanges over
+    # a single scan (vs two scans as separate queries)
+    stats = assert_plan(
+        QUERIES["q_window_frames"](spark, SF),
+        max_shuffles=2,
+        forbid_python=True,
+    )
+    assert stats.scans == 1, stats

@@ -1,0 +1,79 @@
+"""NULL-document semantics of the text-analysis operators.
+
+The driver testdata has no NULL text, so NULL handling is exactly the
+kind of latent divergence an oracle sweep can't catch: Spark's legacy
+``size(NULL) = -1`` (ANSI off) and ``concat_ws``'s NULL->"" collapse
+would silently corrupt token sums and collide fingerprints. These tests
+pin ANSI/DuckDB-consistent behavior: counting a missing document yields
+NULL (skipped by sum/avg), never -1 or an empty-string collision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators.text_analysis import (
+    doc_fingerprints,
+    doc_quality_profile,
+    lang_id_report,
+    token_accounting,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "src_a", "en", "the cat sat on the mat"),
+            (2, "src_a", "en", None),
+            (3, "src_a", "en", ""),
+            (4, "src_b", "de", "der hund ist nicht da"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+
+
+def test_token_accounting_null_text_is_null_not_minus_one(spark):
+    rows = {r.source: r for r in token_accounting(_docs(spark)).collect()}
+    a = rows["src_a"]
+    # doc 1 has 6 ws tokens, doc 2 is NULL (skipped), doc 3 is 0
+    assert a.n_docs == 3
+    assert a.ws_tokens == 6  # a -1 leak would make this 5
+    assert abs(a.avg_ws_tokens - 3.0) < 1e-9  # avg over the 2 non-NULL docs
+
+
+def test_quality_profile_null_text_propagates_null(spark):
+    rows = {r.doc_id: r for r in doc_quality_profile(_docs(spark)).collect()}
+    nulldoc = rows[2]
+    for field in (
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "alpha_ratio",
+        "stopword_ratio",
+        "uniq_token_ratio",
+    ):
+        assert getattr(nulldoc, field) is None, field
+    assert rows[3].n_tokens == 0  # empty string stays a real (zero) count
+
+
+def test_fingerprints_null_text_does_not_collide_with_empty(spark):
+    rows = {r.doc_id: r.fingerprint for r in doc_fingerprints(_docs(spark)).collect()}
+    assert rows[2] is None
+    assert rows[3] is not None
+    from real_estate_bigdata_spark.functions.text import fingerprint64
+
+    xx = {
+        r.doc_id: r.fp
+        for r in _docs(spark).select("doc_id", fingerprint64(F.col("text")).alias("fp")).collect()
+    }
+    assert xx[2] is None
+    assert xx[3] is not None
+
+
+def test_lang_id_null_and_empty_text_are_und(spark):
+    rows = {r.doc_id: r.lang_pred for r in lang_id_report(_docs(spark)).collect()}
+    assert rows[1] == "en"
+    assert rows[2] == "und"
+    assert rows[3] == "und"
+    assert rows[4] == "de"
