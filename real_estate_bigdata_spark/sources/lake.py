@@ -20,6 +20,8 @@ Replaces the reference's hand-rolled WebHDFS JSONL lake
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -50,18 +52,24 @@ def read_raw_jsonl(
     return spark.read.schema(full).option("mode", "PERMISSIVE").json(path)
 
 
-def quarantine_split(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantined) — quarantined keeps the original line for
-    replay/debugging; clean drops the corrupt column entirely.
+def quarantine_split(raw: DataFrame) -> tuple[DataFrame, DataFrame, Callable[[], None]]:
+    """(clean, quarantined, release) — quarantined keeps the original
+    line for replay/debugging; clean drops the corrupt column entirely.
 
     Caches the parsed scan: Spark forbids queries that reference only
     `_corrupt_record` against a raw JSON scan (the column exists only
     during parse), and both halves share one parse this way anyway.
+    Call ``release()`` once both halves are consumed — without it every
+    call leaks a cached scan into a long-lived session (VERDICT r1 #3).
     """
     raw = raw.cache()
     clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return clean, bad
+
+    def release() -> None:
+        raw.unpersist()
+
+    return clean, bad, release
 
 
 def write_lake(
@@ -180,12 +188,35 @@ def compact_partitions(
     if dest_path is None:
         # in-place: materialize before overwriting the files being read
         df = df.localCheckpoint(eager=True)
-    n_rows = df.count()
-    n_files = max(1, (n_rows + target_rows_per_file - 1) // target_rows_per_file)
+    # Per-PARTITION file sizing. Repartitioning by the partition columns
+    # alone would hash every row of one (ingest_date, source) partition
+    # to a single task — one giant file per hot partition plus a
+    # straggler, never honoring target_rows_per_file (ADVICE r1). So:
+    # a tiny per-partition count (broadcast back) derives a
+    # deterministic salt splitting each partition into
+    # ceil(rows/target) shuffle groups, and maxRecordsPerFile is the
+    # hard per-file ceiling even when salt groups share a task.
+    counts = df.groupBy(*partition_cols).agg(F.count("*").alias("__prows"))
+    count_rows = counts.collect()  # bounded: one row per lake partition
+    total_files = max(
+        1,
+        sum(-(-r["__prows"] // target_rows_per_file) for r in count_rows),
+    )
+    files_per_part = F.greatest(
+        F.lit(1), F.ceil(F.col("__prows") / F.lit(target_rows_per_file))
+    ).cast("int")
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    salted = (
+        df.join(F.broadcast(counts), list(partition_cols))
+        .withColumn("__salt", F.pmod(F.xxhash64(*data_cols), files_per_part))
+        .drop("__prows")
+    )
     (
-        df.repartition(n_files, *partition_cols)
+        salted.repartition(total_files, *partition_cols, F.col("__salt"))
+        .drop("__salt")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", target_rows_per_file)
         .partitionBy(*partition_cols)
         .parquet(dest_path or path)
     )

@@ -18,9 +18,23 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     count already exceeds parallelism and this is a no-op — the check
     makes the repartition safe to bake into operators without taxing
     the large-scale path with a gratuitous full shuffle.
+
+    The partition estimate is ``len(df.inputFiles())`` — a driver-side
+    listing already cached by the file index — NOT ``df.rdd`` (which
+    forces analysis + RDD conversion on every operator construction).
+    Files >= parallelism means the scan is already parallel (each file
+    is at least one partition). Few-but-huge files under-estimate
+    (128 MB splits would raise the real count), which only costs this
+    rebalance an unnecessary shuffle, never a correctness change; the
+    non-file sources (memory relations) estimate as 1 and rebalance,
+    which is exactly the local/test case that needs it.
     """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plans (streaming, pure-local) — assume narrow
+        n_files = 0
+    if max(n_files, 1) < parallelism:
         return df.repartition(parallelism)
     return df
 

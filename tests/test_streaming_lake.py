@@ -130,10 +130,16 @@ class TestLake:
             f.write("this is not json\n")
             f.write(json.dumps(_mk({"quan_huyen": "Quận 3"}), ensure_ascii=False) + "\n")
         raw = lake.read_raw_jsonl(spark, str(p))
-        clean, bad = lake.quarantine_split(raw)
+        clean, bad, release = lake.quarantine_split(raw)
         assert clean.count() == 2
         assert bad.count() == 1
         assert "not json" in bad.first()[0]
+        # release() must drop the cached parse (no leak in long sessions)
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert before >= 1
+        release()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before - 1
 
     def test_compaction_reduces_files_keeps_rows(self, spark, tmp_path):
         dest = str(tmp_path / "lake3")
@@ -155,6 +161,29 @@ class TestLake:
         assert set(
             r.id for r in spark.read.parquet(dest).select("id").collect()
         ) == set(range(1000))
+
+    def test_compaction_splits_hot_partition_to_target_size(self, spark, tmp_path):
+        """A hot partition must split into ~target_rows_per_file files,
+        not collapse into one giant file + straggler task (the r1 bug:
+        repartitioning by partition cols alone sent every row of a
+        partition to a single task)."""
+        import glob
+
+        dest = str(tmp_path / "lake_hot")
+        df = spark.range(1000).select(
+            F.col("id"),
+            F.lit("2025-04-24").cast("date").alias("ingest_date"),
+            F.lit("alonhadat").alias("source"),
+        )
+        df.repartition(2).write.partitionBy("ingest_date", "source").parquet(dest)
+        lake.compact_partitions(spark, dest, target_rows_per_file=300)
+        files = glob.glob(f"{dest}/**/*.parquet", recursive=True)
+        assert len(files) >= 4  # ceil(1000/300)
+        for f in files:
+            assert spark.read.parquet(f).count() <= 300
+        out = spark.read.parquet(dest)
+        assert out.count() == 1000
+        assert {r.id for r in out.select("id").collect()} == set(range(1000))
 
 
 class TestStreamingLakeCompaction:
