@@ -8,6 +8,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is fully materialized through the no-op sink (computes every
 output column, no driver collect), timed individually after a shared
 session warm-up.
+
+Round-over-round guard: when ``BENCH_BASELINE.json`` exists and its sf
+matches this run, any query slower than 2x its baseline AND >1 s
+absolute over it is reported in a ``regressions`` key (run-to-run load
+variance on this host is ~±25%, so the absolute floor keeps sub-second
+noise out). The output stays ONE JSON line.
 """
 
 from __future__ import annotations
@@ -42,17 +48,32 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as fh:
+                base = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            base = None
+        if base and base.get("sf") == sf_val:
+            regressions = {}
+            for name, cur in timings.items():
+                ref = base.get("queries", {}).get(name)
+                if ref is not None and cur > 2 * ref and cur - ref > 1.0:
+                    regressions[name] = {"baseline": ref, "current": cur}
+            out["regressions"] = regressions
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -3,10 +3,11 @@ metadata, with Arrow-batched Pandas-UDF processing.
 
 North-star surface for training-data pipelines. The Spark-side plumbing
 (schemas, partitioning, mapInPandas batch shape, deterministic outputs)
-is real and tested; the actual media DECODE is stubbed behind
-``_decode_image_stub`` — a deterministic fake (media codecs aren't in
-this container). Swapping in PIL/librosa/cv2 changes one function body,
-not the dataflow.
+is real and tested. IMAGE decode is a real PIL/Pillow decode when the
+optional dependency is installed (:func:`decode_image`), falling back
+to a deterministic sha-seeded stub when not (this container ships no
+codec libs). Audio/video decode remain stubbed (librosa/cv2 would slot
+into the same batch shape).
 
 Scale notes: media bytes are the widest column in the table — every
 operator here projects metadata-only columns where possible, and the
@@ -37,11 +38,18 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "media_stats",
+    "pil_available",
+    "decode_image",
     "extract_image_features",
     "resize_images",
     "extract_audio_features",
     "sample_video_frames",
 ]
+
+try:  # optional dependency: real image codec
+    from PIL import Image as _PILImage
+except ImportError:  # container has no codec libs — stub path only
+    _PILImage = None
 
 #: One row per media object: opaque payload + typed metadata struct.
 MEDIA_SCHEMA = StructType(
@@ -102,32 +110,69 @@ def media_stats(media: DataFrame) -> DataFrame:
 
 def _decode_image_stub(content: bytes) -> np.ndarray:
     """STUB decode: deterministic fake 'pixels' derived from the payload
-    hash. Replace with `PIL.Image.open(io.BytesIO(content))` when the
-    codec is available; everything downstream is agnostic."""
+    hash — the fallback when PIL is not installed; everything downstream
+    is agnostic to which decode produced the array."""
     digest = hashlib.sha256(content).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
     return rng.random((8, 8, 3))
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
+def pil_available() -> bool:
+    """True when the optional PIL/Pillow codec is importable."""
+    return _PILImage is not None
+
+
+def decode_image(content: bytes, use_pil: bool | None = None) -> np.ndarray:
+    """bytes -> HxWx3 float64 pixel array in [0, 1].
+
+    ``use_pil=None`` auto-selects: real PIL decode when installed, the
+    deterministic stub otherwise. The PIL path raises ValueError on an
+    undecodable payload (callers surface it as a NULL output row — a
+    corrupt image must be visible, never silently replaced with fake
+    pixels).
+    """
+    pil = pil_available() if use_pil is None else use_pil
+    if pil:
+        if _PILImage is None:
+            raise ImportError("use_pil=True but PIL/Pillow is not installed")
+        import io
+
+        try:
+            img = _PILImage.open(io.BytesIO(content)).convert("RGB")
+        except Exception as exc:
+            raise ValueError(f"undecodable image payload: {exc}") from None
+        return np.asarray(img, dtype=np.float64) / 255.0
+    return _decode_image_stub(content)
+
+
+def extract_image_features(media: DataFrame, use_pil: bool | None = None) -> DataFrame:
     """content -> FEATURE_DIM-dim feature vector via mapInPandas.
 
     Arrow streams batches of (media_id, content); each batch is decoded
-    (stub) and reduced to a deterministic feature vector. The output
-    drops the binary column — downstream similarity search runs on the
-    16-float feature, not the payload.
+    (:func:`decode_image` — real PIL when installed, deterministic stub
+    otherwise; ``use_pil`` forces a path) and reduced to a feature
+    vector. Undecodable payloads on the real path yield a NULL feature
+    with sha/size still populated (corrupt media stays visible). The
+    output drops the binary column — downstream similarity search runs
+    on the 16-float feature, not the payload.
     """
+    if use_pil and not pil_available():
+        raise ImportError("use_pil=True but PIL/Pillow is not installed")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats, shas, sizes = [], [], []
             for content in pdf["content"]:
                 raw = bytes(content)
-                px = _decode_image_stub(raw)
-                flat = px.reshape(-1)
-                # pooled 'embedding': fixed-length mean-pool over chunks
-                chunks = np.array_split(flat, FEATURE_DIM)
-                feats.append([float(round(c.mean(), 9)) for c in chunks])
+                try:
+                    px = decode_image(raw, use_pil)
+                except ValueError:
+                    feats.append(None)
+                else:
+                    flat = px.reshape(-1)
+                    # pooled 'embedding': fixed-length mean-pool over chunks
+                    chunks = np.array_split(flat, FEATURE_DIM)
+                    feats.append([float(round(c.mean(), 9)) for c in chunks])
                 shas.append(hashlib.sha256(raw).hexdigest())
                 sizes.append(len(raw))
             yield pd.DataFrame(
@@ -154,22 +199,33 @@ _RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_images(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    use_pil: bool | None = None,
+) -> DataFrame:
     """content -> resized image payload via mapInPandas.
 
-    The decode+resample is stubbed (nearest-neighbor over the stub
-    pixel grid, re-serialized as raw float bytes); a real implementation
-    swaps in ``PIL.Image.resize`` — the Arrow batch shape, the
-    binary-in/binary-out schema, and the metadata update are the
-    production plumbing. Output rows carry the new dimensions so the
-    downstream MEDIA_SCHEMA meta can be rebuilt.
+    Decode via :func:`decode_image` (real PIL when installed, stub
+    otherwise), nearest-neighbor resample over the pixel grid,
+    re-serialized as raw float32 RGB bytes. Undecodable payloads on the
+    real path yield a NULL content row. The Arrow batch shape, the
+    binary-in/binary-out schema, and the dimension metadata are the
+    production plumbing either way.
     """
+    if use_pil and not pil_available():
+        raise ImportError("use_pil=True but PIL/Pillow is not installed")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_bytes = []
             for content in pdf["content"]:
-                px = _decode_image_stub(bytes(content))
+                try:
+                    px = decode_image(bytes(content), use_pil)
+                except ValueError:
+                    out_bytes.append(None)
+                    continue
                 ys = np.linspace(0, px.shape[0] - 1, height).round().astype(int)
                 xs = np.linspace(0, px.shape[1] - 1, width).round().astype(int)
                 resized = px[np.ix_(ys, xs)]

@@ -412,4 +412,7 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+        # an in-memory (unpersisted) index has no partition directories
+        # to skip — the prune's collect job would be pure overhead here
+        prune_lists=False,
     )

@@ -89,3 +89,53 @@ def test_audio_features_compose_with_ann_search(spark):
     assert all(r.query_id == 1 and r.neighbor_id != 1 for r in rows)
     cos = [r.cosine for r in sorted(rows, key=lambda r: r.rn)]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_decode_image_stub_path_deterministic():
+    import numpy as np
+
+    a = mm.decode_image(b"payload", use_pil=False)
+    b = mm.decode_image(b"payload", use_pil=False)
+    assert a.shape == (8, 8, 3) and np.array_equal(a, b)
+
+
+def test_use_pil_true_without_pil_raises_cleanly(spark):
+    import pytest
+
+    if mm.pil_available():
+        pytest.skip("PIL installed — the missing-dependency error path is moot")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
+    with pytest.raises(ImportError, match="Pillow"):
+        mm.extract_image_features(df, use_pil=True)
+    with pytest.raises(ImportError, match="Pillow"):
+        mm.resize_images(df, use_pil=True)
+
+
+def test_image_features_real_pil_decode(spark):
+    """With PIL installed: real pixel statistics from a real PNG, and an
+    undecodable payload yields a NULL feature (visible, not faked)."""
+    import pytest
+
+    if not mm.pil_available():
+        pytest.skip("PIL/Pillow not installed in this environment")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[:, :, 0] = 255  # pure red
+    Image.fromarray(arr).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in mm.extract_image_features(df, use_pil=True).collect()}
+    feat = rows[1].feature
+    # mean-pool of a pure-red RGB image: overall mean = 1/3 per chunk-average
+    assert feat is not None and len(feat) == mm.FEATURE_DIM
+    assert abs(sum(feat) / len(feat) - (1.0 / 3.0)) < 0.05
+    assert rows[2].feature is None  # corrupt payload -> NULL, sha still present
+    assert rows[2].content_sha256

@@ -121,6 +121,36 @@ class TestWindowedStream:
             ("2024-01-01 01:00:00", "view"): (1, 5.0),
         }
 
+    def test_streaming_window_counts_equal_batch_operator(self, spark, tmp_path):
+        """The streaming windowed aggregate over real testdata (driven
+        through readStream + availableNow) must equal the batch
+        ``tumbling_window_stats`` result on the same rows — the §2.9
+        batch/stream twin contract, locked as code evolves."""
+        from real_estate_bigdata_spark.operators.events import tumbling_window_stats
+        from real_estate_bigdata_spark.schema import load_table
+
+        events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "ts", "event_type", "value"
+        )
+        src = str(tmp_path / "events_stream")
+        events.write.parquet(src)
+        stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+        q = (
+            ingest.windowed_event_counts(stream)
+            .writeStream.format("memory")
+            .queryName("win_twin")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_twin"))
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = sorted(
+            map(tuple, spark.sql("SELECT * FROM win_twin").collect())
+        )
+        batch = sorted(map(tuple, tumbling_window_stats(events).collect()))
+        assert streamed == batch and len(batch) > 0
+
 
 class TestLake:
     def test_quarantine_split(self, spark, tmp_path):
