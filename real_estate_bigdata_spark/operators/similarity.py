@@ -360,7 +360,12 @@ def ivf_search(
     if prune_lists:
         # queries are the small/broadcast side by contract, so this
         # collect is bounded by n_lists ids; the isin becomes a
-        # partition filter on a persisted index
+        # partition filter on a persisted index. localCheckpoint first:
+        # q may hang off an expensive upstream (feature extraction), and
+        # without materializing, the collect AND the join would each
+        # re-run that whole pipeline (block storage is GC-reclaimed, so
+        # no unpersist bookkeeping leaks into the caller).
+        q = q.localCheckpoint(eager=True)
         probed = sorted({r["__list"] for r in q.select("__list").distinct().collect()})
         lists = lists.filter(F.col("__list").isin(probed))
     cand = (

@@ -206,10 +206,20 @@ def compact_partitions(
         F.lit(1), F.ceil(F.col("__prows") / F.lit(target_rows_per_file))
     ).cast("int")
     data_cols = [c for c in df.columns if c not in partition_cols]
+    # NULL-safe join back: a plain equi-join would silently DROP every
+    # row in a NULL-valued partition (__HIVE_DEFAULT_PARTITION__) — the
+    # same loss class as the rollup NULL-partition bug fixed in r1
+    counts_r = counts.select(
+        *[F.col(c).alias(f"__k_{c}") for c in partition_cols], "__prows"
+    )
+    join_cond = None
+    for c in partition_cols:
+        cond = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        join_cond = cond if join_cond is None else (join_cond & cond)
     salted = (
-        df.join(F.broadcast(counts), list(partition_cols))
+        df.join(F.broadcast(counts_r), join_cond)
         .withColumn("__salt", F.pmod(F.xxhash64(*data_cols), files_per_part))
-        .drop("__prows")
+        .drop("__prows", *[f"__k_{c}" for c in partition_cols])
     )
     (
         salted.repartition(total_files, *partition_cols, F.col("__salt"))

@@ -19,24 +19,45 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     makes the repartition safe to bake into operators without taxing
     the large-scale path with a gratuitous full shuffle.
 
-    The partition estimate is ``len(df.inputFiles())`` — a driver-side
-    listing already cached by the file index — NOT ``df.rdd`` (which
+    The partition estimate comes from the file listing — driver-side
+    metadata already cached by the file index — NOT ``df.rdd`` (which
     forces analysis + RDD conversion on every operator construction).
     Files >= parallelism means the scan is already parallel (each file
-    is at least one partition). Few-but-huge files under-estimate
-    (128 MB splits would raise the real count), which only costs this
-    rebalance an unnecessary shuffle, never a correctness change; the
-    non-file sources (memory relations) estimate as 1 and rebalance,
+    is at least one partition) — no-op with zero further work. With
+    FEWER files the scan may still be wide (few huge files split at
+    ``spark.sql.files.maxPartitionBytes``), so the few files are
+    stat'ed (cheap: count < parallelism by construction) and the
+    split-based partition estimate decides — a 4-file 40 GB table is
+    ~320 scan partitions and must NOT be repartitioned down to 32.
+    Non-file sources (memory relations) estimate as 1 and rebalance,
     which is exactly the local/test case that needs it.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # non-file plans (streaming, pure-local) — assume narrow
-        n_files = 0
-    if max(n_files, 1) < parallelism:
-        return df.repartition(parallelism)
-    return df
+        files = []
+    if len(files) >= parallelism:
+        return df
+    if files:
+        try:
+            jvm = spark.sparkContext._jvm
+            jsc = spark.sparkContext._jsc
+            max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+            )
+            est_splits = 0
+            for f in files:
+                hpath = jvm.org.apache.hadoop.fs.Path(f)
+                fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+                size = fs.getFileStatus(hpath).getLen()
+                est_splits += max(1, -(-size // max(max_bytes, 1)))
+            if est_splits >= parallelism:
+                return df
+        except Exception:  # FS probe failed — fall through to rebalance
+            pass
+    return df.repartition(parallelism)
 
 
 def with_run_metrics(df, name: str = "run_metrics", count_col: str | None = None):

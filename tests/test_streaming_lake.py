@@ -192,6 +192,25 @@ class TestLake:
             r.id for r in spark.read.parquet(dest).select("id").collect()
         ) == set(range(1000))
 
+    def test_compaction_keeps_null_partition_rows(self, spark, tmp_path):
+        """Rows in a NULL-valued partition (__HIVE_DEFAULT_PARTITION__)
+        must survive compaction — the per-partition salting join is
+        NULL-safe (a plain equi-join would silently drop them; same loss
+        class as the r1 rollup NULL-partition bug)."""
+        dest = str(tmp_path / "lake_null")
+        df = spark.range(20).select(
+            F.col("id"),
+            F.lit("2025-04-24").cast("date").alias("ingest_date"),
+            F.when(F.col("id") < 5, F.lit(None).cast("string"))
+            .otherwise(F.lit("alonhadat"))
+            .alias("source"),
+        )
+        df.repartition(4).write.partitionBy("ingest_date", "source").parquet(dest)
+        lake.compact_partitions(spark, dest, target_rows_per_file=1000)
+        out = spark.read.parquet(dest)
+        assert out.count() == 20
+        assert out.filter(F.col("source").isNull()).count() == 5
+
     def test_compaction_splits_hot_partition_to_target_size(self, spark, tmp_path):
         """A hot partition must split into ~target_rows_per_file files,
         not collapse into one giant file + straggler task (the r1 bug:
