@@ -235,20 +235,35 @@ def build_ivf_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train: int = 100_000,
+    max_iter: int = 10,
 ) -> IvfIndex:
     """Build the IVF index: seeded MLlib k-means partitions the corpus
     into ``n_lists`` inverted lists; each vector lands under its nearest
     centroid with its norm precomputed.
 
-    NULL/ragged vectors cannot be indexed — excluded up front (k-means
-    rejects dimension mismatches at fit). The expected dimension comes
-    from the first indexable corpus vector (one tiny driver action —
-    acceptable here because index build IS a job, unlike the search
-    path, which stays action-free until the caller collects).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    The k-means fit runs on a seeded sample of at most ``max_train``
+    vectors — centroid quality saturates far below corpus size, and at
+    10^9 vectors fitting on the full corpus would dominate the build
+    for no recall gain (the standard IVF practice); the full corpus is
+    still ASSIGNED to lists. ``max_iter`` defaults to 10: inverted-list
+    bucketing needs good centroids, not converged ones.
 
+    The fit itself runs DRIVER-SIDE in numpy over the bounded sample
+    (<= max_train x dim doubles — ~50 MB at the default, the FAISS-style
+    coarse-quantizer training shape): Lloyd iterations are a BLAS matmul
+    there, versus 2 distributed jobs per iteration for a cluster fit of
+    the same sample. Only the full-corpus ASSIGNMENT pass (one Arrow-
+    batched argmin per batch) is distributed — the part that is actually
+    corpus-sized.
+
+    NULL/ragged vectors cannot be indexed — excluded up front (a NULL
+    would poison the centroid math; a ragged vector cannot be assigned).
+    The expected dimension comes from the first indexable corpus vector
+    (one tiny driver action — acceptable here because index build IS a
+    job, unlike the search path, which stays action-free until the
+    caller collects).
+    """
     raw_corpus = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
@@ -257,19 +272,70 @@ def build_ivf_index(
     if first is None:
         raise ValueError("build_ivf_index: corpus has no non-null vectors to index")
     dim = first.d
-    train = raw_corpus.filter(F.size("c_vec") == dim).withColumn(
-        "__mlvec", array_to_vector(F.col("c_vec"))
+    indexable = raw_corpus.filter(F.size("c_vec") == dim)
+    n_vecs = indexable.count()
+    train = indexable
+    if n_vecs > max_train:
+        train = indexable.sample(fraction=max_train / n_vecs, seed=seed)
+    sample = np.array(
+        [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
     )
-    model = KMeans(
-        k=n_lists, seed=seed, featuresCol="__mlvec", predictionCol="__list"
-    ).fit(train)
-    lists = (
-        model.transform(train)
-        .drop("__mlvec")
-        .withColumn("c_nrm", l2_norm(F.col("c_vec")))
+    centers = _kmeans_fit(sample, k=n_lists, seed=seed, max_iter=max_iter)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign_list(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.stack(v.to_numpy())
+        d = ((A[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    lists = indexable.select(
+        "neighbor_id",
+        "c_vec",
+        l2_norm(F.col("c_vec")).alias("c_nrm"),
+        assign_list(F.col("c_vec")).alias("__list"),
     )
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     return IvfIndex(centroids=centers, lists=lists)
+
+
+def _kmeans_fit(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations, pure numpy (deterministic).
+
+    Sized for the coarse-quantizer regime: X is the bounded training
+    sample (<= max_train rows), k = n_lists. Empty clusters are re-seeded
+    to the farthest point from its assigned centroid.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    if n == 0:
+        raise ValueError("k-means: empty training sample")
+    k = min(k, n)
+    # k-means++ seeding
+    centers = np.empty((k, X.shape[1]))
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers[i] = X[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        # ||x-c||^2 argmin via the expanded form (one GEMM, no NxKxD temp)
+        dists = (X**2).sum(1)[:, None] - 2 * (X @ centers.T) + (centers**2).sum(1)[None, :]
+        assign = dists.argmin(axis=1)
+        new_centers = centers.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                new_centers[j] = members.mean(axis=0)
+            else:  # re-seed empty cluster at the worst-served point
+                new_centers[j] = X[dists.min(axis=1).argmax()]
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers
 
 
 def save_ivf_index(index: IvfIndex, path: str) -> None:

@@ -224,12 +224,10 @@ def test_ivf_build_once_search_twice_no_refit(spark, tmp_path, monkeypatch):
     index = sim.build_ivf_index(emb, n_lists=16, seed=42)
 
     # any k-means fit after build is a bug
-    import pyspark.ml.clustering as mlc
+    def _bomb(*a, **kw):
+        raise AssertionError("k-means fit called during ivf_search")
 
-    def _bomb(self, *a, **kw):
-        raise AssertionError("KMeans.fit called during ivf_search")
-
-    monkeypatch.setattr(mlc.KMeans, "fit", _bomb)
+    monkeypatch.setattr(sim, "_kmeans_fit", _bomb)
     first = sorted(map(tuple, sim.ivf_search(index, queries, k=10, n_probe=6).collect()))
     second = sorted(map(tuple, sim.ivf_search(index, queries, k=10, n_probe=6).collect()))
     assert first == second and len(first) == 50
