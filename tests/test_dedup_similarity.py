@@ -277,3 +277,31 @@ def test_ivf_search_prune_reads_subset_of_partitions(spark, tmp_path):
     got = sim.ivf_search(loaded, q, k=3, n_probe=2).collect()
     assert len(got) == 3
     assert all(r.neighbor_id != 0 for r in got)
+
+
+def test_curate_corpus_stages(spark):
+    """Curation composite: exact dup -> min-id survivor; near-dup pair ->
+    later id dropped; short docs -> filtered; NULL text -> filtered."""
+    from real_estate_bigdata_spark.operators.curation import curate_corpus
+
+    # one word changed in a 32-token doc: 30 3-grams, 3 differ ->
+    # jaccard = 27/33 ~ 0.82 >= 0.8 (a 14-token doc would land at 0.6)
+    base = " ".join(f"word{i}" for i in range(16)) + " " + \
+        "the quick brown fox jumps over the lazy dog again and again today ok"
+    near = base.replace("today", "tomorrow")
+    rows = [
+        (1, "a", base),                 # kept (earliest of 1/2/4)
+        (2, "a", base),                 # exact dup of 1 -> dropped
+        (3, "a", near),                 # near dup of 1 -> dropped (later id)
+        (4, "a", "  " + base + " "),    # whitespace-variant exact dup -> dropped
+        (5, "b", "completely different words about spark shuffles parquet files here"),  # kept
+        (6, "b", "too short"),          # under token floor -> dropped
+        (7, "b", None),                 # NULL text -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = {r.doc_id: r.n_tokens for r in curate_corpus(docs, threshold=0.8).collect()}
+    assert set(kept) == {1, 5}
+    assert kept[1] == 30
+    # deterministic across runs
+    again = {r.doc_id for r in curate_corpus(docs, threshold=0.8).collect()}
+    assert again == {1, 5}
