@@ -1105,33 +1105,31 @@ def oracle_sql() -> dict[str, str]:
                    AS fingerprint
             FROM documents
         """,
-        # curation spec: (1) min-id survivor per portable fingerprint
-        # (NULL-text docs are singleton groups), (2) drop the later id of
-        # every exact-Jaccard>=0.8 pair among survivors (non-transitive,
-        # one anti join), (3) whitespace-token floor/ceiling.
+        # curation spec: (0) NULL text dropped up front (would fail the
+        # token floor anyway), (1) min-id survivor per portable
+        # fingerprint, (2) drop the later id of every exact-Jaccard>=0.8
+        # pair among survivors (non-transitive, one anti join),
+        # (3) whitespace-token floor/ceiling.
         "q_curate_corpus": rf"""
             WITH fp AS (
                 SELECT doc_id, source, text,
-                       CASE WHEN text IS NULL THEN NULL
-                            ELSE ('0x' || substr(md5(array_to_string(
-                                 string_split_regex(trim(text), '\s+'), ' ')), 1, 15))::BIGINT
-                       END AS fp
+                       ('0x' || substr(md5(array_to_string(
+                            string_split_regex(trim(text), '\s+'), ' ')), 1, 15))::BIGINT
+                       AS fp
                 FROM documents
+                WHERE text IS NOT NULL
             ), ek AS (
                 SELECT f.doc_id, f.source, f.text FROM fp f
                 JOIN (SELECT fp AS g, min(doc_id) AS keep
-                      FROM fp WHERE fp IS NOT NULL GROUP BY fp) k
+                      FROM fp GROUP BY fp) k
                   ON f.fp = k.g AND f.doc_id = k.keep
-                UNION ALL
-                SELECT doc_id, source, text FROM fp WHERE fp IS NULL
             ), pairs AS ({_jaccard_pairs_sql("ek")}
             ), kept AS (
                 SELECT * FROM ek
                 WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM pairs)
             ), counted AS (
                 SELECT doc_id, source,
-                       CASE WHEN text IS NULL THEN NULL
-                            WHEN trim(text) = '' THEN 0
+                       CASE WHEN trim(text) = '' THEN 0
                             ELSE len(string_split_regex(trim(text), '\s+'))
                        END::BIGINT AS n_tokens
                 FROM kept

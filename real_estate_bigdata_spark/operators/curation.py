@@ -10,8 +10,11 @@ resurrect a dropped near-duplicate):
 1. **Exact dedup** — whitespace-normalized portable fingerprint; the
    minimum doc_id per fingerprint survives (deterministic, replayable).
 2. **Near-dup removal** — MinHash-LSH candidate generation with exact
-   Jaccard verification (``dedup.minhash_lsh_pairs`` — verified equal
-   to all-pairs exact at the tested thresholds); for every surviving
+   Jaccard verification (``dedup.minhash_lsh_pairs``). Verified pairs
+   are exact; candidate GENERATION can miss a pair with probability
+   (1 - j^4)^16 at the default 16 bands x 4 rows — ~2e-4 for a pair
+   sitting exactly at j=0.8, ~4e-8 at j>=0.9 (raise num_hashes/bands
+   together where the boundary band matters). For every surviving
    pair (id_a < id_b) the LATER id drops. Non-transitive by spec: if
    A~B and B~C but A!~C, only B and C drop when paired with a kept
    earlier doc — the policy is "drop any doc near-identical to an
@@ -52,19 +55,24 @@ def curate_corpus(
     """Returns the curated corpus: (doc_id, source, n_tokens), one row
     per kept document, deterministic for a given input."""
     text = F.col(text_col)
+    # NULL-text docs can never drop another doc (no shingles) and always
+    # fail the token floor (token_count(NULL) = NULL), so dropping them
+    # up front is behavior-identical — and avoids funneling every
+    # NULL-text doc of a crawled corpus into ONE window partition (the
+    # NULL fingerprint group), a classic straggler.
+    docs = docs.filter(text.isNotNull())
     normalized = F.concat_ws(" ", F.split(F.trim(text), r"\s+"))
-    fp = F.when(text.isNull(), F.lit(None).cast("bigint")).otherwise(
-        portable_fingerprint(normalized)
-    )
     with_fp = docs.select(
-        F.col(id_col), F.col("source"), text.alias(text_col), fp.alias("__fp")
+        F.col(id_col),
+        F.col("source"),
+        text.alias(text_col),
+        portable_fingerprint(normalized).alias("__fp"),
     )
-    # stage 1: min-id survivor per fingerprint (NULL fingerprints — NULL
-    # text — are their own singleton groups and fall to the token floor)
+    # stage 1: min-id survivor per fingerprint
     w = Window.partitionBy("__fp").orderBy(F.col(id_col))
     exact_kept = (
         with_fp.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) | F.col("__fp").isNull())
+        .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
     # stage 2: LSH near-dup pairs among exact survivors; later id drops

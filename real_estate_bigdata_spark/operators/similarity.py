@@ -276,7 +276,14 @@ def build_ivf_index(
     n_vecs = indexable.count()
     train = indexable
     if n_vecs > max_train:
-        train = indexable.sample(fraction=max_train / n_vecs, seed=seed)
+        # content-deterministic bounded sample: the max_train smallest
+        # seeded id-hashes. A Bernoulli .sample() would depend on
+        # partitioning/row order (a rebuild of the same corpus under a
+        # different file split would produce a different index) and only
+        # bounds the row count in expectation.
+        train = indexable.orderBy(
+            F.xxhash64("neighbor_id", F.lit(seed))
+        ).limit(max_train)
     sample = np.array(
         [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
     )
@@ -289,7 +296,7 @@ def build_ivf_index(
         if len(v) == 0:
             return pd.Series([], dtype="int32")
         A = np.stack(v.to_numpy())
-        d = ((A[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(A, centers)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     lists = indexable.select(
@@ -299,6 +306,13 @@ def build_ivf_index(
         assign_list(F.col("c_vec")).alias("__list"),
     )
     return IvfIndex(centroids=centers, lists=lists)
+
+
+def _sq_dists(A: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Pairwise squared distances via the expanded form — one GEMM, no
+    N x K x D broadcast temp (which at an Arrow batch of 10k rows,
+    n_lists=4096, dim=128 would be a ~42 GB allocation)."""
+    return (A**2).sum(1)[:, None] - 2 * (A @ C.T) + (C**2).sum(1)[None, :]
 
 
 def _kmeans_fit(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
@@ -322,16 +336,20 @@ def _kmeans_fit(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
         centers[i] = X[rng.choice(n, p=probs)]
         d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
     for _ in range(max_iter):
-        # ||x-c||^2 argmin via the expanded form (one GEMM, no NxKxD temp)
-        dists = (X**2).sum(1)[:, None] - 2 * (X @ centers.T) + (centers**2).sum(1)[None, :]
+        dists = _sq_dists(X, centers)
         assign = dists.argmin(axis=1)
         new_centers = centers.copy()
+        # re-seed empty clusters to DISTINCT worst-served points — one
+        # shared point would leave duplicate centroids (argmin ties go
+        # to the lower index, so the duplicates stay empty forever)
+        worst_order = np.argsort(-dists.min(axis=1))
+        next_worst = iter(worst_order)
         for j in range(k):
             members = X[assign == j]
             if len(members):
                 new_centers[j] = members.mean(axis=0)
-            else:  # re-seed empty cluster at the worst-served point
-                new_centers[j] = X[dists.min(axis=1).argmax()]
+            else:
+                new_centers[j] = X[next(next_worst)]
         if np.allclose(new_centers, centers):
             break
         centers = new_centers
@@ -407,7 +425,7 @@ def ivf_search(
         for i, vec in enumerate(v.to_numpy()):
             if vec is not None and len(vec) == centers.shape[1]:
                 A[i] = vec
-        d = ((A[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d = _sq_dists(A, centers)
         order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 

@@ -284,8 +284,9 @@ def test_curate_corpus_stages(spark):
     later id dropped; short docs -> filtered; NULL text -> filtered."""
     from real_estate_bigdata_spark.operators.curation import curate_corpus
 
-    # one word changed in a 32-token doc: 30 3-grams, 3 differ ->
-    # jaccard = 27/33 ~ 0.82 >= 0.8 (a 14-token doc would land at 0.6)
+    # one word changed in a 30-token doc: 28 distinct 3-grams, 3 differ
+    # -> jaccard = 25/31 ~ 0.806, just over the 0.8 threshold (shorter
+    # texts fall under it: a 14-token doc lands at 0.6)
     base = " ".join(f"word{i}" for i in range(16)) + " " + \
         "the quick brown fox jumps over the lazy dog again and again today ok"
     near = base.replace("today", "tomorrow")
@@ -305,3 +306,20 @@ def test_curate_corpus_stages(spark):
     # deterministic across runs
     again = {r.doc_id for r in curate_corpus(docs, threshold=0.8).collect()}
     assert again == {1, 5}
+
+
+def test_ivf_build_sampling_is_partition_independent(spark):
+    """When the corpus exceeds max_train, the training sample (seeded
+    hash top-k, not Bernoulli) must be content-deterministic: the same
+    corpus under different partitioning yields identical centroids."""
+    import numpy as np
+
+    rows = [(i, [float((i * 31 + j * 11) % 17) for j in range(8)]) for i in range(300)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(3)
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(7)
+    ia = sim.build_ivf_index(a, n_lists=4, seed=7, max_train=100)
+    ib = sim.build_ivf_index(b, n_lists=4, seed=7, max_train=100)
+    assert np.array_equal(ia.centroids, ib.centroids)
+    la = sorted(map(tuple, ia.lists.select("neighbor_id", "__list").collect()))
+    lb = sorted(map(tuple, ib.lists.select("neighbor_id", "__list").collect()))
+    assert la == lb

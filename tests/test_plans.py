@@ -201,3 +201,15 @@ def test_window_frames_two_exchanges_one_scan(spark):
         forbid_python=True,
     )
     assert stats.scans == 1, stats
+
+
+def test_curate_corpus_shuffle_budget_no_python(spark):
+    # curation composite = fingerprint window + banded LSH + anti join +
+    # map-only floor; the whole program stays inside a bounded shuffle
+    # budget with zero Python stages and no all-pairs structure
+    stats = assert_plan(
+        QUERIES["q_curate_corpus"](spark, SF),
+        max_shuffles=10,
+        forbid_python=True,
+    )
+    assert stats.sortmerge_joins <= 2, stats
