@@ -394,6 +394,24 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(load_table(spark, sf, "documents"))
 
 
+def _q_hash_split(spark, sf):
+    from real_estate_bigdata_spark.operators.sampling import hash_split
+
+    return hash_split(
+        load_table(spark, sf, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split")
+
+
+def _q_pack_documents(spark, sf):
+    from real_estate_bigdata_spark.operators.sampling import pack_documents
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", ta.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(docs, token_budget=300)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. CORRECTNESS_r01 recorded exactly the FIRST 50
     entries of this dict (in order) and silently dropped the rest, so
@@ -460,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slots 51+: past the inferred driver cap ----
         "q_dedup_embedding": _q_dedup_embedding,
         "q_curate_corpus": _q_curate_corpus,
+        "q_hash_split": _q_hash_split,
+        "q_pack_documents": _q_pack_documents,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -1136,5 +1156,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_tokens FROM counted
             WHERE n_tokens >= 5 AND n_tokens <= 1000000
+        """,
+        # deterministic split: portable md5-prefix bucket in [0, 10000);
+        # train [0,8000), val [8000,9000), test = remainder
+        "q_hash_split": r"""
+            WITH b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        # offset-based chunking: inclusive capped-token cumsum per source
+        # in doc_id order; chunk = (cumsum - 1) // budget
+        "q_pack_documents": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+                WHERE text IS NOT NULL
+            )
+            SELECT doc_id, source, n_tokens,
+                   ((sum(least(n_tokens, 300)) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - 1) // 300)::BIGINT AS chunk_id
+            FROM t
         """,
     }

@@ -1,0 +1,126 @@
+"""Deterministic sampling, splits, and sequence packing for
+training-data pipelines.
+
+Everything here is CONTENT-deterministic — a function of the row's key,
+never of partitioning, row order, or an RNG stream — because training
+subsets must be reproducible across engines, re-runs, and cluster
+shapes. The bucketing hash is the portable md5-prefix bigint (same
+construction as ``text_analysis.portable_fingerprint``), so every
+operator has an exact DuckDB oracle; Spark's ``sample()``/``sampleBy()``
+(partition-order-dependent Bernoulli) are deliberately NOT used.
+
+Scale notes: hash_sample / hash_split are map-only projections (fused
+into the scan, shuffle-free). pack_documents is one window over the
+packing key — a single shuffle; its sequential cumsum is per-partition,
+the standard greedy-packing compromise (a global greedy pack is
+inherently sequential and would serialize the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucket_of", "hash_sample", "hash_split", "pack_documents"]
+
+#: buckets for percent-style fractions; md5 prefix modulo this
+N_BUCKETS = 10_000
+
+
+def bucket_of(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from the row key: the
+    60-bit md5-prefix bigint modulo N_BUCKETS. ``salt`` derives
+    independent bucketings from the same key (one per experiment)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("", key.cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(N_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep rows whose bucket falls below ``fraction`` of the bucket
+    space — the same rows every run, on every engine, under any
+    partitioning. Map-only; the filter pushes to the scan when the key
+    is a stored column."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(bucket_of(F.col(key_col), salt) < int(round(fraction * N_BUCKETS)))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test...)
+    by contiguous bucket ranges proportional to ``weights`` (normalized;
+    the LAST split in insertion order absorbs rounding remainder).
+    Deterministic and disjoint by construction — the reproducible
+    train/val/test assignment a data pipeline must be able to replay.
+    """
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = sum(weights.values())
+    bucket = bucket_of(F.col(key_col), salt)
+    names = list(weights)
+    expr = None
+    lo = 0
+    for name in names[:-1]:
+        hi = lo + int(round(weights[name] / total * N_BUCKETS))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def pack_documents(
+    docs: DataFrame,
+    token_budget: int,
+    n_tokens_col: str = "n_tokens",
+    pack_by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Offset-based sequence chunking: within each ``pack_by`` group,
+    docs in ``id_col`` order are assigned to the chunk where their LAST
+    token falls in the running token offset — chunk_id =
+    floor((inclusive_cumsum - 1) / budget).
+
+    This is deliberately NOT true greedy packing (greedy's "close the
+    chunk when the next doc would overflow" accumulator reset is
+    sequential and has no window-function form): a chunk averages
+    ``token_budget`` tokens exactly but can exceed it by up to one
+    doc's length when a doc straddles a boundary. That is the standard
+    sharding contract for tokenization jobs — downstream workers each
+    take a chunk_id and get a near-budget, whole-document slice.
+    Oversized docs (> budget) are capped in the accumulator so each
+    consumes one chunk slot instead of skewing all later boundaries.
+
+    One window = a single shuffle on the packing key; deterministic
+    given the data (no RNG, no partition dependence). Output:
+    (id, pack_by, n_tokens, chunk_id). Docs with NULL token counts are
+    excluded (cannot be packed).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    w = Window.partitionBy(pack_by).orderBy(id_col)
+    n = F.col(n_tokens_col)
+    # cap oversized docs at the budget for accumulation so each consumes
+    # exactly one chunk slot instead of skewing all later boundaries
+    eff = F.least(n, F.lit(token_budget))
+    cum = F.sum(eff).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        docs.filter(n.isNotNull())
+        .select(
+            id_col,
+            pack_by,
+            n.alias(n_tokens_col),
+            F.floor((cum - F.lit(1)) / F.lit(token_budget)).cast("bigint").alias("chunk_id"),
+        )
+    )

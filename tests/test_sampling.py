@@ -1,0 +1,83 @@
+"""Deterministic sampling / split / packing semantics — properties the
+oracle sweep can't express: partition independence, nesting, ratio
+bounds, chunk-size bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators import sampling as sp
+from real_estate_bigdata_spark.schema import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    docs = load_table(spark, SF, "documents")
+    s20 = {r.doc_id for r in sp.hash_sample(docs, 0.2).select("doc_id").collect()}
+    s20_again = {r.doc_id for r in sp.hash_sample(docs, 0.2).select("doc_id").collect()}
+    s50 = {r.doc_id for r in sp.hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert s20 == s20_again
+    assert s20 <= s50  # fractions nest: growing a sample keeps prior rows
+    n = docs.count()
+    assert abs(len(s20) / n - 0.2) < 0.1
+    # a different salt draws an independent sample
+    salted = {r.doc_id for r in sp.hash_sample(docs, 0.2, salt="exp2").select("doc_id").collect()}
+    assert salted != s20
+
+
+def test_hash_sample_partition_independent(spark):
+    rows = [(i,) for i in range(1000)]
+    a = spark.createDataFrame(rows, "doc_id long").repartition(2)
+    b = spark.createDataFrame(rows, "doc_id long").repartition(13)
+    sa = {r.doc_id for r in sp.hash_sample(a, 0.3).collect()}
+    sb = {r.doc_id for r in sp.hash_sample(b, 0.3).collect()}
+    assert sa == sb
+
+
+def test_hash_split_disjoint_exhaustive_ratios(spark):
+    docs = load_table(spark, SF, "documents")
+    out = sp.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n  # exhaustive, disjoint by construction
+    assert abs(counts["train"] / n - 0.8) < 0.08
+    with pytest.raises(ValueError):
+        sp.hash_split(docs, {})
+    with pytest.raises(ValueError):
+        sp.hash_split(docs, {"a": -1.0, "b": 2.0})
+
+
+def test_pack_documents_chunk_bounds(spark):
+    rows = [(i, "s", 600) for i in range(10)]  # 10 x 600 tokens, budget 1000
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sp.pack_documents(docs, token_budget=1000).collect()
+    chunks = {}
+    for r in out:
+        chunks.setdefault(r.chunk_id, []).append(r.n_tokens)
+    # every chunk's total stays under budget + one doc's length
+    for cid, sizes in chunks.items():
+        assert sum(sizes) <= 1000 + 600, (cid, sizes)
+    # offsets cover the corpus: total tokens / budget chunks at least
+    assert len(chunks) >= 6  # 6000 tokens / 1000
+
+
+def test_pack_documents_oversized_doc_gets_own_slot(spark):
+    rows = [(1, "s", 50), (2, "s", 5000), (3, "s", 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = {r.doc_id: r.chunk_id for r in sp.pack_documents(docs, token_budget=1000).collect()}
+    # the oversized doc is capped in the accumulator (cum: 50, 1050,
+    # 1100): it advances exactly one chunk instead of pushing every
+    # later doc 5 chunk_ids ahead
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_pack_documents_null_tokens_excluded(spark):
+    rows = [(1, "s", 10), (2, "s", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id for r in sp.pack_documents(docs, token_budget=100).collect()}
+    assert got == {1}
+    with pytest.raises(ValueError):
+        sp.pack_documents(docs, token_budget=0)
