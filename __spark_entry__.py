@@ -420,9 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the rows-only queries (simhash / LSH / IVF — approximate or
     engine-specific by construction), q_dedup_embedding (bit-identical
     to the in-cap q_dedup_embedding_gemm, pinned by
-    tests/test_dedup_similarity.py), and q_curate_corpus (full DuckDB
-    oracle present; oracle-compared by the local pytest mirror). All 55
-    still run in bench + pytest."""
+    tests/test_dedup_similarity.py), and the training-pipeline
+    composites q_curate_corpus / q_hash_split / q_pack_documents (full
+    DuckDB oracles present; oracle-compared by the local pytest
+    mirror). All 57 still run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing ----
         "q01_pricing_summary": _q01_pricing_summary,

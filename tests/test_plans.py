@@ -213,3 +213,22 @@ def test_curate_corpus_shuffle_budget_no_python(spark):
         forbid_python=True,
     )
     assert stats.sortmerge_joins <= 2, stats
+
+
+def test_hash_split_map_only(spark):
+    # deterministic split assignment is a pure projection — no shuffle,
+    # no Python, bucket filter computable at the scan
+    assert_plan(
+        QUERIES["q_hash_split"](spark, SF),
+        max_shuffles=0,
+        forbid_python=True,
+    )
+
+
+def test_pack_documents_single_window_shuffle(spark):
+    # token packing = one window over the packing key
+    assert_plan(
+        QUERIES["q_pack_documents"](spark, SF),
+        max_shuffles=1,
+        forbid_python=True,
+    )
