@@ -67,8 +67,12 @@ def hash_split(
     if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError(f"weights must be positive, got {weights}")
     total = sum(weights.values())
-    bucket = bucket_of(F.col(key_col), salt)
     names = list(weights)
+    # stage the bucket as a real column: embedding bucket_of() in every
+    # when-branch would re-evaluate the md5 per branch per row (the same
+    # re-evaluation pathology text_analysis.lang_id_report stages away)
+    bucketed = df.withColumn("__bucket", bucket_of(F.col(key_col), salt))
+    bucket = F.col("__bucket")
     expr = None
     lo = 0
     for name in names[:-1]:
@@ -77,7 +81,7 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn(split_col, expr)
+    return bucketed.withColumn(split_col, expr).drop("__bucket")
 
 
 def pack_documents(
