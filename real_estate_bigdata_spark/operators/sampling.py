@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_of", "hash_sample", "hash_split", "pack_documents"]
+__all__ = [
+    "bucket_of",
+    "hash_sample",
+    "hash_split",
+    "pack_documents",
+    "stratified_hash_sample",
+]
 
 #: buckets for percent-style fractions; md5 prefix modulo this
 N_BUCKETS = 10_000
@@ -82,6 +88,39 @@ def hash_split(
         lo = hi
     expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return bucketed.withColumn(split_col, expr).drop("__bucket")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing
+    primitive of a training-data pipeline (downsample the dominant
+    language/domain, keep all of the rare one). Each stratum keeps rows
+    whose bucket falls below its own fraction; strata not listed keep
+    ``default_fraction`` of rows. Content-deterministic like
+    ``hash_sample`` (same key -> same verdict on every engine and
+    partitioning), unlike Spark's order-dependent ``sampleBy``.
+
+    Map-only: one staged bucket column + a CASE threshold, fused into
+    the scan — no shuffle, no per-stratum pass.
+    """
+    bad = {k: v for k, v in fractions.items() if not 0.0 <= v <= 1.0}
+    if bad or not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"fractions must be in [0, 1], got {bad or default_fraction}"
+        )
+    thresh = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for name, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == name, int(round(frac * N_BUCKETS))
+        ).otherwise(thresh)
+    bucketed = df.withColumn("__bucket", bucket_of(F.col(key_col), salt))
+    return bucketed.filter(F.col("__bucket") < thresh).drop("__bucket")
 
 
 def pack_documents(

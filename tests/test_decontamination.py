@@ -1,0 +1,76 @@
+"""Decontamination semantics the oracle sweep can't express: clean ==
+corpus minus report, short/NULL-text immunity, min_overlap floor, and
+the broadcast plan shape (flagging must never shuffle the corpus
+against the benchmark)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators import decontamination as dc
+from real_estate_bigdata_spark.schema import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_report_counts_shared_distinct_ngrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            # 10 tokens -> 8-grams at offsets 1..3; the first two overlap
+            # the benchmark doc's grams
+            (1, "a b c d e f g h i j"),
+            (2, "z y x w v u t s r q"),  # disjoint
+            (3, "a b"),  # too short for any 8-gram
+            (4, None),  # NULL text never reported
+        ],
+    )
+    bench = _docs(spark, [(100, "a b c d e f g h i")])  # 9 tokens -> 2 grams
+    got = {r.doc_id: r.n_hits for r in dc.contamination_report(corpus, bench, n=8).collect()}
+    assert got == {1: 2}
+
+
+def test_decontaminate_removes_exactly_reported_ids(spark):
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    dirty = {r.doc_id for r in dc.contamination_report(corpus, bench, n=8).collect()}
+    assert dirty  # testdata's planted near-dups make this non-trivial
+    clean = dc.decontaminate(corpus, bench, n=8)
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert kept == all_ids - dirty
+    assert clean.columns == corpus.columns  # full original schema
+
+
+def test_min_overlap_floor(spark):
+    corpus = _docs(spark, [(1, "a b c d e f g h i j")])  # 2 shared grams
+    bench = _docs(spark, [(100, "a b c d e f g h i")])
+    assert dc.decontaminate(corpus, bench, n=8, min_overlap=3).count() == 1
+    assert dc.decontaminate(corpus, bench, n=8, min_overlap=2).count() == 0
+    with pytest.raises(ValueError):
+        dc.decontaminate(corpus, bench, n=8, min_overlap=0)
+    with pytest.raises(ValueError):
+        dc.benchmark_shingles(bench, n=0)
+
+
+def test_flagging_plan_broadcasts_benchmark(spark):
+    """The corpus-vs-benchmark join must be a broadcast hash join — a
+    sort-merge there would shuffle the full corpus shingle stream by
+    shingle id at 100 TB. Zero sort-merge joins anywhere in the plan."""
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    assert_plan(
+        dc.contamination_report(corpus, bench, n=8),
+        min_broadcast_joins=1,
+        max_sortmerge_joins=0,
+        forbid_python=True,
+    )

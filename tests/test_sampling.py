@@ -50,6 +50,51 @@ def test_hash_split_disjoint_exhaustive_ratios(spark):
         sp.hash_split(docs, {"a": -1.0, "b": 2.0})
 
 
+def test_stratified_sample_per_stratum_fractions(spark):
+    docs = load_table(spark, SF, "documents")
+    fr = {"en": 0.1, "fr": 1.0}
+    out = sp.stratified_hash_sample(docs, fr, strata_col="lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # fr keeps everything, en ~10%, unlisted strata keep default 0
+    assert counts.get("fr") == totals["fr"]
+    assert 0 < counts.get("en", 0) < 0.3 * totals["en"]
+    assert set(counts) == {"en", "fr"}
+    # kept rows nest inside the stratum's plain hash_sample at the same
+    # fraction (same bucket function, same salt)
+    en_strat = {r.doc_id for r in out.filter(F.col("lang") == "en").select("doc_id").collect()}
+    en_plain = {
+        r.doc_id
+        for r in sp.hash_sample(docs.filter(F.col("lang") == "en"), 0.1)
+        .select("doc_id")
+        .collect()
+    }
+    assert en_strat == en_plain
+
+
+def test_stratified_sample_null_stratum_and_default(spark):
+    rows = [(1, None), (2, "x"), (3, "en")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # default 1.0 keeps NULL/unlisted strata entirely; listed 0.0 drops
+    out = sp.stratified_hash_sample(df, {"en": 0.0}, strata_col="lang", default_fraction=1.0)
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+    with pytest.raises(ValueError):
+        sp.stratified_hash_sample(df, {"en": 1.5})
+    with pytest.raises(ValueError):
+        sp.stratified_hash_sample(df, {"en": 0.5}, default_fraction=-0.1)
+
+
+def test_stratified_sample_is_map_only(spark):
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    docs = load_table(spark, SF, "documents")
+    assert_plan(
+        sp.stratified_hash_sample(docs, {"en": 0.1, "fr": 1.0}, strata_col="lang"),
+        max_shuffles=0,
+        forbid_python=True,
+    )
+
+
 def test_pack_documents_chunk_bounds(spark):
     rows = [(i, "s", 600) for i in range(10)]  # 10 x 600 tokens, budget 1000
     docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
