@@ -435,6 +435,50 @@ def _q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def _q_pii_redaction(spark, sf):
+    """Testdata text is PII-free by construction, so deterministic PII
+    (email/phone derived from doc_id, fixed SSN/IP) is injected first —
+    the redaction regexes then run against real prose on both engines,
+    making the hash compare meaningful rather than an identity map."""
+    from real_estate_bigdata_spark.functions.pii import pii_counts, redact_pii
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    return dirty.select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("clean_text"),
+        pii_counts(F.col("t")).alias("c"),
+    ).select(
+        "doc_id",
+        "clean_text",
+        F.col("c.n_email").cast("long").alias("n_email"),
+        F.col("c.n_ssn").cast("long").alias("n_ssn"),
+        F.col("c.n_phone").cast("long").alias("n_phone"),
+        F.col("c.n_ipv4").cast("long").alias("n_ipv4"),
+    )
+
+
+def _q_dedup_clusters(spark, sf):
+    from real_estate_bigdata_spark.operators.clustering import connected_components
+    from real_estate_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf, "documents")
+    cc = connected_components(minhash_lsh_pairs(docs))
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered registry. CORRECTNESS_r01 recorded exactly the FIRST 50
     entries of this dict (in order) and silently dropped the rest, so
@@ -442,20 +486,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Consequently: slots 1-50 are all oracle-bearing, prioritizing
     queries with no prior driver-side hash verification (the r2
     additions q_curate_corpus / q_hash_split / q_pack_documents /
-    q_decontaminate / q_stratified_sample are in-cap). Past slot 50
-    sit the rows-only queries (simhash / LSH / IVF — approximate or
-    engine-specific by construction) plus six queries hash-verified
-    green in CORRECTNESS_r01 whose operator is also evidenced by an
-    in-cap sibling: q_dedup_embedding (bit-identical to in-cap
+    q_decontaminate / q_stratified_sample / q_dedup_clusters /
+    q_pii_redaction are in-cap). Past slot 50 sit the rows-only
+    queries (simhash / LSH / IVF — approximate or engine-specific by
+    construction) plus eight queries hash-verified green in
+    CORRECTNESS_r01 whose operator is also evidenced by an in-cap
+    sibling: q_dedup_embedding (bit-identical to in-cap
     q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same exact-pairs
     oracle as in-cap q_dedup_minhash_lsh), q_topk_orders (sort+limit
     also in q03/q10/q18), q_window_top_customers (ranking family also
     in q_rank_dense_ntile), q_semi_active_customers (semi join also
     in q04/q21), q_anti_customers_no_orders (anti join also in
     q21/q22; its sf0.01 result is 0 rows, so its hash pass was weak
-    evidence anyway). Every oracle-bearing query — in-cap or not —
+    evidence anyway), q_cube_lineitem (grouping-analytics family also
+    in q_rollup_orders/q_groupingsets_orders), q_window_frames
+    (frame windows also in q_pack_documents's running sum; ranking in
+    q_rank_dense_ntile). Every oracle-bearing query — in-cap or not —
     is additionally oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 57
+    (tests/test_queries.py::test_query_matches_oracle), and all 61
     run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing ----
@@ -488,11 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_groupingsets_orders": _q_groupingsets_orders,
         "q_pivot_status": _q_pivot_status,
         "q_collect_top_keys": _q_collect_top_keys,
-        "q_cube_lineitem": _q_cube_lineitem,
         "q_scalar_gallery": _q_scalar_gallery,
         "q_outer_customer_profile": _q_outer_customer_profile,
         "q_set_nation_coverage": _q_set_nation_coverage,
-        "q_window_frames": _q_window_frames,
         "q_rank_dense_ntile": _q_rank_dense_ntile,
         "q_tumbling_events": _q_tumbling_events,
         "q_json_props": _q_json_props,
@@ -509,15 +555,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_documents": _q_pack_documents,
         "q_decontaminate": _q_decontaminate,
         "q_stratified_sample": _q_stratified_sample,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_pii_redaction": _q_pii_redaction,
         # ---- slots 51+: past the inferred driver cap (see docstring:
         # all oracle-bearing ones below were hash-verified green in
         # CORRECTNESS_r01 and have an in-cap operator sibling) ----
         "q_dedup_embedding": _q_dedup_embedding,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_cube_lineitem": _q_cube_lineitem,
         "q_topk_orders": _q_topk_orders,
         "q_window_top_customers": _q_window_top_customers,
         "q_semi_active_customers": _q_semi_active_customers,
         "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_window_frames": _q_window_frames,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -580,8 +630,55 @@ _EMB_NEARDUP_SQL = """
 _EN_STOP = "'the','a','of','and','to','in','is','that'"
 
 
+#: q_pii_redaction oracle — staged CTEs mirror pii_counts's canonical
+#: "count after earlier kinds were redacted" semantics; patterns are
+#: substituted verbatim from PII_PATTERNS (valid RE2, see pii.py), the
+#: 'g' flag matches Spark's replace-all default. Built by .replace, not
+#: f-string, because the regexes contain {m,n} braces.
+_PII_SQL_TEMPLATE = r"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com call 555-123-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+               ' ssn 123-45-6789 from 10.0.' || (doc_id % 256) || '.7' AS t
+        FROM documents WHERE text IS NOT NULL
+    ), s1 AS (
+        SELECT doc_id,
+               len(regexp_extract_all(t, '@EMAIL@'))::BIGINT AS n_email,
+               regexp_replace(t, '@EMAIL@', '[EMAIL]', 'g') AS t1
+        FROM dirty
+    ), s2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(t1, '@SSN@'))::BIGINT AS n_ssn,
+               regexp_replace(t1, '@SSN@', '[SSN]', 'g') AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT doc_id, n_email, n_ssn,
+               len(regexp_extract_all(t2, '@PHONE@'))::BIGINT AS n_phone,
+               regexp_replace(t2, '@PHONE@', '[PHONE]', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id,
+           regexp_replace(t3, '@IPV4@', '[IP]', 'g') AS clean_text,
+           n_email, n_ssn, n_phone,
+           len(regexp_extract_all(t3, '@IPV4@'))::BIGINT AS n_ipv4
+    FROM s3
+"""
+
+
+def _pii_sql() -> str:
+    from real_estate_bigdata_spark.functions.pii import PII_PATTERNS
+
+    sql = _PII_SQL_TEMPLATE
+    for kind, (pat, _tok) in PII_PATTERNS.items():
+        sql = sql.replace(f"@{kind.upper()}@", pat)
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q_pii_redaction": _pii_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                  AS sum_qty,
@@ -1269,5 +1366,23 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'de' THEN 2000
                                WHEN 'fr' THEN 10000
                                ELSE 0 END
+        """,
+        # transitive near-dup clusters: recursive min-reachability over
+        # the exact word-3-gram jaccard>=0.8 pair set (the LSH verify
+        # step makes the Spark pair stream exact, so hash-min label
+        # propagation and the recursive closure agree exactly)
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            )
+            SELECT u::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
+            FROM reach GROUP BY u
         """,
     }

@@ -1,0 +1,122 @@
+"""Duplicate-cluster resolution: connected components over a candidate
+pair stream, plus cluster-aware survivor selection.
+
+The dedup family (`operators.dedup`) emits verified near-duplicate
+PAIRS (id_a, id_b, score). Removing duplicates needs one more step a
+pair list can't express: transitive grouping — if A~B and B~C then
+{A,B,C} is one cluster and exactly one survivor should remain even
+though (A,C) was never emitted as a pair. This module closes that gap.
+The reference repo has no analogue (its 667 LoC are crawl/count
+pipelines — see `map_reduce/mapper.py`, `kafka_cc/`); this is a
+north-star training-pipeline operator like the rest of the dedup
+family.
+
+Scale posture (100 TB): the input is the VERIFIED pair stream — tiny
+relative to the corpus (near-dup rate x corpus, not corpus²) — and the
+algorithm is hash-min label propagation: each iteration is one
+shuffle-join of the edge list against the current labels plus one
+aggregate, both on the vertex id. Iterations needed = component
+diameter, and near-duplicate clusters are dense by construction
+(members pairwise-similar to a shared ancestor), so diameters are
+single-digit; ``max_iter`` guards the pathological chain. Each
+iteration is localCheckpoint-ed to truncate lineage — without it the
+plan doubles per iteration and the job dies on plan size long before
+data size. The O(log n)-round large-star/small-star variant (Kiveris
+et al., "Connected Components in MapReduce and Beyond") is the drop-in
+upgrade if a workload ever presents high-diameter graphs; for dedup
+clusters the simple propagation does fewer total shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "near_dup_survivors"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    out_id: str = "id",
+    out_label: str = "cluster_id",
+) -> DataFrame:
+    """(id, cluster_id) for every vertex appearing in ``pairs``, where
+    ``cluster_id`` is the MINIMUM vertex id of its connected component
+    — deterministic regardless of partitioning or pair order. Vertices
+    not in any pair (singletons) are absent by construction; callers
+    wanting them keep ``left_anti`` of the corpus against this result.
+
+    Hash-min propagation: labels start at the vertex id; every round
+    each vertex takes the min of its own label and its neighbors',
+    until a round changes nothing. Convergence is detected by the SUM
+    of labels (monotonically non-increasing under min-propagation), so
+    each round costs one join + one aggregate and no extra
+    change-count join. Raises ``RuntimeError`` if ``max_iter`` rounds
+    don't converge (diameter > max_iter — not a dedup-shaped graph).
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    a, b = F.col(src), F.col(dst)
+    half = pairs.select(a.alias("u"), b.alias("v"))
+    edges = half.unionAll(
+        pairs.select(b.alias("u"), a.alias("v"))
+    ).localCheckpoint(eager=False)
+
+    labels = (
+        edges.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("label"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["u"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select(
+                F.col("id").alias(out_id), F.col("label").alias(out_label)
+            )
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        f"component diameter exceeds max_iter"
+    )
+
+
+def near_dup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """The deduplicated corpus: every singleton plus the min-id member
+    of each near-duplicate cluster, full original schema. One survivor
+    per TRANSITIVE cluster — stricter than dropping only paired ids,
+    identical policy to `dedup.exact_dedup`'s min-id survivor.
+
+    The victim list (clustered, non-minimum ids) is near-dup-rate
+    sized, so the anti-join's build side is small; left to AQE rather
+    than force-broadcast for the pathological all-dup corpus.
+    """
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    victims = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(victims, id_col, "left_anti")

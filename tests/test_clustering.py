@@ -1,0 +1,69 @@
+"""Connected-components semantics the oracle can't fully pin: transitive
+chains, multi-component graphs, determinism under repartitioning,
+survivor policy, and the non-convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators import clustering as cl
+from real_estate_bigdata_spark.operators.dedup import minhash_lsh_pairs
+from real_estate_bigdata_spark.schema import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_transitive_chain_collapses_to_one_cluster(spark):
+    # 1-2, 2-3, 3-4: (1,4) never paired but same component; separate 7-8
+    got = {
+        (r.id, r.cluster_id)
+        for r in cl.connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4), (7, 8)])
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)}
+
+
+def test_labels_independent_of_partitioning_and_order(spark):
+    rows = [(10, 2), (2, 30), (5, 6), (30, 40), (6, 50)]
+    base = cl.connected_components(_pairs(spark, rows))
+    shuffled = cl.connected_components(
+        _pairs(spark, rows[::-1]).repartition(7)
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shuffled.collect()))
+
+
+def test_non_convergence_raises(spark):
+    # path graph of diameter 5 with max_iter=2 cannot finish
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, 7)])
+    with pytest.raises(RuntimeError, match="converge"):
+        cl.connected_components(chain, max_iter=2)
+    with pytest.raises(ValueError):
+        cl.connected_components(chain, max_iter=0)
+
+
+def test_survivors_one_per_cluster_plus_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 10)], "doc_id long, text string"
+    )
+    out = cl.near_dup_survivors(docs, _pairs(spark, [(1, 2), (2, 3), (5, 6)]))
+    assert {r.doc_id for r in out.collect()} == {1, 4, 5, 7, 8, 9}
+    assert out.columns == docs.columns
+
+
+def test_real_corpus_clusters_match_pairs(spark):
+    """Every emitted pair lands inside one cluster, and every clustered
+    doc appears in >= 1 pair (no invented members)."""
+    docs = load_table(spark, SF, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    cc = cl.connected_components(pairs)
+    label = {r.id: r.cluster_id for r in cc.collect()}
+    pr = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pr  # planted near-dups make this non-trivial
+    assert all(label[a] == label[b] for a, b in pr)
+    assert set(label) == {i for p in pr for i in p}

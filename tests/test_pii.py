@@ -1,0 +1,66 @@
+"""PII redaction semantics: per-kind hits, ordering (SSN vs phone,
+email vs phone), NULL propagation, subset selection, map-only plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.functions import pii
+
+
+def _one(spark, s):
+    return spark.createDataFrame([(s,)], "t string")
+
+
+def _red(spark, s, kinds=None):
+    return _one(spark, s).select(pii.redact_pii(F.col("t"), kinds).alias("r")).first().r
+
+
+def test_each_kind_redacts(spark):
+    assert _red(spark, "mail a.b+c@ex-am.ple.org now") == "mail [EMAIL] now"
+    assert _red(spark, "ssn 123-45-6789.") == "ssn [SSN]."
+    assert _red(spark, "call +1 (555) 123-4567 ok") == "call [PHONE] ok"
+    assert _red(spark, "call 555.123.4567 ok") == "call [PHONE] ok"
+    assert _red(spark, "host 10.0.255.1 up") == "host [IP] up"
+
+
+def test_ordering_ssn_and_email_win_over_phone(spark):
+    # SSN's 3-2-4 grouping must not be torn by the phone pattern
+    assert "[SSN]" in _red(spark, "id 123-45-6789")
+    # digits inside an email local-part belong to the email
+    assert _red(spark, "x 5551234567@ex.com y") == "x [EMAIL] y"
+
+
+def test_null_and_subset(spark):
+    row = _one(spark, None).select(pii.redact_pii(F.col("t")).alias("r")).first()
+    assert row.r is None
+    s = "a@b.co and 10.1.1.1"
+    assert _red(spark, s, kinds=["ipv4"]) == "a@b.co and [IP]"
+    # caller order must not change semantics (canonical order applies)
+    assert _red(spark, s, kinds=["ipv4", "email"]) == _red(spark, s, kinds=["email", "ipv4"])
+    with pytest.raises(ValueError):
+        pii.redact_pii(F.col("t"), kinds=["passport"])
+
+
+def test_counts_sum_to_redactions(spark):
+    s = "a@b.co c@d.org 123-45-6789 call 555-123-4567 ip 10.0.0.1"
+    r = (
+        _one(spark, s)
+        .select(pii.pii_counts(F.col("t")).alias("c"))
+        .select("c.*")
+        .first()
+    )
+    assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (2, 1, 1, 1)
+
+
+def test_redaction_is_map_only(spark):
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert_plan(
+        docs.select("doc_id", pii.redact_pii(F.col("text")).alias("t")),
+        max_shuffles=0,
+        forbid_python=True,
+    )
