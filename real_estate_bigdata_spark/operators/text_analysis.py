@@ -18,7 +18,13 @@ from real_estate_bigdata_spark.functions.text import (
     token_count,
 )
 
-__all__ = ["doc_quality_profile", "token_accounting", "lang_id_report", "doc_fingerprints"]
+__all__ = [
+    "doc_quality_profile",
+    "token_accounting",
+    "lang_id_report",
+    "doc_fingerprints",
+    "repetition_metrics",
+]
 
 
 def doc_quality_profile(docs: DataFrame) -> DataFrame:
@@ -87,6 +93,65 @@ def lang_id_report(docs: DataFrame) -> DataFrame:
         best = F.when(cond, F.lit(code)).otherwise(best)
         best_score = F.when(cond, F.col(f"s_{code}")).otherwise(best_score)
     return scored.select("doc_id", "lang", best.alias("lang_pred"))
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    ``n_ngrams`` (total word-n-gram occurrences), ``dup_ngram_frac``
+    (1 - distinct/total — mass sitting in repeats) and
+    ``top_ngram_frac`` (most frequent n-gram's share) — the classic
+    drop-thresholds for boilerplate/spam before training
+    (occurrence-fraction formulation; Gopher's char-fraction variant
+    differs only by a length weight). Docs with fewer than ``n``
+    tokens or NULL text keep a row with NULL metrics so a quality
+    filter sees every document.
+
+    Shape: explode hashed n-grams (no n-gram strings materialized) ->
+    (doc, gram) count -> per-doc aggregate — two map-side-combining
+    shuffles on doc-sized keys, then one doc-id join to re-attach
+    metric-less docs. Exploded codegen aggregates, not per-row HOF
+    folds (the fold re-scans the array per metric and stays outside
+    partial aggregation).
+    """
+    from real_estate_bigdata_spark.functions.text import (
+        hashed_ngrams_from_token_hashes,
+        tokenize,
+    )
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokenize(F.col(text_col))
+    th = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
+    grams = th.select(
+        F.col(id_col),
+        F.explode(hashed_ngrams_from_token_hashes(F.col("th"), n)).alias("g"),
+    )
+    agg = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    metrics = agg.select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_ngrams"), 6).alias(
+            "dup_ngram_frac"
+        ),
+        F.round(F.col("top_c") / F.col("n_ngrams"), 6).alias("top_ngram_frac"),
+    )
+    return docs.select(id_col).join(metrics, id_col, "left")
 
 
 def portable_fingerprint(text: Column) -> Column:

@@ -77,3 +77,39 @@ def test_lang_id_null_and_empty_text_are_und(spark):
     assert rows[2] == "und"
     assert rows[3] == "und"
     assert rows[4] == "de"
+
+
+def test_repetition_metrics_counts_and_fractions(spark):
+    from real_estate_bigdata_spark.operators.text_analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            # 2-grams: "a b","b a","a b","b a","a b" -> 5 total, 2 distinct, top 3
+            (1, "a b a b a b"),
+            (2, "x y z"),  # 2 total, 2 distinct, top 1
+            (3, "solo"),  # < 2 tokens -> NULL metrics
+            (4, None),  # NULL text -> NULL metrics
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_metrics(docs, n=2).collect()}
+    assert (got[1].n_ngrams, got[1].dup_ngram_frac, got[1].top_ngram_frac) == (5, 0.6, 0.6)
+    assert (got[2].n_ngrams, got[2].dup_ngram_frac, got[2].top_ngram_frac) == (2, 0.0, 0.5)
+    assert got[3].n_ngrams is None and got[3].dup_ngram_frac is None
+    assert got[4].n_ngrams is None
+    # unigram mode: doc 1 has 6 tokens, 2 distinct, top 3
+    uni = {r.doc_id: r for r in repetition_metrics(docs, n=1).collect()}
+    assert (uni[1].n_ngrams, uni[1].top_ngram_frac) == (6, 0.5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        repetition_metrics(docs, n=0)
+
+
+def test_repetition_metrics_stays_jvm_side(spark):
+    from real_estate_bigdata_spark.operators.text_analysis import repetition_metrics
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert_plan(repetition_metrics(docs), forbid_python=True, max_sortmerge_joins=0)
