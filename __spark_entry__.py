@@ -527,9 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries with no prior driver-side hash verification (the r2
     additions q_curate_corpus / q_hash_split / q_pack_documents /
     q_decontaminate / q_stratified_sample / q_dedup_clusters /
-    q_pii_redaction are in-cap). Past slot 50 sit the rows-only
+    q_pii_redaction / q15_top_supplier / q_repetition are in-cap).
+    Past slot 50 sit the rows-only
     queries (simhash / LSH / IVF — approximate or engine-specific by
-    construction) plus eight queries hash-verified green in
+    construction) plus ten queries hash-verified green in
     CORRECTNESS_r01 whose operator is also evidenced by an in-cap
     sibling: q_dedup_embedding (bit-identical to in-cap
     q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same exact-pairs
@@ -541,9 +542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evidence anyway), q_cube_lineitem (grouping-analytics family also
     in q_rollup_orders/q_groupingsets_orders), q_window_frames
     (frame windows also in q_pack_documents's running sum; ranking in
-    q_rank_dense_ntile). Every oracle-bearing query — in-cap or not —
-    is additionally oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 61
+    q_rank_dense_ntile), q_corr_lineitem (statistical-agg family also
+    in q_stats_profile_orders), q_outer_customer_profile (left-outer
+    + zero-fill also in q13). Every oracle-bearing query — in-cap or
+    not — is additionally oracle-compared by the local pytest mirror
+    (tests/test_queries.py::test_query_matches_oracle), and all 63
     run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing ----

@@ -30,11 +30,24 @@ __all__ = ["PII_PATTERNS", "redact_pii", "pii_counts"]
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
     "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    # Phones REQUIRE group separators (555-123-4567, (555) 123.4567,
+    # +84 555 123 4567) — a bare 10-digit run is not matched. RE2 has
+    # no lookbehind, so an all-optional-separator pattern would tear
+    # the last 10 digits out of any longer digit run (card numbers,
+    # timestamps, parcel ids); the \b alternation below anchors the
+    # area code at a real token boundary instead.
     "phone": (
-        r"(?:\+?\d{1,3}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
+        r"(?:\+\d{1,3}[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]?\d{4}\b",
         "[PHONE]",
     ),
-    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    # Octet-validated (0-255); a syntactically valid quad in prose
+    # (e.g. a version string "1.2.3.4") is indistinguishable from an
+    # IP by regex alone and is redacted — inherent to the approach.
+    "ipv4": (
+        r"\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(?:\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b",
+        "[IP]",
+    ),
 }
 
 

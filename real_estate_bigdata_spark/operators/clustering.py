@@ -54,23 +54,26 @@ def connected_components(
     until a round changes nothing. Convergence is detected by the SUM
     of labels (monotonically non-increasing under min-propagation), so
     each round costs one join + one aggregate and no extra
-    change-count join. Raises ``RuntimeError`` if ``max_iter`` rounds
-    don't converge (diameter > max_iter — not a dedup-shaped graph).
+    change-count join. ``max_iter`` bounds the label-CHANGING rounds
+    (one extra confirming round is always allowed, so a graph of
+    diameter exactly ``max_iter`` still converges); raises
+    ``RuntimeError`` if diameter > max_iter — not a dedup-shaped
+    graph. The input ``pairs`` plan is checkpointed up front: both
+    union branches and every round read the materialized pair set,
+    not the (possibly expensive — e.g. LSH verify) upstream plan.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     a, b = F.col(src), F.col(dst)
-    half = pairs.select(a.alias("u"), b.alias("v"))
-    edges = half.unionAll(
-        pairs.select(b.alias("u"), a.alias("v"))
-    ).localCheckpoint(eager=False)
+    cp = pairs.select(a.alias("u"), b.alias("v")).localCheckpoint(eager=True)
+    edges = cp.unionAll(cp.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     labels = (
         edges.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("label"))
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
 
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         nbr = (
             edges.join(labels, edges["v"] == labels["id"])
             .groupBy("u")

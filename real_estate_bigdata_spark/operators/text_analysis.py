@@ -118,21 +118,14 @@ def repetition_metrics(
     folds (the fold re-scans the array per metric and stays outside
     partial aggregation).
     """
-    from real_estate_bigdata_spark.functions.text import (
-        hashed_ngrams_from_token_hashes,
-        tokenize,
-    )
+    from real_estate_bigdata_spark.operators.dedup import _hashed_shingles
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = tokenize(F.col(text_col))
-    th = ensure_min_parallelism(docs).select(
-        F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
-    )
-    grams = th.select(
-        F.col(id_col),
-        F.explode(hashed_ngrams_from_token_hashes(F.col("th"), n)).alias("g"),
-    )
+    # duplicates kept (distinct=False): repetition is exactly the mass
+    # the dedup shingle sets throw away
+    hsh = _hashed_shingles(docs, n, id_col=id_col, text_col=text_col, distinct=False)
+    grams = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
     agg = (
         grams.groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -38,6 +38,18 @@ def test_labels_independent_of_partitioning_and_order(spark):
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, shuffled.collect()))
 
 
+def test_diameter_equal_to_max_iter_converges(spark):
+    # path 1-2-3-4 has diameter 3: labels change for exactly 3 rounds,
+    # the allowed extra confirming round must NOT count against max_iter
+    got = {
+        (r.id, r.cluster_id)
+        for r in cl.connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4)]), max_iter=3
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
 def test_non_convergence_raises(spark):
     # path graph of diameter 5 with max_iter=2 cannot finish
     chain = _pairs(spark, [(i, i + 1) for i in range(1, 7)])

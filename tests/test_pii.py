@@ -32,6 +32,21 @@ def test_ordering_ssn_and_email_win_over_phone(spark):
     assert _red(spark, "x 5551234567@ex.com y") == "x [EMAIL] y"
 
 
+def test_long_digit_runs_and_bad_quads_survive(spark):
+    # no lookbehind in RE2, so the phone pattern anchors on \b/( and a
+    # required first separator — longer digit runs must NOT be torn
+    for s in [
+        "card 4111111111111111 on file",
+        "ts 20260813120000 logged",
+        "ref 123456789012345 id",
+        "bare 5551234567 run",  # separator-less phones are out of scope
+    ]:
+        assert _red(spark, s) == s
+    # octet-validated IPv4: out-of-range quads survive
+    assert _red(spark, "q 999.999.999.999 r") == "q 999.999.999.999 r"
+    assert _red(spark, "(555)123-4567!") == "[PHONE]!"
+
+
 def test_null_and_subset(spark):
     row = _one(spark, None).select(pii.redact_pii(F.col("t")).alias("r")).first()
     assert row.r is None
