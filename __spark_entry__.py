@@ -475,6 +475,13 @@ def _q_repetition(spark, sf):
     return repetition_metrics(docs, n=2)
 
 
+def _q_mixture_balance(spark, sf):
+    from real_estate_bigdata_spark.operators.sampling import mixture_balance
+
+    docs = load_table(spark, sf, "documents")
+    return mixture_balance(docs, weight_col="n_chars").select("doc_id", "source")
+
+
 def _q_pii_redaction(spark, sf):
     """Testdata text is PII-free by construction, so deterministic PII
     (email/phone derived from doc_id, fixed SSN/IP) is injected first —
@@ -527,10 +534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries with no prior driver-side hash verification (the r2
     additions q_curate_corpus / q_hash_split / q_pack_documents /
     q_decontaminate / q_stratified_sample / q_dedup_clusters /
-    q_pii_redaction / q15_top_supplier / q_repetition are in-cap).
+    q_pii_redaction / q15_top_supplier / q_repetition /
+    q_mixture_balance are in-cap).
     Past slot 50 sit the rows-only
     queries (simhash / LSH / IVF — approximate or engine-specific by
-    construction) plus ten queries hash-verified green in
+    construction) plus eleven queries hash-verified green in
     CORRECTNESS_r01 whose operator is also evidenced by an in-cap
     sibling: q_dedup_embedding (bit-identical to in-cap
     q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same exact-pairs
@@ -544,9 +552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (frame windows also in q_pack_documents's running sum; ranking in
     q_rank_dense_ntile), q_corr_lineitem (statistical-agg family also
     in q_stats_profile_orders), q_outer_customer_profile (left-outer
-    + zero-fill also in q13). Every oracle-bearing query — in-cap or
+    + zero-fill also in q13), q_tumbling_events (event-time windowed
+    aggregation also in-cap via q_sessionize and pinned by the
+    streaming watermark tests). Every oracle-bearing query — in-cap or
     not — is additionally oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 63
+    (tests/test_queries.py::test_query_matches_oracle), and all 64
     run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing ----
@@ -582,7 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_gallery": _q_scalar_gallery,
         "q_set_nation_coverage": _q_set_nation_coverage,
         "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_tumbling_events": _q_tumbling_events,
+        "q_mixture_balance": _q_mixture_balance,
         "q_json_props": _q_json_props,
         "q_sessionize": _q_sessionize,
         "q_asof_view_purchase": _q_asof_view_purchase,
@@ -612,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anti_customers_no_orders": _q_anti_customers_no_orders,
         "q_corr_lineitem": _q_corr_lineitem,
         "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
         "q_window_frames": _q_window_frames,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
@@ -1445,6 +1456,26 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN revenue ON s_suppkey = l_suppkey
             WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
             ORDER BY s_suppkey
+        """,
+        # mixture balancing: every source downsampled toward the
+        # smallest source's char mass; floor-division thresholds and
+        # the shared md5-prefix bucket on both engines
+        "q_mixture_balance": """
+            WITH tot AS (
+                SELECT source, sum(n_chars) AS t FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY source
+            ), m AS (SELECT min(t) AS mt FROM tot),
+            fr AS (SELECT source, (mt * 10000) // t AS thresh FROM tot, m),
+            b AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT b.doc_id, b.source
+            FROM b JOIN fr ON b.source = fr.source
+            WHERE b.bucket < fr.thresh
         """,
         # word-2-gram repetition metrics; LEFT JOIN keeps short/NULL
         # docs with NULL metrics, matching the Spark operator

@@ -74,6 +74,14 @@ def curate_corpus(
         with_fp.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
+        # Checkpoint: the exact-dedup result feeds every branch of the
+        # LSH pipeline (signatures, set sizes, posting explode) AND the
+        # final anti-join — 4+ traversals that would each re-run the
+        # scan + fingerprint window. Materialized once (MEMORY_AND_DISK
+        # semantics), lineage truncated; at cluster scale this is the
+        # standard stage boundary a 100 TB curation run would persist
+        # to the lake anyway.
+        .localCheckpoint(eager=False)
     )
     # stage 2: LSH near-dup pairs among exact survivors; later id drops
     pairs = minhash_lsh_pairs(

@@ -25,6 +25,7 @@ __all__ = [
     "bucket_of",
     "hash_sample",
     "hash_split",
+    "mixture_balance",
     "pack_documents",
     "stratified_hash_sample",
 ]
@@ -121,6 +122,50 @@ def stratified_hash_sample(
         ).otherwise(thresh)
     bucketed = df.withColumn("__bucket", bucket_of(F.col(key_col), salt))
     return bucketed.filter(F.col("__bucket") < thresh).drop("__bucket")
+
+
+def mixture_balance(
+    df: DataFrame,
+    weight_col: str = "n_tokens",
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Equalize the mixture: deterministically downsample every stratum
+    (source/domain/language) toward the SMALLEST stratum's total
+    ``weight_col`` (token) mass — the data-mixture rebalancing step of
+    a training build (no stratum may dominate; the rare stratum is
+    kept whole). Stratum s keeps fraction floor(minT*B/T_s)/B of its
+    rows (B = ``N_BUCKETS``), so expected kept token mass ≈ minT per
+    stratum; per-row hash sampling (not top-k truncation) keeps the
+    kept subset unbiased within each stratum. floor (not round) on
+    both engines — banker's-rounding divergence can't flip a
+    threshold.
+
+    Two jobs by construction: the per-stratum totals are aggregated
+    and collected driver-side (bounded — strata are sources/domains,
+    thousands at most, NEVER corpus-sized), then the filter itself is
+    the same map-only CASE-threshold scan as
+    ``stratified_hash_sample``. NULL-``weight_col`` rows contribute
+    nothing to totals; NULL strata are kept out (no listed fraction).
+    """
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(weight_col).alias("t"))
+        .collect()
+        if r[0] is not None and r[1] is not None
+    }
+    if not totals:
+        return df.filter(F.lit(False))
+    min_t = min(totals.values())
+    fractions = {
+        s: (min_t * N_BUCKETS // t) / N_BUCKETS if t > 0 else 1.0
+        for s, t in totals.items()
+    }
+    return stratified_hash_sample(
+        df, fractions, strata_col=strata_col, key_col=key_col, salt=salt
+    )
 
 
 def pack_documents(

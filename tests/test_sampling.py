@@ -126,3 +126,35 @@ def test_pack_documents_null_tokens_excluded(spark):
     assert got == {1}
     with pytest.raises(ValueError):
         sp.pack_documents(docs, token_budget=0)
+
+
+def test_mixture_balance_equalizes_token_mass(spark):
+    rows = (
+        [(i, "big", 100) for i in range(400)]
+        + [(1000 + i, "small", 100) for i in range(40)]
+        + [(2000, None, 100), (2001, "big", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = sp.mixture_balance(df)
+    kept = out.groupBy("source").agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+    got = {r.source: (r.t, r.n) for r in kept.collect()}
+    # smallest stratum kept whole; NULL stratum dropped
+    assert got["small"] == (4000, 40)
+    assert None not in got
+    # big stratum downsampled toward small's 4000-token mass (hash
+    # sampling is exact-in-expectation; 10% of 400 keys lands near 40)
+    assert 2000 <= got["big"][0] <= 6500
+    # deterministic: same verdict on re-run and under repartitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in sp.mixture_balance(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_mixture_balance_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, source string, n_tokens long")
+    assert sp.mixture_balance(empty).count() == 0
+    all_null = spark.createDataFrame(
+        [(1, None, 5), (2, "s", None)], "doc_id long, source string, n_tokens long"
+    )
+    # only stratum 's' has rows but its total is NULL -> nothing kept
+    assert sp.mixture_balance(all_null).count() == 0
