@@ -475,6 +475,15 @@ def _q_repetition(spark, sf):
     return repetition_metrics(docs, n=2)
 
 
+def _q_quality_floor(spark, sf):
+    from real_estate_bigdata_spark.functions.text import token_count
+    from real_estate_bigdata_spark.operators.quality import quantile_floor
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return quantile_floor(scored, "n_tokens", q=0.1)
+
+
 def _q_mixture_balance(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import mixture_balance
 
@@ -535,10 +544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     additions q_curate_corpus / q_hash_split / q_pack_documents /
     q_decontaminate / q_stratified_sample / q_dedup_clusters /
     q_pii_redaction / q15_top_supplier / q_repetition /
-    q_mixture_balance are in-cap).
+    q_mixture_balance / q_quality_floor are in-cap).
     Past slot 50 sit the rows-only
     queries (simhash / LSH / IVF — approximate or engine-specific by
-    construction) plus eleven queries hash-verified green in
+    construction) plus twelve queries hash-verified green in
     CORRECTNESS_r01 whose operator is also evidenced by an in-cap
     sibling: q_dedup_embedding (bit-identical to in-cap
     q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same exact-pairs
@@ -554,9 +563,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in q_stats_profile_orders), q_outer_customer_profile (left-outer
     + zero-fill also in q13), q_tumbling_events (event-time windowed
     aggregation also in-cap via q_sessionize and pinned by the
-    streaming watermark tests). Every oracle-bearing query — in-cap or
+    streaming watermark tests), q_rollup_orders (ROLLUP is sugar for
+    GROUPING SETS — in-cap via q_groupingsets_orders). Every
+    oracle-bearing query — in-cap or
     not — is additionally oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 64
+    (tests/test_queries.py::test_query_matches_oracle), and all 65
     run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing ----
@@ -585,7 +596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_doc_fingerprints": _q_doc_fingerprints,
         "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_rollup_orders": _q_rollup_orders,
         "q_groupingsets_orders": _q_groupingsets_orders,
         "q_pivot_status": _q_pivot_status,
         "q_collect_top_keys": _q_collect_top_keys,
@@ -593,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_nation_coverage": _q_set_nation_coverage,
         "q_rank_dense_ntile": _q_rank_dense_ntile,
         "q_mixture_balance": _q_mixture_balance,
+        "q_quality_floor": _q_quality_floor,
         "q_json_props": _q_json_props,
         "q_sessionize": _q_sessionize,
         "q_asof_view_purchase": _q_asof_view_purchase,
@@ -623,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corr_lineitem": _q_corr_lineitem,
         "q_outer_customer_profile": _q_outer_customer_profile,
         "q_tumbling_events": _q_tumbling_events,
+        "q_rollup_orders": _q_rollup_orders,
         "q_window_frames": _q_window_frames,
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
@@ -1456,6 +1468,23 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN revenue ON s_suppkey = l_suppkey
             WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
             ORDER BY s_suppkey
+        """,
+        # distribution-relative quality floor: keep docs at/above the
+        # P10 whitespace token count; cutoff rounded to 6 decimals on
+        # both engines (percentile and quantile_cont both interpolate
+        # linearly)
+        "q_quality_floor": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT round(quantile_cont(n_tokens, 0.1), 6) AS cut FROM t
+            )
+            SELECT doc_id, n_tokens FROM t, c WHERE n_tokens >= cut
         """,
         # mixture balancing: every source downsampled toward the
         # smallest source's char mass; floor-division thresholds and

@@ -1,0 +1,60 @@
+"""quantile_floor semantics: exact cutoff placement, keep direction,
+NULL-metric drop, approx-vs-exact agreement, and the broadcast
+scalar plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators.quality import quantile_floor
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, m double")
+
+
+def test_floor_keeps_top_mass(spark):
+    df = _df(spark, [float(v) for v in range(1, 11)])  # 1..10
+    # P10 of 1..10 (linear interpolation) = 1.9 -> keeps 2..10
+    out = quantile_floor(df, "m", q=0.1)
+    assert {r.m for r in out.collect()} == {float(v) for v in range(2, 11)}
+    below = quantile_floor(df, "m", q=0.1, keep="below")
+    assert {r.m for r in below.collect()} == {1.0}
+    assert out.columns == df.columns
+
+
+def test_null_metrics_dropped_and_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 10.0)], "id long, m double"
+    )
+    out = quantile_floor(df, "m", q=0.5)
+    assert {r.id for r in out.collect()} == {3}  # median of {5,10}=7.5
+    with pytest.raises(ValueError):
+        quantile_floor(df, "m", q=1.5)
+    with pytest.raises(ValueError):
+        quantile_floor(df, "m", keep="sideways")
+
+
+def test_approx_close_to_exact_on_real_metric(spark):
+    from real_estate_bigdata_spark.functions.text import token_count
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    scored = docs.select("doc_id", token_count(F.col("text")).alias("m"))
+    exact = quantile_floor(scored, "m", q=0.1).count()
+    approx = quantile_floor(scored, "m", q=0.1, approx=True).count()
+    assert abs(exact - approx) <= 0.05 * scored.count()
+
+
+def test_plan_is_broadcast_scalar(spark):
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    assert_plan(
+        quantile_floor(docs, F.col("n_chars"), q=0.1),
+        max_sortmerge_joins=0,
+        min_broadcast_joins=1,
+        forbid_python=True,
+    )
