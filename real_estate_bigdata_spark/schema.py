@@ -199,18 +199,27 @@ def load_table(spark, sf_dir: str, name: str):
     Parquet carries its own schema, so no inference pass happens; column
     pruning + predicate pushdown apply at the scan.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos (legacy conf) and
-    truncate to microsecond TimestampType — the same ns->us truncation
-    DuckDB applies, so both engines see identical values.
+    Timestamp columns have shipped in two physical encodings across
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read as raw nanos via the legacy conf,
+    truncate to micros exactly like DuckDB does) and TIMESTAMP(MICROS)
+    without the UTC-adjusted flag (which Spark reads as TIMESTAMP_NTZ).
+    Both are normalized to session-UTC TimestampType so every downstream
+    operator and oracle sees identical wall-clock values.
     """
-    if name == "events":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
+            # TIMESTAMP(NANOS) surfaced as raw nanos under the legacy conf
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype.startswith("timestamp_ntz"):
+            # wall-clock preserving under the session's UTC timezone
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES):
