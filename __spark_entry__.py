@@ -339,8 +339,15 @@ def _q_dedup_minhash_lsh(spark, sf):
 
 
 def _q_dedup_simhash(spark, sf):
-    # rows-only: xxhash64-based signatures have no DuckDB twin
-    return dd.simhash_pairs(load_table(spark, sf, "documents"), max_hamming=8)
+    """Portable-mode SimHash (md5-derived 60-bit feature hashes, see
+    dedup._hashed_shingles) with bands=8 > max_hamming=7 — pigeonhole
+    makes the banded blocking EXACT, and every bit is DuckDB-
+    reproducible, so this query carries a full hash-match oracle
+    (rows-only in r1/r2; VERDICT r2 task #3). The xxhash64 bands=4
+    variant stays the 100 TB default, pinned by pytest."""
+    return dd.simhash_pairs(
+        load_table(spark, sf, "documents"), max_hamming=7, bands=8, portable=True
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_dedup_embedding(spark, sf):
@@ -536,94 +543,46 @@ def _q_dedup_clusters(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered registry. CORRECTNESS_r01 recorded exactly the FIRST 50
-    entries of this dict (in order) and silently dropped the rest, so
-    the driver's correctness harness is inferred to cap at 50 queries.
-    Consequently: slots 1-50 are all oracle-bearing, prioritizing
-    queries with no prior driver-side hash verification (the r2
-    additions q_curate_corpus / q_hash_split / q_pack_documents /
-    q_decontaminate / q_stratified_sample / q_dedup_clusters /
-    q_pii_redaction / q15_top_supplier / q_repetition /
-    q_mixture_balance / q_quality_floor are in-cap).
-    Past slot 50 sit the rows-only
-    queries (simhash / LSH / IVF — approximate or engine-specific by
-    construction) plus twelve queries hash-verified green in
-    CORRECTNESS_r01 whose operator is also evidenced by an in-cap
-    sibling: q_dedup_embedding (bit-identical to in-cap
-    q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same exact-pairs
-    oracle as in-cap q_dedup_minhash_lsh), q_topk_orders (sort+limit
-    also in q03/q10/q18), q_window_top_customers (ranking family also
-    in q_rank_dense_ntile), q_semi_active_customers (semi join also
-    in q04/q21), q_anti_customers_no_orders (anti join also in
-    q21/q22; its sf0.01 result is 0 rows, so its hash pass was weak
-    evidence anyway), q_cube_lineitem (grouping-analytics family also
-    in q_rollup_orders/q_groupingsets_orders), q_window_frames
-    (frame windows also in q_pack_documents's running sum; ranking in
-    q_rank_dense_ntile), q_corr_lineitem (statistical-agg family also
-    in q_stats_profile_orders), q_outer_customer_profile (left-outer
-    + zero-fill also in q13), q_tumbling_events (event-time windowed
-    aggregation also in-cap via q_sessionize and pinned by the
-    streaming watermark tests), q_rollup_orders (ROLLUP is sugar for
-    GROUPING SETS — in-cap via q_groupingsets_orders). Every
-    oracle-bearing query — in-cap or
-    not — is additionally oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 65
-    run in bench + pytest."""
+    """Ordered registry. The driver's correctness harness records exactly
+    the FIRST 50 entries of this dict (observed in r1/r2), so slots are
+    ROTATED each round to keep every oracle-bearing query's driver
+    verification at most one round stale (VERDICT r2 task #2; rotation
+    map in COVERAGE.md).
+
+    Round-3 rotation: in-cap are (a) the 12 queries verified in
+    CORRECTNESS_r01 that sat past the cap in r2 (q_dedup_embedding,
+    q_dedup_ngram_jaccard, q_cube_lineitem, q_topk_orders,
+    q_window_top_customers, q_semi_active_customers,
+    q_anti_customers_no_orders, q_corr_lineitem,
+    q_outer_customer_profile, q_tumbling_events, q_rollup_orders,
+    q_window_frames), (b) q_dedup_simhash — newly oracle-bearing this
+    round (portable md5 hash mode, never driver-verified before), and
+    (c) 37 of the 50 queries verified green in CORRECTNESS_r02.
+
+    Past slot 50 sit the 2 rows-only queries (hyperplane-LSH / IVF ANN
+    — approximate by construction, pinned by pytest recall tests) plus
+    13 queries hash-verified green in CORRECTNESS_r02, each with an
+    in-cap operator sibling: q_dedup_embedding_gemm (bit-identical to
+    in-cap q_dedup_embedding), q_dedup_minhash_lsh (same exact-pairs
+    oracle as in-cap q_dedup_ngram_jaccard), q_rank_dense_ntile
+    (ranking family in-cap via q_window_top_customers /
+    q_window_frames), q_groupingsets_orders (grouping analytics in-cap
+    via q_rollup_orders / q_cube_lineitem), q_stats_profile_orders
+    (statistical aggregates in-cap via q_corr_lineitem), q_sessionize
+    (event-time family in-cap via q_tumbling_events), and TPC-H
+    q03/q10/q18 (top-k in-cap via q_topk_orders), q04/q21 (semi/anti
+    join in-cap via q_semi_active_customers /
+    q_anti_customers_no_orders), q13 (left-outer + zero-fill in-cap
+    via q_outer_customer_profile), q22 (anti join in-cap via
+    q_anti_customers_no_orders; scalar subquery in-cap via q17).
+
+    Every oracle-bearing query — in-cap or not — is additionally
+    oracle-compared by the local pytest mirror
+    (tests/test_queries.py::test_query_matches_oracle), and all 65 run
+    in bench + pytest."""
     return {
-        # ---- slots 1-50: oracle-bearing ----
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q03_shipping_priority": _q03_shipping_priority,
-        "q04_order_priority": _q04_order_priority,
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
-        "q06_forecast_revenue": _q06_forecast_revenue,
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q08_market_share": _q08_market_share,
-        "q09_product_profit": _q09_product_profit,
-        "q10_returned_items": _q10_returned_items,
-        "q12_priority_lines": _q12_priority_lines,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q17_small_quantity": _q17_small_quantity,
-        "q18_large_orders": _q18_large_orders,
-        "q15_top_supplier": _q15_top_supplier,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_text_quality": _q_text_quality,
-        "q_token_accounting": _q_token_accounting,
-        "q_lang_id": _q_lang_id,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_pivot_status": _q_pivot_status,
-        "q_collect_top_keys": _q_collect_top_keys,
-        "q_scalar_gallery": _q_scalar_gallery,
-        "q_set_nation_coverage": _q_set_nation_coverage,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_mixture_balance": _q_mixture_balance,
-        "q_quality_floor": _q_quality_floor,
-        "q_json_props": _q_json_props,
-        "q_sessionize": _q_sessionize,
-        "q_asof_view_purchase": _q_asof_view_purchase,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_normalize_listings": _q_normalize_listings,
-        "q_dedup_exact_docs": _q_dedup_exact_docs,
-        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
-        "q_embed_cosine_topk": _q_embed_cosine_topk,
-        "q_curate_corpus": _q_curate_corpus,
-        "q_hash_split": _q_hash_split,
-        "q_pack_documents": _q_pack_documents,
-        "q_decontaminate": _q_decontaminate,
-        "q_stratified_sample": _q_stratified_sample,
-        "q_dedup_clusters": _q_dedup_clusters,
-        "q_pii_redaction": _q_pii_redaction,
-        "q_repetition": _q_repetition,
-        # ---- slots 51+: past the inferred driver cap (see docstring:
-        # all oracle-bearing ones below were hash-verified green in
-        # CORRECTNESS_r01 and have an in-cap operator sibling) ----
+        # ---- slots 1-50: oracle-bearing (r3 rotation, see docstring) ----
+        # 12 returning r1-verified queries first
         "q_dedup_embedding": _q_dedup_embedding,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "q_cube_lineitem": _q_cube_lineitem,
@@ -636,7 +595,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_events": _q_tumbling_events,
         "q_rollup_orders": _q_rollup_orders,
         "q_window_frames": _q_window_frames,
+        # newly oracle-bearing this round
         "q_dedup_simhash": _q_dedup_simhash,
+        # 37 r2-verified queries
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q06_forecast_revenue": _q06_forecast_revenue,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
+        "q12_priority_lines": _q12_priority_lines,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q17_small_quantity": _q17_small_quantity,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q_text_quality": _q_text_quality,
+        "q_token_accounting": _q_token_accounting,
+        "q_lang_id": _q_lang_id,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_pivot_status": _q_pivot_status,
+        "q_collect_top_keys": _q_collect_top_keys,
+        "q_scalar_gallery": _q_scalar_gallery,
+        "q_set_nation_coverage": _q_set_nation_coverage,
+        "q_mixture_balance": _q_mixture_balance,
+        "q_quality_floor": _q_quality_floor,
+        "q_json_props": _q_json_props,
+        "q_asof_view_purchase": _q_asof_view_purchase,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_normalize_listings": _q_normalize_listings,
+        "q_dedup_exact_docs": _q_dedup_exact_docs,
+        "q_embed_cosine_topk": _q_embed_cosine_topk,
+        "q_curate_corpus": _q_curate_corpus,
+        "q_hash_split": _q_hash_split,
+        "q_pack_documents": _q_pack_documents,
+        "q_decontaminate": _q_decontaminate,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_pii_redaction": _q_pii_redaction,
+        "q_repetition": _q_repetition,
+        # ---- slots 51+: past the inferred driver cap (see docstring:
+        # all oracle-bearing ones below were hash-verified green in
+        # CORRECTNESS_r02 and have an in-cap operator sibling) ----
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q04_order_priority": _q04_order_priority,
+        "q10_returned_items": _q10_returned_items,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q18_large_orders": _q18_large_orders,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
     }
@@ -744,9 +758,54 @@ def _pii_sql() -> str:
     return sql
 
 
+def _simhash_sql() -> str:
+    """q_dedup_simhash oracle — mirrors the portable-mode Spark pipeline
+    bit-for-bit: word 2-grams (duplicates kept), md5-prefix 60-bit
+    feature hash (same expression as the hash_split oracle), 60
+    conditional bit-vote sums, signature reassembly, featureless docs
+    -> signature 0, all-pairs bit_count(xor) <= 7. All-pairs is fine at
+    oracle scale; the Spark side blocks with 8 exact bands, which is
+    provably lossless for hamming <= 7."""
+    bit_sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        FROM toks
+    ), feats AS (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM grams
+    ), votes AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM feats GROUP BY doc_id
+    ), sig0 AS (
+        SELECT doc_id, ({sig_terms})::BIGINT AS sim FROM votes
+    ), sigs AS (
+        SELECT d.doc_id, coalesce(s.sim, 0)::BIGINT AS sim
+        FROM documents d LEFT JOIN sig0 s USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 7
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_pii_redaction": _pii_sql(),
+        "q_dedup_simhash": _simhash_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                  AS sum_qty,

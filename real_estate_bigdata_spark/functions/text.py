@@ -23,6 +23,7 @@ __all__ = [
     "bpe_ish_token_count",
     "word_ngrams",
     "hashed_ngrams_from_token_hashes",
+    "portable_hash64",
     "char_shingles",
     "quality_metrics",
     "lang_id",
@@ -105,6 +106,17 @@ def hashed_ngrams_from_token_hashes(th: Column, n: int) -> Column:
             lambda i: F.xxhash64(*[F.element_at(th, i + k + 1) for k in range(n)]),
         )
     )
+
+
+def portable_hash64(s: Column) -> Column:
+    """Portable 60-bit hash of a string: the first 15 hex chars of md5,
+    as bigint. Bit-identical in DuckDB as
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` (the same construction
+    ``sampling.bucket_of`` uses pre-modulo), so operators built on it —
+    portable-mode SimHash — can be full-oracle-verified. md5 is ~4x
+    slower than xxhash64 but still JVM-side codegen; use only where the
+    cross-engine contract is worth it."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:

@@ -21,10 +21,17 @@ diameter, and near-duplicate clusters are dense by construction
 single-digit; ``max_iter`` guards the pathological chain. Each
 iteration is localCheckpoint-ed to truncate lineage — without it the
 plan doubles per iteration and the job dies on plan size long before
-data size. The O(log n)-round large-star/small-star variant (Kiveris
-et al., "Connected Components in MapReduce and Beyond") is the drop-in
-upgrade if a workload ever presents high-diameter graphs; for dedup
-clusters the simple propagation does fewer total shuffles.
+data size. For high-diameter graphs (not dedup-shaped, but callers may
+feed arbitrary edge lists) the O(log²n)-round large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) is implemented as the fallback: ``algorithm="auto"``
+(the default) runs hash-min for ``max_iter`` label-changing rounds and,
+instead of raising, switches to star contraction on the already-
+checkpointed edge set; ``"hashmin"`` / ``"star"`` force either path.
+Both produce identical labels (component minimum), so the choice is
+purely a round-count/shuffle-width trade: hash-min does one cheap
+join+agg per diameter step, star contraction rewires edges toward the
+minimum and converges in logarithmic rounds regardless of diameter.
 """
 
 from __future__ import annotations
@@ -42,32 +49,64 @@ def connected_components(
     max_iter: int = 25,
     out_id: str = "id",
     out_label: str = "cluster_id",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(id, cluster_id) for every vertex appearing in ``pairs``, where
     ``cluster_id`` is the MINIMUM vertex id of its connected component
-    — deterministic regardless of partitioning or pair order. Vertices
-    not in any pair (singletons) are absent by construction; callers
-    wanting them keep ``left_anti`` of the corpus against this result.
+    — deterministic regardless of partitioning, pair order, or
+    algorithm choice. Vertices not in any pair (singletons) are absent
+    by construction; callers wanting them keep ``left_anti`` of the
+    corpus against this result.
 
-    Hash-min propagation: labels start at the vertex id; every round
-    each vertex takes the min of its own label and its neighbors',
-    until a round changes nothing. Convergence is detected by the SUM
-    of labels (monotonically non-increasing under min-propagation), so
-    each round costs one join + one aggregate and no extra
-    change-count join. ``max_iter`` bounds the label-CHANGING rounds
-    (one extra confirming round is always allowed, so a graph of
-    diameter exactly ``max_iter`` still converges); raises
-    ``RuntimeError`` if diameter > max_iter — not a dedup-shaped
-    graph. The input ``pairs`` plan is checkpointed up front: both
-    union branches and every round read the materialized pair set,
-    not the (possibly expensive — e.g. LSH verify) upstream plan.
+    ``algorithm``:
+
+    - ``"hashmin"`` — min-label propagation; one join + one aggregate
+      per round, rounds = component diameter. The cheapest path for
+      dedup-shaped graphs (dense clusters, single-digit diameter).
+      Raises ``RuntimeError`` after ``max_iter`` label-changing rounds.
+    - ``"star"`` — Kiveris et al. large-star/small-star contraction;
+      converges in O(log²n) rounds regardless of diameter.
+    - ``"auto"`` (default) — hash-min first; if it hasn't converged
+      after ``max_iter`` rounds, restart as star contraction on the
+      same checkpointed edge set instead of raising. Dedup graphs
+      never hit the fallback; a pathological chain costs the abandoned
+      hash-min rounds, then converges.
+
+    The input ``pairs`` plan is checkpointed up front: both union
+    branches and every round read the materialized pair set, not the
+    (possibly expensive — e.g. LSH verify) upstream plan.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if algorithm not in ("auto", "hashmin", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     a, b = F.col(src), F.col(dst)
     cp = pairs.select(a.alias("u"), b.alias("v")).localCheckpoint(eager=True)
-    edges = cp.unionAll(cp.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
+    labels = None
+    if algorithm in ("auto", "hashmin"):
+        labels = _hashmin_labels(cp, max_iter)
+        if labels is None and algorithm == "hashmin":
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds; "
+                f"component diameter exceeds max_iter (use algorithm='auto' "
+                f"or 'star' for high-diameter graphs)"
+            )
+    if labels is None:
+        labels = _star_labels(cp)
+    return labels.select(F.col("id").alias(out_id), F.col("label").alias(out_label))
+
+
+def _hashmin_labels(cp: DataFrame, max_iter: int) -> DataFrame | None:
+    """Min-label propagation over checkpointed (u, v) pairs -> (id,
+    label), or None if not converged within ``max_iter`` label-changing
+    rounds (one extra confirming round is always allowed, so a graph of
+    diameter exactly ``max_iter`` still converges). Convergence is
+    detected by the SUM of labels (monotonically non-increasing under
+    min-propagation), so each round costs one join + one aggregate and
+    no extra change-count join.
+    """
+    edges = cp.unionAll(cp.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         edges.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("label"))
     ).localCheckpoint(eager=True)
@@ -91,13 +130,89 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
-            return labels.select(
-                F.col("id").alias(out_id), F.col("label").alias(out_label)
-            )
+            return labels
         prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        f"component diameter exceeds max_iter"
+    return None
+
+
+#: star contraction is O(log²n) rounds by proof; 100 is ~(log₂ of 10^15)²
+#: /2 headroom — hitting it means a logic bug, not a big graph.
+_STAR_MAX_ROUNDS = 100
+
+
+def _star_labels(cp: DataFrame) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., SoCC'14) over
+    checkpointed (u, v) pairs -> (id, label = component min).
+
+    Each round:
+
+    - **large-star**: for every vertex u, connect each neighbor v > u
+      to m(u) = min(Γ(u) ∪ {u}) — strictly-larger neighbors re-point
+      at the local minimum (keeps the edge count bounded: only larger
+      endpoints move).
+    - **small-star**: orient edges (u > v); for every u, connect each
+      smaller neighbor v (and u itself) to m(u) = min(Γ⁻(u) ∪ {u}) —
+      collapses chains of small edges into stars.
+
+    Both emit edges oriented (larger, smaller), deduped. At the fixed
+    point every component of size >= 2 is exactly the star
+    {(x, root) | x != root} with root = component min, so the label
+    map reads straight off the edge list. Convergence = edge multiset
+    unchanged (count equality + empty exceptAll — exact, and cheap at
+    O(log²n) total rounds). Every round is two self-joins on vertex
+    ids with map-side combinable aggregates; localCheckpoint truncates
+    the per-round lineage exactly like the hash-min path.
+    """
+    # canonical orientation (big, small), no self-loops
+    edges = (
+        cp.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(_STAR_MAX_ROUNDS):
+        # ---- large-star ----
+        bidir = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star (input already oriented u > v) ----
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(sm, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_prev, n_cur = edges.count(), small.count()
+        if n_prev == n_cur and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {_STAR_MAX_ROUNDS} rounds "
+            f"— logic bug, not graph size"
+        )
+
+    roots = edges.select(F.col("v").alias("id")).distinct()
+    return edges.select(F.col("u").alias("id"), F.col("v").alias("label")).unionAll(
+        roots.select("id", F.col("id").alias("label"))
     )
 
 

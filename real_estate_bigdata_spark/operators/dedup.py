@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.functions.text import (
     hashed_ngrams_from_token_hashes,
+    portable_hash64,
     tokenize,
     word_ngrams,
 )
@@ -84,7 +85,12 @@ def _distinct_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> D
 
 
 def _hashed_shingles(
-    docs: DataFrame, n: int, id_col: str, text_col: str, distinct: bool = True
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    distinct: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, hs: distinct array<bigint>) — 64-bit word-n-gram shingle ids.
 
@@ -95,7 +101,22 @@ def _hashed_shingles(
     n-grams are equal, up to xxhash64 collisions (~|S|^2 * 2^-64 per
     doc pair — immaterial), so set sizes and intersections match the
     string formulation the oracle computes.
+
+    ``portable=True`` swaps the feature hash for
+    :func:`functions.text.portable_hash64` over materialized n-gram
+    strings — DuckDB can reproduce every bit
+    (``('0x' || substr(md5(g),1,15))::BIGINT``), so portable-mode
+    consumers (SimHash) get full hash-match oracles. Costs one string
+    concat per shingle; the xxhash64 rolling combine stays the default
+    scale path.
     """
+    if portable:
+        sh = F.transform(
+            word_ngrams(F.col(text_col), n), lambda g: portable_hash64(g)
+        )
+        return ensure_min_parallelism(docs).select(
+            F.col(id_col), (F.array_distinct(sh) if distinct else sh).alias("hs")
+        )
     toks = tokenize(F.col(text_col))
     th = ensure_min_parallelism(docs).select(
         F.col(id_col), F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
@@ -312,7 +333,11 @@ def simhash64(text_col, n: int = 2):
 
 
 def simhash_signatures(
-    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sim) SimHash signatures, computed the scale-out way.
 
@@ -326,10 +351,15 @@ def simhash_signatures(
 
     Docs with no features (empty/whitespace text) keep signature 0, as in
     the per-row variant.
+
+    ``portable=True`` uses md5-derived 60-bit feature hashes (see
+    ``_hashed_shingles``) so the whole signature is reproducible in
+    DuckDB bit-for-bit; bits 60-63 are then always 0 (every feature
+    votes -1 there).
     """
-    feats = _hashed_shingles(docs, n, id_col, text_col, distinct=False).select(
-        F.col(id_col), F.explode("hs").alias("h")
-    )
+    feats = _hashed_shingles(
+        docs, n, id_col, text_col, distinct=False, portable=portable
+    ).select(F.col(id_col), F.explode("hs").alias("h"))
     one = F.lit(1).cast("bigint")
     votes = feats.groupBy(id_col).agg(
         *[
@@ -357,11 +387,23 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking (a pair within Hamming
     distance ``max_hamming`` <= bands-1 must agree exactly on >=1 of
-    ``bands`` 16-bit bands) + bit_count(xor) verification."""
-    sig = simhash_signatures(docs, n=n, id_col=id_col, text_col=text_col)
+    ``bands`` (64/bands)-bit bands) + bit_count(xor) verification.
+
+    Recall is EXACT when ``max_hamming <= bands - 1`` (pigeonhole:
+    fewer differing bits than bands forces one identical band);
+    beyond that the blocking is approximate — the classic trade. With
+    ``portable=True`` and ``max_hamming <= bands - 1`` the operator is
+    fully deterministic AND DuckDB-reproducible, so it carries a
+    hash-match oracle (q_dedup_simhash); wider bands = weaker blocking
+    keys, so at 100 TB prefer bands=4 approximate unless exactness is
+    contractual."""
+    sig = simhash_signatures(
+        docs, n=n, id_col=id_col, text_col=text_col, portable=portable
+    )
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sig.select(

@@ -209,8 +209,16 @@ def load_table(spark, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Both normalizations below are only instant-preserving because the
+    # session pins spark.sql.session.timeZone=UTC (set in get_spark); a
+    # session built elsewhere with a local zone would silently shift
+    # NTZ-cast instants relative to the DuckDB oracle. Fail loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"load_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
+            "build the session with real_estate_bigdata_spark.session.get_spark"
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col, dtype in df.dtypes:
         if name == "events" and col == "ts" and dtype == "bigint":

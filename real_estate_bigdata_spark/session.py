@@ -45,6 +45,13 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Some testdata generations encode events.ts as parquet
+        # TIMESTAMP(NANOS), which the vectorized reader rejects; with this
+        # conf the column surfaces as raw int64 nanos and schema.load_table
+        # truncates to micros (exactly DuckDB's behavior). Set once here so
+        # load_table stays side-effect free. Harmless for MICROS-encoded
+        # data (conf only affects NANOS columns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The normalization layer targets permissive casts (try_cast /
         # try_to_date); ANSI off keeps plain casts null-on-error too, which
         # matches the reference's swallow-malformed-rows semantics

@@ -51,12 +51,58 @@ def test_diameter_equal_to_max_iter_converges(spark):
 
 
 def test_non_convergence_raises(spark):
-    # path graph of diameter 5 with max_iter=2 cannot finish
+    # path graph of diameter 5 with max_iter=2 cannot finish under
+    # forced hash-min; auto falls back to star contraction instead
     chain = _pairs(spark, [(i, i + 1) for i in range(1, 7)])
     with pytest.raises(RuntimeError, match="converge"):
-        cl.connected_components(chain, max_iter=2)
+        cl.connected_components(chain, max_iter=2, algorithm="hashmin")
     with pytest.raises(ValueError):
         cl.connected_components(chain, max_iter=0)
+    with pytest.raises(ValueError):
+        cl.connected_components(chain, algorithm="bogus")
+    got = {
+        (r.id, r.cluster_id)
+        for r in cl.connected_components(chain, max_iter=2).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 8)}
+
+
+def test_star_labels_match_hashmin_on_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(1, 200), rng.randrange(1, 200))
+        for _ in range(150)
+    ]
+    rows = [(a, b) for a, b in rows if a != b]
+    hm = sorted(
+        map(tuple, cl.connected_components(_pairs(spark, rows)).collect())
+    )
+    st = sorted(
+        map(
+            tuple,
+            cl.connected_components(_pairs(spark, rows), algorithm="star").collect(),
+        )
+    )
+    assert hm == st
+
+
+def test_star_converges_on_10k_node_chain(spark):
+    """The high-diameter case hash-min cannot finish (VERDICT r2 task
+    #5): a 10k-node path has diameter 9999, but star contraction is
+    O(log²n) rounds, so algorithm='auto' must converge and label every
+    node with the chain minimum."""
+    n = 10_000
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, n)])
+    cc = cl.connected_components(chain, max_iter=3)
+    agg = cc.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("lo"),
+        F.max("cluster_id").alias("hi"),
+    ).first()
+    assert (agg.n, agg.k, agg.lo, agg.hi) == (n, 1, 1, 1)
 
 
 def test_survivors_one_per_cluster_plus_singletons(spark):
