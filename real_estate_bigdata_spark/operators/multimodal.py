@@ -6,8 +6,12 @@ North-star surface for training-data pipelines. The Spark-side plumbing
 is real and tested. IMAGE decode is a real PIL/Pillow decode when the
 optional dependency is installed (:func:`decode_image`), falling back
 to a deterministic sha-seeded stub when not (this container ships no
-codec libs). Audio/video decode remain stubbed (librosa/cv2 would slot
-into the same batch shape).
+codec libs). AUDIO decode is real for PCM WAV via the stdlib ``wave``
+module — always available — and for every soundfile-supported format
+when the optional ``soundfile`` dependency is installed
+(:func:`decode_audio`); ``use_codec=False`` forces the deterministic
+stub. Video decode remains stubbed (cv2 would slot into the same batch
+shape).
 
 Scale notes: media bytes are the widest column in the table — every
 operator here projects metadata-only columns where possible, and the
@@ -39,7 +43,9 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_stats",
     "pil_available",
+    "audio_codec",
     "decode_image",
+    "decode_audio",
     "extract_image_features",
     "resize_images",
     "extract_audio_features",
@@ -50,6 +56,11 @@ try:  # optional dependency: real image codec
     from PIL import Image as _PILImage
 except ImportError:  # container has no codec libs — stub path only
     _PILImage = None
+
+try:  # optional dependency: wide-format audio codec (flac/ogg/...)
+    import soundfile as _soundfile
+except ImportError:  # stdlib `wave` still covers PCM WAV
+    _soundfile = None
 
 #: One row per media object: opaque payload + typed metadata struct.
 MEDIA_SCHEMA = StructType(
@@ -249,39 +260,129 @@ _AUDIO_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("feature", ArrayType(DoubleType())),
         StructField("n_samples", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("duration_sec", DoubleType()),
         StructField("rms", DoubleType()),
     ]
 )
 
+#: stub waveform shape — kept stable so stub-path outputs are pinned
+_STUB_AUDIO_SAMPLES = 1024
+_STUB_AUDIO_RATE = 16_000
 
-def extract_audio_features(media: DataFrame, n_bands: int = 8) -> DataFrame:
+
+def _decode_audio_stub(content: bytes) -> tuple[np.ndarray, int]:
+    """STUB decode: deterministic fake waveform seeded from the payload
+    hash (same seeding as always — digest bytes 8:16), nominal 16 kHz."""
+    digest = hashlib.sha256(content).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[8:16], "big"))
+    return rng.standard_normal(_STUB_AUDIO_SAMPLES), _STUB_AUDIO_RATE
+
+
+def audio_codec() -> str:
+    """Name of the real audio decoder in use: ``"soundfile"`` when the
+    optional dependency is installed (flac/ogg/wav/...), else the
+    stdlib ``"wave"`` module (PCM WAV only) — a real codec is always
+    available, unlike the image path."""
+    return "soundfile" if _soundfile is not None else "wave"
+
+
+def decode_audio(
+    content: bytes, use_codec: bool | None = None
+) -> tuple[np.ndarray, int]:
+    """bytes -> (mono float64 waveform in [-1, 1], sample_rate).
+
+    ``use_codec=None`` auto-selects the real decoder (soundfile when
+    installed, stdlib ``wave`` otherwise); ``use_codec=False`` forces
+    the deterministic stub. The real path raises ValueError on an
+    undecodable payload (callers surface it as a NULL output row — a
+    corrupt clip must be visible, never silently replaced with a fake
+    waveform). Multi-channel input is averaged to mono.
+    """
+    import io
+
+    real = True if use_codec is None else use_codec
+    if not real:
+        return _decode_audio_stub(content)
+    if _soundfile is not None:
+        try:
+            data, sr = _soundfile.read(
+                io.BytesIO(content), dtype="float64", always_2d=True
+            )
+        except Exception as exc:
+            raise ValueError(f"undecodable audio payload: {exc}") from None
+        return data.mean(axis=1), int(sr)
+    import wave as _wave
+
+    try:
+        with _wave.open(io.BytesIO(content), "rb") as wf:
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            sr = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except Exception as exc:
+        raise ValueError(f"undecodable audio payload: {exc}") from None
+    if sw == 1:  # unsigned 8-bit PCM
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def extract_audio_features(
+    media: DataFrame, n_bands: int = 8, use_codec: bool | None = None
+) -> DataFrame:
     """content -> per-band audio energy features via mapInPandas.
 
-    Decode is stubbed (deterministic fake waveform from the payload
-    hash; real impl: ``librosa.load`` / ``soundfile``), the feature is a
-    real computation over it: per-band mean absolute amplitude over
-    ``n_bands`` equal time slices plus global RMS — the same
-    fixed-width-vector contract as the image path, so audio near-dup
-    and ANN search reuse the embedding operators unchanged.
+    Decode via :func:`decode_audio` — REAL for PCM WAV (stdlib
+    ``wave``) and for every soundfile-supported format when that
+    optional dependency is installed; ``use_codec=False`` forces the
+    deterministic stub. The feature is a real computation over the
+    waveform either way: per-band mean absolute amplitude over
+    ``n_bands`` equal time slices, plus sample count, sample rate,
+    duration, and global RMS — the same fixed-width-vector contract as
+    the image path, so audio near-dup and ANN search reuse the
+    embedding operators unchanged. Undecodable payloads on the real
+    path yield a NULL-feature row (corrupt media stays visible).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats, counts, rms = [], [], []
+            feats, counts, rates, durs, rms = [], [], [], [], []
             for content in pdf["content"]:
                 raw = bytes(content)
-                digest = hashlib.sha256(raw).digest()
-                rng = np.random.default_rng(int.from_bytes(digest[8:16], "big"))
-                wave = rng.standard_normal(1024)
+                try:
+                    wave, sr = decode_audio(raw, use_codec)
+                except ValueError:
+                    feats.append(None)
+                    counts.append(None)
+                    rates.append(None)
+                    durs.append(None)
+                    rms.append(None)
+                    continue
                 bands = np.array_split(np.abs(wave), n_bands)
-                feats.append([float(round(b.mean(), 9)) for b in bands])
+                feats.append(
+                    [float(round(b.mean(), 9)) if b.size else 0.0 for b in bands]
+                )
                 counts.append(wave.size)
-                rms.append(float(round(np.sqrt((wave**2).mean()), 9)))
+                rates.append(sr)
+                durs.append(float(round(wave.size / sr, 9)) if sr else None)
+                rms.append(
+                    float(round(np.sqrt((wave**2).mean()), 9)) if wave.size else 0.0
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "feature": feats,
-                    "n_samples": counts,
+                    "n_samples": pd.array(counts, dtype="Int64"),
+                    "sample_rate": pd.array(rates, dtype="Int64"),
+                    "duration_sec": durs,
                     "rms": rms,
                 }
             )

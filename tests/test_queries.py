@@ -93,6 +93,24 @@ def test_every_query_has_oracle_or_is_documented():
     assert set(missing) <= allowed_rows_only
 
 
+def test_bench_baseline_covers_every_query():
+    """The bench regression guard silently skips queries missing from
+    BENCH_BASELINE.json (r2 shipped two such gaps); pin exact key
+    equality so registering a query without a baseline entry — or
+    leaving a stale baseline key behind — fails loudly here."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH_BASELINE.json")
+    with open(path) as fh:
+        base = json.load(fh)
+    assert set(base["queries"]) == set(QUERIES), (
+        f"only in queries(): {sorted(set(QUERIES) - set(base['queries']))}; "
+        f"only in baseline: {sorted(set(base['queries']) - set(QUERIES))}"
+    )
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     """HLL++ approximate distinct counts must land within 5x the target
     relative standard deviation of the exact counts (generous bound —

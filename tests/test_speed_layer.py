@@ -2,7 +2,24 @@
 (decode -> normalize -> partitioned lake) driven through the broker-less
 stand-in source that shares the exact codec and sink code path with the
 real Kafka source, plus a broker-gated integration test that skips
-cleanly when no broker is configured (VERDICT r1 next-steps #3)."""
+cleanly when no broker is configured (VERDICT r1 next-steps #3).
+
+Connector provisioning was attempted and is IMPOSSIBLE in this sandbox
+(VERDICT r2 task #7, verified 2026-08-13):
+
+1. no spark-sql-kafka / kafka-clients jar exists anywhere on the
+   filesystem (``find / -name '*spark-sql-kafka*' -o -name
+   '*kafka-clients*'`` -> 0 hits; ``$PYSPARK/jars`` has none);
+2. there is no network egress — ``curl -sI
+   https://repo1.maven.org/maven2/`` exits with HTTP code 000;
+3. a direct ``spark.jars.packages=
+   org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`` session start
+   dies at Ivy resolution with JAVA_GATEWAY_EXITED before the
+   SparkContext comes up.
+
+So the broker-gated test below cannot be un-skipped here; the connector
+code path (`sources/kafka.py`) remains exercised at codec level plus the
+envelope stand-in end-to-end, which shares everything but the socket."""
 
 from __future__ import annotations
 
