@@ -127,21 +127,35 @@ def _hashed_shingles(
     )
 
 
-def _posting_pairs(exploded: DataFrame, id_col: str) -> DataFrame:
+def _posting_pairs(
+    exploded: DataFrame, id_col: str, max_posting_len: int | None = None
+) -> DataFrame:
     """(id_a, id_b, n_inter) co-occurrence counts from an exploded
     (id, g) posting stream — one shuffle on g to build posting lists,
     pair expansion inside each list, one shuffle on the pair.
 
     This halves the work of the classic self-join-on-g formulation,
     which evaluates the (expensive) shingle pipeline once per join side.
-    At extreme scale a stop-shingle cap (drop postings longer than k)
-    belongs here; uncapped keeps exact-oracle semantics.
+
+    ``max_posting_len`` is the stop-shingle cap: postings longer than it
+    (shingles shared by more than that many docs — boilerplate headers,
+    empty-ish fragments) are DROPPED before pair expansion. A k-doc
+    posting emits k(k-1)/2 pairs, so one viral shingle at 100 TB
+    otherwise materializes billions of candidate rows on a single
+    shuffle key. Capping makes the result approximate (intersections
+    lose the dropped shingles, so jaccard is underestimated for pairs
+    sharing them — conservative: never a false positive); ``None``
+    (default) keeps exact-oracle semantics.
     """
+    if max_posting_len is not None and max_posting_len < 2:
+        raise ValueError(f"max_posting_len must be >= 2, got {max_posting_len}")
     post = (
         exploded.groupBy("g")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_posting_len is not None:
+        post = post.filter(F.size("ids") <= max_posting_len)
     # sorted ids -> emit ONLY the upper triangle (ids[i] pairs with the
     # strictly-later suffix), never the full n^2 product + filter: a
     # k-doc posting materializes k(k-1)/2 structs, not k^2
@@ -169,6 +183,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_posting_len: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard).
 
@@ -177,11 +192,17 @@ def ngram_jaccard_pairs(
     expansion within postings -> per-pair intersection counts -> join
     shingle-set sizes (broadcastable) -> jaccard filter. The division is
     exact int/int in double, so results are bit-identical across engines.
+
+    ``max_posting_len`` enables the stop-shingle cap (see
+    ``_posting_pairs``) — the knob that keeps the worst-case
+    O(sum-of-postings²) bounded at 100 TB. Leave ``None`` for exact
+    semantics; when set, jaccard is conservatively underestimated for
+    pairs sharing ultra-common shingles (no false positives enter).
     """
     hsh = _hashed_shingles(docs, n, id_col, text_col)
     sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
     exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
-    inter = _posting_pairs(exploded, id_col)
+    inter = _posting_pairs(exploded, id_col, max_posting_len)
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

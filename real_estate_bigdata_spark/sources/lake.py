@@ -35,6 +35,8 @@ __all__ = [
     "read_lake",
     "write_csv_view",
     "read_csv",
+    "write_orc",
+    "read_orc",
     "write_bucketed",
     "compact_partitions",
 ]
@@ -107,6 +109,29 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     scan in this engine — no inference pass, wrong-typed cells null out
     (PERMISSIVE default, matching the swallow-malformed contract)."""
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC sink — completes the columnar-format matrix (parquet is the
+    lake default; ORC interoperates with Hive-first estates). Same
+    pushdown/pruning profile as parquet: min/max stripe statistics
+    serve predicate pushdown, columnar projection prunes unread
+    columns. Native Spark format, no extra package."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; schema travels with the files (no inference pass), and
+    filters/projections push down exactly like the parquet scans."""
+    return spark.read.orc(path)
 
 
 def write_bucketed(

@@ -30,6 +30,37 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert lsh == exact
 
 
+def test_stop_shingle_cap_conservative_and_exact_when_loose(spark):
+    """The 100 TB stop-shingle knob: a cap larger than every posting is
+    a no-op (bit-identical to exact); a tight cap only REMOVES pairs or
+    lowers jaccard (dropped shingles shrink intersections) — it must
+    never invent a pair or raise a score above the exact value."""
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.8, max_posting_len=10**6
+        ).collect()
+    }
+    assert loose == exact
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.8, max_posting_len=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] + 1e-9 for p in capped)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_posting_len"):
+        dd.ngram_jaccard_pairs(docs, max_posting_len=1).collect()
+
+
 def test_exact_dedup_survivor_is_min_id(spark):
     df = spark.createDataFrame(
         [(3, "a"), (1, "a"), (2, "b"), (5, "a")], "doc_id long, text string"

@@ -232,3 +232,54 @@ def test_pack_documents_single_window_shuffle(spark):
         max_shuffles=1,
         forbid_python=True,
     )
+
+
+def test_portable_simhash_no_python_bounded_shuffles(spark):
+    # portable (md5) mode must stay codegen JVM expressions like the
+    # xxhash64 path: explode->hash-agg signatures (1 shuffle), banded
+    # self-join (2 exchanges for the join sides), pair distinct
+    assert_plan(
+        QUERIES["q_dedup_simhash"](spark, SF),
+        max_shuffles=6,
+        forbid_python=True,
+    )
+
+
+def test_quality_floor_broadcasts_cutoff(spark):
+    # global quantile cutoff joins back as a broadcast scalar — the
+    # corpus never shuffles for the threshold compare
+    assert_plan(
+        QUERIES["q_quality_floor"](spark, SF),
+        min_broadcast_joins=1,
+        max_sortmerge_joins=0,
+        forbid_python=True,
+    )
+
+
+def test_mixture_balance_map_only_after_stratum_totals(spark):
+    # per-stratum totals are a bounded driver-side collect; the applied
+    # rebalance itself is a map-only scan (no shuffle of the corpus)
+    assert_plan(
+        QUERIES["q_mixture_balance"](spark, SF),
+        max_shuffles=1,
+        forbid_python=True,
+    )
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # benchmark shingles are broadcast; the corpus-side flagging is
+    # map-side (semi/anti against a broadcast build)
+    assert_plan(
+        QUERIES["q_decontaminate"](spark, SF),
+        min_broadcast_joins=1,
+        max_sortmerge_joins=0,
+    )
+
+
+def test_stratified_sample_map_only(spark):
+    # CASE-threshold per stratum = pure projection + filter
+    assert_plan(
+        QUERIES["q_stratified_sample"](spark, SF),
+        max_shuffles=0,
+        forbid_python=True,
+    )
