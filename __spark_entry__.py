@@ -395,6 +395,27 @@ def _q_doc_fingerprints(spark, sf):
     return ta.doc_fingerprints(load_table(spark, sf, "documents"))
 
 
+def _q_vocab_top_tokens(spark, sf):
+    return ta.vocab_top_tokens(load_table(spark, sf, "documents"), k=100)
+
+
+def _q_unigram_logprob(spark, sf):
+    return ta.unigram_logprob_scores(load_table(spark, sf, "documents"))
+
+
+def _q_cluster_safe_split(spark, sf):
+    """Leakage-safe split: near-dup clusters (MinHash-LSH pairs, same
+    generator as q_dedup_clusters) assigned wholly to one split."""
+    from real_estate_bigdata_spark.operators.clustering import cluster_safe_split
+    from real_estate_bigdata_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf, "documents")
+    out = cluster_safe_split(
+        docs, minhash_lsh_pairs(docs), {"train": 0.9, "holdout": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
 def _q_curate_corpus(spark, sf):
     from real_estate_bigdata_spark.operators.curation import curate_corpus
 
@@ -557,11 +578,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_outer_customer_profile, q_tumbling_events, q_rollup_orders,
     q_window_frames), (b) q_dedup_simhash — newly oracle-bearing this
     round (portable md5 hash mode, never driver-verified before), and
-    (c) 37 of the 50 queries verified green in CORRECTNESS_r02.
+    (c) the 3 queries NEW in r3 (q_vocab_top_tokens,
+    q_unigram_logprob, q_cluster_safe_split — never driver-verified),
+    and (d) 34 of the 50 queries verified green in CORRECTNESS_r02.
 
     Past slot 50 sit the 2 rows-only queries (hyperplane-LSH / IVF ANN
     — approximate by construction, pinned by pytest recall tests) plus
-    13 queries hash-verified green in CORRECTNESS_r02, each with an
+    16 queries hash-verified green in CORRECTNESS_r02, each with an
     in-cap operator sibling: q_dedup_embedding_gemm (bit-identical to
     in-cap q_dedup_embedding), q_dedup_minhash_lsh (same exact-pairs
     oracle as in-cap q_dedup_ngram_jaccard), q_rank_dense_ntile
@@ -574,11 +597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     join in-cap via q_semi_active_customers /
     q_anti_customers_no_orders), q13 (left-outer + zero-fill in-cap
     via q_outer_customer_profile), q22 (anti join in-cap via
-    q_anti_customers_no_orders; scalar subquery in-cap via q17).
+    q_anti_customers_no_orders; scalar subquery in-cap via q17),
+    q05/q12/q14 (broadcast-dim star joins + filtered aggregates in-cap
+    via q07/q08/q09).
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 65 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 68 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r3 rotation, see docstring) ----
@@ -595,18 +620,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tumbling_events": _q_tumbling_events,
         "q_rollup_orders": _q_rollup_orders,
         "q_window_frames": _q_window_frames,
-        # newly oracle-bearing this round
+        # newly oracle-bearing / new this round
         "q_dedup_simhash": _q_dedup_simhash,
-        # 37 r2-verified queries
+        "q_vocab_top_tokens": _q_vocab_top_tokens,
+        "q_unigram_logprob": _q_unigram_logprob,
+        "q_cluster_safe_split": _q_cluster_safe_split,
+        # 34 r2-verified queries
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
         "q08_market_share": _q08_market_share,
         "q09_product_profit": _q09_product_profit,
-        "q12_priority_lines": _q12_priority_lines,
-        "q14_promo_revenue": _q14_promo_revenue,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_variety": _q16_supplier_variety,
         "q17_small_quantity": _q17_small_quantity,
@@ -640,7 +665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r02 and have an in-cap operator sibling) ----
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q10_returned_items": _q10_returned_items,
+        "q12_priority_lines": _q12_priority_lines,
+        "q14_promo_revenue": _q14_promo_revenue,
         "q13_customer_distribution": _q13_customer_distribution,
         "q18_large_orders": _q18_large_orders,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
@@ -806,6 +834,82 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_pii_redaction": _pii_sql(),
         "q_dedup_simhash": _simhash_sql(),
+        # corpus vocabulary head: wordcount + doc frequency, rank by
+        # (count desc, token asc) — deterministic tie-break both engines
+        "q_vocab_top_tokens": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                              ELSE string_split_regex(trim(text), '\s+') END) AS token
+                FROM documents
+            ), agg AS (
+                SELECT token,
+                       count(*)::BIGINT          AS n_occurrences,
+                       count(DISTINCT doc_id)::BIGINT AS n_docs
+                FROM toks GROUP BY token
+            )
+            SELECT token, n_occurrences, n_docs,
+                   row_number() OVER (ORDER BY n_occurrences DESC, token ASC)::BIGINT AS rank
+            FROM agg
+            ORDER BY rank
+            LIMIT 100
+        """,
+        # corpus-unigram-LM doc score: avg(-ln p) = ln(N) - avg(ln n_t);
+        # tokenless docs keep NULL score / 0 tokens on both engines
+        "q_unigram_logprob": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                              ELSE string_split_regex(trim(text), '\s+') END) AS token
+                FROM documents
+            ), freq AS (
+                SELECT token, count(*)::BIGINT AS n_tok FROM toks GROUP BY token
+            ), tot AS (
+                SELECT sum(n_tok)::DOUBLE AS corpus_n FROM freq
+            ), per AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       avg(ln(f.n_tok)) AS avg_ln_count
+                FROM toks t JOIN freq f USING (token)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(ln(tot.corpus_n) - p.avg_ln_count, 6) AS avg_neg_logprob
+            FROM documents d
+            LEFT JOIN per p ON p.doc_id = d.doc_id
+            CROSS JOIN tot
+        """,
+        # leakage-safe split: cluster-min label via recursive CTE over
+        # the same exact-Jaccard pair set the Spark LSH pipeline
+        # verifies against; split = md5-prefix bucket of the label
+        # (singletons: own id), 90/10 at bucket 9000 — identical to
+        # sampling.hash_split's range assignment
+        "q_cluster_safe_split": f"""
+            WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ),
+            labels AS (
+                SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u
+            ),
+            keyed AS (
+                SELECT d.doc_id,
+                       coalesce(l.cluster_id, d.doc_id) AS split_key
+                FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(split_key::VARCHAR), 1, 15))::BIGINT
+                             % 10000 < 9000
+                        THEN 'train' ELSE 'holdout' END AS split
+            FROM keyed
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                                  AS sum_qty,

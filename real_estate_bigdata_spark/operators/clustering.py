@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "near_dup_survivors"]
+__all__ = ["connected_components", "near_dup_survivors", "cluster_safe_split"]
 
 
 def connected_components(
@@ -238,3 +238,41 @@ def near_dup_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(victims, id_col, "left_anti")
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "",
+    split_col: str = "split",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Leakage-safe train/eval split: every near-duplicate CLUSTER lands
+    wholly inside one split. Splitting by document id leaks — a doc in
+    train and its near-copy in holdout inflates eval scores exactly the
+    way benchmark contamination does — so the split key is the cluster
+    label (component-min id from :func:`connected_components`),
+    falling back to the document's own id for singletons. Downstream
+    the assignment is :func:`operators.sampling.hash_split` — portable,
+    deterministic, partition-independent.
+
+    Scale shape: the pair stream is near-dup-rate sized, the label join
+    is one shuffle on the doc id (label side is small — only clustered
+    docs), and the split itself is map-only. Weight skew note: a split
+    receives whole clusters, so realized fractions drift from
+    ``weights`` by at most the mass of the largest cluster — at corpus
+    scale that drift is noise.
+    """
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    from real_estate_bigdata_spark.operators.sampling import hash_split
+
+    labeled = docs.join(
+        cc.select(F.col("id").alias(id_col), "cluster_id"), id_col, "left"
+    ).withColumn("__split_key", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return hash_split(
+        labeled, weights, key_col="__split_key", salt=salt, split_col=split_col
+    ).drop("__split_key", "cluster_id")

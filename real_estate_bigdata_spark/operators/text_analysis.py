@@ -16,6 +16,7 @@ from real_estate_bigdata_spark.functions.text import (
     bpe_ish_token_count,
     quality_metrics,
     token_count,
+    tokenize,
 )
 
 __all__ = [
@@ -24,6 +25,8 @@ __all__ = [
     "lang_id_report",
     "doc_fingerprints",
     "repetition_metrics",
+    "vocab_top_tokens",
+    "unigram_logprob_scores",
 ]
 
 
@@ -165,3 +168,79 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         portable_fingerprint(normalized)
     )
     return ensure_min_parallelism(docs).select("doc_id", fp.alias("fingerprint"))
+
+
+def vocab_top_tokens(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace tokens
+    with occurrence count, document frequency, and a deterministic rank
+    (count desc, token asc tie-break) — the seed table for BPE vocab
+    construction, stopword derivation, and drift monitoring.
+
+    Scale shape: classic wordcount — explode + one map-side-combining
+    hash aggregate on the token (``countDistinct`` adds the standard
+    two-phase distinct expansion), then ``orderBy().limit(k)`` which
+    Spark executes as TakeOrderedAndProject (per-partition top-k,
+    driver merges k·partitions rows — never a global sort). The rank
+    window runs over the k surviving rows only, so the single-partition
+    window is bounded at k regardless of corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    top = agg.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style corpus-language-model quality signal: per document,
+    the mean negative log-probability of its tokens under the corpus's
+    own unigram distribution. Low = stereotypical text, high =
+    rare-token-heavy (gibberish, foreign-language, OCR noise); the
+    standard filter is a quantile band over this score
+    (compose with :func:`operators.quality.quantile_floor`).
+
+    avg(-ln p(t)) decomposes as ln(N) - avg(ln n_t), so the plan is:
+    wordcount (one combining shuffle), token-stream join against the
+    frequency table (vocab ≪ corpus; AQE picks broadcast when it
+    fits), per-doc aggregate, and the corpus total joined back as a
+    broadcast scalar — no global sort, no driver data. Tokenless
+    (empty/NULL) docs keep a NULL score with n_tokens 0.
+    """
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").cast("double").alias("corpus_n"))
+    per_doc = (
+        toks.join(freq, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log("n_tok")).alias("avg_ln_count"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.round(F.log("corpus_n") - F.col("avg_ln_count"), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

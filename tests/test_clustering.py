@@ -125,3 +125,30 @@ def test_real_corpus_clusters_match_pairs(spark):
     assert pr  # planted near-dups make this non-trivial
     assert all(label[a] == label[b] for a, b in pr)
     assert set(label) == {i for p in pr for i in p}
+
+
+def test_cluster_safe_split_no_leakage_and_covers_all(spark):
+    """Every near-dup cluster lands wholly in one split; every doc gets
+    exactly one split; singleton assignment matches plain hash_split
+    (same key, same bucketing), so only clustered docs can move."""
+    from real_estate_bigdata_spark.operators.dedup import minhash_lsh_pairs
+    from real_estate_bigdata_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    out = cl.cluster_safe_split(docs, pairs, {"train": 0.9, "holdout": 0.1})
+    split = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    assert len(split) == docs.count()
+    pr = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pr
+    assert all(split[a] == split[b] for a, b in pr)
+    clustered = {i for p in pr for i in p}
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(docs, {"train": 0.9, "holdout": 0.1})
+        .select("doc_id", "split")
+        .collect()
+    }
+    for d, s in split.items():
+        if d not in clustered:
+            assert s == plain[d]

@@ -113,3 +113,49 @@ def test_repetition_metrics_stays_jvm_side(spark):
 
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     assert_plan(repetition_metrics(docs), forbid_python=True, max_sortmerge_joins=0)
+
+
+def test_vocab_top_tokens_rank_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c"), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    from real_estate_bigdata_spark.operators.text_analysis import vocab_top_tokens
+
+    rows = {r.token: r for r in vocab_top_tokens(df, k=2).collect()}
+    # a: 3 occurrences in 2 docs; b: 2 in 2; c excluded by k=2
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].rank == 1 and rows["a"].n_occurrences == 3 and rows["a"].n_docs == 2
+    assert rows["b"].rank == 2 and rows["b"].n_occurrences == 2 and rows["b"].n_docs == 2
+    # tie-break: equal counts rank alphabetically
+    tie = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    t = {r.token: r.rank for r in vocab_top_tokens(tie, k=5).collect()}
+    assert t == {"x": 1, "y": 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        vocab_top_tokens(df, k=0)
+
+
+def test_unigram_logprob_scores_semantics(spark):
+    import math
+
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        unigram_logprob_scores,
+    )
+
+    # corpus: 'a' x3, 'b' x1 -> N=4; p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_scores(df).collect()}
+    exp1 = -(2 * math.log(3 / 4) + math.log(1 / 4)) / 3
+    assert abs(rows[1].avg_neg_logprob - round(exp1, 6)) < 1e-9
+    assert abs(rows[2].avg_neg_logprob - round(-math.log(3 / 4), 6)) < 1e-9
+    assert rows[1].n_tokens == 3 and rows[2].n_tokens == 1
+    # tokenless docs: present, NULL score
+    for d in (3, 4):
+        assert rows[d].n_tokens == 0 and rows[d].avg_neg_logprob is None
+    # rare-token doc scores higher than common-token doc
+    assert rows[1].avg_neg_logprob > rows[2].avg_neg_logprob
