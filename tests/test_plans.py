@@ -283,3 +283,24 @@ def test_stratified_sample_map_only(spark):
         max_shuffles=0,
         forbid_python=True,
     )
+
+
+def test_vocab_top_tokens_takeordered_not_global_sort(spark):
+    # top-k must run as TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows), never a full-corpus global Sort+Exchange;
+    # the rank window then only sees the k survivors
+    df = QUERIES["q_vocab_top_tokens"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    stats = assert_plan(df, forbid_python=True)
+    assert stats.shuffles <= 4, stats
+
+
+def test_unigram_logprob_no_python_bounded_shuffles(spark):
+    # wordcount shuffle + token join + per-doc agg + doc-id join with
+    # broadcast scalar total: everything codegen, no global sort
+    assert_plan(
+        QUERIES["q_unigram_logprob"](spark, SF),
+        forbid_python=True,
+        max_shuffles=8,
+    )
