@@ -244,3 +244,31 @@ def unigram_logprob_scores(
             ),
         )
     )
+
+
+def approx_heavy_hitters(
+    docs: DataFrame,
+    support: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """Single-pass approximate heavy hitters over the token stream:
+    every token with frequency > ``support`` of all token occurrences
+    is returned (Karp-Papadimitriou-Shenker via ``df.stat.freqItems``
+    — may include false positives below the threshold, never misses a
+    true heavy hitter). The streaming-friendly complement to
+    :func:`vocab_top_tokens`: one map-side pass, no count shuffle, no
+    top-k merge — the shape for a quick boilerplate/stopword probe on
+    100 TB where even a wordcount is a job you'd rather skip.
+
+    Returns a driver-side list (bounded at ~1/support entries by the
+    algorithm). Compose with ``vocab_top_tokens`` over the candidate
+    set for exact counts when needed.
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    toks = ensure_min_parallelism(docs).select(
+        F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    row = toks.stat.freqItems(["token"], support).first()
+    return sorted(row[0])

@@ -159,3 +159,27 @@ def test_unigram_logprob_scores_semantics(spark):
         assert rows[d].n_tokens == 0 and rows[d].avg_neg_logprob is None
     # rare-token doc scores higher than common-token doc
     assert rows[1].avg_neg_logprob > rows[2].avg_neg_logprob
+
+
+def test_approx_heavy_hitters_superset_of_true(spark):
+    """KPS guarantee: no true heavy hitter (> support of the stream) is
+    ever missed; false positives are allowed and resolved by an exact
+    recount over the candidate set."""
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        approx_heavy_hitters,
+        vocab_top_tokens,
+    )
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    support = 0.01
+    hh = set(approx_heavy_hitters(docs, support=support))
+    # exact truth from the wordcount path
+    vocab = vocab_top_tokens(docs, k=10**6).collect()
+    total = sum(r.n_occurrences for r in vocab)
+    truth = {r.token for r in vocab if r.n_occurrences > support * total}
+    assert truth <= hh
+    import pytest
+
+    with pytest.raises(ValueError):
+        approx_heavy_hitters(docs, support=0.0)
