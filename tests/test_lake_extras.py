@@ -128,3 +128,43 @@ def test_registry_rejects_duplicates():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_write_lake_cluster_by_produces_file_skipping_ranges(spark, tmp_path):
+    """cluster_by must leave each parquet file with a narrow value range
+    so footer min/max stats can skip files: with enough distinct keys and
+    multiple output files, per-file (min, max) spans must be (near-)
+    disjoint — here strictly non-overlapping since keys are unique."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.lit("2024-01-01").alias("ingest_date"),
+            F.lit("s").alias("source"),
+        )
+        .repartition(8)  # deliberately scrambled input
+    )
+    path = str(tmp_path / "clustered")
+    lake.write_lake(df, path, mode="overwrite", cluster_by=("k",), cluster_partitions=6)
+    import glob
+
+    files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    assert len(files) > 1, "need multiple files to demonstrate skipping"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # and the data is intact
+    assert lake.read_lake(spark, path).count() == n
