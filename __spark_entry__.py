@@ -367,6 +367,12 @@ def _q_embed_cosine_topk(spark, sf):
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_label_agreement(spark, sf):
+    """Label-noise audit: exact 1-NN label consistency over the labeled
+    embeddings table (NEW r3; exploits the `label` column)."""
+    return sim.label_agreement(load_table(spark, sf, "embeddings"))
+
+
 def _q_embed_ivf_topk(spark, sf):
     # rows-only: approximate by construction (recall < 1)
     emb = load_table(spark, sf, "embeddings")
@@ -578,13 +584,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_outer_customer_profile, q_tumbling_events, q_rollup_orders,
     q_window_frames), (b) q_dedup_simhash — newly oracle-bearing this
     round (portable md5 hash mode, never driver-verified before), and
-    (c) the 3 queries NEW in r3 (q_vocab_top_tokens,
-    q_unigram_logprob, q_cluster_safe_split — never driver-verified),
-    and (d) 34 of the 50 queries verified green in CORRECTNESS_r02.
+    (c) the 4 queries NEW in r3 (q_vocab_top_tokens,
+    q_unigram_logprob, q_cluster_safe_split, q_label_agreement —
+    never driver-verified), and (d) 33 of the 50 queries verified
+    green in CORRECTNESS_r02 (q06 rotates past-cap with its in-cap
+    scan-filter-aggregate sibling q01).
 
     Past slot 50 sit the 2 rows-only queries (hyperplane-LSH / IVF ANN
     — approximate by construction, pinned by pytest recall tests) plus
-    16 queries hash-verified green in CORRECTNESS_r02, each with an
+    17 queries hash-verified green in CORRECTNESS_r02, each with an
     in-cap operator sibling: q_dedup_embedding_gemm (bit-identical to
     in-cap q_dedup_embedding), q_dedup_minhash_lsh (same exact-pairs
     oracle as in-cap q_dedup_ngram_jaccard), q_rank_dense_ntile
@@ -603,7 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 68 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 69 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r3 rotation, see docstring) ----
@@ -625,10 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_top_tokens": _q_vocab_top_tokens,
         "q_unigram_logprob": _q_unigram_logprob,
         "q_cluster_safe_split": _q_cluster_safe_split,
-        # 34 r2-verified queries
+        "q_label_agreement": _q_label_agreement,
+        # 33 r2-verified queries
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
-        "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
         "q08_market_share": _q08_market_share,
         "q09_product_profit": _q09_product_profit,
@@ -666,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q06_forecast_revenue": _q06_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -1421,6 +1430,25 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY cosine DESC, neighbor_id) AS rn
                 FROM scored
             ) WHERE rn <= 10
+        """,
+        # exact 1-NN label agreement; same cosine + (rounded desc, id)
+        # tie-break as the q_embed_cosine_topk oracle
+        "q_label_agreement": """
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+                SELECT a.vec_id, a.label, b.vec_id AS nn_id, b.label AS nn_label,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                             6) AS cosine
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            )
+            SELECT vec_id, label, nn_id, nn_label, (label = nn_label) AS agree
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY cosine DESC, nn_id) AS rn
+                FROM scored
+            ) WHERE rn = 1
         """,
         "q_text_quality": rf"""
             WITH t AS (

@@ -29,6 +29,7 @@ from real_estate_bigdata_spark.functions.vectors import cosine_from_norms, l2_no
 
 __all__ = [
     "brute_force_topk",
+    "label_agreement",
     "hyperplane_lsh_bucket",
     "lsh_topk",
     "IvfIndex",
@@ -81,6 +82,98 @@ def brute_force_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rn")
+    )
+
+
+def label_agreement(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_rows: int = 200_000,
+) -> DataFrame:
+    """Label-noise detection over a labeled embedding set: for every
+    vector, its exact cosine 1-nearest-neighbor and whether the labels
+    agree. Rows with ``agree = false`` are the classic mislabel /
+    ambiguous-class candidates (a point deep inside another class's
+    region) — the first audit to run on labeled finetuning or eval data
+    before training on it.
+
+    Execution: the labeled set is snapshotted driver-side (sorted by id
+    for the deterministic tie-break) and baked into a mapInPandas
+    closure; each Arrow batch is scored against the whole set in ONE
+    BLAS matrix multiply, then per-row argmax over round-6 cosines with
+    lowest-id tie-break — bit-compatible with the DuckDB oracle's
+    ``ORDER BY cosine DESC, nn_id`` ranking. The driver-side collect is
+    the same bounded-snapshot shape as the IVF training sample: labeled
+    sets are orders of magnitude smaller than pretraining corpora, and
+    ``max_rows`` (default 200k ≈ 100 MB at dim 64) enforces the
+    assumption rather than letting the driver OOM. Past that bound, the
+    blocked-GEMM pair machinery
+    (``dedup.embedding_neardup_pairs_blocked``) is the scale twin.
+    """
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"label_agreement snapshots the labeled set driver-side; "
+            f"{n} rows > max_rows={max_rows}. Use "
+            f"dedup.embedding_neardup_pairs_blocked for corpus-scale sets."
+        )
+    snap = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"), F.col(label_col))
+        .orderBy(id_col)
+        .collect()
+    )
+    ids = np.array([r[0] for r in snap], dtype=np.int64)
+    labels = np.array([r[2] for r in snap], dtype=np.int64)
+    M = np.array([r[1] for r in snap], dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    nrm[nrm == 0.0] = np.inf  # zero vectors: cosine 0 to everything
+    Mn = M / nrm[:, None]
+    id_pos = {int(i): p for p, i in enumerate(ids)}
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {c: pd.array([], dtype="int64")
+                     for c in ("__id", "__label", "nn_id", "nn_label")}
+                )
+                continue
+            q = np.array(list(pdf["__v"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0.0] = np.inf
+            sims = np.round((q / qn[:, None]) @ Mn.T, 6)
+            for row_i, qid in enumerate(pdf["__id"]):
+                sims[row_i, id_pos[int(qid)]] = -np.inf  # mask self
+            best = sims.max(axis=1)
+            # ids are sorted ascending, so the FIRST column attaining the
+            # max is the lowest-id tie-break
+            nn_pos = (sims == best[:, None]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].astype("int64"),
+                    "__label": pdf["__label"].astype("int64"),
+                    "nn_id": ids[nn_pos],
+                    "nn_label": labels[nn_pos],
+                }
+            )
+
+    label_type = emb.schema[label_col].dataType
+    id_type = emb.schema[id_col].dataType
+    scored = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.col(label_col).alias("__label"),
+    ).mapInPandas(
+        batches, schema="__id long, __label long, nn_id long, nn_label long"
+    )
+    return scored.select(
+        F.col("__id").cast(id_type).alias(id_col),
+        F.col("__label").cast(label_type).alias(label_col),
+        F.col("nn_id").cast(id_type).alias("nn_id"),
+        F.col("nn_label").cast(label_type).alias("nn_label"),
+        (F.col("__label") == F.col("nn_label")).alias("agree"),
     )
 
 

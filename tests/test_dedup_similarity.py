@@ -354,3 +354,31 @@ def test_ivf_build_sampling_is_partition_independent(spark):
     la = sorted(map(tuple, ia.lists.select("neighbor_id", "__list").collect()))
     lb = sorted(map(tuple, ib.lists.select("neighbor_id", "__list").collect()))
     assert la == lb
+
+
+def test_label_agreement_flags_planted_mislabel(spark):
+    """A vector given a wrong label while sitting on top of a
+    same-direction cluster must come back agree=false; clean cluster
+    members agree with their neighbors."""
+    import random
+
+    rng = random.Random(7)
+
+    def vec(base, eps):
+        return [b + rng.uniform(-eps, eps) for b in base]
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = (
+        [(i, vec(a, 0.01), 0) for i in range(5)]
+        + [(10 + i, vec(b, 0.01), 1) for i in range(5)]
+        + [(99, vec(a, 0.01), 1)]  # A-cluster geometry, B label
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in sim.label_agreement(emb).collect()}
+    assert len(out) == 11
+    assert out[99].agree is False and out[99].nn_label == 0
+    clean = [r for i, r in out.items() if i != 99]
+    # clusters are tight, so everyone else's 1-NN is a same-cluster
+    # member — except whichever A-vector has 99 as its nearest neighbor
+    assert sum(not r.agree for r in clean) <= 1
