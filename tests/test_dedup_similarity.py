@@ -382,3 +382,51 @@ def test_label_agreement_flags_planted_mislabel(spark):
     # clusters are tight, so everyone else's 1-NN is a same-cluster
     # member — except whichever A-vector has 99 as its nearest neighbor
     assert sum(not r.agree for r in clean) <= 1
+
+
+def test_portable_hash64_matches_duckdb_on_adversarial_strings(spark):
+    """portable_hash64 is the cross-engine contract every portable-mode
+    oracle rests on (SimHash, fingerprints, hash_split); pin Spark ==
+    DuckDB over unicode, whitespace, quotes, long and empty strings."""
+    import duckdb
+
+    from real_estate_bigdata_spark.functions.text import portable_hash64
+
+    corpus = [
+        "", " ", "a", "Đống Đa — Quận 1", "tỷ/triệu", "🏠🏡", "a" * 10_000,
+        "line\nbreak", "tab\tsep", "quote'dq\"uote", "null\x00byte-ish",
+        "ngram one two", "ngram one  two", "ẵặẳẴỹ", "ß", "\\backslash",
+    ] + [f"tok{i}" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = {r.s: r.h for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in corpus:
+        (exp,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()
+        assert got[s] == exp, f"hash mismatch for {s!r}"
+
+
+def test_cluster_safe_split_empty_pair_stream(spark):
+    """No near-dups at all: the split must degrade to plain hash_split
+    over every doc (singleton fallback), not fail on the empty edge set."""
+    from real_estate_bigdata_spark.operators.clustering import cluster_safe_split
+    from real_estate_bigdata_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 30)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r.doc_id: r.split
+        for r in cluster_safe_split(docs, empty, {"train": 0.8, "holdout": 0.2})
+        .select("doc_id", "split")
+        .collect()
+    }
+    plain = {
+        r.doc_id: r.split
+        for r in hash_split(docs, {"train": 0.8, "holdout": 0.2})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert out == plain
