@@ -48,6 +48,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_blocked",
+    "dedup_against_store",
 ]
 
 
@@ -581,3 +582,51 @@ def embedding_neardup_pairs_blocked(
         .groupBy("bx", "by")
         .applyInPandas(_gram, "id_a long, id_b long, cosine double")
     )
+
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup for continuous ingest: drop every new
+    document whose (whitespace-normalized, portable) content fingerprint
+    already exists in the historical ``store``, and return the novel
+    docs plus the updated store. The production loop is::
+
+        novel, store = dedup_against_store(batch, store)
+        write_lake(novel, ...); overwrite/append the store table
+
+    Semantics: within-batch duplicates resolve to the min-id survivor
+    first (same policy as :func:`exact_dedup`), then survivors are
+    anti-joined against the store. NULL-text docs carry a NULL
+    fingerprint — they always pass through as novel and are NEVER added
+    to the store (a missing document must not dedup future missing
+    documents against each other).
+
+    Scale posture: the store is one 8-byte-key column; both the
+    anti-join and the store union shuffle on the fingerprint only —
+    never the document payload. Persist the store bucketed on
+    ``fingerprint`` (``sources.lake.write_bucketed``) and the per-batch
+    anti-join reads co-located buckets with no exchange on the store
+    side. Returned store rows are distinct by construction.
+    """
+    from real_estate_bigdata_spark.operators.text_analysis import doc_fingerprints
+
+    fps = doc_fingerprints(
+        new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select(F.col("doc_id").alias(id_col), "fingerprint")
+    tagged = new_docs.join(fps, id_col)
+    survivors = exact_dedup(
+        tagged.filter(F.col("fingerprint").isNotNull()), ["fingerprint"], id_col
+    ).unionByName(tagged.filter(F.col("fingerprint").isNull()))
+    store_fps = store.select("fingerprint")
+    # left_anti on an equality key keeps NULL-fingerprint rows (NULL
+    # never equals a store row), which is exactly the pass-through we
+    # want — no separate NULL branch needed
+    novel = survivors.join(store_fps, "fingerprint", "left_anti")
+    new_store = store_fps.unionByName(
+        novel.filter(F.col("fingerprint").isNotNull()).select("fingerprint")
+    ).distinct()
+    return novel.drop("fingerprint"), new_store

@@ -430,3 +430,35 @@ def test_cluster_safe_split_empty_pair_stream(spark):
         .collect()
     }
     assert out == plain
+
+
+def test_dedup_against_store_incremental_batches(spark):
+    """The continuous-ingest loop: batch 2 must drop docs whose content
+    (whitespace-normalized) already entered the lake in batch 1, resolve
+    within-batch dups to the min id, pass NULL-text docs through without
+    poisoning the store, and leave the store distinct."""
+    empty_store = spark.createDataFrame([], "fingerprint bigint")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta"), (4, None)],
+        "doc_id long, text string",
+    )
+    novel1, store1 = dd.dedup_against_store(b1, empty_store)
+    got1 = {r.doc_id for r in novel1.collect()}
+    # 3 is a whitespace-variant dup of 1 (min id survives); NULL passes
+    assert got1 == {1, 2, 4}
+    assert store1.count() == 2  # alpha-beta + gamma-delta; no NULL entry
+
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "brand new"), (12, "brand new"), (13, None)],
+        "doc_id long, text string",
+    )
+    novel2, store2 = dd.dedup_against_store(b2, store1)
+    got2 = {r.doc_id for r in novel2.collect()}
+    # 10 dups batch-1 content; 12 dups 11 within-batch; NULL passes again
+    assert got2 == {11, 13}
+    assert store2.count() == 3
+    assert novel2.columns == b2.columns
+    # replay batch 2: nothing novel except the NULL pass-through
+    novel3, store3 = dd.dedup_against_store(b2, store2)
+    assert {r.doc_id for r in novel3.collect()} == {13}
+    assert store3.count() == 3
