@@ -25,6 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "sessionize_stream",
     "dedup_stream",
+    "corpus_stats_stream",
     "SESSION_OUTPUT_SCHEMA",
     "SESSION_STATE_SCHEMA",
 ]
@@ -131,6 +132,83 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         update,
         SESSION_OUTPUT_SCHEMA,
         SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+CORPUS_STATS_OUTPUT_SCHEMA = (
+    "source string, n_docs long, n_null_docs long, ws_tokens long, "
+    "n_chars long, avg_ws_tokens double"
+)
+CORPUS_STATS_STATE_SCHEMA = "n_docs long, n_null long, ws long, chars long"
+
+
+def corpus_stats_stream(docs: DataFrame) -> DataFrame:
+    """Running per-source corpus accounting over a document stream —
+    the incremental twin of ``operators.text_analysis.token_accounting``
+    for continuous ingest: each micro-batch updates per-source totals
+    (docs, NULL docs, whitespace tokens, chars, running mean tokens)
+    and re-emits the running truth for every source the batch touched
+    ('update' semantics — a live corpus-size dashboard during a crawl,
+    without rescanning the lake).
+
+    The token/char counting runs BEFORE the stateful operator as JVM
+    Column expressions (map-side, codegen); the pandas state function
+    only sums four integers per batch, so per-key state is O(1) and the
+    only shuffle is the groupBy on ``source`` — cardinality = number of
+    sources, trivially small.
+    """
+    from pyspark.sql import functions as F
+
+    from real_estate_bigdata_spark.functions.text import token_count
+
+    enriched = docs.select(
+        "source",
+        token_count(F.col("text")).alias("__ws"),
+        F.length("text").alias("__nc"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        if state.exists:
+            n_docs, n_null, ws, chars = state.get
+        else:
+            n_docs, n_null, ws, chars = 0, 0, 0, 0
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            n_null += int(pdf["__ws"].isna().sum())
+            ws += int(pdf["__ws"].fillna(0).sum())
+            chars += int(pdf["__nc"].fillna(0).sum())
+        state.update((int(n_docs), int(n_null), int(ws), int(chars)))
+        counted = n_docs - n_null
+        yield pd.DataFrame(
+            [
+                (
+                    source,
+                    n_docs,
+                    n_null,
+                    ws,
+                    chars,
+                    float(ws) / counted if counted else None,
+                )
+            ],
+            columns=[
+                "source",
+                "n_docs",
+                "n_null_docs",
+                "ws_tokens",
+                "n_chars",
+                "avg_ws_tokens",
+            ],
+        )
+
+    return enriched.groupBy("source").applyInPandasWithState(
+        update,
+        CORPUS_STATS_OUTPUT_SCHEMA,
+        CORPUS_STATS_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

@@ -147,3 +147,61 @@ def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
     rows = spark.sql("select event_id from dedup_out").collect()
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3], ids
+
+
+def test_corpus_stats_stream_running_totals(spark, tmp_path):
+    """Per-source running totals must accumulate across micro-batches
+    (maxFilesPerTrigger=1) and converge to the batch token_accounting
+    numbers once the stream drains; NULL docs count separately and
+    don't poison sums."""
+    import os
+    import time
+
+    from real_estate_bigdata_spark.streaming.stateful import corpus_stats_stream
+
+    DOC_SCHEMA = "doc_id long, source string, text string"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    batch1 = [
+        {"doc_id": 1, "source": "a", "text": "one two three"},
+        {"doc_id": 2, "source": "a", "text": None},
+        {"doc_id": 3, "source": "b", "text": "x y"},
+    ]
+    batch2 = [
+        {"doc_id": 4, "source": "a", "text": "four five"},
+        {"doc_id": 5, "source": "b", "text": "z"},
+    ]
+    _write_jsonl(src / "a.jsonl", batch1)
+    _write_jsonl(src / "b.jsonl", batch2)
+    now = time.time()
+    os.utime(src / "a.jsonl", (now - 60, now - 60))
+    os.utime(src / "b.jsonl", (now, now))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        corpus_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("corpus_stats_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM corpus_stats_out").collect()
+    # update mode re-emits per batch; the LAST emission per source is
+    # the running truth — reconstruct it by max n_docs
+    final = {}
+    for r in rows:
+        if r.source not in final or r.n_docs > final[r.source].n_docs:
+            final[r.source] = r
+    a, b = final["a"], final["b"]
+    assert (a.n_docs, a.n_null_docs, a.ws_tokens) == (3, 1, 5)
+    assert abs(a.avg_ws_tokens - 2.5) < 1e-9
+    assert (b.n_docs, b.n_null_docs, b.ws_tokens) == (2, 0, 3)
+    # intermediate emission for source a existed with batch-1-only totals
+    partials = [r for r in rows if r.source == "a" and r.n_docs == 2]
+    assert partials and partials[0].ws_tokens == 3
