@@ -27,6 +27,8 @@ __all__ = [
     "repetition_metrics",
     "vocab_top_tokens",
     "unigram_logprob_scores",
+    "tfidf_scores",
+    "chunk_documents",
 ]
 
 
@@ -272,3 +274,83 @@ def approx_heavy_hitters(
     )
     row = toks.stat.freqItems(["token"], support).first()
     return sorted(row[0])
+
+
+def tfidf_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded TF-IDF term weights: one row per (document, distinct
+    token) with term frequency, smoothed inverse document frequency,
+    and their product — the classic sparse text representation
+    (SURVEY §7.6 names TF-IDF as north-star text-analysis surface).
+    Kept exploded rather than assembled into vectors: the row form
+    feeds similarity joins, top-term extraction, and keyword reports
+    directly, and it's the shape an engine can actually shuffle.
+
+    Definitions (scikit-learn smooth_idf convention):
+    ``tf = occurrences / doc_tokens``,
+    ``idf = ln((N + 1) / (df + 1)) + 1``, ``tfidf = tf * idf``
+    (round-6 on tf/idf/tfidf for cross-engine comparability).
+
+    Scale shape: one explode + one (doc, token) count aggregate, a doc
+    total, a token document-frequency aggregate, and a join of the two
+    — all map-side-combining shuffles on bounded keys, plus the corpus
+    doc count N joined back as a broadcast scalar. No driver data, no
+    Python.
+    """
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    per_doc_tok = toks.groupBy(id_col, "token").agg(F.count("*").alias("n_occ"))
+    doc_len = per_doc_tok.groupBy(id_col).agg(F.sum("n_occ").alias("doc_tokens"))
+    df_counts = per_doc_tok.groupBy("token").agg(
+        F.countDistinct(id_col).alias("doc_freq")
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_corpus_docs"))
+    tf = F.col("n_occ") / F.col("doc_tokens")
+    idf = F.log((F.col("n_corpus_docs") + 1) / (F.col("doc_freq") + 1)) + 1
+    return (
+        per_doc_tok.join(doc_len, id_col)
+        .join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("n_occ"),
+            F.round(tf, 6).alias("tf"),
+            F.round(idf, 6).alias("idf"),
+            F.round(F.round(tf, 6) * F.round(idf, 6), 6).alias("tfidf"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sentence-level document chunking: one row per non-empty sentence
+    with a contiguous per-doc chunk index and token/char counts — the
+    retrieval/embedding unit for RAG-style pipelines, and the input
+    shape for chunk-level dedup or packing
+    (:func:`operators.sampling.pack_documents` over chunks).
+
+    Sentences = maximal runs matched by ``[^.!?]+[.!?]*`` (deliberately
+    lookbehind-free: the same pattern compiles identically under Java
+    regex and RE2/DuckDB, keeping the oracle bit-exact), trimmed, with
+    empties dropped BEFORE indexing so ``chunk_idx`` is dense. Map-only
+    (explode of a computed array); NULL text yields no rows.
+    """
+    sents = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), 0)
+    cleaned = F.filter(
+        F.transform(sents, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    exploded = ensure_min_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(cleaned).alias("chunk_idx", "chunk_text"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        token_count(F.col("chunk_text")).alias("n_tokens"),
+        F.length("chunk_text").cast("bigint").alias("n_chars"),
+    )

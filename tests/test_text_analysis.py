@@ -183,3 +183,49 @@ def test_approx_heavy_hitters_superset_of_true(spark):
 
     with pytest.raises(ValueError):
         approx_heavy_hitters(docs, support=0.0)
+
+
+def test_tfidf_scores_semantics(spark):
+    import math
+
+    from real_estate_bigdata_spark.operators.text_analysis import tfidf_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, None)], "doc_id long, text string"
+    )
+    rows = {(r.doc_id, r.token): r for r in tfidf_scores(df).collect()}
+    # N=3 docs; df(a)=2, df(b)=1, df(c)=1
+    r1a = rows[(1, "a")]
+    assert r1a.n_occ == 2
+    assert abs(r1a.tf - round(2 / 3, 6)) < 1e-9
+    assert abs(r1a.idf - round(math.log(4 / 3) + 1, 6)) < 1e-9
+    assert abs(r1a.tfidf - round(r1a.tf * r1a.idf, 6)) < 1e-9
+    # rarer token scores higher idf
+    assert rows[(1, "b")].idf > r1a.idf
+    # NULL-text doc contributes no rows but counts toward N (smooth idf)
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_chunk_documents_dense_index_and_counts(spark):
+    from real_estate_bigdata_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second two!  Third three?"),
+            (2, "no terminator at all"),
+            (3, None),
+            (4, "..."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens) for r in
+            chunk_documents(df).orderBy("doc_id", "chunk_idx").collect()]
+    # doc 4 ("...") yields nothing: the sentence pattern requires at
+    # least one non-terminator char, so pure punctuation has no chunk
+    assert rows == [
+        (1, 0, "First one.", 2),
+        (1, 1, "Second two!", 2),
+        (1, 2, "Third three?", 2),
+        (2, 0, "no terminator at all", 4),
+    ]
