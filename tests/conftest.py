@@ -12,7 +12,10 @@ from real_estate_bigdata_spark.schema import TABLE_NAMES
 from real_estate_bigdata_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = "/root/testdata/sf0.01"
+#: override to sweep the oracle mirror at another scale factor
+#: (e.g. SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001) — catches
+#: data-dependent oracle brittleness the fixed-SF run can't see
+SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
