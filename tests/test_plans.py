@@ -304,3 +304,23 @@ def test_unigram_logprob_no_python_bounded_shuffles(spark):
         forbid_python=True,
         max_shuffles=8,
     )
+
+
+def test_tfidf_no_python_bounded_shuffles(spark):
+    # explode -> (doc,token) agg -> doc-len agg -> doc-freq agg -> two
+    # joins + broadcast scalar N: all codegen, bounded shuffle budget
+    assert_plan(
+        QUERIES["q_tfidf"](spark, SF),
+        forbid_python=True,
+        max_shuffles=8,
+    )
+
+
+def test_chunk_documents_map_only(spark):
+    # sentence chunking is a pure computed-array explode — no shuffle,
+    # no Python
+    assert_plan(
+        QUERIES["q_chunk_documents"](spark, SF),
+        max_shuffles=0,
+        forbid_python=True,
+    )
