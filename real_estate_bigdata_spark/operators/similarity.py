@@ -108,15 +108,31 @@ def label_agreement(
     the same bounded-snapshot shape as the IVF training sample: labeled
     sets are orders of magnitude smaller than pretraining corpora, and
     ``max_rows`` (default 200k ≈ 100 MB at dim 64) enforces the
-    assumption rather than letting the driver OOM. Past that bound, the
-    blocked-GEMM pair machinery
-    (``dedup.embedding_neardup_pairs_blocked``) is the scale twin.
+    assumption rather than letting the driver OOM — probed with a
+    ``LIMIT max_rows+1`` count so a mistakenly huge input fails after a
+    bounded scan, not a full one. Past that bound, the blocked-GEMM pair
+    machinery (``dedup.embedding_neardup_pairs_blocked``) is the scale
+    twin.
+
+    ``id_col`` and ``label_col`` must be integral and non-null (the
+    kernel packs them into int64 arrays); validated up front with a
+    clear error rather than a pandas-worker crash.
     """
-    n = emb.count()
-    if n > max_rows:
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for cname in (id_col, label_col):
+        dt = emb.schema[cname].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"label_agreement requires an integral {cname!r} column "
+                f"(got {dt.simpleString()}); map string ids/labels to "
+                f"integers first"
+            )
+    if emb.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"label_agreement snapshots the labeled set driver-side; "
-            f"{n} rows > max_rows={max_rows}. Use "
+            f"input exceeds max_rows={max_rows}. Use "
             f"dedup.embedding_neardup_pairs_blocked for corpus-scale sets."
         )
     snap = (
@@ -124,6 +140,10 @@ def label_agreement(
         .orderBy(id_col)
         .collect()
     )
+    if any(r[0] is None or r[2] is None for r in snap):
+        raise ValueError(
+            f"label_agreement requires non-null {id_col!r}/{label_col!r}"
+        )
     ids = np.array([r[0] for r in snap], dtype=np.int64)
     labels = np.array([r[2] for r in snap], dtype=np.int64)
     M = np.array([r[1] for r in snap], dtype=np.float64)
@@ -143,7 +163,10 @@ def label_agreement(
             q = np.array(list(pdf["__v"]), dtype=np.float64)
             qn = np.sqrt((q * q).sum(axis=1))
             qn[qn == 0.0] = np.inf
-            sims = np.round((q / qn[:, None]) @ Mn.T, 6)
+            raw = (q / qn[:, None]) @ Mn.T
+            # half-away-from-zero to match DuckDB round() (np.round is
+            # half-to-even; boundary cosines would tie-break differently)
+            sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
             for row_i, qid in enumerate(pdf["__id"]):
                 sims[row_i, id_pos[int(qid)]] = -np.inf  # mask self
             best = sims.max(axis=1)

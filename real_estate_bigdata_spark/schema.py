@@ -209,16 +209,14 @@ def load_table(spark, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
-    # Both normalizations below are only instant-preserving because the
-    # session pins spark.sql.session.timeZone=UTC (set in get_spark); a
-    # session built elsewhere with a local zone would silently shift
-    # NTZ-cast instants relative to the DuckDB oracle. Fail loudly instead.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise RuntimeError(
-            f"load_table requires spark.sql.session.timeZone=UTC (got {tz!r}); "
-            "build the session with real_estate_bigdata_spark.session.get_spark"
-        )
+    # Both normalizations below are only instant-preserving under
+    # spark.sql.session.timeZone=UTC, and NANOS-encoded columns only read
+    # at all under the legacy nanosAsLong conf. The module contract
+    # (entry(spark)/queries()) means callers may hand us THEIR session —
+    # both confs are runtime-settable and idempotent, so pin them here
+    # rather than requiring get_spark-built sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col, dtype in df.dtypes:
         if name == "events" and col == "ts" and dtype == "bigint":

@@ -48,9 +48,9 @@ def get_spark(
         # Some testdata generations encode events.ts as parquet
         # TIMESTAMP(NANOS), which the vectorized reader rejects; with this
         # conf the column surfaces as raw int64 nanos and schema.load_table
-        # truncates to micros (exactly DuckDB's behavior). Set once here so
-        # load_table stays side-effect free. Harmless for MICROS-encoded
-        # data (conf only affects NANOS columns).
+        # truncates to micros (exactly DuckDB's behavior). load_table also
+        # re-pins this defensively for sessions built elsewhere. Harmless
+        # for MICROS-encoded data (conf only affects NANOS columns).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The normalization layer targets permissive casts (try_cast /
         # try_to_date); ANSI off keeps plain casts null-on-error too, which
