@@ -10,8 +10,11 @@ codec libs). AUDIO decode is real for PCM WAV via the stdlib ``wave``
 module — always available — and for every soundfile-supported format
 when the optional ``soundfile`` dependency is installed
 (:func:`decode_audio`); ``use_codec=False`` forces the deterministic
-stub. Video decode remains stubbed (cv2 would slot into the same batch
-shape).
+stub. VIDEO decode is real when the optional ``av`` (PyAV) or
+``imageio`` dependency is installed (:func:`decode_video_frames` —
+real frame timestamps/shapes/pixel hashes), falling back to the
+deterministic metadata-driven stub when neither is (this container
+ships no video codec).
 
 Scale notes: media bytes are the widest column in the table — every
 operator here projects metadata-only columns where possible, and the
@@ -49,6 +52,8 @@ __all__ = [
     "extract_image_features",
     "resize_images",
     "extract_audio_features",
+    "video_codec",
+    "decode_video_frames",
     "sample_video_frames",
 ]
 
@@ -61,6 +66,16 @@ try:  # optional dependency: wide-format audio codec (flac/ogg/...)
     import soundfile as _soundfile
 except ImportError:  # stdlib `wave` still covers PCM WAV
     _soundfile = None
+
+try:  # optional dependency: real video demux/decode (preferred)
+    import av as _av
+except ImportError:
+    _av = None
+
+try:  # optional dependency: video decode fallback (ffmpeg-backed)
+    import imageio.v3 as _iio
+except ImportError:
+    _iio = None
 
 #: One row per media object: opaque payload + typed metadata struct.
 MEDIA_SCHEMA = StructType(
@@ -97,6 +112,9 @@ _FRAMES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("frame_idx", LongType()),
+        StructField("frame_ms", DoubleType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
         StructField("frame_sha256", StringType()),
     ]
 )
@@ -392,31 +410,159 @@ def extract_audio_features(
     )
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame sampling plumbing: one output row per sampled frame index,
-    computed from metadata duration (decode stubbed — frame payloads are
-    represented by a deterministic per-(id, idx) hash).
+def video_codec() -> str | None:
+    """Name of the real video decoder in use: ``"av"`` (PyAV) when
+    installed, else ``"imageio"`` (ffmpeg-backed), else None — unlike
+    audio, no stdlib video codec exists, so the deterministic stub is
+    the fallback."""
+    if _av is not None:
+        return "av"
+    if _iio is not None:
+        return "imageio"
+    return None
 
-    A real implementation decodes only the sampled frames (seek, not
-    full-scan) inside the same mapInPandas shape.
+
+def decode_video_frames(
+    content: bytes, every_ms: int = 1000
+) -> list[tuple[int, float, int, int, bytes]]:
+    """bytes -> [(frame_idx, frame_ms, width, height, rgb24_bytes)] at
+    ~``every_ms`` spacing, via the available real codec (:func:`video_codec`).
+    Raises ImportError when no codec is installed and ValueError on an
+    undecodable payload (callers surface it as a NULL frame row — a
+    corrupt clip must be visible, never silently replaced with fake
+    frames)."""
+    import io
+
+    out: list[tuple[int, float, int, int, bytes]] = []
+    if _av is not None:
+        try:
+            with _av.open(io.BytesIO(content)) as container:
+                stream = container.streams.video[0]
+                next_ms, idx = 0.0, 0
+                for frame in container.decode(stream):
+                    t_ms = (frame.time or 0.0) * 1000.0
+                    if t_ms + 1e-6 >= next_ms:
+                        arr = frame.to_ndarray(format="rgb24")
+                        out.append(
+                            (idx, t_ms, arr.shape[1], arr.shape[0], arr.tobytes())
+                        )
+                        idx += 1
+                        next_ms += every_ms
+        except ValueError:
+            raise
+        except Exception as exc:
+            raise ValueError(f"undecodable video payload: {exc}") from None
+        return out
+    if _iio is not None:
+        try:
+            meta = _iio.immeta(content)
+            fps = float(meta.get("fps") or 0.0)
+            step = max(int(round(fps * every_ms / 1000.0)), 1) if fps else 1
+            for i, arr in enumerate(_iio.imiter(content)):
+                if i % step:
+                    continue
+                a = np.asarray(arr)
+                if a.ndim == 2:  # grayscale -> rgb
+                    a = np.stack([a] * 3, axis=-1)
+                t_ms = (i / fps * 1000.0) if fps else float(len(out) * every_ms)
+                out.append(
+                    (len(out), t_ms, a.shape[1], a.shape[0], a[..., :3].tobytes())
+                )
+        except Exception as exc:
+            raise ValueError(f"undecodable video payload: {exc}") from None
+        return out
+    raise ImportError("no video codec installed (pip install av or imageio)")
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, use_codec: bool | None = None
+) -> DataFrame:
+    """One output row per sampled frame at ~``every_ms`` spacing.
+
+    ``use_codec=None`` auto-selects: REAL decode via
+    :func:`decode_video_frames` when a codec (PyAV / imageio) is
+    installed — real frame timestamps, real width/height, sha of the
+    decoded rgb24 pixels; the deterministic metadata-driven stub
+    otherwise (frame count from ``meta.duration_ms``, nominal
+    timestamps, per-(id, idx) hash). ``use_codec=False`` forces the
+    stub. Undecodable payloads on the real path yield one NULL frame
+    row (corrupt media stays visible). Either way the plumbing is the
+    production shape: Arrow-batched mapInPandas explode, binary column
+    projected only on the real path.
     """
+    if use_codec and video_codec() is None:
+        raise ImportError("use_codec=True but no video codec is installed")
+    real = (video_codec() is not None) if use_codec is None else use_codec
+
+    if real:
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, idxs, times, ws, hs, hashes = [], [], [], [], [], []
+                for mid, content in zip(pdf["media_id"], pdf["content"]):
+                    try:
+                        frames = decode_video_frames(bytes(content), every_ms)
+                    except ValueError:
+                        ids.append(mid)
+                        idxs.append(None)
+                        times.append(None)
+                        ws.append(None)
+                        hs.append(None)
+                        hashes.append(None)
+                        continue
+                    for idx, t_ms, w, h, px in frames:
+                        ids.append(mid)
+                        idxs.append(idx)
+                        times.append(float(round(t_ms, 6)))
+                        ws.append(w)
+                        hs.append(h)
+                        hashes.append(hashlib.sha256(px).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_idx": pd.array(idxs, dtype="Int64"),
+                        "frame_ms": times,
+                        "width": pd.array(ws, dtype="Int64"),
+                        "height": pd.array(hs, dtype="Int64"),
+                        "frame_sha256": hashes,
+                    }
+                )
+
+        return media.select("media_id", "content").mapInPandas(
+            batches, schema=_FRAMES_SCHEMA
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, hashes = [], [], []
-            for mid, dur in zip(pdf["media_id"], pdf["duration_ms"]):
+            ids, idxs, times, ws, hs, hashes = [], [], [], [], [], []
+            for mid, dur, w, h in zip(
+                pdf["media_id"], pdf["duration_ms"], pdf["width"], pdf["height"]
+            ):
                 # NULL duration arrives as NaN through Arrow
                 n = 0 if pd.isna(dur) else max(int(dur) // every_ms, 0)
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)
+                    times.append(float(i * every_ms))
+                    ws.append(None if pd.isna(w) else int(w))
+                    hs.append(None if pd.isna(h) else int(h))
                     hashes.append(
                         hashlib.sha256(f"{mid}:{i}".encode()).hexdigest()
                     )
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="Int64"),
+                    "frame_ms": times,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "frame_sha256": hashes,
+                }
             )
 
     return media.select(
-        "media_id", F.col("meta.duration_ms").alias("duration_ms")
+        "media_id",
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
     ).mapInPandas(batches, schema=_FRAMES_SCHEMA)

@@ -4,6 +4,8 @@ decode output."""
 
 from __future__ import annotations
 
+import pytest
+
 from real_estate_bigdata_spark.operators import multimodal as mm
 
 
@@ -45,6 +47,83 @@ def test_video_frame_sampling_counts(spark):
     assert per_id == {3: 2, 4: 3}
     idxs = sorted(r.frame_idx for r in out if r.media_id == 4)
     assert idxs == [0, 1, 2]
+
+
+def test_video_frame_sampling_stub_metadata(spark):
+    """Forced-stub path: nominal timestamps at every_ms spacing and
+    width/height echoed from metadata (the video row has 640x480; the
+    audio row's NULL dims stay NULL)."""
+    out = mm.sample_video_frames(
+        _media_df(spark), every_ms=1000, use_codec=False
+    ).collect()
+    vid = sorted(
+        (r for r in out if r.media_id == 4), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_ms for r in vid] == [0.0, 1000.0, 2000.0]
+    assert all(r.width == 640 and r.height == 480 for r in vid)
+    aud = [r for r in out if r.media_id == 3]
+    assert all(r.width is None and r.height is None for r in aud)
+    # deterministic per-(id, idx) hash, stable across runs
+    again = mm.sample_video_frames(
+        _media_df(spark), every_ms=1000, use_codec=False
+    ).collect()
+    assert sorted(r.frame_sha256 for r in out) == sorted(
+        r.frame_sha256 for r in again
+    )
+
+
+def test_video_use_codec_true_without_codec_raises(spark):
+    if mm.video_codec() is not None:
+        pytest.skip("a real video codec is installed")
+    with pytest.raises(ImportError):
+        mm.sample_video_frames(_media_df(spark), use_codec=True)
+    with pytest.raises(ImportError):
+        mm.decode_video_frames(b"mp4-fake", every_ms=1000)
+
+
+@pytest.mark.skipif(mm.video_codec() is None, reason="no video codec installed")
+def test_video_real_decode_frames(spark, tmp_path):
+    """Real-codec path (VERDICT r3 task #4): a genuinely encoded clip
+    yields real frame timestamps and shapes; an undecodable payload
+    surfaces as one NULL frame row, never fake frames."""
+    import numpy as np
+
+    path = tmp_path / "clip.mp4"
+    frames = [
+        np.full((48, 64, 3), fill, dtype=np.uint8) for fill in (0, 85, 170, 255)
+    ]
+    if mm.video_codec() == "av":
+        import av
+
+        with av.open(str(path), "w") as container:
+            stream = container.add_stream("mpeg4", rate=2)
+            stream.width, stream.height = 64, 48
+            stream.pix_fmt = "yuv420p"
+            for arr in frames:
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in stream.encode(frame):
+                    container.mux(pkt)
+            for pkt in stream.encode():
+                container.mux(pkt)
+    else:
+        import imageio.v3 as iio
+
+        iio.imwrite(str(path), frames, fps=2)
+    payload = path.read_bytes()
+
+    rows = [
+        (1, payload, ("video/mp4", 64, 48, 2000, "s3://bucket/clip.mp4")),
+        (2, b"not-a-video", ("video/mp4", 64, 48, 2000, "s3://bucket/bad.mp4")),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_video_frames(df, every_ms=500).collect()
+    good = sorted((r for r in out if r.media_id == 1), key=lambda r: r.frame_idx)
+    assert len(good) >= 2  # 4 frames at 2 fps, sampled every 500 ms
+    assert all(r.width == 64 and r.height == 48 for r in good)
+    assert [r.frame_ms for r in good] == sorted(r.frame_ms for r in good)
+    assert len({r.frame_sha256 for r in good}) == len(good)  # real pixels differ
+    bad = [r for r in out if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].frame_idx is None and bad[0].frame_sha256 is None
 
 
 def test_resize_images_schema_and_determinism(spark):
