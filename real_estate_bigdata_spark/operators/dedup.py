@@ -48,6 +48,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_blocked",
+    "embedding_neardup_pairs_ivf",
     "dedup_against_store",
 ]
 
@@ -581,6 +582,127 @@ def embedding_neardup_pairs_blocked(
         lhs.unionByName(rhs)
         .groupBy("bx", "by")
         .applyInPandas(_gram, "id_a long, id_b long, cosine double")
+    )
+
+
+def embedding_neardup_pairs_ivf(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+    within_lists=None,
+) -> DataFrame:
+    """Embedding near-dup pairs via IVF-blocked GEMM — the third tier
+    between :func:`embedding_neardup_pairs_blocked` (all block pairs,
+    exact) and hyperplane LSH (random blocking): cluster-aware blocking
+    reuses ``similarity.build_ivf_index`` so only semantically close
+    vectors ever meet.
+
+    Plan: every indexed vector multi-probes its ``n_probe`` nearest
+    centroids (Arrow-batched argsort over the tiny driver-side centroid
+    table), explodes to one row per probed list, and each list becomes
+    ONE applyInPandas task that emits its upper-triangle cosine pairs
+    from a chunked BLAS matrix multiply. A pair is found iff the two
+    vectors' probe sets intersect — near-duplicates have near-identical
+    centroid distances, so recall at near-dup thresholds is high and
+    rises with ``n_probe`` (pytest pins >= 0.95 vs the exact generator
+    at threshold 0.4). Pairs co-occurring in several lists are collapsed
+    by ``distinct`` (identical row-local math -> bit-identical cosines).
+
+    Scale posture: one shuffle keyed on the probed list id; each vector
+    replicated ``n_probe`` times (vs ~n_blocks/2 in the blocked
+    generator); per-task work is (list size)^2 flops in BLAS with
+    list sizes ~N/n_lists — grow ``n_lists`` ~ sqrt(N) so tasks stay
+    bounded; never an all-pairs crossJoin. Skewed lists (one dense
+    semantic cluster) are the residual risk — raise ``n_lists`` or
+    pre-split hot lists; AQE cannot split a single applyInPandas group.
+
+    ``index`` accepts a prebuilt/persisted :class:`similarity.IvfIndex`
+    (build once, pair-generate many times). ``within_lists`` restricts
+    to vectors whose PRIMARY assignment is in the given lists — on a
+    ``save_ivf_index``-persisted index that filter is static partition
+    pruning (unlisted directories never read), the shard-at-a-time
+    audit path; boundary pairs whose members' primary lists fall in
+    different shards are only found if both probe into the same listed
+    shard, so full-corpus runs should leave it None.
+
+    Cites the same reference-gap as the family header: the reference
+    implies dedup (SURVEY §1.2) but ships none; this tier is the
+    100 TB embedding path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from real_estate_bigdata_spark.operators.similarity import (
+        _sq_dists,
+        build_ivf_index,
+    )
+
+    if index is None:
+        index = build_ivf_index(
+            embeddings, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    centers = index.centroids
+    k_probe = min(n_probe, index.n_lists)
+
+    # no type hints: dedup.py uses postponed annotations and pd is a
+    # function-local import, so hint resolution would fail — the explicit
+    # returnType carries the contract
+    @pandas_udf("array<int>")
+    def probe(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(v.to_numpy())
+        d = _sq_dists(A, centers)
+        return pd.Series(list(np.argsort(d, axis=1)[:, :k_probe].astype(np.int32)))
+
+    lists = index.lists
+    if within_lists is not None:
+        wl = [int(x) for x in within_lists]
+        # filter on the PARTITION column first: persisted indexes prune
+        # whole list directories at the scan
+        lists = lists.filter(F.col("__list").isin(wl))
+    assigned = lists.select(
+        F.col("neighbor_id").alias("vid"),
+        F.col("c_vec").alias("v"),
+        F.explode(probe(F.col("c_vec"))).alias("__plist"),
+    )
+    if within_lists is not None:
+        assigned = assigned.filter(F.col("__plist").isin(wl))
+
+    def _list_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        M = np.stack(pdf["v"].to_numpy())
+        nrm = np.linalg.norm(M, axis=1)
+        safe = np.where(nrm == 0.0, np.inf, nrm)
+        Mn = M / safe[:, None]
+        out_a, out_b, out_c = [], [], []
+        step = 2048  # bounds the per-chunk gram slab at ~step x |list|
+        for s in range(0, len(ids), step):
+            C = np.round(Mn[s : s + step] @ Mn.T, 6)
+            ii, jj = np.nonzero(C >= threshold)
+            ga, gb, gc = ids[s + ii], ids[jj], C[ii, jj]
+            keep = ga < gb  # upper triangle: drop self + mirrored pairs
+            out_a.append(ga[keep])
+            out_b.append(gb[keep])
+            out_c.append(gc[keep])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([]),
+            }
+        )
+
+    return (
+        assigned.groupBy("__plist")
+        .applyInPandas(_list_pairs, "id_a long, id_b long, cosine double")
+        .distinct()
     )
 
 
