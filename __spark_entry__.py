@@ -379,6 +379,16 @@ def _q_embed_ivf_topk(spark, sf):
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_probe=6)
 
 
+def _q_dedup_embedding_ivf(spark, sf):
+    """IVF-blocked near-dup pair generation (NEW r4) — rows-only like
+    the other ANN queries: approximate by construction (pairs found iff
+    probe sets intersect), recall >= 0.95 pinned by pytest
+    (tests/test_dedup_similarity.py) against the exact generator."""
+    from real_estate_bigdata_spark.operators.dedup import embedding_neardup_pairs_ivf
+
+    return embedding_neardup_pairs_ivf(load_table(spark, sf, "embeddings"))
+
+
 def _q_embed_lsh_topk(spark, sf):
     # rows-only: approximate by construction (recall < 1)
     emb = load_table(spark, sf, "embeddings")
@@ -602,8 +612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Jaccard pair generators; q_label_agreement — half-away rounding),
     and (c) 28 more r3-verified queries.
 
-    Past slot 50 sit the 2 rows-only queries (hyperplane-LSH / IVF ANN
-    — approximate by construction, pinned by pytest recall tests) plus
+    Past slot 50 sit the 3 rows-only queries (hyperplane-LSH / IVF ANN
+    / IVF near-dup pairs — approximate by construction, pinned by
+    pytest recall tests) plus
     19 queries hash-verified green in CORRECTNESS_r03, each with an
     in-cap operator sibling: q_dedup_embedding (bit-identical to
     in-cap q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same
@@ -627,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 71 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 72 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
@@ -708,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": _q_dedup_simhash,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
+        "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
     }
 
 

@@ -1,0 +1,256 @@
+"""Scale-stress harness: measured scaling exponents for the dedup /
+clustering / text / join families (VERDICT r3 task #1 — converts the
+100 TB "the plans look right" design claims into empirical curves).
+
+Synthesizes 1x / 3x / 10x corpora from the sf0.1 testdata into a temp
+dir (testdata itself is read-only) and times each battery query at
+every scale, reporting the least-squares slope of ln(time) on
+ln(scale) — the empirical scaling exponent — into ``BENCH_SCALE.json``.
+
+Synthesis preserves the *structure* the operators are sensitive to
+while scaling the volume:
+
+- **documents**: copy k suffixes every whitespace token with ``zk`` —
+  an injective shingle renaming, so each copy reproduces the original's
+  planted near-dup pairs (Jaccard is renaming-invariant) without
+  creating CROSS-copy near-dups (every cross-copy shingle differs).
+  Duplicate *rate* stays constant as the corpus grows, which is the
+  regime a 100 TB dedup run actually sees; naive replication would
+  instead grow pair counts quadratically in the copy factor and measure
+  the synthetic artifact, not the engine.
+- **facts** (lineitem/orders): order/customer keys offset per copy so
+  join fan-in per key stays constant while fact volume scales; the
+  dimension tables (supplier/part/nation) stay fixed — the realistic
+  big-fact/small-dim shape.
+- **embeddings**: copy k flips the sign of a deterministic
+  pseudo-random half of the coordinates, preserving every within-copy
+  cosine (|x| unchanged, pairwise dots within a copy flip the same
+  signs twice) while sending cross-copy EXPECTED cosines to 0. At
+  dim 64 the coincidence tail (sigma ~ 1/8) still puts some cross-copy
+  pairs above the 0.4 threshold, so the PAIR OUTPUT grows superlinearly
+  with scale (observed ~98x at x10) — a realistic stressor: it is the
+  operator's output that grows, not its candidate generation, and the
+  wall-clock exponent stays far below the output growth.
+
+Expected bounds (exponents measured against these):
+
+- map-only / one-shuffle text ops (tfidf, curate, exact dedup),
+  banded LSH, connected components over a near-dup-rate pair stream,
+  broadcast-dim joins: ~O(n) -> exponent ~1 (sub-1 readings mean fixed
+  per-job overhead still dominates at these absolute sizes).
+- IVF-blocked embedding near-dup with n_lists grown ~sqrt(n) (the
+  documented operating rule): ~O(n^1.5) worst case in flops; BLAS
+  constant keeps wall-clock lower at these sizes.
+
+Anything >= QUADRATIC_ALARM (1.7) is flagged in the JSON and the exit
+code — that is the "would not survive 100 TB" signal.
+
+Usage: ``python bench_scale.py`` (env: SPARK_GRAFT_SCALE_BASE for the
+source sf dir, SPARK_GRAFT_SCALE_DIR for the synth output dir).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators import dedup as dd
+from real_estate_bigdata_spark.operators import text_analysis as ta
+from real_estate_bigdata_spark.operators.clustering import connected_components
+from real_estate_bigdata_spark.operators.curation import curate_corpus
+from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
+from real_estate_bigdata_spark.schema import load_table
+from real_estate_bigdata_spark.session import get_spark
+
+SCALES = (1, 3, 10)
+N_PASSES = 2
+QUADRATIC_ALARM = 1.7
+
+_DOC_ID_STRIDE = 10**9
+_CUST_STRIDE = 10**9
+_ORDER_STRIDE = 10**10
+_VEC_STRIDE = 10**9
+
+
+def _synth_documents(docs, k):
+    if k == 0:
+        return docs
+    return docs.select(
+        (F.col("doc_id") + F.lit(k * _DOC_ID_STRIDE)).alias("doc_id"),
+        F.regexp_replace("text", r"(\S+)", f"$1z{k}").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _synth_facts(lineitem, orders, k):
+    if k == 0:
+        return lineitem, orders
+    li = lineitem.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(k * _ORDER_STRIDE)
+    )
+    ords = orders.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(k * _ORDER_STRIDE)
+    ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * _CUST_STRIDE))
+    return li, ords
+
+
+def _synth_embeddings(emb, k):
+    if k == 0:
+        return emb
+    # deterministic per-(coordinate, copy) sign flip: within-copy cosines
+    # preserved, cross-copy cosines decorrelated
+    flipped = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            F.pmod(F.xxhash64(i, F.lit(k)), F.lit(2)) == 0, x
+        ).otherwise(-x),
+    )
+    return emb.select(
+        (F.col("vec_id") + F.lit(k * _VEC_STRIDE)).alias("vec_id"),
+        flipped.cast("array<float>").alias("embedding"),
+        "label",
+    )
+
+
+def synthesize(spark, base_dir: str, out_dir: str) -> None:
+    docs = load_table(spark, base_dir, "documents")
+    li = load_table(spark, base_dir, "lineitem")
+    ords = load_table(spark, base_dir, "orders")
+    emb = load_table(spark, base_dir, "embeddings")
+    for scale in SCALES:
+        sdir = f"{out_dir}/x{scale}"
+        if os.path.exists(f"{sdir}/_DONE"):
+            continue
+        shutil.rmtree(sdir, ignore_errors=True)
+        d_parts = [_synth_documents(docs, k) for k in range(scale)]
+        f_parts = [_synth_facts(li, ords, k) for k in range(scale)]
+        e_parts = [_synth_embeddings(emb, k) for k in range(scale)]
+        _union(d_parts).write.parquet(f"{sdir}/documents.parquet")
+        _union([p[0] for p in f_parts]).write.parquet(f"{sdir}/lineitem.parquet")
+        _union([p[1] for p in f_parts]).write.parquet(f"{sdir}/orders.parquet")
+        _union(e_parts).write.parquet(f"{sdir}/embeddings.parquet")
+        open(f"{sdir}/_DONE", "w").close()
+
+
+def _union(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def battery(spark, base_dir: str, sdir: str, scale: int):
+    """name -> thunk building the DataFrame to execute (count action)."""
+    docs = spark.read.parquet(f"{sdir}/documents.parquet")
+    li = spark.read.parquet(f"{sdir}/lineitem.parquet")
+    ords = spark.read.parquet(f"{sdir}/orders.parquet")
+    emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
+    part = load_table(spark, base_dir, "part")
+    supplier = load_table(spark, base_dir, "supplier")
+    # the documented IVF operating rule: n_lists grows ~sqrt(corpus)
+    n_lists = max(int(round(16 * math.sqrt(scale))), 16)
+    return {
+        "exact_dedup": lambda: dd.exact_dedup(docs, ["text"], "doc_id"),
+        "minhash_lsh_pairs": lambda: dd.minhash_lsh_pairs(docs),
+        "dedup_clusters": lambda: connected_components(dd.minhash_lsh_pairs(docs)),
+        "curate_corpus": lambda: curate_corpus(docs),
+        "tfidf": lambda: ta.tfidf_scores(docs),
+        "unigram_logprob": lambda: ta.unigram_logprob_scores(docs),
+        "q16_supplier_variety": lambda: supplier_variety(part, li, supplier),
+        "q21_waiting_suppliers": lambda: waiting_suppliers(
+            {"lineitem": li, "orders": ords, "supplier": supplier}
+        ),
+        "ivf_embedding_neardup": lambda: dd.embedding_neardup_pairs_ivf(
+            emb, n_lists=n_lists
+        ),
+    }
+
+
+def fit_exponent(scales, secs):
+    """Least-squares slope of ln(sec) on ln(scale)."""
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(t) for t in secs]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> int:
+    base_dir = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local mode runs executors inside the driver JVM; the 1g default
+    # heap OOMs the x10 joins with 32 concurrent tasks. Must be set
+    # before JVM launch — run this harness in a fresh process.
+    spark = get_spark(
+        app_name="bench_scale",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_SCALE_MEM", "24g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize(spark, base_dir, out_dir)
+
+    results: dict[str, dict] = {}
+    for scale in SCALES:
+        sdir = f"{out_dir}/x{scale}"
+        for name, thunk in battery(spark, base_dir, sdir, scale).items():
+            rec = results.setdefault(name, {"sec": {}, "rows": {}})
+            best, rows = None, None
+            for _ in range(N_PASSES):
+                t0 = time.perf_counter()
+                rows = thunk().count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            rec["sec"][str(scale)] = round(best, 4)
+            rec["rows"][str(scale)] = rows
+            print(
+                f"\nx{scale} {name}: {best:.2f}s rows={rows}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    flagged = []
+    for name, rec in results.items():
+        secs = [rec["sec"][str(s)] for s in SCALES]
+        rec["exponent"] = round(fit_exponent(SCALES, secs), 3)
+        if rec["exponent"] >= QUADRATIC_ALARM:
+            flagged.append(name)
+            rec["alarm"] = f"exponent >= {QUADRATIC_ALARM}: would not survive 100 TB"
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    doc = {
+        "base": base_dir,
+        "scales": list(SCALES),
+        "passes": N_PASSES,
+        "alarm_threshold": QUADRATIC_ALARM,
+        "flagged": flagged,
+        "queries": results,
+    }
+    with open(os.path.join(here, "BENCH_SCALE.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(
+        json.dumps(
+            {
+                "metric": "scale_exponents",
+                "flagged": flagged,
+                "exponents": {n: r["exponent"] for n, r in results.items()},
+            },
+            separators=(",", ":"),
+        )
+    )
+    spark.stop()
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,10 @@ def test_every_query_has_oracle_or_is_documented():
         # rows-only, by construction (recall < 1).
         "q_embed_lsh_topk",
         "q_embed_ivf_topk",
+        # IVF-blocked near-dup pairs (NEW r4): pairs found iff probe
+        # sets intersect — approximate by construction; recall >= 0.95
+        # pinned in tests/test_dedup_similarity.py
+        "q_dedup_embedding_ivf",
     }
     assert set(missing) <= allowed_rows_only
 
