@@ -450,6 +450,16 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(load_table(spark, sf, "documents"))
 
 
+def _q_cap_per_source(spark, sf):
+    """Per-domain document cap (NEW r4): at most 15 docs per source,
+    hash-deterministic survivor draw — the C4/RefinedWeb anti-dominance
+    curation step."""
+    from real_estate_bigdata_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return cap_per_group(docs, max_rows=15).select("doc_id", "source")
+
+
 def _q_hash_split(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import hash_split
 
@@ -610,12 +620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementation CHANGED this round and so must re-verify
     (q_cluster_safe_split / q_dedup_clusters — now exact n-gram
     Jaccard pair generators; q_label_agreement — half-away rounding),
-    and (c) 28 more r3-verified queries.
+    (c) q_cap_per_source — NEW in r4, never driver-verified — and
+    (d) 27 more r3-verified queries.
 
     Past slot 50 sit the 3 rows-only queries (hyperplane-LSH / IVF ANN
     / IVF near-dup pairs — approximate by construction, pinned by
     pytest recall tests) plus
-    19 queries hash-verified green in CORRECTNESS_r03, each with an
+    20 queries hash-verified green in CORRECTNESS_r03, each with an
     in-cap operator sibling: q_dedup_embedding (bit-identical to
     in-cap q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same
     exact-pairs oracle as in-cap q_dedup_minhash_lsh), q_dedup_simhash
@@ -632,13 +643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (scan-filter multi-measure agg in-cap via q06), q02 (group-by
     count in-cap via q13), q08 (multi-fact star join in-cap via
     q05/q07/q09), q15 (scalar-subquery in-cap via q17/q22), q16
-    (distinct agg in-cap via q_stats_profile_orders), and q19
-    (disjunctive multi-join in-cap via q07/q09). r3∪r4 driver rows
-    again cover every oracle-bearing query.
+    (distinct agg in-cap via q_stats_profile_orders), q19
+    (disjunctive multi-join in-cap via q07/q09), and
+    q_token_accounting (text-profile family in-cap via q_text_quality
+    / q_vocab_top_tokens). r3∪r4 driver rows again cover every
+    oracle-bearing query.
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 72 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 73 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
@@ -673,7 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": _q_tfidf,
         "q_chunk_documents": _q_chunk_documents,
         "q_text_quality": _q_text_quality,
-        "q_token_accounting": _q_token_accounting,
+        "q_cap_per_source": _q_cap_per_source,
         "q_lang_id": _q_lang_id,
         "q_doc_fingerprints": _q_doc_fingerprints,
         "q_pivot_status": _q_pivot_status,
@@ -705,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": _q16_supplier_variety,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q_cube_lineitem": _q_cube_lineitem,
+        "q_token_accounting": _q_token_accounting,
         "q_topk_orders": _q_topk_orders,
         "q_window_top_customers": _q_window_top_customers,
         "q_window_frames": _q_window_frames,
@@ -1644,6 +1658,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # per-domain cap: 15 survivors per source, chosen by the portable
+        # md5 bucket (lowest buckets win, id tie-break) — same hash
+        # construction as q_hash_split
+        "q_cap_per_source": r"""
+            WITH b AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY bucket, doc_id
+                       ) AS rn
+                FROM b
+            ) WHERE rn <= 15
         """,
         # offset-based chunking: inclusive capped-token cumsum per source
         # in doc_id order; chunk = (cumsum - 1) // budget

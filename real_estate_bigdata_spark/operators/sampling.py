@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bucket_of",
+    "cap_per_group",
     "hash_sample",
     "hash_split",
     "mixture_balance",
@@ -166,6 +167,68 @@ def mixture_balance(
     return stratified_hash_sample(
         df, fractions, strata_col=strata_col, key_col=key_col, salt=salt
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_rows: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    salt: str = "",
+    prefilter_counts: bool = False,
+) -> DataFrame:
+    """Keep at most ``max_rows`` rows per group — the C4/RefinedWeb-style
+    per-domain cap that stops one crawl host from dominating a training
+    mix. Groups at or under the cap pass through whole.
+
+    Selection inside an over-cap group is deterministic and
+    content-defined: by ``order_col`` DESCENDING when given (keep the
+    best-scoring rows — compose with ``text_analysis`` quality scores),
+    else by the portable md5 bucket of the id (an unbiased but
+    reproducible draw — same survivors on every engine, partitioning,
+    and re-run, unlike ``ORDER BY rand()``). Ties always break on the
+    id, so the survivor set is total-order determined.
+
+    Plan: one window (single shuffle on ``group_col``). Skew note: one
+    monster domain makes one window partition — with the default hash
+    order, ``prefilter_counts=True`` first aggregates per-group counts
+    (output bounded by group cardinality, broadcast back) and map-side
+    drops rows whose bucket lies far above the cap/count quantile
+    (2x slack) before the exact window, shrinking the sorted partition
+    from the group's size to ~2x the cap. The slack makes a dropped
+    should-have-won row a <~1e-6 binomial-tail event at caps >= 100 —
+    the same documented exact/approx trade as
+    ``quality.quantile_floor``'s sketch flag; leave it off when exact
+    reproducibility across engines is required.
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    if order_col is not None:
+        ordering = [F.col(order_col).desc(), F.col(id_col)]
+        ranked = df
+    else:
+        ranked = df.withColumn("__bucket", bucket_of(F.col(id_col), salt))
+        ordering = [F.col("__bucket"), F.col(id_col)]
+        if prefilter_counts:
+            counts = df.groupBy(group_col).agg(F.count("*").alias("__gn"))
+            ranked = ranked.join(F.broadcast(counts), group_col, "left").filter(
+                # keep ~2x the cap's share of the bucket space; exact
+                # window below trims to the true cap
+                (F.col("__gn") <= max_rows)
+                | (
+                    F.col("__bucket")
+                    < F.least(
+                        F.lit(N_BUCKETS),
+                        2 * max_rows * N_BUCKETS / F.col("__gn"),
+                    )
+                )
+            ).drop("__gn")
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    out = ranked.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= max_rows
+    )
+    return out.drop("__rn", "__bucket")
 
 
 def pack_documents(

@@ -158,3 +158,45 @@ def test_mixture_balance_degenerate_inputs(spark):
     )
     # only stratum 's' has rows but its total is NULL -> nothing kept
     assert sp.mixture_balance(all_null).count() == 0
+
+
+def test_cap_per_group_caps_and_passes_small_groups(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(5)]
+    rows += [(2000, None), (2001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sp.cap_per_group(df, max_rows=10)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["big"] == 10          # over-cap group trimmed to the cap
+    assert got["small"] == 5         # under-cap group passes whole
+    assert got[None] == 2            # NULL group is its own group
+    # content-deterministic: same survivors under any partitioning
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in sp.cap_per_group(df.repartition(17), max_rows=10).collect()}
+    assert a == b
+    # a different salt draws a different (but still deterministic) subset
+    c = {r.doc_id for r in sp.cap_per_group(df, max_rows=10, salt="v2").collect()}
+    assert c != a and len(c) == len(a)
+
+
+def test_cap_per_group_quality_order_keeps_best(spark):
+    rows = [(i, "s", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = sp.cap_per_group(df, max_rows=5, order_col="quality")
+    assert sorted(r.doc_id for r in out.collect()) == [15, 16, 17, 18, 19]
+
+
+def test_cap_per_group_prefilter_matches_exact(spark):
+    docs = load_table(spark, SF, "documents")
+    exact = {r.doc_id for r in sp.cap_per_group(docs, max_rows=15).collect()}
+    fast = {
+        r.doc_id
+        for r in sp.cap_per_group(docs, max_rows=15, prefilter_counts=True).collect()
+    }
+    assert fast == exact
+    assert len(exact) == 15 * 20  # 20 sources x 25 docs at sf0.01
+
+
+def test_cap_per_group_rejects_bad_cap(spark):
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        sp.cap_per_group(df, max_rows=0)
