@@ -450,6 +450,18 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(load_table(spark, sf, "documents"))
 
 
+def _q_remove_boilerplate(spark, sf):
+    """Cross-document line-level dedup (NEW r4): strip lines shared by
+    more than one document; byte-identical order-preserving reassembly
+    is the property the oracle hash-checks corpus-wide."""
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        remove_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return remove_boilerplate_lines(docs, max_docs=1).select("doc_id", "text")
+
+
 def _q_cap_per_source(spark, sf):
     """Per-domain document cap (NEW r4): at most 15 docs per source,
     hash-deterministic survivor draw — the C4/RefinedWeb anti-dominance
@@ -620,13 +632,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementation CHANGED this round and so must re-verify
     (q_cluster_safe_split / q_dedup_clusters — now exact n-gram
     Jaccard pair generators; q_label_agreement — half-away rounding),
-    (c) q_cap_per_source — NEW in r4, never driver-verified — and
-    (d) 27 more r3-verified queries.
+    (c) q_cap_per_source and q_remove_boilerplate — NEW in r4, never
+    driver-verified — and (d) 26 more r3-verified queries.
 
     Past slot 50 sit the 3 rows-only queries (hyperplane-LSH / IVF ANN
     / IVF near-dup pairs — approximate by construction, pinned by
     pytest recall tests) plus
-    20 queries hash-verified green in CORRECTNESS_r03, each with an
+    21 queries hash-verified green in CORRECTNESS_r03, each with an
     in-cap operator sibling: q_dedup_embedding (bit-identical to
     in-cap q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same
     exact-pairs oracle as in-cap q_dedup_minhash_lsh), q_dedup_simhash
@@ -646,12 +658,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (distinct agg in-cap via q_stats_profile_orders), q19
     (disjunctive multi-join in-cap via q07/q09), and
     q_token_accounting (text-profile family in-cap via q_text_quality
-    / q_vocab_top_tokens). r3∪r4 driver rows again cover every
-    oracle-bearing query.
+    / q_vocab_top_tokens), and q_doc_fingerprints (the md5-prefix
+    fingerprint construction in-cap via q_hash_split /
+    q_cap_per_source / q_remove_boilerplate). r3∪r4 driver rows again
+    cover every oracle-bearing query.
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 73 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 74 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
@@ -688,7 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": _q_text_quality,
         "q_cap_per_source": _q_cap_per_source,
         "q_lang_id": _q_lang_id,
-        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_remove_boilerplate": _q_remove_boilerplate,
         "q_pivot_status": _q_pivot_status,
         "q_collect_top_keys": _q_collect_top_keys,
         "q_scalar_gallery": _q_scalar_gallery,
@@ -719,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q_cube_lineitem": _q_cube_lineitem,
         "q_token_accounting": _q_token_accounting,
+        "q_doc_fingerprints": _q_doc_fingerprints,
         "q_topk_orders": _q_topk_orders,
         "q_window_top_customers": _q_window_top_customers,
         "q_window_frames": _q_window_frames,
@@ -1658,6 +1673,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # cross-document line dedup: lines (md5-prefix fingerprinted,
+        # same construction as q_doc_fingerprints) appearing in >1
+        # distinct docs are stripped; order-preserving reassembly must
+        # be byte-identical on both engines. DuckDB's parallel unnest
+        # zips the line list with range() for positions.
+        "q_remove_boilerplate": r"""
+            WITH l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(len(string_split(text, chr(10))))) AS pos
+                FROM documents WHERE text IS NOT NULL
+            ), keyed AS (
+                SELECT doc_id, pos, line,
+                       ('0x' || substr(md5(line), 1, 15))::BIGINT AS fp
+                FROM l
+            ), boiler AS (
+                SELECT fp FROM (
+                    SELECT fp, count(DISTINCT doc_id) AS df
+                    FROM keyed GROUP BY fp
+                ) WHERE df > 1
+            ), kept AS (
+                SELECT k.doc_id, k.pos, k.line
+                FROM keyed k LEFT JOIN boiler b USING (fp)
+                WHERE b.fp IS NULL
+            ), rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.clean, '') END AS text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         # per-domain cap: 15 survivors per source, chosen by the portable
         # md5 bucket (lowest buckets win, id tie-break) — same hash

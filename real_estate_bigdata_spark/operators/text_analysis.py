@@ -24,6 +24,7 @@ __all__ = [
     "token_accounting",
     "lang_id_report",
     "doc_fingerprints",
+    "remove_boilerplate_lines",
     "repetition_metrics",
     "vocab_top_tokens",
     "unigram_logprob_scores",
@@ -170,6 +171,69 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         portable_fingerprint(normalized)
     )
     return ensure_min_parallelism(docs).select("doc_id", fp.alias("fingerprint"))
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    max_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line-level dedup (CCNet/Gopher boilerplate
+    removal): strip every line that appears — as an exact string — in
+    more than ``max_docs`` distinct documents (navigation bars, cookie
+    banners, license footers), keeping the remaining lines in their
+    original order. Docs whose every line is boilerplate come back with
+    empty text (the row survives for accounting); NULL text stays NULL.
+
+    Plan: posexplode lines -> 60-bit portable line fingerprint (the
+    md5-prefix construction, same as ``portable_fingerprint`` — so the
+    DuckDB oracle computes identical keys; collisions ~2^-60) ->
+    distinct (fingerprint, doc) -> doc-frequency aggregate -> left-anti
+    join of the line stream against the over-threshold fingerprints ->
+    order-preserving reassembly (collect_list of (pos, line) structs,
+    array_sort, array_join). Three shuffles, two of them on the 8-byte
+    fingerprint; the line payload moves only in the reassembly shuffle.
+    The boilerplate side of the anti join is df-filtered (small by
+    construction) — AQE broadcasts it.
+    """
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    lines = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__fp", portable_fingerprint(F.col("__line")))
+    boiler = (
+        lines.select("__fp", "__id")
+        .distinct()
+        .groupBy("__fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_docs)
+        .select("__fp")
+    )
+    rebuilt = (
+        lines.join(boiler, "__fp", "left_anti")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda x: x["__line"],
+                ),
+                "\n",
+            ).alias("__clean")
+        )
+    )
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["__id"], "left")
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("__clean"), F.lit(""))
+            ),
+        )
+        .drop("__id", "__clean")
+    )
 
 
 def vocab_top_tokens(

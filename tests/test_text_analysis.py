@@ -229,3 +229,71 @@ def test_chunk_documents_dense_index_and_counts(spark):
         (1, 2, "Third three?", 2),
         (2, 0, "no terminator at all", 4),
     ]
+
+
+class TestRemoveBoilerplateLines:
+    def _df(self, spark):
+        header = "=== SITE NAV ==="
+        rows = [
+            (1, f"{header}\nunique one\nalso unique"),
+            (2, f"{header}\ndifferent body"),
+            (3, f"{header}\nthird body\n{header}"),  # boilerplate twice
+            (4, header),            # nothing but boilerplate -> ''
+            (5, "standalone doc"),  # untouched
+            (6, None),              # NULL stays NULL
+            (7, ""),                # empty text, unique -> kept as ''
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_lines_removed_order_preserved(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            remove_boilerplate_lines,
+        )
+
+        out = {r.doc_id: r.text for r in remove_boilerplate_lines(self._df(spark)).collect()}
+        assert out[1] == "unique one\nalso unique"
+        assert out[2] == "different body"
+        assert out[3] == "third body"
+        assert out[4] == ""
+        assert out[5] == "standalone doc"
+        assert out[6] is None
+        assert out[7] == ""
+
+    def test_threshold_spares_rarer_lines(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            remove_boilerplate_lines,
+        )
+
+        # shared by 2 docs -> survives max_docs=2, dies at max_docs=1
+        df = spark.createDataFrame(
+            [(1, "shared\na"), (2, "shared\nb"), (3, "c")],
+            "doc_id long, text string",
+        )
+        lenient = {r.doc_id: r.text for r in remove_boilerplate_lines(df, max_docs=2).collect()}
+        assert lenient == {1: "shared\na", 2: "shared\nb", 3: "c"}
+        strict = {r.doc_id: r.text for r in remove_boilerplate_lines(df, max_docs=1).collect()}
+        assert strict == {1: "a", 2: "b", 3: "c"}
+
+    def test_identity_when_no_sharing(self, spark):
+        """Reassembly must be byte-identical for untouched docs — the
+        property the registry oracle hash-checks corpus-wide."""
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            remove_boilerplate_lines,
+        )
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        out = remove_boilerplate_lines(docs, max_docs=len(docs.columns) + 10**6)
+        orig = {r.doc_id: r.text for r in docs.collect()}
+        got = {r.doc_id: r.text for r in out.collect()}
+        assert got == orig
+
+    def test_rejects_bad_threshold(self, spark):
+        import pytest
+
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            remove_boilerplate_lines,
+        )
+
+        with pytest.raises(ValueError):
+            remove_boilerplate_lines(self._df(spark), max_docs=0)
