@@ -450,6 +450,14 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(load_table(spark, sf, "documents"))
 
 
+def _q_corpus_health(spark, sf):
+    """One-pass corpus validation report (NEW r4): row/distinct-id/
+    dup-id counts, NULL/empty/blank text counts, char-length stats."""
+    from real_estate_bigdata_spark.operators.quality import corpus_health_report
+
+    return corpus_health_report(load_table(spark, sf, "documents"))
+
+
 def _q_remove_boilerplate(spark, sf):
     """Cross-document line-level dedup (NEW r4): strip lines shared by
     more than one document; byte-identical order-preserving reassembly
@@ -632,13 +640,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     implementation CHANGED this round and so must re-verify
     (q_cluster_safe_split / q_dedup_clusters — now exact n-gram
     Jaccard pair generators; q_label_agreement — half-away rounding),
-    (c) q_cap_per_source and q_remove_boilerplate — NEW in r4, never
-    driver-verified — and (d) 26 more r3-verified queries.
+    (c) q_cap_per_source, q_remove_boilerplate, and q_corpus_health —
+    NEW in r4, never driver-verified — and (d) 25 more r3-verified
+    queries.
 
     Past slot 50 sit the 3 rows-only queries (hyperplane-LSH / IVF ANN
     / IVF near-dup pairs — approximate by construction, pinned by
     pytest recall tests) plus
-    21 queries hash-verified green in CORRECTNESS_r03, each with an
+    22 queries hash-verified green in CORRECTNESS_r03, each with an
     in-cap operator sibling: q_dedup_embedding (bit-identical to
     in-cap q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same
     exact-pairs oracle as in-cap q_dedup_minhash_lsh), q_dedup_simhash
@@ -658,14 +667,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (distinct agg in-cap via q_stats_profile_orders), q19
     (disjunctive multi-join in-cap via q07/q09), and
     q_token_accounting (text-profile family in-cap via q_text_quality
-    / q_vocab_top_tokens), and q_doc_fingerprints (the md5-prefix
+    / q_vocab_top_tokens), q_doc_fingerprints (the md5-prefix
     fingerprint construction in-cap via q_hash_split /
-    q_cap_per_source / q_remove_boilerplate). r3∪r4 driver rows again
-    cover every oracle-bearing query.
+    q_cap_per_source / q_remove_boilerplate), and
+    q_interval_signup_errors (temporal-join family in-cap via
+    q_asof_view_purchase). r3∪r4 driver rows again cover every
+    oracle-bearing query.
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 74 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 75 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
@@ -711,7 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_floor": _q_quality_floor,
         "q_json_props": _q_json_props,
         "q_asof_view_purchase": _q_asof_view_purchase,
-        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_corpus_health": _q_corpus_health,
         "q_normalize_listings": _q_normalize_listings,
         "q_dedup_exact_docs": _q_dedup_exact_docs,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
@@ -734,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_lineitem": _q_cube_lineitem,
         "q_token_accounting": _q_token_accounting,
         "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
         "q_topk_orders": _q_topk_orders,
         "q_window_top_customers": _q_window_top_customers,
         "q_window_frames": _q_window_frames,
@@ -1673,6 +1685,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # one-pass corpus validation gate; same measure definitions on
+        # both engines (avg over non-NULL lengths, blank = whitespace-
+        # only but not empty)
+        "q_corpus_health": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_distinct_ids,
+                   count(*) - count(DISTINCT doc_id) AS n_dup_ids,
+                   count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+                   count(CASE WHEN text = '' THEN 1 END) AS n_empty_text,
+                   count(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                              AND text <> '' THEN 1 END) AS n_blank_text,
+                   min(length(text))::BIGINT AS min_chars,
+                   max(length(text))::BIGINT AS max_chars,
+                   round(avg(length(text)), 6) AS avg_chars
+            FROM documents
         """,
         # cross-document line dedup: lines (md5-prefix fingerprinted,
         # same construction as q_doc_fingerprints) appearing in >1

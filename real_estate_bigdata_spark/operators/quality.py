@@ -25,7 +25,40 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantile_floor"]
+__all__ = ["corpus_health_report", "quantile_floor"]
+
+
+def corpus_health_report(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus validation report — the pre-ingest data-quality
+    gate a training pipeline asserts on before accepting a drop: row
+    and distinct-id counts (their difference = duplicate ids, the
+    classic upstream-join bug), NULL/empty/whitespace-only text counts,
+    and character-length distribution (min/max/avg). All invariants in
+    ONE aggregate pass — a health check must not cost a second scan of
+    a 100 TB corpus; every measure here is map-side combinable
+    (count-distinct goes through Spark's partial-aggregation expand).
+
+    Assert on it like::
+
+        r = corpus_health_report(docs).first()
+        assert r.n_dup_ids == 0 and r.n_null_text == 0
+    """
+    t = F.col(text_col)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(id_col).alias("n_distinct_ids"),
+        (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("n_dup_ids"),
+        F.count(F.when(t.isNull(), 1)).alias("n_null_text"),
+        F.count(F.when(t == "", 1)).alias("n_empty_text"),
+        F.count(F.when(t.isNotNull() & (F.trim(t) == "") & (t != ""), 1)).alias(
+            "n_blank_text"
+        ),
+        F.min(F.length(t)).cast("bigint").alias("min_chars"),
+        F.max(F.length(t)).cast("bigint").alias("max_chars"),
+        F.round(F.avg(F.length(t)), 6).alias("avg_chars"),
+    )
 
 
 def quantile_floor(

@@ -324,3 +324,43 @@ def test_chunk_documents_map_only(spark):
         max_shuffles=0,
         forbid_python=True,
     )
+
+
+def test_cap_per_source_single_window_shuffle_no_python(spark):
+    # one window = one exchange on the group key; the md5 bucketing is
+    # pure codegen — no Python stage, no join
+    assert_plan(
+        QUERIES["q_cap_per_source"](spark, SF),
+        max_shuffles=1,
+        min_scans_with_pushdown=0,
+        forbid_python=True,
+    )
+
+
+def test_remove_boilerplate_bounded_shuffles_no_python(spark):
+    # explode -> fingerprint df-count -> anti join -> reassembly: the
+    # line-payload moves in exactly one of the shuffles; everything is
+    # codegen (no Python stage); the df-filtered boilerplate side joins
+    # without a sort-merge (broadcast under AQE at any realistic
+    # boilerplate cardinality)
+    stats = assert_plan(
+        QUERIES["q_remove_boilerplate"](spark, SF),
+        max_shuffles=5,
+        forbid_python=True,
+    )
+    assert stats.scans >= 1, stats
+
+
+def test_ivf_neardup_one_list_shuffle_no_cartesian(spark):
+    # multi-probe assignment (ArrowEvalPython) -> ONE exchange on the
+    # probed-list key -> per-list FlatMapGroupsInPandas GEMM -> distinct;
+    # never a cross join
+    from real_estate_bigdata_spark.plans.audit import executed_plan_str
+
+    df = QUERIES["q_dedup_embedding_ivf"](spark, SF)
+    plan = executed_plan_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    stats = plan_stats(df)
+    # one shuffle to group by probed list + one for the pair distinct
+    assert stats.shuffles <= 2, stats

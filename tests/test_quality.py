@@ -58,3 +58,40 @@ def test_plan_is_broadcast_scalar(spark):
         min_broadcast_joins=1,
         forbid_python=True,
     )
+
+
+class TestCorpusHealthReport:
+    def test_counts_every_invariant(self, spark):
+        from real_estate_bigdata_spark.operators.quality import corpus_health_report
+
+        rows = [
+            (1, "hello"),
+            (2, ""),         # empty
+            (3, "   "),      # whitespace-only (blank, not empty)
+            (4, None),       # NULL
+            (4, "dup id"),   # duplicate id
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = corpus_health_report(df).first()
+        assert r.n_rows == 5
+        assert r.n_distinct_ids == 4
+        assert r.n_dup_ids == 1
+        assert r.n_null_text == 1
+        assert r.n_empty_text == 1
+        assert r.n_blank_text == 1
+        assert r.min_chars == 0 and r.max_chars == 6
+        # avg over non-NULL lengths: (5 + 0 + 3 + 6) / 4
+        assert abs(r.avg_chars - 3.5) < 1e-9
+
+    def test_single_aggregate_pass(self, spark):
+        from real_estate_bigdata_spark.operators.quality import corpus_health_report
+        from real_estate_bigdata_spark.plans import assert_plan
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        # count-distinct expands to two exchanges (partial distinct +
+        # final) — still one scan, no join, no Python
+        stats = assert_plan(
+            corpus_health_report(docs), max_shuffles=2, forbid_python=True
+        )
+        assert stats.scans == 1, stats
