@@ -450,6 +450,17 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(load_table(spark, sf, "documents"))
 
 
+def _q_value_histogram(spark, sf):
+    """Char-length distribution histogram (NEW r4). Past-cap this
+    round — no slot is free without breaking the staleness rotation —
+    so its oracle runs only in the local pytest mirror until r5
+    rotates it in-cap."""
+    from real_estate_bigdata_spark.operators.quality import metric_histogram
+
+    docs = load_table(spark, sf, "documents")
+    return metric_histogram(docs, F.length("text"), 0, 600, n_bins=20)
+
+
 def _q_corpus_health(spark, sf):
     """One-pass corpus validation report (NEW r4): row/distinct-id/
     dup-id counts, NULL/empty/blank text counts, char-length stats."""
@@ -676,8 +687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 75 run
-    in bench + pytest."""
+    (tests/test_queries.py::test_query_matches_oracle), and all 76 run
+    in bench + pytest. q_value_histogram (NEW r4) sits past-cap with
+    its oracle exercised by the pytest mirror only this round — no
+    in-cap slot was free without breaking the staleness rotation — and
+    rotates in-cap in r5."""
     return {
         # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
         # 19 returning r2-verified queries first
@@ -761,6 +775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
+        # NEW r4, past-cap (no slot free without breaking the staleness
+        # rotation); full oracle runs in the local pytest mirror,
+        # rotates in-cap in r5
+        "q_value_histogram": _q_value_histogram,
     }
 
 
@@ -1685,6 +1703,28 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # equi-width histogram; DuckDB has no width_bucket, so the
+        # oracle mirrors Spark's exact formula:
+        # floor((x - lo) / ((hi - lo)/n)) + 1, under/overflow -> 0/n+1
+        "q_value_histogram": """
+            WITH m AS (
+                SELECT length(text)::DOUBLE AS x
+                FROM documents WHERE text IS NOT NULL
+            ), binned AS (
+                SELECT CASE WHEN x < 0.0 THEN 0
+                            WHEN x >= 600.0 THEN 21
+                            ELSE floor((x - 0.0) / ((600.0 - 0.0) / 20))::BIGINT + 1
+                       END AS bin
+                FROM m
+            )
+            SELECT bin,
+                   CASE WHEN bin BETWEEN 1 AND 20
+                        THEN round(0.0 + (bin - 1) * 30.0, 6) END AS lo_edge,
+                   CASE WHEN bin BETWEEN 1 AND 20
+                        THEN round(0.0 + bin * 30.0, 6) END AS hi_edge,
+                   count(*) AS n
+            FROM binned GROUP BY bin
         """,
         # one-pass corpus validation gate; same measure definitions on
         # both engines (avg over non-NULL lengths, blank = whitespace-

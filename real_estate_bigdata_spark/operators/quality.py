@@ -25,7 +25,59 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_health_report", "quantile_floor"]
+__all__ = ["corpus_health_report", "metric_histogram", "quantile_floor"]
+
+
+def metric_histogram(
+    df: DataFrame,
+    metric: Column | str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equi-width histogram of ``metric`` over explicit bounds — the
+    corpus-distribution profile behind every quality-threshold decision
+    (where IS the token-count mass before you pick a floor?). Bounds
+    are explicit so the whole histogram is ONE pass + one bounded-key
+    shuffle (n_bins+2 groups, map-side combined); a bounds-discovering
+    min/max pre-pass would double the scan at 100 TB — run it once and
+    reuse.
+
+    Bucketing is SQL-standard ``width_bucket`` (identical semantics in
+    Spark and DuckDB, so the oracle is exact): bin 0 = underflow
+    (< lo, lo_edge NULL), bins 1..n equi-width over [lo, hi), bin
+    n_bins+1 = overflow (>= hi, hi_edge NULL). NULL metrics are
+    excluded. Empty bins are absent (count them as zero downstream).
+    """
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    m = F.col(metric) if isinstance(metric, str) else metric
+    width = (hi - lo) / n_bins
+    b = F.col("bin")
+    return (
+        df.select(
+            F.width_bucket(
+                m.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins)
+            ).alias("bin")
+        )
+        .filter(b.isNotNull())
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            b.cast("bigint").alias("bin"),
+            F.when(
+                (b >= 1) & (b <= n_bins),
+                F.round(F.lit(lo) + (b - 1) * F.lit(width), 6),
+            ).alias("lo_edge"),
+            F.when(
+                (b >= 1) & (b <= n_bins),
+                F.round(F.lit(lo) + b * F.lit(width), 6),
+            ).alias("hi_edge"),
+            "n",
+        )
+    )
 
 
 def corpus_health_report(
