@@ -194,12 +194,14 @@ def cap_per_group(
     monster domain makes one window partition — with the default hash
     order, ``prefilter_counts=True`` first aggregates per-group counts
     (output bounded by group cardinality, broadcast back) and map-side
-    drops rows whose bucket lies far above the cap/count quantile
-    (2x slack) before the exact window, shrinking the sorted partition
-    from the group's size to ~2x the cap. The slack makes a dropped
-    should-have-won row a <~1e-6 binomial-tail event at caps >= 100 —
-    the same documented exact/approx trade as
-    ``quality.quantile_floor``'s sketch flag; leave it off when exact
+    drops rows whose bucket lies above the cap/count quantile before
+    the exact window, shrinking the sorted partition from the group's
+    size to ~cap + 4*sqrt(cap) + 16 expected rows. That additive slack
+    keeps the dropped-winner probability below ~e^-16 even at cap=1
+    (a flat 2x multiplier fails ~e^-2 of 1-row caps — caught by the
+    randomized invariant sweep); still a vanishing-probability
+    approximation, the same documented exact/approx trade as
+    ``quality.quantile_floor``'s sketch flag — leave it off when exact
     reproducibility across engines is required.
     """
     if max_rows < 1:
@@ -212,15 +214,17 @@ def cap_per_group(
         ordering = [F.col("__bucket"), F.col(id_col)]
         if prefilter_counts:
             counts = df.groupBy(group_col).agg(F.count("*").alias("__gn"))
+            # expected kept rows per over-cap group: cap + 4*sqrt(cap)
+            # + 16 — enough that fewer-than-cap survivors is an ~e^-16
+            # tail even at cap=1; exact window below trims to the cap
+            keep_target = max_rows + 4 * max_rows**0.5 + 16
             ranked = ranked.join(F.broadcast(counts), group_col, "left").filter(
-                # keep ~2x the cap's share of the bucket space; exact
-                # window below trims to the true cap
                 (F.col("__gn") <= max_rows)
                 | (
                     F.col("__bucket")
                     < F.least(
                         F.lit(N_BUCKETS),
-                        2 * max_rows * N_BUCKETS / F.col("__gn"),
+                        F.ceil(keep_target * N_BUCKETS / F.col("__gn")),
                     )
                 )
             ).drop("__gn")
