@@ -450,6 +450,18 @@ def _q_curate_corpus(spark, sf):
     return curate_corpus(load_table(spark, sf, "documents"))
 
 
+def _q_weighted_sample(spark, sf):
+    """Per-row-probability deterministic sampling (NEW r4). Past-cap
+    this round (same rotation constraint as q_value_histogram); oracle
+    runs in the local pytest mirror, rotates in-cap in r5."""
+    from real_estate_bigdata_spark.operators.sampling import hash_sample_weighted
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "p", (F.col("doc_id") % 10) / F.lit(10.0)
+    )
+    return hash_sample_weighted(docs, "p").select("doc_id", "p")
+
+
 def _q_value_histogram(spark, sf):
     """Char-length distribution histogram (NEW r4). Past-cap this
     round — no slot is free without breaking the staleness rotation —
@@ -687,11 +699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 76 run
-    in bench + pytest. q_value_histogram (NEW r4) sits past-cap with
-    its oracle exercised by the pytest mirror only this round — no
-    in-cap slot was free without breaking the staleness rotation — and
-    rotates in-cap in r5."""
+    (tests/test_queries.py::test_query_matches_oracle), and all 77 run
+    in bench + pytest. q_value_histogram and q_weighted_sample (NEW
+    r4) sit past-cap with their oracles exercised by the pytest mirror
+    only this round — no in-cap slot was free without breaking the
+    staleness rotation — and rotate in-cap in r5."""
     return {
         # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
         # 19 returning r2-verified queries first
@@ -776,9 +788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
         # NEW r4, past-cap (no slot free without breaking the staleness
-        # rotation); full oracle runs in the local pytest mirror,
-        # rotates in-cap in r5
+        # rotation); full oracles run in the local pytest mirror,
+        # rotate in-cap in r5
         "q_value_histogram": _q_value_histogram,
+        "q_weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1703,6 +1716,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        # per-row-probability sampling: bucket < clamp(p)*B, the exact
+        # same IEEE double expression on both engines
+        "q_weighted_sample": r"""
+            WITH b AS (
+                SELECT doc_id,
+                       (doc_id % 10) / 10.0 AS p,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, p FROM b
+            WHERE bucket < least(greatest(p, 0.0), 1.0) * 10000.0
         """,
         # equi-width histogram; DuckDB has no width_bucket, so the
         # oracle mirrors Spark's exact formula:

@@ -65,6 +65,8 @@ from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
+from real_estate_bigdata_spark.operators.quality import metric_histogram
+from real_estate_bigdata_spark.operators.sampling import cap_per_group
 from real_estate_bigdata_spark.schema import load_table
 from real_estate_bigdata_spark.session import get_spark
 
@@ -170,6 +172,15 @@ def battery(spark, base_dir: str, sdir: str, scale: int):
         ),
         "ivf_embedding_neardup": lambda: dd.embedding_neardup_pairs_ivf(
             emb, n_lists=n_lists
+        ),
+        # round-4 additions: per-domain cap (count-prefiltered window),
+        # cross-doc line dedup, bounded-key histogram
+        "cap_per_group": lambda: cap_per_group(
+            docs, max_rows=100, prefilter_counts=True
+        ),
+        "remove_boilerplate": lambda: ta.remove_boilerplate_lines(docs),
+        "metric_histogram": lambda: metric_histogram(
+            docs, F.length("text"), 0, 600, n_bins=20
         ),
     }
 

@@ -25,6 +25,7 @@ __all__ = [
     "bucket_of",
     "cap_per_group",
     "hash_sample",
+    "hash_sample_weighted",
     "hash_split",
     "mixture_balance",
     "pack_documents",
@@ -57,6 +58,29 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(bucket_of(F.col(key_col), salt) < int(round(fraction * N_BUCKETS)))
+
+
+def hash_sample_weighted(
+    df: DataFrame,
+    prob_col: Column | str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-row deterministic sampling with a PER-ROW keep probability —
+    the epoch-resampling primitive of mixture training (each row
+    carries its own inclusion probability, e.g. from a temperature-
+    scaled source weight or a quality score in [0, 1]). A row is kept
+    iff its md5 bucket falls below ``prob_col``'s share of the bucket
+    space: the same verdict every run, on every engine, under any
+    partitioning — change ``salt`` to draw an independent epoch.
+    Probabilities are clamped to [0, 1]; NULL probabilities drop the
+    row (no probability, no sample). Map-only like ``hash_sample``.
+    """
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    clamped = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        bucket_of(F.col(key_col), salt) < clamped * F.lit(float(N_BUCKETS))
+    )
 
 
 def hash_split(

@@ -200,3 +200,36 @@ def test_cap_per_group_rejects_bad_cap(spark):
     df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
     with pytest.raises(ValueError):
         sp.cap_per_group(df, max_rows=0)
+
+
+def test_hash_sample_weighted_per_row_probability(spark):
+    rows = (
+        [(i, 1.0) for i in range(100)]            # always kept
+        + [(1000 + i, 0.0) for i in range(100)]   # never kept
+        + [(2000 + i, 0.5) for i in range(400)]   # ~half kept
+        + [(9000, None), (9001, 2.5), (9002, -1.0)]  # NULL drop; clamp
+    )
+    df = spark.createDataFrame(rows, "doc_id long, p double")
+    out = sp.hash_sample_weighted(df, "p")
+    kept = {r.doc_id for r in out.collect()}
+    assert all(i in kept for i in range(100))
+    assert not any(1000 + i in kept for i in range(100))
+    mid = sum(1 for i in range(400) if 2000 + i in kept)
+    assert 140 <= mid <= 260  # hash-Bernoulli around 200
+    assert 9000 not in kept and 9001 in kept and 9002 not in kept
+    # deterministic under repartitioning; salt draws a different epoch
+    again = {r.doc_id for r in sp.hash_sample_weighted(df.repartition(11), "p").collect()}
+    assert again == kept
+    other = {r.doc_id for r in sp.hash_sample_weighted(df, "p", salt="ep2").collect()}
+    assert other != kept
+
+
+def test_hash_sample_weighted_map_only_plan(spark):
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    docs = load_table(spark, SF, "documents")
+    assert_plan(
+        sp.hash_sample_weighted(docs, F.lit(0.3), key_col="doc_id"),
+        max_shuffles=0,
+        forbid_python=True,
+    )
