@@ -694,8 +694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fingerprint construction in-cap via q_hash_split /
     q_cap_per_source / q_remove_boilerplate), and
     q_interval_signup_errors (temporal-join family in-cap via
-    q_asof_view_purchase). r3∪r4 driver rows again cover every
-    oracle-bearing query.
+    q_asof_view_purchase). r3∪r4 driver rows cover every
+    driver-recordable oracle query: all 69 pre-existing oracles plus
+    the 3 new in-cap ones; the 2 new past-cap queries below are
+    pytest-mirror-verified only until their r5 rotation.
 
     Every oracle-bearing query — in-cap or not — is additionally
     oracle-compared by the local pytest mirror
@@ -730,7 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_safe_split": _q_cluster_safe_split,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_label_agreement": _q_label_agreement,
-        # 28 r3-verified queries
+        # 3 queries NEW in r4 (q_cap_per_source, q_remove_boilerplate,
+        # q_corpus_health — interleaved below) + 25 r3-verified queries
         "q17_small_quantity": _q17_small_quantity,
         "q_vocab_top_tokens": _q_vocab_top_tokens,
         "q_unigram_logprob": _q_unigram_logprob,

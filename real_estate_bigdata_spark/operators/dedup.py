@@ -611,7 +611,10 @@ def embedding_neardup_pairs_ivf(
     centroid distances, so recall at near-dup thresholds is high and
     rises with ``n_probe`` (pytest pins >= 0.95 vs the exact generator
     at threshold 0.4). Pairs co-occurring in several lists are collapsed
-    by ``distinct`` (identical row-local math -> bit-identical cosines).
+    by a (id_a, id_b) group taking the max cosine — robust even if
+    BLAS produces a last-ulp difference for the same pair across
+    differently-shaped list matrices (``distinct`` on the cosine would
+    then emit the pair twice).
 
     Scale posture: one shuffle keyed on the probed list id; each vector
     replicated ``n_probe`` times (vs ~n_blocks/2 in the blocked
@@ -636,10 +639,9 @@ def embedding_neardup_pairs_ivf(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     from real_estate_bigdata_spark.operators.similarity import (
-        _sq_dists,
+        _probe_lists_udf,
         build_ivf_index,
     )
 
@@ -647,19 +649,8 @@ def embedding_neardup_pairs_ivf(
         index = build_ivf_index(
             embeddings, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    centers = index.centroids
     k_probe = min(n_probe, index.n_lists)
-
-    # no type hints: dedup.py uses postponed annotations and pd is a
-    # function-local import, so hint resolution would fail — the explicit
-    # returnType carries the contract
-    @pandas_udf("array<int>")
-    def probe(v):
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        A = np.stack(v.to_numpy())
-        d = _sq_dists(A, centers)
-        return pd.Series(list(np.argsort(d, axis=1)[:, :k_probe].astype(np.int32)))
+    probe = _probe_lists_udf(index.centroids, k_probe)
 
     lists = index.lists
     if within_lists is not None:
@@ -702,7 +693,8 @@ def embedding_neardup_pairs_ivf(
     return (
         assigned.groupBy("__plist")
         .applyInPandas(_list_pairs, "id_a long, id_b long, cosine double")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
     )
 
 
@@ -711,6 +703,7 @@ def dedup_against_store(
     store: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_fingerprint: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup for continuous ingest: drop every new
     document whose (whitespace-normalized, portable) content fingerprint
@@ -733,6 +726,11 @@ def dedup_against_store(
     ``fingerprint`` (``sources.lake.write_bucketed``) and the per-batch
     anti-join reads co-located buckets with no exchange on the store
     side. Returned store rows are distinct by construction.
+
+    ``keep_fingerprint=True`` leaves the computed ``fingerprint``
+    column on the returned novel frame so callers persisting it (the
+    streaming ingest loop) don't pay a second md5 pass over every
+    novel document.
     """
     from real_estate_bigdata_spark.operators.text_analysis import doc_fingerprints
 
@@ -751,4 +749,4 @@ def dedup_against_store(
     new_store = store_fps.unionByName(
         novel.filter(F.col("fingerprint").isNotNull()).select("fingerprint")
     ).distinct()
-    return novel.drop("fingerprint"), new_store
+    return (novel if keep_fingerprint else novel.drop("fingerprint")), new_store

@@ -438,16 +438,27 @@ def decode_video_frames(
         try:
             with _av.open(io.BytesIO(content)) as container:
                 stream = container.streams.video[0]
-                next_ms, idx = 0.0, 0
+                # rate fallback for pts-less frames (index / fps)
+                rate = float(stream.average_rate or 25.0)
+                next_ms, idx, n_seen = None, 0, 0
                 for frame in container.decode(stream):
-                    t_ms = (frame.time or 0.0) * 1000.0
-                    if t_ms + 1e-6 >= next_ms:
+                    t_ms = (
+                        frame.time * 1000.0
+                        if frame.time is not None
+                        else n_seen / rate * 1000.0
+                    )
+                    n_seen += 1
+                    # anchor the cadence at the FIRST frame's timestamp
+                    # and advance from the emitted frame's time, not
+                    # from t=0 — a non-zero start PTS (trimmed clip)
+                    # must not burst-emit its leading frames
+                    if next_ms is None or t_ms + 1e-6 >= next_ms:
                         arr = frame.to_ndarray(format="rgb24")
                         out.append(
                             (idx, t_ms, arr.shape[1], arr.shape[0], arr.tobytes())
                         )
                         idx += 1
-                        next_ms += every_ms
+                        next_ms = t_ms + every_ms
         except ValueError:
             raise
         except Exception as exc:

@@ -230,6 +230,16 @@ def cap_per_group(
     """
     if max_rows < 1:
         raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    if order_col is not None and prefilter_counts:
+        # the count prefilter reasons about the UNIFORM hash bucket; a
+        # caller-supplied quality ordering has no such distribution, so
+        # the requested skew mitigation would silently do nothing —
+        # refuse instead (pre-aggregate a per-group quality quantile
+        # upstream if a quality-ordered cap must scale past one task)
+        raise ValueError(
+            "prefilter_counts is only valid with the default hash order "
+            "(order_col=None)"
+        )
     if order_col is not None:
         ordering = [F.col(order_col).desc(), F.col(id_col)]
         ranked = df

@@ -503,6 +503,29 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     return IvfIndex(centroids=centroids, lists=lists)
 
 
+def _probe_lists_udf(centers: np.ndarray, n_probe: int):
+    """Arrow-batched pandas_udf: vector -> array<int> of the ``n_probe``
+    nearest centroid ids. Shared by ``ivf_search`` and
+    ``dedup.embedding_neardup_pairs_ivf`` so the probing semantics
+    can't drift. NULL/ragged vectors probe as the zero vector (callers
+    filter them out before or after — the guard just keeps np.stack
+    from crashing)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe_lists(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        A = np.zeros((len(v), centers.shape[1]))
+        for i, vec in enumerate(v.to_numpy()):
+            if vec is not None and len(vec) == centers.shape[1]:
+                A[i] = vec
+        d = _sq_dists(A, centers)
+        return pd.Series(list(np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)))
+
+    return probe_lists
+
+
 def ivf_search(
     index: IvfIndex,
     queries: DataFrame,
@@ -527,23 +550,9 @@ def ivf_search(
     recall. At 10^9 vectors n_lists grows ~sqrt(N) and the per-list
     scan stays bounded.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    centers = index.centroids
     n_probe = min(n_probe, index.n_lists)
     dim = index.dim
-
-    @pandas_udf("array<int>")
-    def probe_lists(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        A = np.zeros((len(v), centers.shape[1]))
-        for i, vec in enumerate(v.to_numpy()):
-            if vec is not None and len(vec) == centers.shape[1]:
-                A[i] = vec
-        d = _sq_dists(A, centers)
-        order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+    probe_lists = _probe_lists_udf(index.centroids, n_probe)
 
     # NULL/ragged queries would probe as the zero vector and return k
     # fake neighbors with NULL cosines — excluded, matching the build.

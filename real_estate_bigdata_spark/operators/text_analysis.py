@@ -185,6 +185,10 @@ def remove_boilerplate_lines(
     banners, license footers), keeping the remaining lines in their
     original order. Docs whose every line is boilerplate come back with
     empty text (the row survives for accounting); NULL text stays NULL.
+    Rows with a NULL ``id_col`` pass through UNTOUCHED and do not
+    contribute to line frequencies: they cannot be reassembled
+    per-document (a NULL key would merge every NULL-id doc's lines),
+    so they are carried outside the line pipeline.
 
     Plan: posexplode lines -> 60-bit portable line fingerprint (the
     md5-prefix construction, same as ``portable_fingerprint`` — so the
@@ -199,6 +203,8 @@ def remove_boilerplate_lines(
     """
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    null_id = docs.filter(F.col(id_col).isNull())
+    docs = docs.filter(F.col(id_col).isNotNull())
     lines = docs.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
@@ -224,7 +230,7 @@ def remove_boilerplate_lines(
             ).alias("__clean")
         )
     )
-    return (
+    cleaned = (
         docs.join(rebuilt, docs[id_col] == rebuilt["__id"], "left")
         .withColumn(
             text_col,
@@ -234,6 +240,7 @@ def remove_boilerplate_lines(
         )
         .drop("__id", "__clean")
     )
+    return cleaned.unionByName(null_id.select(*cleaned.columns))
 
 
 def vocab_top_tokens(

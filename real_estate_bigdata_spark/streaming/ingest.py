@@ -119,10 +119,11 @@ def run_deduped_doc_ingest(
     pattern documented on ``dedup_against_store``.
     """
     from real_estate_bigdata_spark.operators.dedup import dedup_against_store
-    from real_estate_bigdata_spark.operators.text_analysis import doc_fingerprints
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         sess = batch_df.sparkSession
         try:
             store = (
@@ -132,26 +133,31 @@ def run_deduped_doc_ingest(
                 .filter(F.col("ingest_batch") < F.lit(batch_id))
                 .select("fingerprint")
             )
-        except Exception:  # first epoch: store path doesn't exist yet
+        except AnalysisException as exc:
+            # ONLY a missing store path means "first epoch". Any other
+            # read failure (transient storage error, corrupt footer,
+            # permissions) must fail the batch for retry — substituting
+            # an empty store would silently admit every duplicate in
+            # the batch to the lake.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
             store = sess.createDataFrame([], "fingerprint bigint")
+        # keep_fingerprint: the store write below reuses the fingerprints
+        # dedup already computed instead of a second md5 pass per batch
         novel, _ = dedup_against_store(
-            batch_df, store, id_col=id_col, text_col=text_col
+            batch_df, store, id_col=id_col, text_col=text_col, keep_fingerprint=True
         )
         novel = novel.localCheckpoint(eager=True)  # reused by both writes
         (
-            novel.withColumn("ingest_batch", F.lit(batch_id))
+            novel.drop("fingerprint")
+            .withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")
             .parquet(dest_dir)
         )
         fps = (
-            doc_fingerprints(
-                novel.select(
-                    F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-                )
-            )
-            .filter(F.col("fingerprint").isNotNull())
+            novel.filter(F.col("fingerprint").isNotNull())
             .select("fingerprint")
             .distinct()
         )

@@ -233,3 +233,9 @@ def test_hash_sample_weighted_map_only_plan(spark):
         max_shuffles=0,
         forbid_python=True,
     )
+
+
+def test_cap_per_group_rejects_prefilter_with_quality_order(spark):
+    df = spark.createDataFrame([(1, "s", 1.0)], "doc_id long, source string, q double")
+    with pytest.raises(ValueError):
+        sp.cap_per_group(df, max_rows=5, order_col="q", prefilter_counts=True)

@@ -297,3 +297,21 @@ class TestRemoveBoilerplateLines:
 
         with pytest.raises(ValueError):
             remove_boilerplate_lines(self._df(spark), max_docs=0)
+
+
+def test_remove_boilerplate_null_id_passes_through(spark):
+    """NULL-id rows can't be reassembled per-document — they must pass
+    through untouched (not collapse to '') and not affect frequencies."""
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        (1, "shared\nalpha"),
+        (2, "shared\nbeta"),
+        (None, "shared\nkept as is"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in remove_boilerplate_lines(df, max_docs=1).collect()}
+    assert out[1] == "alpha" and out[2] == "beta"
+    assert out[None] == "shared\nkept as is"
