@@ -503,6 +503,20 @@ def _q_cap_per_source(spark, sf):
     return cap_per_group(docs, max_rows=15).select("doc_id", "source")
 
 
+def _q_cap_per_source_best(spark, sf):
+    """Quality-ordered per-domain cap (NEW r5): keep the 10 LONGEST docs
+    per source, with the broadcast percentile-cutoff prefilter on — the
+    skew mitigation is provably exact (the cutoff is a guaranteed lower
+    bound on the cap-th best value, see ``sampling.quality_cutoffs``),
+    so the oracle is the plain exact window."""
+    from real_estate_bigdata_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf, "documents").withColumn("q", F.length("text"))
+    return cap_per_group(
+        docs, max_rows=10, order_col="q", prefilter_counts=True
+    ).select("doc_id", "source", "q")
+
+
 def _q_hash_split(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import hash_split
 
@@ -741,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q_chunk_documents,
         "q_text_quality": _q_text_quality,
         "q_cap_per_source": _q_cap_per_source,
+        "q_cap_per_source_best": _q_cap_per_source_best,
         "q_lang_id": _q_lang_id,
         "q_remove_boilerplate": _q_remove_boilerplate,
         "q_pivot_status": _q_pivot_status,
@@ -1821,6 +1836,20 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM b
             ) WHERE rn <= 15
+        """,
+        # quality-ordered per-domain cap: 10 longest docs per source,
+        # doc_id tie-break; the Spark side's percentile prefilter never
+        # changes the window's output, so the oracle is the exact window
+        "q_cap_per_source_best": """
+            SELECT doc_id, source, q FROM (
+                SELECT doc_id, source, length(text)::INTEGER AS q,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY length(text)::INTEGER DESC NULLS LAST,
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         # offset-based chunking: inclusive capped-token cumsum per source
         # in doc_id order; chunk = (cumsum - 1) // budget

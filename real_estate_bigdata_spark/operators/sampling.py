@@ -29,6 +29,7 @@ __all__ = [
     "hash_split",
     "mixture_balance",
     "pack_documents",
+    "quality_cutoffs",
     "stratified_hash_sample",
 ]
 
@@ -215,34 +216,35 @@ def cap_per_group(
     id, so the survivor set is total-order determined.
 
     Plan: one window (single shuffle on ``group_col``). Skew note: one
-    monster domain makes one window partition — with the default hash
-    order, ``prefilter_counts=True`` first aggregates per-group counts
-    (output bounded by group cardinality, broadcast back) and map-side
-    drops rows whose bucket lies above the cap/count quantile before
-    the exact window, shrinking the sorted partition from the group's
-    size to ~cap + 4*sqrt(cap) + 16 expected rows. That additive slack
-    keeps the dropped-winner probability below ~e^-16 even at cap=1
-    (a flat 2x multiplier fails ~e^-2 of 1-row caps — caught by the
-    randomized invariant sweep); still a vanishing-probability
-    approximation, the same documented exact/approx trade as
-    ``quality.quantile_floor``'s sketch flag — leave it off when exact
-    reproducibility across engines is required.
+    monster domain makes one window partition — ``prefilter_counts=True``
+    adds a map-side shrink pass before the exact window, with a
+    mode-specific mechanism:
+
+    * default hash order — per-group counts (output bounded by group
+      cardinality, broadcast back) drop rows whose bucket lies above the
+      cap/count quantile, shrinking the sorted partition from the
+      group's size to ~cap + 4*sqrt(cap) + 16 expected rows. That
+      additive slack keeps the dropped-winner probability below ~e^-16
+      even at cap=1 (a flat 2x multiplier fails ~e^-2 of 1-row caps —
+      caught by the randomized invariant sweep); a vanishing-probability
+      approximation, the same documented exact/approx trade as
+      ``quality.quantile_floor``'s sketch flag — leave it off when exact
+      reproducibility across engines is required.
+    * ``order_col`` given — a per-group ``percentile_approx`` cutoff
+      (see ``quality_cutoffs``) drops rows strictly below a value
+      GUARANTEED <= the cap-th best, so unlike the hash path this
+      prefilter can never change the result: the exact window output is
+      identical with the flag on or off, deterministically.
     """
     if max_rows < 1:
         raise ValueError(f"max_rows must be >= 1, got {max_rows}")
-    if order_col is not None and prefilter_counts:
-        # the count prefilter reasons about the UNIFORM hash bucket; a
-        # caller-supplied quality ordering has no such distribution, so
-        # the requested skew mitigation would silently do nothing —
-        # refuse instead (pre-aggregate a per-group quality quantile
-        # upstream if a quality-ordered cap must scale past one task)
-        raise ValueError(
-            "prefilter_counts is only valid with the default hash order "
-            "(order_col=None)"
-        )
     if order_col is not None:
         ordering = [F.col(order_col).desc(), F.col(id_col)]
-        ranked = df
+        ranked = (
+            _quality_prefilter(df, max_rows, group_col, order_col)
+            if prefilter_counts
+            else df
+        )
     else:
         ranked = df.withColumn("__bucket", bucket_of(F.col(id_col), salt))
         ordering = [F.col("__bucket"), F.col(id_col)]
@@ -267,6 +269,84 @@ def cap_per_group(
         F.col("__rn") <= max_rows
     )
     return out.drop("__rn", "__bucket")
+
+
+#: grid step for the quality-prefilter percentile sketch; the cutoff is
+#: taken one full step below the cap boundary, so a coarser step only
+#: keeps MORE rows (never fewer) — 1% of the monster group is the floor
+#: of what the prefilter can shrink to.
+_QUALITY_GRID_STEP = 0.01
+_QUALITY_GRID = [
+    round(i * _QUALITY_GRID_STEP, 2) for i in range(int(1 / _QUALITY_GRID_STEP))
+]
+_QUALITY_ACC = 10_000  # percentile_approx accuracy: rank error <= N/acc
+
+
+def quality_cutoffs(
+    df: DataFrame,
+    max_rows: int,
+    group_col: str = "source",
+    order_col: str = "quality",
+) -> DataFrame:
+    """Per-group conservative lower bound on the ``max_rows``-th largest
+    ``order_col`` value — the broadcast side of the quality-ordered
+    ``cap_per_group`` skew mitigation.
+
+    Mechanism: one ``percentile_approx`` pass over a fixed 101-point
+    percentile grid (Spark requires a foldable percentage argument, so
+    the per-group target percentile is resolved AFTERWARD by indexing
+    into the grid). The chosen grid point sits a full grid step plus
+    twice the sketch's rank-error bound BELOW the cap boundary, so the
+    returned value's true rank is provably below ``count - max_rows``:
+    every row the window would keep has ``order_col`` >= the cutoff, on
+    every run and merge order of the sketch. Groups whose non-null count
+    leaves no room for a cutoff get NULL (meaning: keep everything).
+
+    Output: (``group_col``, ``__qcut``) — bounded by group cardinality
+    (domains/sources: thousands, never corpus-sized), broadcastable.
+    """
+    nn = F.col("__nn")
+    # rank target as a fraction, minus sketch error (2/acc) and one grid
+    # step of slack; floor to the grid point at or below it
+    target = (nn - F.lit(max_rows)) / nn - F.lit(
+        2.0 / _QUALITY_ACC + _QUALITY_GRID_STEP
+    )
+    idx = F.floor(target / F.lit(_QUALITY_GRID_STEP)).cast("int")
+    return (
+        df.filter(F.col(order_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.percentile_approx(
+                order_col,
+                F.array([F.lit(p) for p in _QUALITY_GRID]),
+                F.lit(_QUALITY_ACC),
+            ).alias("__qs"),
+            F.count("*").alias("__nn"),
+        )
+        .select(
+            group_col,
+            F.when(idx >= 0, F.element_at("__qs", idx + 1)).alias("__qcut"),
+        )
+    )
+
+
+def _quality_prefilter(
+    df: DataFrame, max_rows: int, group_col: str, order_col: str
+) -> DataFrame:
+    """Map-side shrink for the quality-ordered cap: broadcast the
+    per-group cutoffs and drop rows strictly below them. NULL
+    ``order_col`` rows always pass (they sort last in the window and may
+    legitimately survive in groups short of non-null winners); groups
+    without a cutoff (under-cap, all-null, or absent from the cutoff
+    aggregate) pass whole. Never changes the exact window's output —
+    see ``quality_cutoffs`` for the guarantee."""
+    cuts = quality_cutoffs(df, max_rows, group_col, order_col)
+    keep = (
+        F.col("__qcut").isNull()
+        | F.col(order_col).isNull()
+        | (F.col(order_col) >= F.col("__qcut"))
+    )
+    return df.join(F.broadcast(cuts), group_col, "left").filter(keep).drop("__qcut")
 
 
 def pack_documents(

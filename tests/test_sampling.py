@@ -235,7 +235,59 @@ def test_hash_sample_weighted_map_only_plan(spark):
     )
 
 
-def test_cap_per_group_rejects_prefilter_with_quality_order(spark):
-    df = spark.createDataFrame([(1, "s", 1.0)], "doc_id long, source string, q double")
-    with pytest.raises(ValueError):
-        sp.cap_per_group(df, max_rows=5, order_col="q", prefilter_counts=True)
+def test_cap_per_group_quality_prefilter_matches_exact(spark):
+    # skewed synthetic corpus: one monster group with heavy ties, a tiny
+    # under-cap group, mixed-NULL qualities, an all-NULL group, and a
+    # group where NULL-quality rows MUST survive (fewer non-null rows
+    # than the cap) — every case where an over-eager prefilter would
+    # change the exact window's answer
+    rows = [(i, "monster", float(i % 500)) for i in range(5000)]
+    rows += [(10_000 + i, "tiny", float(i)) for i in range(3)]
+    rows += [(20_000 + i, "mixed", None if i % 2 else float(i)) for i in range(40)]
+    rows += [(30_000 + i, "allnull", None) for i in range(30)]
+    rows += [(40_000 + i, "fewq", float(i) if i < 8 else None) for i in range(38)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    exact = {
+        r.doc_id for r in sp.cap_per_group(df, 12, order_col="quality").collect()
+    }
+    fast = {
+        r.doc_id
+        for r in sp.cap_per_group(
+            df, 12, order_col="quality", prefilter_counts=True
+        ).collect()
+    }
+    assert fast == exact
+    # deterministic under any partitioning (the sketch may merge in any
+    # order; the conservative cutoff keeps the exact result invariant)
+    again = {
+        r.doc_id
+        for r in sp.cap_per_group(
+            df.repartition(13), 12, order_col="quality", prefilter_counts=True
+        ).collect()
+    }
+    assert again == exact
+
+
+def test_quality_prefilter_shrinks_monster_group(spark):
+    # the point of the mitigation: the sorted window partition for a
+    # monster domain sees ~cap + 1-2% of the group, not the whole group
+    rows = [(i, "m", float(i)) for i in range(20_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    pre = sp._quality_prefilter(df, 10, "source", "quality")
+    n = pre.count()
+    assert n < 20_000 * 0.05, f"prefilter kept {n} of 20000 rows"
+    kept = {r.doc_id for r in pre.select("doc_id").collect()}
+    winners = {19_999 - k for k in range(10)}  # top-10 by quality desc
+    assert winners <= kept
+
+
+def test_cap_per_group_quality_prefilter_plan(spark):
+    from real_estate_bigdata_spark.plans import assert_plan, executed_plan_str
+
+    docs = load_table(spark, SF, "documents").withColumn("q", F.length("text"))
+    capped = sp.cap_per_group(docs, 15, order_col="q", prefilter_counts=True)
+    # cutoffs broadcast (never a shuffled join on the fact side); the
+    # whole prefilter stays JVM-side
+    assert_plan(capped, min_broadcast_joins=1, forbid_python=True)
+    plan = executed_plan_str(capped)
+    assert "__qcut" in plan  # map-side cutoff filter feeds the window sort
