@@ -1750,15 +1750,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # equi-width histogram; DuckDB has no width_bucket, so the
         # oracle mirrors Spark's exact formula:
-        # floor((x - lo) / ((hi - lo)/n)) + 1, under/overflow -> 0/n+1
+        # floor((x - lo) / ((hi - lo)/n)) + 1, under/overflow -> 0/n+1.
+        # Literals cast ::DOUBLE — DuckDB parses bare numerics as
+        # DECIMAL, whose exact width arithmetic diverges from Spark's
+        # IEEE doubles when the bin width is not representable
         "q_value_histogram": """
             WITH m AS (
                 SELECT length(text)::DOUBLE AS x
                 FROM documents WHERE text IS NOT NULL
             ), binned AS (
-                SELECT CASE WHEN x < 0.0 THEN 0
-                            WHEN x >= 600.0 THEN 21
-                            ELSE floor((x - 0.0) / ((600.0 - 0.0) / 20))::BIGINT + 1
+                SELECT CASE WHEN x < 0.0::DOUBLE THEN 0
+                            WHEN x >= 600.0::DOUBLE THEN 21
+                            ELSE floor((x - 0.0::DOUBLE)
+                                       / ((600.0::DOUBLE - 0.0::DOUBLE) / 20)
+                                 )::BIGINT + 1
                        END AS bin
                 FROM m
             )
@@ -1796,7 +1801,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(string_split(text, chr(10))) AS line,
                        unnest(range(len(string_split(text, chr(10))))) AS pos
-                FROM documents WHERE text IS NOT NULL
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
             ), keyed AS (
                 SELECT doc_id, pos, line,
                        ('0x' || substr(md5(line), 1, 15))::BIGINT AS fp
@@ -1815,7 +1821,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM kept GROUP BY doc_id
             )
             SELECT d.doc_id,
-                   CASE WHEN d.text IS NULL THEN NULL
+                   CASE WHEN d.doc_id IS NULL THEN d.text
+                        WHEN d.text IS NULL THEN NULL
                         ELSE coalesce(r.clean, '') END AS text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,

@@ -192,6 +192,13 @@ def extract_image_features(media: DataFrame, use_pil: bool | None = None) -> Dat
         for pdf in it:
             feats, shas, sizes = [], [], []
             for content in pdf["content"]:
+                # NULL payload: nothing to decode OR hash — full-NULL row
+                # (bytes(None) would TypeError past the ValueError net)
+                if content is None:
+                    feats.append(None)
+                    shas.append(None)
+                    sizes.append(None)
+                    continue
                 raw = bytes(content)
                 try:
                     px = decode_image(raw, use_pil)
@@ -251,6 +258,8 @@ def resize_images(
             out_bytes = []
             for content in pdf["content"]:
                 try:
+                    if content is None:  # undecodable by definition
+                        raise ValueError("NULL content payload")
                     px = decode_image(bytes(content), use_pil)
                 except ValueError:
                     out_bytes.append(None)
@@ -374,9 +383,10 @@ def extract_audio_features(
         for pdf in it:
             feats, counts, rates, durs, rms = [], [], [], [], []
             for content in pdf["content"]:
-                raw = bytes(content)
                 try:
-                    wave, sr = decode_audio(raw, use_codec)
+                    if content is None:  # undecodable by definition
+                        raise ValueError("NULL content payload")
+                    wave, sr = decode_audio(bytes(content), use_codec)
                 except ValueError:
                     feats.append(None)
                     counts.append(None)
@@ -512,6 +522,11 @@ def sample_video_frames(
                 ids, idxs, times, ws, hs, hashes = [], [], [], [], [], []
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
                     try:
+                        # a NULL payload is undecodable by definition —
+                        # emit the NULL frame row instead of letting
+                        # bytes(None) raise TypeError and kill the task
+                        if content is None:
+                            raise ValueError("NULL content payload")
                         frames = decode_video_frames(bytes(content), every_ms)
                     except ValueError:
                         ids.append(mid)

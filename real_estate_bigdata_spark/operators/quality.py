@@ -43,10 +43,18 @@ def metric_histogram(
     min/max pre-pass would double the scan at 100 TB — run it once and
     reuse.
 
-    Bucketing is SQL-standard ``width_bucket`` (identical semantics in
-    Spark and DuckDB, so the oracle is exact): bin 0 = underflow
-    (< lo, lo_edge NULL), bins 1..n equi-width over [lo, hi), bin
-    n_bins+1 = overflow (>= hi, hi_edge NULL). NULL metrics are
+    Bin assignment is the explicit IEEE-double expression
+    ``floor((x - lo) / ((hi - lo) / n_bins)) + 1`` — the SAME arithmetic,
+    in the same operation order, that the DuckDB oracle runs (DuckDB has
+    no ``width_bucket``), so the oracle is exact for ANY bounds: when a
+    bin width is not exactly representable, both engines mis-round
+    boundary values identically instead of disagreeing. Caveat for
+    oracle authors: DuckDB parses bare numeric literals as DECIMAL and
+    would compute the width exactly — cast every literal ``::DOUBLE``
+    (as the shipped oracle and the parity test do) to stay in IEEE
+    arithmetic. Bin 0 =
+    underflow (< lo, lo_edge NULL), bins 1..n equi-width over [lo, hi),
+    bin n_bins+1 = overflow (>= hi, hi_edge NULL). NULL metrics are
     excluded. Empty bins are absent (count them as zero downstream).
     """
     if hi <= lo:
@@ -56,11 +64,17 @@ def metric_histogram(
     m = F.col(metric) if isinstance(metric, str) else metric
     width = (hi - lo) / n_bins
     b = F.col("bin")
+    x = m.cast("double")
     return (
         df.select(
-            F.width_bucket(
-                m.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(n_bins)
-            ).alias("bin")
+            F.when(x < float(lo), F.lit(0).cast("bigint"))
+            .when(x >= float(hi), F.lit(n_bins + 1).cast("bigint"))
+            .otherwise(
+                (F.floor((x - F.lit(float(lo))) / F.lit(width)) + F.lit(1)).cast(
+                    "bigint"
+                )
+            )
+            .alias("bin")
         )
         .filter(b.isNotNull())
         .groupBy("bin")

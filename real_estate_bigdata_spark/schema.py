@@ -7,6 +7,17 @@ inference pass is a full extra scan, and inferred types drift per
 partition — so every table here is pinned once and shared by batch and
 streaming paths.
 
+SESSION-CONF CONTRACT: ``load_table``/``load_tables`` PERMANENTLY pin
+``spark.sql.session.timeZone=UTC`` and
+``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's session —
+the timestamp normalizations they build are lazy and consult the session
+timezone at EXECUTION time, so restoring the confs after the (unexecuted)
+read would silently corrupt the returned DataFrames. A caller that needs
+a non-UTC session timezone for its own queries must use a separate
+SparkSession for engine tables, or re-set the conf between engine and
+non-engine queries (accepting that engine DataFrames must be fully
+materialized first).
+
 `RAW_LISTING_SCHEMA` mirrors the loose crawler record
 (`crawler/alonhadat.py:177-193`): strings and union types exactly as the
 scraper emits them. `LISTING_SCHEMA` is the normalized engine table
@@ -214,7 +225,11 @@ def load_table(spark, sf_dir: str, name: str):
     # at all under the legacy nanosAsLong conf. The module contract
     # (entry(spark)/queries()) means callers may hand us THEIR session —
     # both confs are runtime-settable and idempotent, so pin them here
-    # rather than requiring get_spark-built sessions.
+    # rather than requiring get_spark-built sessions. The pin is
+    # deliberately PERMANENT (module-docstring contract): the returned
+    # DataFrame is lazy and reads session.timeZone at execution time, so
+    # restoring the conf here would corrupt the casts below once the
+    # caller actually runs the query.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -121,6 +121,24 @@ def run_deduped_doc_ingest(
     from real_estate_bigdata_spark.operators.dedup import dedup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
 
+    def _is_missing_path(exc) -> bool:
+        """True iff ``exc`` is Spark's missing-input-path error. Checks
+        the STABLE error-class API first (``getCondition`` in PySpark 4,
+        ``getErrorClass`` before it) so a Spark release rewording the
+        message can't wedge the stream on its first batch; the message
+        substrings remain only as a last-resort fallback."""
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, attr, None)
+            if fn is None:
+                continue
+            try:
+                cls = fn()
+            except Exception:
+                continue
+            if cls is not None:
+                return cls == "PATH_NOT_FOUND"
+        return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
@@ -139,7 +157,7 @@ def run_deduped_doc_ingest(
             # permissions) must fail the batch for retry — substituting
             # an empty store would silently admit every duplicate in
             # the batch to the lake.
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            if not _is_missing_path(exc):
                 raise
             store = sess.createDataFrame([], "fingerprint bigint")
         # keep_fingerprint: the store write below reuses the fingerprints

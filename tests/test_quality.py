@@ -132,3 +132,30 @@ class TestMetricHistogram:
             metric_histogram(df, "m", 5, 5)
         with pytest.raises(ValueError):
             metric_histogram(df, "m", 0, 10, n_bins=0)
+
+
+def test_histogram_matches_duckdb_on_unrepresentable_width(spark, duck):
+    # width (hi-lo)/n = 0.7/3 is not exactly representable; the operator
+    # computes the SAME IEEE expression as the oracle (ADVICE r4), so
+    # boundary values land in the same bin on both engines.
+    from real_estate_bigdata_spark.operators.quality import metric_histogram
+
+    vals = [0.1 + 0.7 * k / 21 for k in range(22)] + [0.0999, 0.8001]
+    df = spark.createDataFrame([(v,) for v in vals], "m double")
+    got = {
+        r.bin: r.n for r in metric_histogram(df, "m", 0.1, 0.8, n_bins=3).collect()
+    }
+    duck.execute("CREATE OR REPLACE TEMP TABLE _h(v DOUBLE)")
+    duck.executemany("INSERT INTO _h VALUES (?)", [(v,) for v in vals])
+    want = dict(
+        duck.execute(
+            """
+            SELECT CASE WHEN v < 0.1::DOUBLE THEN 0
+                        WHEN v >= 0.8::DOUBLE THEN 4
+                        ELSE floor((v - 0.1::DOUBLE)
+                                   / ((0.8::DOUBLE - 0.1::DOUBLE) / 3))::BIGINT + 1
+                   END AS bin, count(*) FROM _h GROUP BY bin
+            """
+        ).fetchall()
+    )
+    assert got == want
