@@ -585,6 +585,50 @@ def embedding_neardup_pairs_blocked(
     )
 
 
+def _expand_hot_lists(assigned: DataFrame, max_list_rows: int) -> DataFrame:
+    """Sub-partition over-sized probed lists for bounded GEMM tasks.
+
+    Input: (__plist, vid, v). Each list over ``max_list_rows`` rows is
+    hash-split on ``vid`` into ``ceil(rows / max_list_rows)`` sub-blocks;
+    every row is replicated once per sub-block pair it participates in,
+    keyed (__plist, __sx <= __sy). Within one list, every vector pair
+    co-occurs in EXACTLY one (__sx, __sy) group: same-sub pairs in the
+    diagonal group, cross-sub pairs in the one group keyed by their two
+    subs — so downstream pair emission needs no extra dedup. Lists at or
+    under the bound get a single (0, 0) group and one replica.
+
+    The per-list counts aggregate is bounded by list cardinality
+    (n_lists x n_probe keys at most) and broadcast back — the map-side
+    explode is the only row amplification.
+    """
+    counts = assigned.groupBy("__plist").agg(F.count("*").alias("__ln"))
+    return (
+        assigned.join(F.broadcast(counts), "__plist")
+        .withColumn(
+            "__nsub",
+            F.ceil(F.col("__ln") / F.lit(max_list_rows)).cast("int"),
+        )
+        .withColumn(
+            "__sub", F.pmod(F.xxhash64(F.col("vid")), F.col("__nsub")).cast("int")
+        )
+        .select(
+            "__plist",
+            "vid",
+            "v",
+            "__sub",
+            F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__other"),
+        )
+        .select(
+            "__plist",
+            F.least("__sub", "__other").alias("__sx"),
+            F.greatest("__sub", "__other").alias("__sy"),
+            "__sub",
+            "vid",
+            "v",
+        )
+    )
+
+
 def embedding_neardup_pairs_ivf(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -595,6 +639,7 @@ def embedding_neardup_pairs_ivf(
     vec_col: str = "embedding",
     index=None,
     within_lists=None,
+    max_list_rows: int = 65_536,
 ) -> DataFrame:
     """Embedding near-dup pairs via IVF-blocked GEMM — the third tier
     between :func:`embedding_neardup_pairs_blocked` (all block pairs,
@@ -621,8 +666,15 @@ def embedding_neardup_pairs_ivf(
     generator); per-task work is (list size)^2 flops in BLAS with
     list sizes ~N/n_lists — grow ``n_lists`` ~ sqrt(N) so tasks stay
     bounded; never an all-pairs crossJoin. Skewed lists (one dense
-    semantic cluster) are the residual risk — raise ``n_lists`` or
-    pre-split hot lists; AQE cannot split a single applyInPandas group.
+    semantic cluster all probing the same centroid) are handled by an
+    AUTO-SPLIT — AQE cannot split a single applyInPandas group, so any
+    list over ``max_list_rows`` is hash-sub-partitioned into
+    ceil(rows / max_list_rows) sub-blocks and every sub-block PAIR
+    becomes its own task (the blocked-GEMM pattern applied inside the
+    hot list): identical pair output, per-task rows bounded by ~2x
+    ``max_list_rows``, data motion for a hot list multiplied by its
+    sub-block count. Cold lists pay one broadcast-joined count lookup
+    and a single-element explode.
 
     ``index`` accepts a prebuilt/persisted :class:`similarity.IvfIndex`
     (build once, pair-generate many times). ``within_lists`` restricts
@@ -645,6 +697,8 @@ def embedding_neardup_pairs_ivf(
         build_ivf_index,
     )
 
+    if max_list_rows < 1:
+        raise ValueError(f"max_list_rows must be >= 1, got {max_list_rows}")
     if index is None:
         index = build_ivf_index(
             embeddings, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
@@ -666,22 +720,40 @@ def embedding_neardup_pairs_ivf(
     if within_lists is not None:
         assigned = assigned.filter(F.col("__plist").isin(wl))
 
-    def _list_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy()
-        M = np.stack(pdf["v"].to_numpy())
+    def _normed(rows: pd.DataFrame):
+        ids = rows["vid"].to_numpy()
+        M = np.stack(rows["v"].to_numpy())
         nrm = np.linalg.norm(M, axis=1)
         safe = np.where(nrm == 0.0, np.inf, nrm)
-        Mn = M / safe[:, None]
+        return ids, M / safe[:, None]
+
+    def _list_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        sx, sy = int(pdf["__sx"].iat[0]), int(pdf["__sy"].iat[0])
         out_a, out_b, out_c = [], [], []
-        step = 2048  # bounds the per-chunk gram slab at ~step x |list|
-        for s in range(0, len(ids), step):
-            C = np.round(Mn[s : s + step] @ Mn.T, 6)
-            ii, jj = np.nonzero(C >= threshold)
-            ga, gb, gc = ids[s + ii], ids[jj], C[ii, jj]
-            keep = ga < gb  # upper triangle: drop self + mirrored pairs
-            out_a.append(ga[keep])
-            out_b.append(gb[keep])
-            out_c.append(gc[keep])
+        step = 2048  # bounds the per-chunk gram slab at ~step x |rows|
+        if sx == sy:
+            # within one sub-block (or a cold list): upper triangle
+            ids, Mn = _normed(pdf)
+            for s in range(0, len(ids), step):
+                C = np.round(Mn[s : s + step] @ Mn.T, 6)
+                ii, jj = np.nonzero(C >= threshold)
+                ga, gb, gc = ids[s + ii], ids[jj], C[ii, jj]
+                keep = ga < gb  # drop self + mirrored pairs
+                out_a.append(ga[keep])
+                out_b.append(gb[keep])
+                out_c.append(gc[keep])
+        else:
+            # cross sub-block pair of a hot list: full A x B gram, no
+            # self-pairs possible; orient each pair min/max
+            ids_a, An = _normed(pdf[pdf["__sub"] == sx])
+            ids_b, Bn = _normed(pdf[pdf["__sub"] == sy])
+            for s in range(0, len(ids_a), step):
+                C = np.round(An[s : s + step] @ Bn.T, 6)
+                ii, jj = np.nonzero(C >= threshold)
+                ga, gb = ids_a[s + ii], ids_b[jj]
+                out_a.append(np.minimum(ga, gb))
+                out_b.append(np.maximum(ga, gb))
+                out_c.append(C[ii, jj])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
@@ -691,7 +763,8 @@ def embedding_neardup_pairs_ivf(
         )
 
     return (
-        assigned.groupBy("__plist")
+        _expand_hot_lists(assigned, max_list_rows)
+        .groupBy("__plist", "__sx", "__sy")
         .applyInPandas(_list_pairs, "id_a long, id_b long, cosine double")
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))

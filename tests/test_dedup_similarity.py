@@ -528,3 +528,67 @@ def test_embedding_neardup_pairs_ivf_shard_prunes_partitions(spark, tmp_path):
     }
     shard = {(r.id_a, r.id_b) for r in out.collect()}
     assert shard <= full
+
+
+def test_ivf_hot_list_autosplit_bounded_tasks_same_pairs(spark):
+    """VERDICT r4 task #4: one planted dense cluster (every vector probes
+    the same lists) must NOT become one monster applyInPandas task —
+    over-sized lists hash-split into sub-block pairs with bounded rows
+    per group, and the emitted pair set is IDENTICAL to the unsplit
+    run."""
+    # 600 near-identical vectors (one dense semantic cluster) + 100
+    # scattered ones
+    rows = [
+        (i, [10.0 + (i % 7) * 1e-4 + j for j in range(8)]) for i in range(600)
+    ]
+    rows += [
+        (1000 + i, [float((i * 37 + j * 11) % 23) - 11.0 for j in range(8)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    unsplit = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dd.embedding_neardup_pairs_ivf(
+            df, threshold=0.9, n_lists=4, n_probe=2, seed=7,
+            max_list_rows=10**9,
+        ).collect()
+    }
+    split = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dd.embedding_neardup_pairs_ivf(
+            df, threshold=0.9, n_lists=4, n_probe=2, seed=7, max_list_rows=64
+        ).collect()
+    }
+    assert split == unsplit
+    assert len(unsplit) >= 600 * 599 / 2  # the dense cluster is all-pairs
+
+    # the expansion itself: per-(list, sx, sy) group sizes stay bounded
+    assigned = df.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        F.lit(0).alias("__plist"),  # worst case: EVERYTHING in one list
+    )
+    expanded = dd._expand_hot_lists(assigned, max_list_rows=64)
+    sizes = [
+        r.n
+        for r in expanded.groupBy("__plist", "__sx", "__sy")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    # hash balance slack: diagonal groups ~max_list_rows, cross groups
+    # ~2*max_list_rows; allow 1.5x for hash imbalance at this small n
+    assert max(sizes) <= int(2 * 64 * 1.5), f"unbounded group: {max(sizes)}"
+    # every vector pair of the single list is covered exactly once
+    n_sub = (700 + 63) // 64
+    assert len(sizes) == n_sub * (n_sub + 1) // 2
+
+
+def test_ivf_autosplit_rejects_bad_bound(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        dd.embedding_neardup_pairs_ivf(df, max_list_rows=0)
