@@ -28,11 +28,17 @@ from real_estate_bigdata_spark.functions.normalize import normalize_listings
 from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA
 
 __all__ = [
+    "compact_fingerprint_store",
     "file_stream_ingest",
     "windowed_event_counts",
     "run_file_ingest",
     "run_deduped_doc_ingest",
 ]
+
+#: explicit store schema — epoch reads never infer (an empty but
+#: existing store directory must read as zero rows, not raise
+#: UNABLE_TO_INFER_SCHEMA)
+_STORE_SCHEMA = "fingerprint bigint, ingest_batch int"
 
 
 def file_stream_ingest(
@@ -92,6 +98,7 @@ def run_deduped_doc_ingest(
     text_col: str = "text",
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    compacted_table: str | None = None,
 ) -> StreamingQuery:
     """Continuous document ingest that drops exact duplicates against a
     PERSISTENT fingerprint store — the reference's broken link-key
@@ -113,10 +120,13 @@ def run_deduped_doc_ingest(
     Scale posture: the store is one 8-byte column; the per-batch
     anti-join shuffles only fingerprints (never payloads) and the
     epoch-partition layout keeps the store append-only. Steady state at
-    corpus scale: periodically compact the epoch partitions into a
-    bucketed table (``sources.lake.write_bucketed``) so the anti-join's
-    store side reads co-located buckets with no exchange — the batch
-    pattern documented on ``dedup_against_store``.
+    corpus scale: periodically run :func:`compact_fingerprint_store`
+    (while the stream is stopped) to fold committed epoch partitions
+    into a bucketed+sorted table, and pass its ``table`` name here as
+    ``compacted_table`` — each batch then dedups against the bucketed
+    table (anti-join reads co-located buckets, no exchange and no sort
+    on the store side) unioned with whatever epoch partitions have
+    accumulated since the last compaction.
     """
     from real_estate_bigdata_spark.operators.dedup import dedup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
@@ -145,7 +155,7 @@ def run_deduped_doc_ingest(
         sess = batch_df.sparkSession
         try:
             store = (
-                sess.read.parquet(store_dir)
+                sess.read.schema(_STORE_SCHEMA).parquet(store_dir)
                 # replay safety: never see this epoch's own (possibly
                 # partial) fingerprints; prunes to prior-epoch partitions
                 .filter(F.col("ingest_batch") < F.lit(batch_id))
@@ -160,6 +170,15 @@ def run_deduped_doc_ingest(
             if not _is_missing_path(exc):
                 raise
             store = sess.createDataFrame([], "fingerprint bigint")
+        if compacted_table is not None and sess.catalog.tableExists(
+            compacted_table
+        ):
+            # fingerprints folded out of the epoch partitions by
+            # compact_fingerprint_store; never contains any epoch that
+            # could replay (its contract), so no batch-id filter needed
+            store = store.unionByName(
+                sess.table(compacted_table).select("fingerprint")
+            )
         # keep_fingerprint: the store write below reuses the fingerprints
         # dedup already computed instead of a second md5 pass per batch
         novel, _ = dedup_against_store(
@@ -198,6 +217,97 @@ def run_deduped_doc_ingest(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def compact_fingerprint_store(
+    spark: SparkSession,
+    store_dir: str,
+    table: str = "fp_store_compacted",
+    compacted_path: str | None = None,
+    up_to_batch: int | None = None,
+    n_buckets: int = 32,
+) -> int:
+    """Fold committed epoch partitions of a ``run_deduped_doc_ingest``
+    fingerprint store into ONE bucketed+sorted table, returning the
+    number of epochs folded.
+
+    Why: the epoch-partitioned store grows one directory per micro-batch
+    and every batch's anti-join re-shuffles the whole store. Compaction
+    rewrites the accumulated fingerprints bucketed AND sorted on
+    ``fingerprint`` (``sources.lake.write_bucketed``), so subsequent
+    batches' anti-joins read co-located, pre-sorted buckets — no
+    exchange and no sort on the store side, the pay-the-shuffle-once
+    pattern. Folded epoch directories are deleted afterward; a crash
+    between write and delete leaves harmless overlap (the anti-join is
+    idempotent on duplicate fingerprints, and the next compaction
+    re-folds + deletes them).
+
+    Replay-safety contract: run while the ingest stream is STOPPED.
+    Only epochs strictly below ``up_to_batch`` are folded; the default
+    folds everything below the NEWEST epoch present, because after a
+    crash only the newest epoch can be replayed by the restarted stream
+    — a replayed epoch must keep filtering its own fingerprints out by
+    batch id, which the unpartitioned compacted table cannot do. Pass
+    an explicit lower ``up_to_batch`` to be more conservative; never a
+    higher one unless the last epoch is known committed.
+
+    Each compaction writes a fresh versioned directory
+    ``{compacted_path}/v{up_to}`` and points ``table`` at it, merging
+    the previous table's contents; the prior version's files are left
+    for out-of-band deletion (they may still back a reader's plan).
+    """
+    from pyspark.errors import AnalysisException
+
+    compacted_path = compacted_path or store_dir.rstrip("/") + "_compacted"
+    try:
+        epochs_df = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+        epoch_ids = sorted(
+            r[0] for r in epochs_df.select("ingest_batch").distinct().collect()
+        )  # bounded: one id per micro-batch since the last compaction
+    except AnalysisException:
+        epoch_ids = []
+    if not epoch_ids:
+        return 0
+    up_to = max(epoch_ids) if up_to_batch is None else up_to_batch
+    fold = [k for k in epoch_ids if k < up_to]
+    if not fold:
+        return 0
+
+    from real_estate_bigdata_spark.sources.lake import write_bucketed
+
+    merged = (
+        epochs_df.filter(F.col("ingest_batch") < F.lit(up_to))
+        .select("fingerprint")
+    )
+    if spark.catalog.tableExists(table):
+        # merge the previous version by reading its FILES directly —
+        # referencing the catalog table here would trip Spark's
+        # self-overwrite check (UNSUPPORTED_OVERWRITE.TABLE) when
+        # saveAsTable replaces it below. The old files are not deleted,
+        # so the scan stays valid throughout.
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESC FORMATTED {table}").collect()
+            if r.col_name == "Location"
+        )
+        merged = merged.unionByName(
+            spark.read.parquet(loc).select("fingerprint")
+        )
+    write_bucketed(
+        merged.distinct(),
+        table,
+        f"{compacted_path}/v{up_to}",
+        bucket_cols=("fingerprint",),
+        n_buckets=n_buckets,
+        sort_cols=("fingerprint",),
+    )
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k in fold:
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/ingest_batch={k}")
+        p.getFileSystem(conf).delete(p, True)
+    return len(fold)
 
 
 def windowed_event_counts(

@@ -99,3 +99,103 @@ class TestDedupedDocIngest:
         assert out.select("doc_id").distinct().count() == 2
         assert out.count() == 2
         assert spark.read.parquet(str(store)).count() == 2
+
+
+class TestFingerprintStoreCompaction:
+    def test_folds_epochs_and_ingest_continues(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+        table = "fp_compact_continue"
+
+        _write_jsonl(src / "b1.jsonl", [(1, "aaa bbb"), (2, "ccc ddd")])
+        _run(spark, src, dest, store, ckpt)
+        _write_jsonl(src / "b2.jsonl", [(5, "ccc  ddd"), (6, "eee fff")])
+        _run(spark, src, dest, store, ckpt)
+
+        # two epochs on disk; default contract folds all but the newest
+        # (only the newest could replay after a crash)
+        folded = ingest.compact_fingerprint_store(spark, str(store), table=table)
+        assert folded == 1
+        remaining = spark.read.parquet(str(store))
+        assert remaining.select("ingest_batch").distinct().count() == 1
+        assert spark.table(table).count() == 2  # epoch-0 fingerprints
+
+        # ingest continues: dups against BOTH store tiers must drop
+        # (7 dups doc 1 - now only in the compacted table; 8 dups doc 6 -
+        # still in the remaining epoch partition; 9 is novel)
+        _write_jsonl(
+            src / "b3.jsonl",
+            [(7, "aaa   bbb"), (8, "eee  fff"), (9, "ggg hhh")],
+        )
+        q = ingest.run_deduped_doc_ingest(
+            spark, str(src), str(dest), str(store), str(ckpt),
+            compacted_table=table,
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.read.parquet(str(dest)).collect())
+        assert got == [1, 2, 6, 9]
+
+        # second compaction folds the accumulated epochs into the table
+        folded2 = ingest.compact_fingerprint_store(
+            spark, str(store), table=table, up_to_batch=10**6
+        )
+        assert folded2 == 2  # epochs 1 and 2
+        assert spark.table(table).count() == 4  # all distinct fingerprints
+
+    def test_nothing_to_fold_is_a_noop(self, spark, tmp_path):
+        assert (
+            ingest.compact_fingerprint_store(
+                spark, str(tmp_path / "absent"), table="fp_compact_noop"
+            )
+            == 0
+        )
+        # a single epoch: the newest is never folded by default
+        src = tmp_path / "drop"
+        src.mkdir()
+        _write_jsonl(src / "b1.jsonl", [(1, "aaa bbb")])
+        _run(spark, src, tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt")
+        assert (
+            ingest.compact_fingerprint_store(
+                spark, str(tmp_path / "store"), table="fp_compact_noop"
+            )
+            == 0
+        )
+
+    def test_post_compaction_antijoin_has_no_store_side_exchange(
+        self, spark, tmp_path
+    ):
+        from real_estate_bigdata_spark.plans import plan_stats
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+        table = "fp_compact_plan"
+        _write_jsonl(src / "b1.jsonl", [(1, "aaa bbb"), (2, "ccc ddd")])
+        _run(spark, src, dest, store, ckpt)
+        _write_jsonl(src / "b2.jsonl", [(6, "eee fff")])
+        _run(spark, src, dest, store, ckpt)
+        assert (
+            ingest.compact_fingerprint_store(
+                spark, str(store), table=table, up_to_batch=10**6
+            )
+            == 2
+        )
+
+        probe = spark.range(1000).select(F.col("id").alias("fingerprint"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            anti = probe.join(
+                spark.table(table).select("fingerprint"), "fingerprint", "left_anti"
+            )
+            from real_estate_bigdata_spark.plans import executed_plan_str
+
+            plan = executed_plan_str(anti)
+            stats = plan_stats(anti)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # bucketed store scan feeds the sort-merge anti join in place:
+        # the ONLY exchange in the plan is the probe side's
+        assert "SelectedBucketsCount" in plan, plan
+        assert stats.shuffles == 1, f"{stats}\n{plan}"
