@@ -451,9 +451,8 @@ def _q_curate_corpus(spark, sf):
 
 
 def _q_weighted_sample(spark, sf):
-    """Per-row-probability deterministic sampling (NEW r4). Past-cap
-    this round (same rotation constraint as q_value_histogram); oracle
-    runs in the local pytest mirror, rotates in-cap in r5."""
+    """Per-row-probability deterministic sampling (NEW r4; in-cap since
+    r5 for its first driver verification)."""
     from real_estate_bigdata_spark.operators.sampling import hash_sample_weighted
 
     docs = load_table(spark, sf, "documents").withColumn(
@@ -463,10 +462,9 @@ def _q_weighted_sample(spark, sf):
 
 
 def _q_value_histogram(spark, sf):
-    """Char-length distribution histogram (NEW r4). Past-cap this
-    round — no slot is free without breaking the staleness rotation —
-    so its oracle runs only in the local pytest mirror until r5
-    rotates it in-cap."""
+    """Char-length distribution histogram (NEW r4; in-cap since r5 —
+    first driver verification, and the bin arithmetic changed to the
+    explicit IEEE expression in r5)."""
     from real_estate_bigdata_spark.operators.quality import metric_histogram
 
     docs = load_table(spark, sf, "documents")
@@ -668,61 +666,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification at most one round stale (VERDICT r2 task #2; rotation
     map in COVERAGE.md).
 
-    Round-4 rotation: in-cap are (a) the 19 queries hash-verified in
-    CORRECTNESS_r02 that sat past the cap in r3 (TPC-H
-    q03/q04/q05/q06/q07/q09/q10/q12/q13/q14/q18/q21/q22,
-    q_stats_profile_orders, q_groupingsets_orders, q_rank_dense_ntile,
-    q_sessionize, q_dedup_minhash_lsh, q_dedup_embedding_gemm — two
-    rounds stale after r4 otherwise), (b) the three queries whose
-    implementation CHANGED this round and so must re-verify
-    (q_cluster_safe_split / q_dedup_clusters — now exact n-gram
-    Jaccard pair generators; q_label_agreement — half-away rounding),
-    (c) q_cap_per_source, q_remove_boilerplate, and q_corpus_health —
-    NEW in r4, never driver-verified — and (d) 25 more r3-verified
-    queries.
+    Round-5 rotation. In-cap (slots 1-50):
 
-    Past slot 50 sit the 3 rows-only queries (hyperplane-LSH / IVF ANN
-    / IVF near-dup pairs — approximate by construction, pinned by
-    pytest recall tests) plus
-    22 queries hash-verified green in CORRECTNESS_r03, each with an
-    in-cap operator sibling: q_dedup_embedding (bit-identical to
-    in-cap q_dedup_embedding_gemm), q_dedup_ngram_jaccard (same
-    exact-pairs oracle as in-cap q_dedup_minhash_lsh), q_dedup_simhash
-    (banded-signature blocking family in-cap via q_dedup_minhash_lsh),
-    q_topk_orders (top-k in-cap via q03/q10/q18),
-    q_window_top_customers / q_window_frames (window family in-cap via
-    q_rank_dense_ntile), q_semi_active_customers (semi join in-cap via
-    q04/q21), q_anti_customers_no_orders (anti join in-cap via
-    q21/q22), q_corr_lineitem (statistical aggregates in-cap via
-    q_stats_profile_orders), q_outer_customer_profile (left outer +
-    zero-fill in-cap via q13), q_tumbling_events (event-time family
-    in-cap via q_sessionize), q_rollup_orders / q_cube_lineitem
-    (grouping analytics in-cap via q_groupingsets_orders), q01
-    (scan-filter multi-measure agg in-cap via q06), q02 (group-by
-    count in-cap via q13), q08 (multi-fact star join in-cap via
-    q05/q07/q09), q15 (scalar-subquery in-cap via q17/q22), q16
-    (distinct agg in-cap via q_stats_profile_orders), q19
-    (disjunctive multi-join in-cap via q07/q09), and
-    q_token_accounting (text-profile family in-cap via q_text_quality
-    / q_vocab_top_tokens), q_doc_fingerprints (the md5-prefix
-    fingerprint construction in-cap via q_hash_split /
-    q_cap_per_source / q_remove_boilerplate), and
-    q_interval_signup_errors (temporal-join family in-cap via
-    q_asof_view_purchase). r3∪r4 driver rows cover every
-    driver-recordable oracle query: all 69 pre-existing oracles plus
-    the 3 new in-cap ones; the 2 new past-cap queries below are
-    pytest-mirror-verified only until their r5 rotation.
+    (a) the 22 queries hash-verified in CORRECTNESS_r03 that sat past
+        the cap in r4 (two rounds stale after r5 otherwise): q01, q02,
+        q08, q15, q16, q19, q_cube_lineitem, q_rollup_orders,
+        q_token_accounting, q_doc_fingerprints,
+        q_interval_signup_errors, q_topk_orders,
+        q_window_top_customers, q_window_frames,
+        q_semi_active_customers, q_anti_customers_no_orders,
+        q_corr_lineitem, q_outer_customer_profile, q_tumbling_events,
+        q_dedup_embedding, q_dedup_ngram_jaccard, q_dedup_simhash;
+    (b) q_value_histogram and q_weighted_sample — NEW in r4 with no
+        free slot then, never driver-verified (the r4 verdict's task
+        #2), plus q_value_histogram's bin arithmetic changed in r5
+        (explicit IEEE expression instead of width_bucket);
+    (c) queries whose implementation or oracle CHANGED in r5 and must
+        re-verify: q_cap_per_source_best (NEW — quality-ordered
+        prefiltered cap), q_cap_per_source (cap_per_group refactored),
+        q_remove_boilerplate (oracle gained the operator's NULL-doc_id
+        pass-through semantics);
+    (d) 23 r4-verified fillers: q03/q04/q05/q06/q07/q09/q10/q12/q13/
+        q14/q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
+        q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
+        q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
+        q_label_agreement, q_normalize_listings.
 
-    Every oracle-bearing query — in-cap or not — is additionally
-    oracle-compared by the local pytest mirror
-    (tests/test_queries.py::test_query_matches_oracle), and all 77 run
-    in bench + pytest. q_value_histogram and q_weighted_sample (NEW
-    r4) sit past-cap with their oracles exercised by the pytest mirror
-    only this round — no in-cap slot was free without breaking the
-    staleness rotation — and rotate in-cap in r5."""
+    Past slot 50: 25 oracle-bearing queries ALL hash-verified green in
+    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6) + the 3
+    rows-only approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
+    q_dedup_embedding_ivf — pinned by pytest recall tests). Union
+    invariant: r4 ∪ r5 driver rows cover all 75 driver-verifiable
+    oracle queries.
+
+    Every oracle-bearing query, in-cap or not, is additionally
+    oracle-compared on every local pytest run
+    (tests/test_queries.py::test_query_matches_oracle), and all 78 run
+    in bench + pytest."""
     return {
-        # ---- slots 1-50: oracle-bearing (r4 rotation, see docstring) ----
-        # 19 returning r2-verified queries first
+        # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
+        # (a) 22 r3-verified queries returning from r4's past-cap block
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q08_market_share": _q08_market_share,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_token_accounting": _q_token_accounting,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_topk_orders": _q_topk_orders,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_window_frames": _q_window_frames,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_dedup_embedding": _q_dedup_embedding,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_dedup_simhash": _q_dedup_simhash,
+        # (b) the two r4 newcomers that sat past-cap, never driver-verified
+        "q_value_histogram": _q_value_histogram,
+        "q_weighted_sample": _q_weighted_sample,
+        # (c) changed/new in r5 — must (re-)verify
+        "q_cap_per_source_best": _q_cap_per_source_best,
+        "q_cap_per_source": _q_cap_per_source,
+        "q_remove_boilerplate": _q_remove_boilerplate,
+        # (d) r4-verified fillers
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
@@ -742,22 +755,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
-        # implementation changed this round — must re-verify in-cap
         "q_cluster_safe_split": _q_cluster_safe_split,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_label_agreement": _q_label_agreement,
-        # 3 queries NEW in r4 (q_cap_per_source, q_remove_boilerplate,
-        # q_corpus_health — interleaved below) + 25 r3-verified queries
+        "q_normalize_listings": _q_normalize_listings,
+        # ---- slots 51+: past the inferred driver cap ----
+        # 25 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
         "q17_small_quantity": _q17_small_quantity,
         "q_vocab_top_tokens": _q_vocab_top_tokens,
         "q_unigram_logprob": _q_unigram_logprob,
         "q_tfidf": _q_tfidf,
         "q_chunk_documents": _q_chunk_documents,
         "q_text_quality": _q_text_quality,
-        "q_cap_per_source": _q_cap_per_source,
-        "q_cap_per_source_best": _q_cap_per_source_best,
         "q_lang_id": _q_lang_id,
-        "q_remove_boilerplate": _q_remove_boilerplate,
         "q_pivot_status": _q_pivot_status,
         "q_collect_top_keys": _q_collect_top_keys,
         "q_scalar_gallery": _q_scalar_gallery,
@@ -767,7 +777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q_json_props,
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_corpus_health": _q_corpus_health,
-        "q_normalize_listings": _q_normalize_listings,
         "q_dedup_exact_docs": _q_dedup_exact_docs,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q_curate_corpus": _q_curate_corpus,
@@ -777,39 +786,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_pii_redaction": _q_pii_redaction,
         "q_repetition": _q_repetition,
-        # ---- slots 51+: past the inferred driver cap (see docstring:
-        # all oracle-bearing ones below were hash-verified green in
-        # CORRECTNESS_r03 and have an in-cap operator sibling) ----
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q08_market_share": _q08_market_share,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_token_accounting": _q_token_accounting,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_topk_orders": _q_topk_orders,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_window_frames": _q_window_frames,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_rollup_orders": _q_rollup_orders,
-        "q_dedup_embedding": _q_dedup_embedding,
-        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "q_dedup_simhash": _q_dedup_simhash,
+        # 3 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
-        # NEW r4, past-cap (no slot free without breaking the staleness
-        # rotation); full oracles run in the local pytest mirror,
-        # rotate in-cap in r5
-        "q_value_histogram": _q_value_histogram,
-        "q_weighted_sample": _q_weighted_sample,
     }
 
 
