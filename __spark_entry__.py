@@ -354,6 +354,19 @@ def _q_dedup_embedding(spark, sf):
     return dd.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup survivors (NEW r5): one min-id representative per
+    cosine>=0.4 near-dup component, singletons pass. Runs on the exact
+    blocked-GEMM pair generator (bit-identical to the expression-tree
+    variant — pinned by test_embedding_blocked_gemm_matches_exact) so
+    the recursive-CTE oracle matches by construction; the IVF-blocked
+    generator is the default 100 TB path (pytest-pinned equal on this
+    corpus)."""
+    emb = load_table(spark, sf, "embeddings")
+    pairs = dd.embedding_neardup_pairs_blocked(emb, threshold=0.4, n_blocks=8)
+    return dd.semantic_dedup(emb, pairs=pairs).select("vec_id", "label")
+
+
 def _q_dedup_embedding_gemm(spark, sf):
     # blocked-GEMM formulation (applyInPandas block-nested-loop); output
     # is bit-identical to the expression-tree variant at round-6
@@ -681,27 +694,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         free slot then, never driver-verified (the r4 verdict's task
         #2), plus q_value_histogram's bin arithmetic changed in r5
         (explicit IEEE expression instead of width_bucket);
-    (c) queries whose implementation or oracle CHANGED in r5 and must
-        re-verify: q_cap_per_source_best (NEW — quality-ordered
-        prefiltered cap), q_cap_per_source (cap_per_group refactored),
+    (c) queries new or changed in r5, which must (re-)verify:
+        q_cap_per_source_best (NEW — quality-ordered prefiltered cap),
+        q_cap_per_source (cap_per_group refactored),
         q_remove_boilerplate (oracle gained the operator's NULL-doc_id
-        pass-through semantics);
-    (d) 23 r4-verified fillers: q03/q04/q05/q06/q07/q09/q10/q12/q13/
-        q14/q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
+        pass-through semantics), q_semantic_dedup (NEW — SemDeDup
+        survivors over the exact pair generator);
+    (d) 22 r4-verified fillers: q03/q04/q05/q06/q07/q09/q10/q12/q13/
+        q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 25 oracle-bearing queries ALL hash-verified green in
-    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6) + the 3
-    rows-only approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
+    Past slot 50: 26 oracle-bearing queries ALL hash-verified green in
+    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6; q14 joined
+    them to make room for q_semantic_dedup) + the 3 rows-only
+    approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
     q_dedup_embedding_ivf — pinned by pytest recall tests). Union
-    invariant: r4 ∪ r5 driver rows cover all 75 driver-verifiable
+    invariant: r4 ∪ r5 driver rows cover all 76 driver-verifiable
     oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 78 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 79 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -735,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cap_per_source_best": _q_cap_per_source_best,
         "q_cap_per_source": _q_cap_per_source,
         "q_remove_boilerplate": _q_remove_boilerplate,
+        "q_semantic_dedup": _q_semantic_dedup,
         # (d) r4-verified fillers
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
@@ -745,7 +761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
         "q18_large_orders": _q18_large_orders,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_sales_opportunity": _q22_sales_opportunity,
@@ -760,7 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 25 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 26 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_quantity": _q17_small_quantity,
         "q_vocab_top_tokens": _q_vocab_top_tokens,
         "q_unigram_logprob": _q_unigram_logprob,
@@ -1514,6 +1530,30 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_ngram_jaccard": _jaccard_pairs_sql(),
         "q_dedup_minhash_lsh": _jaccard_pairs_sql(),
         "q_dedup_embedding": _EMB_NEARDUP_SQL,
+        # SemDeDup: recursive-CTE transitive closure over the exact
+        # cosine pair set; survivors = everything but non-min cluster
+        # members (same CC oracle pattern as q_dedup_clusters)
+        "q_semantic_dedup": f"""
+            WITH RECURSIVE pairs AS ({_EMB_NEARDUP_SQL}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ),
+            labels AS (
+                SELECT u AS vec_id, min(r) AS cluster_id FROM reach GROUP BY u
+            ),
+            victims AS (
+                SELECT vec_id FROM labels WHERE vec_id <> cluster_id
+            )
+            SELECT em.vec_id, em.label
+            FROM embeddings em LEFT JOIN victims v USING (vec_id)
+            WHERE v.vec_id IS NULL
+        """,
         "q_dedup_embedding_gemm": _EMB_NEARDUP_SQL,
         "q_embed_cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -49,6 +49,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_blocked",
     "embedding_neardup_pairs_ivf",
+    "semantic_dedup",
     "dedup_against_store",
 ]
 
@@ -769,6 +770,45 @@ def embedding_neardup_pairs_ivf(
         .groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+    **ivf_kwargs,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): deduplicate an
+    embedding-represented corpus by keeping ONE representative — the
+    min-id member — per connected component of the cosine >= threshold
+    near-duplicate graph; singletons pass through whole. The semantic
+    counterpart of ``exact_dedup``'s min-id survivor policy, and the
+    step that turns the pair generators into a usable corpus filter.
+
+    ``pairs`` overrides the pair generator (e.g. the exact
+    :func:`embedding_neardup_pairs` for oracle runs, or a precomputed/
+    persisted pair table); the default is the scale path —
+    :func:`embedding_neardup_pairs_ivf` with ``ivf_kwargs`` passed
+    through (n_lists, n_probe, index, max_list_rows...).
+
+    Scale shape: pair stream is near-dup-rate sized; transitive
+    grouping + survivor anti-join reuse
+    ``clustering.near_dup_survivors`` (hash-min CC with star fallback,
+    victims-side anti join). Output keeps the full input schema.
+    """
+    from real_estate_bigdata_spark.operators.clustering import near_dup_survivors
+
+    if pairs is None:
+        pairs = embedding_neardup_pairs_ivf(
+            embeddings,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            **ivf_kwargs,
+        )
+    return near_dup_survivors(embeddings, pairs, id_col=id_col)
 
 
 def dedup_against_store(

@@ -592,3 +592,33 @@ def test_ivf_autosplit_rejects_bad_bound(spark):
     )
     with pytest.raises(ValueError):
         dd.embedding_neardup_pairs_ivf(df, max_list_rows=0)
+
+
+def test_semantic_dedup_min_id_survivors_and_default_path(spark):
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    exact_pairs = dd.embedding_neardup_pairs(emb, threshold=0.4)
+    survivors = dd.semantic_dedup(emb, pairs=exact_pairs)
+    kept = {r.vec_id for r in survivors.select("vec_id").collect()}
+    # every component keeps exactly its min id; singletons pass through
+    from real_estate_bigdata_spark.operators.clustering import (
+        connected_components,
+    )
+
+    cc = connected_components(exact_pairs).collect()
+    victims = {r.id for r in cc if r.id != r.cluster_id}
+    assert kept == {
+        r.vec_id for r in emb.select("vec_id").collect()
+    } - victims
+    assert len(kept) == n - len(victims) and victims
+    # full input schema preserved
+    assert survivors.columns == emb.columns
+    # the default (IVF-blocked) path: same survivors on this corpus
+    # (recall 1.0 observed at threshold 0.4, pinned by the recall test)
+    ivf_kept = {
+        r.vec_id
+        for r in dd.semantic_dedup(emb, threshold=0.4, n_lists=16, n_probe=6)
+        .select("vec_id")
+        .collect()
+    }
+    assert ivf_kept == kept
