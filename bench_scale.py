@@ -43,7 +43,16 @@ Expected bounds (exponents measured against these):
   constant keeps wall-clock lower at these sizes.
 
 Anything >= QUADRATIC_ALARM (1.7) is flagged in the JSON and the exit
-code — that is the "would not survive 100 TB" signal.
+code — that is the "would not survive 100 TB" signal — unless listed in
+``ALARM_EXEMPT`` with a rationale (operators whose super-linearity is by
+documented design AND whose input is hard-bounded, e.g. the driver-
+snapshot ``label_agreement``: its exponent is recorded, not flagged).
+
+r5 additions (VERDICT r4 task #3): ``simhash_pairs``,
+``ngram_jaccard_pairs``, ``decontaminate`` (fixed-size benchmark set),
+``label_agreement``; plus a 30x extra point for ``dedup_clusters`` (CC
+round count grows with component diameter — one more decade of
+evidence). Extra-scale corpora synthesize documents only.
 
 Usage: ``python bench_scale.py`` (env: SPARK_GRAFT_SCALE_BASE for the
 source sf dir, SPARK_GRAFT_SCALE_DIR for the synth output dir).
@@ -64,6 +73,8 @@ from real_estate_bigdata_spark.operators import dedup as dd
 from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.curation import curate_corpus
+from real_estate_bigdata_spark.operators.decontamination import decontaminate
+from real_estate_bigdata_spark.operators.similarity import label_agreement
 from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
 from real_estate_bigdata_spark.operators.quality import metric_histogram
 from real_estate_bigdata_spark.operators.sampling import cap_per_group
@@ -71,8 +82,21 @@ from real_estate_bigdata_spark.schema import load_table
 from real_estate_bigdata_spark.session import get_spark
 
 SCALES = (1, 3, 10)
+#: per-query additional scale points (r4 verdict task #3: the CC round
+#: count grows with component diameter, so the clustering family gets
+#: one more decade of evidence). Extra scales synthesize DOCUMENTS only.
+EXTRA_SCALES: dict[str, tuple[int, ...]] = {"dedup_clusters": (30,)}
 N_PASSES = 2
 QUADRATIC_ALARM = 1.7
+#: operators whose super-linear exponent is BY DESIGN and bounded, not a
+#: 100 TB scale failure — recorded but not flagged
+ALARM_EXEMPT = {
+    "label_agreement": (
+        "O(n^2) GEMM by documented design; input hard-bounded to "
+        "max_rows (LIMIT-probed) with dedup.embedding_neardup_pairs_"
+        "blocked as the corpus-scale twin"
+    ),
+}
 
 _DOC_ID_STRIDE = 10**9
 _CUST_STRIDE = 10**9
@@ -127,18 +151,21 @@ def synthesize(spark, base_dir: str, out_dir: str) -> None:
     li = load_table(spark, base_dir, "lineitem")
     ords = load_table(spark, base_dir, "orders")
     emb = load_table(spark, base_dir, "embeddings")
-    for scale in SCALES:
+    extra = {s for scales in EXTRA_SCALES.values() for s in scales}
+    for scale in sorted(set(SCALES) | extra):
         sdir = f"{out_dir}/x{scale}"
+        docs_only = scale not in SCALES  # extra points: documents battery
         if os.path.exists(f"{sdir}/_DONE"):
             continue
         shutil.rmtree(sdir, ignore_errors=True)
         d_parts = [_synth_documents(docs, k) for k in range(scale)]
-        f_parts = [_synth_facts(li, ords, k) for k in range(scale)]
-        e_parts = [_synth_embeddings(emb, k) for k in range(scale)]
         _union(d_parts).write.parquet(f"{sdir}/documents.parquet")
-        _union([p[0] for p in f_parts]).write.parquet(f"{sdir}/lineitem.parquet")
-        _union([p[1] for p in f_parts]).write.parquet(f"{sdir}/orders.parquet")
-        _union(e_parts).write.parquet(f"{sdir}/embeddings.parquet")
+        if not docs_only:
+            f_parts = [_synth_facts(li, ords, k) for k in range(scale)]
+            e_parts = [_synth_embeddings(emb, k) for k in range(scale)]
+            _union([p[0] for p in f_parts]).write.parquet(f"{sdir}/lineitem.parquet")
+            _union([p[1] for p in f_parts]).write.parquet(f"{sdir}/orders.parquet")
+            _union(e_parts).write.parquet(f"{sdir}/embeddings.parquet")
         open(f"{sdir}/_DONE", "w").close()
 
 
@@ -149,40 +176,57 @@ def _union(parts):
     return out
 
 
-def battery(spark, base_dir: str, sdir: str, scale: int):
-    """name -> thunk building the DataFrame to execute (count action)."""
-    docs = spark.read.parquet(f"{sdir}/documents.parquet")
-    li = spark.read.parquet(f"{sdir}/lineitem.parquet")
-    ords = spark.read.parquet(f"{sdir}/orders.parquet")
-    emb = spark.read.parquet(f"{sdir}/embeddings.parquet")
-    part = load_table(spark, base_dir, "part")
-    supplier = load_table(spark, base_dir, "supplier")
+def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
+    """name -> thunk building the DataFrame to execute (count action).
+
+    Table reads are LAZY (inside the thunks) so a battery subset — the
+    documents-only extra-scale points — never touches the fact/embedding
+    parquet that extra-scale synthesis deliberately skips.
+    """
+    docs = lambda: spark.read.parquet(f"{sdir}/documents.parquet")  # noqa: E731
+    li = lambda: spark.read.parquet(f"{sdir}/lineitem.parquet")  # noqa: E731
+    ords = lambda: spark.read.parquet(f"{sdir}/orders.parquet")  # noqa: E731
+    emb = lambda: spark.read.parquet(f"{sdir}/embeddings.parquet")  # noqa: E731
+    part = lambda: load_table(spark, base_dir, "part")  # noqa: E731
+    supplier = lambda: load_table(spark, base_dir, "supplier")  # noqa: E731
+    # a FIXED-size benchmark set as the corpus grows — the realistic
+    # decontamination shape (benchmarks don't scale with pretraining data)
+    bench_docs = lambda: load_table(spark, base_dir, "documents").limit(100)  # noqa: E731
     # the documented IVF operating rule: n_lists grows ~sqrt(corpus)
     n_lists = max(int(round(16 * math.sqrt(scale))), 16)
-    return {
-        "exact_dedup": lambda: dd.exact_dedup(docs, ["text"], "doc_id"),
-        "minhash_lsh_pairs": lambda: dd.minhash_lsh_pairs(docs),
-        "dedup_clusters": lambda: connected_components(dd.minhash_lsh_pairs(docs)),
-        "curate_corpus": lambda: curate_corpus(docs),
-        "tfidf": lambda: ta.tfidf_scores(docs),
-        "unigram_logprob": lambda: ta.unigram_logprob_scores(docs),
-        "q16_supplier_variety": lambda: supplier_variety(part, li, supplier),
+    defs = {
+        "exact_dedup": lambda: dd.exact_dedup(docs(), ["text"], "doc_id"),
+        "minhash_lsh_pairs": lambda: dd.minhash_lsh_pairs(docs()),
+        "dedup_clusters": lambda: connected_components(dd.minhash_lsh_pairs(docs())),
+        "curate_corpus": lambda: curate_corpus(docs()),
+        "tfidf": lambda: ta.tfidf_scores(docs()),
+        "unigram_logprob": lambda: ta.unigram_logprob_scores(docs()),
+        "q16_supplier_variety": lambda: supplier_variety(part(), li(), supplier()),
         "q21_waiting_suppliers": lambda: waiting_suppliers(
-            {"lineitem": li, "orders": ords, "supplier": supplier}
+            {"lineitem": li(), "orders": ords(), "supplier": supplier()}
         ),
         "ivf_embedding_neardup": lambda: dd.embedding_neardup_pairs_ivf(
-            emb, n_lists=n_lists
+            emb(), n_lists=n_lists
         ),
         # round-4 additions: per-domain cap (count-prefiltered window),
         # cross-doc line dedup, bounded-key histogram
         "cap_per_group": lambda: cap_per_group(
-            docs, max_rows=100, prefilter_counts=True
+            docs(), max_rows=100, prefilter_counts=True
         ),
-        "remove_boilerplate": lambda: ta.remove_boilerplate_lines(docs),
+        "remove_boilerplate": lambda: ta.remove_boilerplate_lines(docs()),
         "metric_histogram": lambda: metric_histogram(
-            docs, F.length("text"), 0, 600, n_bins=20
+            docs(), F.length("text"), 0, 600, n_bins=20
         ),
+        # round-5 additions (r4 verdict task #3): the most expensive
+        # previously-unmeasured operator families
+        "simhash_pairs": lambda: dd.simhash_pairs(docs()),
+        "ngram_jaccard_pairs": lambda: dd.ngram_jaccard_pairs(docs()),
+        "decontaminate": lambda: decontaminate(docs(), bench_docs()),
+        "label_agreement": lambda: label_agreement(emb()),
     }
+    if names is not None:
+        return {k: defs[k] for k in names}
+    return defs
 
 
 def fit_exponent(scales, secs):
@@ -212,31 +256,48 @@ def main() -> int:
     synthesize(spark, base_dir, out_dir)
 
     results: dict[str, dict] = {}
+
+    def run_one(scale: int, name, thunk) -> None:
+        rec = results.setdefault(name, {"sec": {}, "rows": {}})
+        best, rows = None, None
+        for _ in range(N_PASSES):
+            t0 = time.perf_counter()
+            rows = thunk().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        rec["sec"][str(scale)] = round(best, 4)
+        rec["rows"][str(scale)] = rows
+        print(
+            f"\nx{scale} {name}: {best:.2f}s rows={rows}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     for scale in SCALES:
         sdir = f"{out_dir}/x{scale}"
         for name, thunk in battery(spark, base_dir, sdir, scale).items():
-            rec = results.setdefault(name, {"sec": {}, "rows": {}})
-            best, rows = None, None
-            for _ in range(N_PASSES):
-                t0 = time.perf_counter()
-                rows = thunk().count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            rec["sec"][str(scale)] = round(best, 4)
-            rec["rows"][str(scale)] = rows
-            print(
-                f"\nx{scale} {name}: {best:.2f}s rows={rows}",
-                file=sys.stderr,
-                flush=True,
-            )
+            run_one(scale, name, thunk)
+    for name, extra in EXTRA_SCALES.items():
+        for scale in extra:
+            sdir = f"{out_dir}/x{scale}"
+            for _, thunk in battery(
+                spark, base_dir, sdir, scale, names=[name]
+            ).items():
+                run_one(scale, name, thunk)
 
     flagged = []
     for name, rec in results.items():
-        secs = [rec["sec"][str(s)] for s in SCALES]
-        rec["exponent"] = round(fit_exponent(SCALES, secs), 3)
+        scales = list(SCALES) + list(EXTRA_SCALES.get(name, ()))
+        secs = [rec["sec"][str(s)] for s in scales]
+        rec["exponent"] = round(fit_exponent(scales, secs), 3)
         if rec["exponent"] >= QUADRATIC_ALARM:
-            flagged.append(name)
-            rec["alarm"] = f"exponent >= {QUADRATIC_ALARM}: would not survive 100 TB"
+            if name in ALARM_EXEMPT:
+                rec["exempt"] = ALARM_EXEMPT[name]
+            else:
+                flagged.append(name)
+                rec["alarm"] = (
+                    f"exponent >= {QUADRATIC_ALARM}: would not survive 100 TB"
+                )
 
     here = os.path.dirname(os.path.abspath(__file__))
     doc = {
