@@ -362,5 +362,10 @@ def test_ivf_neardup_one_list_shuffle_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
     stats = plan_stats(df)
-    # one shuffle to group by probed list + one for the pair distinct
-    assert stats.shuffles <= 2, stats
+    # one shuffle for the hot-list-split per-list counts (bounded by
+    # list cardinality, broadcast back), one to group by (probed list,
+    # sub-block pair), one for the pair distinct
+    assert stats.shuffles <= 3, stats
+    # the counts lookup must come back as a broadcast, never a shuffled
+    # join on the assignment stream
+    assert stats.broadcast_joins >= 1, stats
