@@ -92,3 +92,96 @@ def test_health_report_and_histogram_consistency_random(spark):
     # ... at any bin granularity
     hist1 = metric_histogram(df, F.length("text"), 0, 100, n_bins=1)
     assert sum(x.n for x in hist1.collect()) == r.n_rows - r.n_null_text
+
+
+def test_quality_ordered_cap_invariants_random(spark):
+    """Round-5 prefilter sweep: the quality-ordered cap with the
+    percentile prefilter must equal the unfiltered exact window for
+    every cap, on a corpus with random qualities, NULLs, ties, and
+    degenerate groups; the cutoff table must be conservative (never
+    above the true cap-th best non-null quality of any group)."""
+    from real_estate_bigdata_spark.operators.sampling import quality_cutoffs
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(400):
+        group = f"g{rng.randrange(8)}"
+        q = None if rng.random() < 0.2 else float(rng.randrange(20))  # heavy ties
+        rows.append((i, group, q))
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    by_group: dict[str, list[float]] = {}
+    for i, g, q in rows:
+        if q is not None:
+            by_group.setdefault(g, []).append(q)
+    for cap in (1, 5, 50, 1000):
+        exact = {
+            r.doc_id
+            for r in cap_per_group(df, max_rows=cap, order_col="quality").collect()
+        }
+        fast = {
+            r.doc_id
+            for r in cap_per_group(
+                df, max_rows=cap, order_col="quality", prefilter_counts=True
+            ).collect()
+        }
+        assert fast == exact, cap
+        cuts = {
+            r["source"]: r["__qcut"]
+            for r in quality_cutoffs(df, cap, "source", "quality").collect()
+        }
+        for g, cut in cuts.items():
+            if cut is None:
+                continue
+            qs = sorted(by_group[g], reverse=True)
+            kth_best = qs[min(cap, len(qs)) - 1]
+            assert cut <= kth_best, (g, cap, cut, kth_best)
+
+
+def test_semantic_dedup_invariants_random(spark):
+    """Random unit vectors + planted duplicate clouds: survivors =
+    corpus minus non-min members of each component, for any generator
+    (exact == blocked-GEMM == IVF on this corpus size)."""
+    import math
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / n for x in v]))
+    # planted clouds: 3 groups of 5 near-identical vectors
+    for g in range(3):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in base)) or 1.0
+        base = [x / n for x in base]
+        for j in range(5):
+            rows.append((1000 + g * 10 + j, [x + rng.gauss(0, 1e-4) for x in base]))
+    from real_estate_bigdata_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.95
+    exact_pairs = dd.embedding_neardup_pairs(df, threshold=thr)
+    kept_exact = {
+        r.vec_id for r in dd.semantic_dedup(df, pairs=exact_pairs).collect()
+    }
+    # each planted cloud keeps exactly its min id
+    for g in range(3):
+        cloud = {1000 + g * 10 + j for j in range(5)}
+        assert kept_exact & cloud == {min(cloud)}, g
+    kept_gemm = {
+        r.vec_id
+        for r in dd.semantic_dedup(
+            df,
+            pairs=dd.embedding_neardup_pairs_blocked(df, thr, n_blocks=4),
+        ).collect()
+    }
+    assert kept_gemm == kept_exact
+    kept_ivf = {
+        r.vec_id
+        for r in dd.semantic_dedup(
+            df, threshold=thr, n_lists=4, n_probe=2, max_list_rows=32
+        ).collect()
+    }
+    # IVF is approximate: may MISS pairs (keep extra rows) but must never
+    # invent one (drop a row the exact graph keeps)
+    assert kept_ivf >= kept_exact
