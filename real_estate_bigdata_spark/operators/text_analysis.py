@@ -27,6 +27,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "repetition_metrics",
     "vocab_top_tokens",
+    "bigram_logprob_scores",
     "unigram_logprob_scores",
     "tfidf_scores",
     "chunk_documents",
@@ -273,6 +274,65 @@ def vocab_top_tokens(
 
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def bigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram corpus-LM quality signal — the conditional-probability
+    sharpening of :func:`unigram_logprob_scores` (one step toward the
+    KenLM n-gram filters of CCNet/RefinedWeb, expressed in pure
+    DataFrame ops): per document, the mean negative log conditional
+    probability avg(-ln P(w2|w1)) of its token bigrams under the
+    corpus's own bigram counts, with P(w2|w1) = c(w1,w2) / c_left(w1).
+    Self-scoring needs no smoothing: every scored bigram was counted,
+    so both counts are >= 1. High = locally incoherent token sequences
+    (shuffled text, OCR noise, keyword stuffing) that unigram
+    frequency alone cannot see.
+
+    Plan shape: the bigram stream is built MAP-SIDE with a transform
+    over the token array (no positional self-join), then one combining
+    shuffle per count table (bigram and left-context), a stream-join
+    against both (bigram vocab ≪ token stream; AQE broadcasts when it
+    fits), and a per-doc aggregate. Docs with < 2 tokens keep a NULL
+    score with n_bigrams 0.
+    """
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("t")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t)-1),"
+                    " (x, i) -> struct(x AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    per = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(F.log("n1") - F.log("n12")).alias("s"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round("s", 6).alias("avg_neg_logprob_bigram"),
+        )
+    )
 
 
 def unigram_logprob_scores(

@@ -315,3 +315,39 @@ def test_remove_boilerplate_null_id_passes_through(spark):
     out = {r.doc_id: r.text for r in remove_boilerplate_lines(df, max_docs=1).collect()}
     assert out[1] == "alpha" and out[2] == "beta"
     assert out[None] == "shared\nkept as is"
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        bigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d"), (3, "solo"), (4, None), (5, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob_scores(df).collect()}
+    # c(a,b)=c(b,c)=c(a,d)=1; left-context c(a)=2, c(b)=1
+    # doc1 = avg(ln2 - ln1, ln1 - ln1) = ln2/2 ; doc2 = ln2
+    assert got[1].n_bigrams == 2
+    assert abs(got[1].avg_neg_logprob_bigram - round(math.log(2) / 2, 6)) < 1e-9
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].avg_neg_logprob_bigram - round(math.log(2), 6)) < 1e-9
+    # <2 tokens / NULL / blank: zero bigrams, NULL score, row retained
+    for did in (3, 4, 5):
+        assert got[did].n_bigrams == 0 and got[did].avg_neg_logprob_bigram is None
+
+
+def test_bigram_logprob_plan_is_jvm_only(spark):
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        bigram_logprob_scores,
+    )
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    # bigram build is map-side (no positional self-join): count tables +
+    # stream joins + per-doc agg + final left join; all codegen, no UDF
+    assert_plan(bigram_logprob_scores(docs), forbid_python=True)
