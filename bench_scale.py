@@ -197,7 +197,12 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
     defs = {
         "exact_dedup": lambda: dd.exact_dedup(docs(), ["text"], "doc_id"),
         "minhash_lsh_pairs": lambda: dd.minhash_lsh_pairs(docs()),
-        "dedup_clusters": lambda: connected_components(dd.minhash_lsh_pairs(docs())),
+        # small_graph_threshold=0 forces the DISTRIBUTED path: this
+        # harness measures the at-scale algorithm's curve, not the
+        # driver-side union-find fast path the bounded default picks
+        "dedup_clusters": lambda: connected_components(
+            dd.minhash_lsh_pairs(docs()), small_graph_threshold=0
+        ),
         "curate_corpus": lambda: curate_corpus(docs()),
         "tfidf": lambda: ta.tfidf_scores(docs()),
         "unigram_logprob": lambda: ta.unigram_logprob_scores(docs()),

@@ -60,9 +60,12 @@ def test_non_convergence_raises(spark):
         cl.connected_components(chain, max_iter=0)
     with pytest.raises(ValueError):
         cl.connected_components(chain, algorithm="bogus")
+    # auto + forced-distributed: the star fallback must rescue it
     got = {
         (r.id, r.cluster_id)
-        for r in cl.connected_components(chain, max_iter=2).collect()
+        for r in cl.connected_components(
+            chain, max_iter=2, small_graph_threshold=0
+        ).collect()
     }
     assert got == {(i, 1) for i in range(1, 8)}
 
@@ -77,7 +80,12 @@ def test_star_labels_match_hashmin_on_random_graph(spark):
     ]
     rows = [(a, b) for a, b in rows if a != b]
     hm = sorted(
-        map(tuple, cl.connected_components(_pairs(spark, rows)).collect())
+        map(
+            tuple,
+            cl.connected_components(
+                _pairs(spark, rows), small_graph_threshold=0
+            ).collect(),
+        )
     )
     st = sorted(
         map(
@@ -86,6 +94,11 @@ def test_star_labels_match_hashmin_on_random_graph(spark):
         )
     )
     assert hm == st
+    # the default (bounded union-find fast path) must agree with both
+    uf = sorted(
+        map(tuple, cl.connected_components(_pairs(spark, rows)).collect())
+    )
+    assert uf == hm
 
 
 def test_star_converges_on_10k_node_chain(spark):
@@ -95,7 +108,7 @@ def test_star_converges_on_10k_node_chain(spark):
     node with the chain minimum."""
     n = 10_000
     chain = _pairs(spark, [(i, i + 1) for i in range(1, n)])
-    cc = cl.connected_components(chain, max_iter=3)
+    cc = cl.connected_components(chain, max_iter=3, small_graph_threshold=0)
     agg = cc.agg(
         F.count("*").alias("n"),
         F.countDistinct("cluster_id").alias("k"),
@@ -152,3 +165,32 @@ def test_cluster_safe_split_no_leakage_and_covers_all(spark):
     for d, s in split.items():
         if d not in clustered:
             assert s == plain[d]
+
+
+def test_unionfind_fast_path_matches_distributed_incl_self_pairs(spark):
+    """The bounded driver-side fast path must produce byte-identical
+    labels to both distributed algorithms, including self-pair-only
+    vertices (singleton labels) and just-over-threshold handoff."""
+    import random
+
+    rng = random.Random(99)
+    rows = [(rng.randrange(1, 300), rng.randrange(1, 300)) for _ in range(200)]
+    rows += [(500, 500), (501, 501)]  # self-pair-only vertices
+    df = _pairs(spark, rows)
+    fast = sorted(map(tuple, cl.connected_components(df).collect()))
+    slow = sorted(
+        map(
+            tuple,
+            cl.connected_components(df, small_graph_threshold=0).collect(),
+        )
+    )
+    assert fast == slow
+    # threshold below the edge count: distributed path takes over, same
+    # labels either way
+    over = sorted(
+        map(
+            tuple,
+            cl.connected_components(df, small_graph_threshold=10).collect(),
+        )
+    )
+    assert over == fast
