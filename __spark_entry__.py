@@ -553,6 +553,18 @@ def _q_pack_documents(spark, sf):
     return pack_documents(docs, token_budget=300)
 
 
+def _q_pack_sequences(spark, sf):
+    """Materialized training shards (NEW r5): pack_documents' chunk
+    assignment turned into one concatenated sequence per chunk,
+    separator-joined in doc_id order."""
+    from real_estate_bigdata_spark.operators.sampling import materialize_packed
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text", ta.token_count(F.col("text")).alias("n_tokens")
+    )
+    return materialize_packed(docs, token_budget=300)
+
+
 def _q_decontaminate(spark, sf):
     from real_estate_bigdata_spark.operators.decontamination import (
         contamination_report,
@@ -707,24 +719,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_remove_boilerplate (oracle gained the operator's NULL-doc_id
         pass-through semantics), q_semantic_dedup (NEW — SemDeDup
         survivors over the exact pair generator), q_bigram_logprob
-        (NEW — bigram corpus-LM quality score);
-    (d) 21 r4-verified fillers: q03/q04/q05/q06/q07/q09/q10/q12/
+        (NEW — bigram corpus-LM quality score), q_pack_sequences
+        (NEW — materialized packed training sequences);
+    (d) 20 r4-verified fillers: q03/q04/q05/q06/q07/q09/q10/
         q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 27 oracle-bearing queries ALL hash-verified green in
-    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6; q13/q14
-    joined them to make room for the two NEW r5 queries) + the 3
+    Past slot 50: 28 oracle-bearing queries ALL hash-verified green in
+    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6; q12/q13/q14
+    joined them to make room for the three NEW r5 queries) + the 3
     rows-only approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
     q_dedup_embedding_ivf — pinned by pytest recall tests). Union
-    invariant: r4 ∪ r5 driver rows cover all 77 driver-verifiable
+    invariant: r4 ∪ r5 driver rows cover all 78 driver-verifiable
     oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 80 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 81 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -760,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_remove_boilerplate": _q_remove_boilerplate,
         "q_semantic_dedup": _q_semantic_dedup,
         "q_bigram_logprob": _q_bigram_logprob,
+        "q_pack_sequences": _q_pack_sequences,
         # (d) r4-verified fillers
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
@@ -768,7 +782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_volume_shipping": _q07_volume_shipping,
         "q09_product_profit": _q09_product_profit,
         "q10_returned_items": _q10_returned_items,
-        "q12_priority_lines": _q12_priority_lines,
         "q18_large_orders": _q18_large_orders,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_sales_opportunity": _q22_sales_opportunity,
@@ -783,7 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 27 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 28 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_quantity": _q17_small_quantity,
@@ -1933,6 +1947,32 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY source ORDER BY doc_id
                          ROWS UNBOUNDED PRECEDING) - 1) // 300)::BIGINT AS chunk_id
             FROM t
+        """,
+        # materialized packed sequences: the pack window's chunk ids,
+        # then per-chunk id-ordered string_agg — DuckDB's ORDER BY
+        # inside the aggregate mirrors the Spark side's sorted-struct
+        # reassembly
+        "q_pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id, source, text,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+                WHERE text IS NOT NULL
+            ), p AS (
+                SELECT doc_id, source, text, n_tokens,
+                       ((sum(least(n_tokens, 300)) OVER (
+                             PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - 1) // 300)::BIGINT
+                           AS chunk_id
+                FROM t
+            )
+            SELECT source, chunk_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+            FROM p GROUP BY source, chunk_id
         """,
         # benchmark contamination: per-corpus-doc count of distinct
         # word-8-grams shared with the benchmark subset (doc_id%20=7);

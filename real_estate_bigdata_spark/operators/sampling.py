@@ -27,6 +27,7 @@ __all__ = [
     "hash_sample",
     "hash_sample_weighted",
     "hash_split",
+    "materialize_packed",
     "mixture_balance",
     "pack_documents",
     "quality_cutoffs",
@@ -347,6 +348,59 @@ def _quality_prefilter(
         | (F.col(order_col) >= F.col("__qcut"))
     )
     return df.join(F.broadcast(cuts), group_col, "left").filter(keep).drop("__qcut")
+
+
+def materialize_packed(
+    docs: DataFrame,
+    token_budget: int,
+    n_tokens_col: str = "n_tokens",
+    pack_by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Tokenizer-ready training shards: run :func:`pack_documents`'
+    chunk assignment, then materialize each chunk as ONE row with its
+    documents' text concatenated in ``id_col`` order with ``separator``
+    — the step that turns chunk ids into the actual sequences a
+    tokenization job consumes. Output: (``pack_by``, chunk_id, n_docs,
+    n_tokens, ``text_col``).
+
+    Plan shape: the assignment window shuffles only (id, key, count) —
+    the text payload joins in on the id afterward and moves exactly
+    once more into the per-chunk aggregate. In-chunk order is
+    deterministic regardless of partitioning: collect_list is
+    order-unstable, so concatenation sorts an array of (id, text)
+    structs first (the same reassembly pattern as
+    ``text_analysis.remove_boilerplate_lines``). NULL ``text_col``
+    entries are skipped by the concatenation (array_join drops NULLs);
+    docs with NULL ``n_tokens_col`` are excluded by the packer itself.
+    """
+    assignments = pack_documents(
+        docs.select(id_col, pack_by, n_tokens_col),
+        token_budget,
+        n_tokens_col=n_tokens_col,
+        pack_by=pack_by,
+        id_col=id_col,
+    )
+    joined = assignments.join(docs.select(id_col, text_col), id_col)
+    return joined.groupBy(pack_by, "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tokens_col).cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("i"), F.col(text_col).alias("t")
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            separator,
+        ).alias(text_col),
+    )
 
 
 def pack_documents(

@@ -291,3 +291,35 @@ def test_cap_per_group_quality_prefilter_plan(spark):
     assert_plan(capped, min_broadcast_joins=1, forbid_python=True)
     plan = executed_plan_str(capped)
     assert "__qcut" in plan  # map-side cutoff filter feeds the window sort
+
+
+def test_materialize_packed_order_and_budget(spark):
+    rows = [
+        (1, "s", "one two three", 3),
+        (2, "s", "four five", 2),
+        (3, "s", "six", 1),
+        (4, "s", None, None),      # NULL tokens: excluded by the packer
+        (5, "t", "alone", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_tokens long"
+    )
+    out = {
+        (r.source, r.chunk_id): r
+        for r in sp.materialize_packed(df, token_budget=5, separator=" | ").collect()
+    }
+    # cumsum in s: 3, 5, 6 -> docs 1,2 in chunk 0, doc 3 in chunk 1
+    assert out[("s", 0)].text == "one two three | four five"
+    assert out[("s", 0)].n_docs == 2 and out[("s", 0)].n_tokens == 5
+    assert out[("s", 1)].text == "six"
+    assert out[("t", 0)].text == "alone"
+    assert ("s", 2) not in out and len(out) == 3
+    # deterministic under repartitioning (collect_list order is not —
+    # the sorted-struct reassembly is what's being pinned here)
+    again = {
+        (r.source, r.chunk_id): r.text
+        for r in sp.materialize_packed(
+            df.repartition(13), token_budget=5, separator=" | "
+        ).collect()
+    }
+    assert again == {k: v.text for k, v in out.items()}
