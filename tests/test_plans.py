@@ -369,3 +369,25 @@ def test_ivf_neardup_one_list_shuffle_no_cartesian(spark):
     # the counts lookup must come back as a broadcast, never a shuffled
     # join on the assignment stream
     assert stats.broadcast_joins >= 1, stats
+
+
+def test_r5_query_plans_stay_bounded(spark):
+    """Plan budgets for the round-5 additions: no cartesian products, no
+    Python in the pure-SQL paths, bounded shuffle counts."""
+    from real_estate_bigdata_spark.plans.audit import executed_plan_str
+
+    # bigram LM: map-side bigram build + two count aggregates + stream
+    # joins + per-doc agg + final left join — JVM-only end to end
+    stats = assert_plan(QUERIES["q_bigram_logprob"](spark, SF), forbid_python=True)
+    assert stats.shuffles <= 7, stats
+
+    # packed sequences: pack window + id join + chunk aggregate
+    stats = assert_plan(QUERIES["q_pack_sequences"](spark, SF), forbid_python=True)
+    assert stats.shuffles <= 5, stats
+
+    # SemDeDup on the GEMM pair generator: block-pair applyInPandas,
+    # never an all-pairs cartesian on the vector side; survivors via
+    # anti join
+    df = QUERIES["q_semantic_dedup"](spark, SF)
+    plan = executed_plan_str(df)
+    assert "CartesianProduct" not in plan
