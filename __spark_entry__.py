@@ -576,6 +576,22 @@ def _q_decontaminate(spark, sf):
     return contamination_report(corpus, bench, n=8)
 
 
+def _q_redact_spans(spark, sf):
+    """Span-level decontamination (NEW r5): remove exactly the tokens
+    covered by benchmark-matching 8-gram windows, keep everything else;
+    clean docs byte-identical, n_redacted counts matched windows."""
+    from real_estate_bigdata_spark.operators.decontamination import (
+        redact_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    return redact_contaminated_spans(corpus, bench, n=8).select(
+        "doc_id", "text", "n_redacted"
+    )
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -720,24 +736,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pass-through semantics), q_semantic_dedup (NEW — SemDeDup
         survivors over the exact pair generator), q_bigram_logprob
         (NEW — bigram corpus-LM quality score), q_pack_sequences
-        (NEW — materialized packed training sequences);
-    (d) 20 r4-verified fillers: q03/q04/q05/q06/q07/q09/q10/
+        (NEW — materialized packed training sequences), q_redact_spans
+        (NEW — span-level decontamination);
+    (d) 19 r4-verified fillers: q03/q04/q05/q06/q07/q09/
         q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 28 oracle-bearing queries ALL hash-verified green in
-    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6; q12/q13/q14
-    joined them to make room for the three NEW r5 queries) + the 3
-    rows-only approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
-    q_dedup_embedding_ivf — pinned by pytest recall tests). Union
-    invariant: r4 ∪ r5 driver rows cover all 78 driver-verifiable
-    oracle queries.
+    Past slot 50: 29 oracle-bearing queries ALL hash-verified green in
+    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6;
+    q10/q12/q13/q14 joined them to make room for the four NEW r5
+    queries) + the 3 rows-only approximate queries (q_embed_lsh_topk,
+    q_embed_ivf_topk, q_dedup_embedding_ivf — pinned by pytest recall
+    tests). Union invariant: r4 ∪ r5 driver rows cover all 79
+    driver-verifiable oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 81 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 82 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -774,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _q_semantic_dedup,
         "q_bigram_logprob": _q_bigram_logprob,
         "q_pack_sequences": _q_pack_sequences,
+        "q_redact_spans": _q_redact_spans,
         # (d) r4-verified fillers
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
@@ -781,7 +799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
         "q09_product_profit": _q09_product_profit,
-        "q10_returned_items": _q10_returned_items,
         "q18_large_orders": _q18_large_orders,
         "q21_waiting_suppliers": _q21_waiting_suppliers,
         "q22_sales_opportunity": _q22_sales_opportunity,
@@ -796,7 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 28 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 29 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -1998,6 +2016,62 @@ def oracle_sql() -> dict[str, str]:
             FROM grams c JOIN bench b ON c.g = b.g
             WHERE c.doc_id % 20 <> 7
             GROUP BY 1
+        """,
+        # span-level decontamination: positional 8-gram strings
+        # (parallel-unnest zip of starts and grams), benchmark matches
+        # -> covered token windows -> order-preserving rebuild of the
+        # surviving tokens. Overlapping windows may duplicate covered
+        # (doc,pos) rows — harmless in the exclusion LEFT JOIN (matched
+        # rows are dropped, so join multiplicity never reaches output)
+        "q_redact_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS w
+                FROM documents WHERE text IS NOT NULL
+            ), pgrams AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(w) - 6, 1))) AS start,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 6, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                                w[i+6] || ' ' || w[i+7])) AS g
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT g FROM pgrams WHERE doc_id % 20 = 7
+            ), hits AS (
+                SELECT DISTINCT p.doc_id, p.start
+                FROM pgrams p JOIN bench b ON p.g = b.g
+                WHERE p.doc_id % 20 <> 7
+            ), covered AS (
+                SELECT doc_id, unnest(range(start, start + 8)) AS pos
+                FROM hits
+            ), tokstream AS (
+                SELECT t.doc_id,
+                       unnest(w) AS tok,
+                       unnest(range(1, len(w) + 1)) AS pos
+                FROM toks t
+                JOIN (SELECT DISTINCT doc_id FROM hits) d USING (doc_id)
+            ), rebuilt AS (
+                SELECT s.doc_id, string_agg(s.tok, ' ' ORDER BY s.pos) AS clean
+                FROM tokstream s
+                LEFT JOIN covered c
+                  ON c.doc_id = s.doc_id AND c.pos = s.pos
+                WHERE c.doc_id IS NULL
+                GROUP BY s.doc_id
+            ), nred AS (
+                SELECT doc_id, count(*)::BIGINT AS n_redacted
+                FROM hits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN n.doc_id IS NULL THEN d.text
+                        ELSE coalesce(r.clean, '') END AS text,
+                   coalesce(n.n_redacted, 0)::BIGINT AS n_redacted
+            FROM documents d
+            LEFT JOIN nred n USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+            WHERE d.doc_id % 20 <> 7
         """,
         # per-stratum deterministic sampling: same md5-prefix bucket as
         # q_hash_split, threshold per lang (unlisted strata keep 0)

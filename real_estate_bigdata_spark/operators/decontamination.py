@@ -29,9 +29,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from real_estate_bigdata_spark.functions.text import (
+    hashed_ngrams_from_token_hashes,
+    tokenize,
+)
+from real_estate_bigdata_spark.util import ensure_min_parallelism
+
 from .dedup import _hashed_shingles
 
-__all__ = ["benchmark_shingles", "contamination_report", "decontaminate"]
+__all__ = [
+    "benchmark_shingles",
+    "contamination_report",
+    "decontaminate",
+    "redact_contaminated_spans",
+]
 
 
 def benchmark_shingles(
@@ -96,3 +107,82 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def redact_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping a contaminated doc
+    wholesale (:func:`decontaminate`), remove exactly the tokens covered
+    by a benchmark-matching ``n``-gram window and keep the rest — the
+    span-level policy for corpora too valuable to discard (a long book
+    quoting one benchmark item keeps its other 99.9%).
+
+    Output: the full corpus schema with ``text_col`` rewritten plus
+    ``n_redacted`` (count of matching windows; 0 for clean docs). Clean
+    docs keep their text BYTE-IDENTICAL; redacted docs are rebuilt as
+    the surviving tokens joined by single spaces (whitespace normalizes
+    — unavoidable once tokens are removed). NULL text stays NULL. A doc
+    whose every token is covered comes back with empty text (the row
+    survives for accounting, matching ``remove_boilerplate_lines``).
+
+    Plan shape: positional hashed n-grams are built map-side (the same
+    rolling-xxhash64 combine as ``contamination_report`` — hash
+    equality matches string equality up to immaterial collisions);
+    match starts come from a map-side join against the BROADCAST
+    benchmark shingle set; the only shuffle carries (id, start) pairs
+    for DIRTY docs (contamination-rate sized, never the corpus); the
+    rewrite itself is a map-side array filter after AQE broadcasts the
+    dirty-doc span table back. The text payload never shuffles.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench = benchmark_shingles(benchmark, n=n, text_col=text_col)
+    toks = ensure_min_parallelism(corpus).select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__t")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            hashed_ngrams_from_token_hashes(
+                F.transform("__t", lambda t: F.xxhash64(t)), n
+            )
+        ).alias("__start", "g"),
+    )
+    spans = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__starts"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — token i inside any window
+        F.col("__starts"), lambda s: (i >= s) & (i <= s + F.lit(n - 1))
+    )
+    t = tokenize(F.col(text_col))
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size(t) - 1), lambda i: ~covered(i)
+    )
+    return (
+        corpus.join(spans, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+                F.array_join(
+                    F.transform(kept_idx, lambda i: F.element_at(t, i + 1)), " "
+                )
+            ),
+        )
+        .withColumn(
+            "n_redacted",
+            # size(NULL) is -1 under legacy sizeOfNull — branch, don't
+            # coalesce (the same pitfall functions.text._nullsafe_size
+            # guards)
+            F.when(F.col("__starts").isNull(), F.lit(0))
+            .otherwise(F.size("__starts"))
+            .cast("bigint"),
+        )
+        .drop("__starts")
+    )

@@ -74,3 +74,59 @@ def test_flagging_plan_broadcasts_benchmark(spark):
         max_sortmerge_joins=0,
         forbid_python=True,
     )
+
+
+def test_redact_spans_surgical_and_byte_identical_clean(spark):
+    from real_estate_bigdata_spark.operators.decontamination import (
+        redact_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "q w e r")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # the 4-gram "q w e r" appears mid-doc: only its window goes
+            (1, "keep1 keep2 q w e r keep3"),
+            # two overlapping matches: "q w e r" at 0 and at 4
+            (2, "q w e r q w e r tail"),
+            # entirely covered
+            (3, "q w e r"),
+            # clean doc with IRREGULAR whitespace — must stay byte-identical
+            (4, "clean   doc\twith  weird spacing"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in redact_contaminated_spans(corpus, bench, n=4).collect()
+    }
+    assert out[1].text == "keep1 keep2 keep3" and out[1].n_redacted == 1
+    assert out[2].text == "tail" and out[2].n_redacted == 2
+    assert out[3].text == "" and out[3].n_redacted == 1
+    assert out[4].text == "clean   doc\twith  weird spacing"
+    assert out[4].n_redacted == 0
+    assert out[5].text is None and out[5].n_redacted == 0
+    assert set(out) == {1, 2, 3, 4, 5}  # every row survives
+
+
+def test_redact_spans_dirty_table_broadcasts(spark):
+    from real_estate_bigdata_spark.operators.decontamination import (
+        redact_contaminated_spans,
+    )
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    # benchmark shingles broadcast in; the rewrite is a map-side array
+    # filter — the corpus text payload must never shuffle, so the only
+    # exchanges belong to the benchmark-distinct and span aggregates
+    stats = assert_plan(
+        redact_contaminated_spans(corpus, bench, n=8),
+        min_broadcast_joins=1,
+        forbid_python=True,
+    )
+    assert stats.shuffles <= 3, stats
