@@ -28,6 +28,7 @@ __all__ = [
     "repetition_metrics",
     "vocab_top_tokens",
     "bigram_logprob_scores",
+    "dedup_paragraphs",
     "unigram_logprob_scores",
     "tfidf_scores",
     "chunk_documents",
@@ -242,6 +243,37 @@ def remove_boilerplate_lines(
         .drop("__id", "__clean")
     )
     return cleaned.unionByName(null_id.select(*cleaned.columns))
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Within-document paragraph dedup (the Gopher repetition-removal
+    edit, not just the metric): split ``text_col`` on ``sep`` (a Java
+    regex — pass ``join_sep`` when it isn't also the literal you want
+    between kept paragraphs), keep each paragraph's FIRST occurrence in
+    original order, rejoin. The complement of
+    :func:`remove_boilerplate_lines` — that one removes lines repeated
+    ACROSS documents; this removes repetition INSIDE one document
+    (navigation blocks pasted twice, scraper stutter).
+
+    Map-only Column expression (no shuffle, no Python): keep-first is
+    an index filter against ``array_position`` (first occurrence index).
+    NULL text stays NULL; docs without the separator pass through
+    unchanged. Output replaces ``text_col`` and keeps the full schema.
+    """
+    parr = F.split(F.col(text_col), sep)
+    kept = F.filter(parr, lambda x, i: F.array_position(parr, x) == i + 1)
+    return docs.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(kept, join_sep if join_sep is not None else sep)
+        ),
+    )
 
 
 def vocab_top_tokens(

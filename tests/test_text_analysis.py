@@ -351,3 +351,29 @@ def test_bigram_logprob_plan_is_jvm_only(spark):
     # bigram build is map-side (no positional self-join): count tables +
     # stream joins + per-doc agg + final left join; all codegen, no UDF
     assert_plan(bigram_logprob_scores(docs), forbid_python=True)
+
+
+def test_dedup_paragraphs_keep_first_order_preserving(spark):
+    from real_estate_bigdata_spark.operators.text_analysis import dedup_paragraphs
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\nalpha\n\ngamma\n\nbeta"),
+            (2, "solo paragraph"),
+            (3, None),
+            (4, "x\n\nx\n\nx"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.text for r in dedup_paragraphs(df).collect()}
+    assert got[1] == "alpha\n\nbeta\n\ngamma"  # first occurrences, in order
+    assert got[2] == "solo paragraph"
+    assert got[3] is None
+    assert got[4] == "x"
+    # custom regex separator with an explicit join literal
+    df2 = spark.createDataFrame([(1, "a||a||b")], "doc_id long, text string")
+    out2 = dedup_paragraphs(df2, sep=r"\|\|", join_sep="||").first().text
+    assert out2 == "a||b"
+    # map-only: no shuffle, no Python
+    assert_plan(dedup_paragraphs(df), max_shuffles=0, forbid_python=True)
