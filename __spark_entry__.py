@@ -1850,13 +1850,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT length(text)::DOUBLE AS x
                 FROM documents WHERE text IS NOT NULL
             ), binned AS (
+                -- isnan guard mirrors the operator (vacuous for
+                -- length(), exact for general metrics)
                 SELECT CASE WHEN x < 0.0::DOUBLE THEN 0
                             WHEN x >= 600.0::DOUBLE THEN 21
                             ELSE floor((x - 0.0::DOUBLE)
                                        / ((600.0::DOUBLE - 0.0::DOUBLE) / 20)
                                  )::BIGINT + 1
                        END AS bin
-                FROM m
+                FROM m WHERE NOT isnan(x)
             )
             SELECT bin,
                    CASE WHEN bin BETWEEN 1 AND 20
@@ -1977,7 +1979,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE len(string_split_regex(trim(text), '\s+'))
                        END::BIGINT AS n_tokens
                 FROM documents
-                WHERE text IS NOT NULL
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
             ), p AS (
                 SELECT doc_id, source, text, n_tokens,
                        ((sum(least(n_tokens, 300)) OVER (

@@ -148,6 +148,12 @@ def _unionfind_labels(cp: DataFrame, out_id: str, out_label: str) -> DataFrame:
             parent[u] = u
         if v not in parent:
             parent[v] = v
+        # a NULL endpoint never joins anything — a NULL key matches no
+        # row in the distributed joins, which leave it as an isolated
+        # (NULL, NULL)-labeled vertex; mirror that instead of comparing
+        # None against real ids below
+        if u is None or v is None:
+            continue
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[ru] = rv

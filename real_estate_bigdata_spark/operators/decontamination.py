@@ -29,11 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.functions.text import (
-    hashed_ngrams_from_token_hashes,
-    tokenize,
-)
-from real_estate_bigdata_spark.util import ensure_min_parallelism
+from real_estate_bigdata_spark.functions.text import tokenize
 
 from .dedup import _hashed_shingles
 
@@ -142,16 +138,14 @@ def redact_contaminated_spans(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     bench = benchmark_shingles(benchmark, n=n, text_col=text_col)
-    toks = ensure_min_parallelism(corpus).select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__t")
-    )
-    grams = toks.select(
-        F.col(id_col),
-        F.posexplode(
-            hashed_ngrams_from_token_hashes(
-                F.transform("__t", lambda t: F.xxhash64(t)), n
-            )
-        ).alias("__start", "g"),
+    # distinct=False keeps the gram array POSITIONAL (index == start
+    # token); _hashed_shingles projects the token-hash array before the
+    # n-wise combine subscripts it — inlining the transform here would
+    # re-evaluate it per subscript (the helper's documented contract)
+    grams = _hashed_shingles(
+        corpus, n, id_col=id_col, text_col=text_col, distinct=False
+    ).select(
+        F.col(id_col), F.posexplode("hs").alias("__start", "g")
     )
     spans = (
         grams.join(F.broadcast(bench), "g")

@@ -745,16 +745,22 @@ def embedding_neardup_pairs_ivf(
                 out_c.append(gc[keep])
         else:
             # cross sub-block pair of a hot list: full A x B gram, no
-            # self-pairs possible; orient each pair min/max
-            ids_a, An = _normed(pdf[pdf["__sub"] == sx])
-            ids_b, Bn = _normed(pdf[pdf["__sub"] == sy])
-            for s in range(0, len(ids_a), step):
-                C = np.round(An[s : s + step] @ Bn.T, 6)
-                ii, jj = np.nonzero(C >= threshold)
-                ga, gb = ids_a[s + ii], ids_b[jj]
-                out_a.append(np.minimum(ga, gb))
-                out_b.append(np.maximum(ga, gb))
-                out_c.append(C[ii, jj])
+            # self-pairs possible; orient each pair min/max. A hash
+            # sub-block can be EMPTY (pmod needn't populate every value
+            # when the list barely exceeds max_list_rows) — np.stack on
+            # zero rows would throw, so emit nothing instead
+            a_rows = pdf[pdf["__sub"] == sx]
+            b_rows = pdf[pdf["__sub"] == sy]
+            if len(a_rows) and len(b_rows):
+                ids_a, An = _normed(a_rows)
+                ids_b, Bn = _normed(b_rows)
+                for s in range(0, len(ids_a), step):
+                    C = np.round(An[s : s + step] @ Bn.T, 6)
+                    ii, jj = np.nonzero(C >= threshold)
+                    ga, gb = ids_a[s + ii], ids_b[jj]
+                    out_a.append(np.minimum(ga, gb))
+                    out_b.append(np.maximum(ga, gb))
+                    out_c.append(C[ii, jj])
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),

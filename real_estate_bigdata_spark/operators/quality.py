@@ -54,8 +54,12 @@ def metric_histogram(
     (as the shipped oracle and the parity test do) to stay in IEEE
     arithmetic. Bin 0 =
     underflow (< lo, lo_edge NULL), bins 1..n equi-width over [lo, hi),
-    bin n_bins+1 = overflow (>= hi, hi_edge NULL). NULL metrics are
-    excluded. Empty bins are absent (count them as zero downstream).
+    bin n_bins+1 = overflow (>= hi, hi_edge NULL). NULL and NaN metrics
+    are excluded (NaN compares greater than any double in Spark, so
+    without the explicit guard it would silently inflate the overflow
+    bin — ``width_bucket``, which this expression replaced, returned
+    NULL for NaN). Empty bins are absent (count them as zero
+    downstream).
     """
     if hi <= lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
@@ -66,7 +70,8 @@ def metric_histogram(
     b = F.col("bin")
     x = m.cast("double")
     return (
-        df.select(
+        df.filter(~F.isnan(F.coalesce(x, F.lit(0.0))))
+        .select(
             F.when(x < float(lo), F.lit(0).cast("bigint"))
             .when(x >= float(hi), F.lit(n_bins + 1).cast("bigint"))
             .otherwise(

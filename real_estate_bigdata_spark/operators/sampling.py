@@ -374,8 +374,14 @@ def materialize_packed(
     structs first (the same reassembly pattern as
     ``text_analysis.remove_boilerplate_lines``). NULL ``text_col``
     entries are skipped by the concatenation (array_join drops NULLs);
-    docs with NULL ``n_tokens_col`` are excluded by the packer itself.
+    docs with NULL ``n_tokens_col`` are excluded by the packer itself,
+    and NULL-``id_col`` docs are excluded UP FRONT — they cannot join
+    back to their text or take a deterministic place in the id order
+    (and engines disagree on NULL sort position), so letting them
+    advance the packer's running offset would corrupt every later
+    chunk while their content silently vanished.
     """
+    docs = docs.filter(F.col(id_col).isNotNull())
     assignments = pack_documents(
         docs.select(id_col, pack_by, n_tokens_col),
         token_budget,
@@ -428,7 +434,11 @@ def pack_documents(
     One window = a single shuffle on the packing key; deterministic
     given the data (no RNG, no partition dependence). Output:
     (id, pack_by, n_tokens, chunk_id). Docs with NULL token counts are
-    excluded (cannot be packed).
+    excluded (cannot be packed). NULL ``id_col`` values are the
+    caller's responsibility to filter: the assignment is well-defined
+    (NULLs sort first in Spark) but NOT portable — engines disagree on
+    NULL sort position — and :func:`materialize_packed` excludes them
+    outright.
     """
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")

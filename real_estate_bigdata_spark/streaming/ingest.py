@@ -275,10 +275,12 @@ def compact_fingerprint_store(
 
     from real_estate_bigdata_spark.sources.lake import write_bucketed
 
+    version_path = f"{compacted_path.rstrip('/')}/v{up_to}"
     merged = (
         epochs_df.filter(F.col("ingest_batch") < F.lit(up_to))
         .select("fingerprint")
     )
+    already_this_version = False
     if spark.catalog.tableExists(table):
         # merge the previous version by reading its FILES directly —
         # referencing the catalog table here would trip Spark's
@@ -290,17 +292,25 @@ def compact_fingerprint_store(
             for r in spark.sql(f"DESC FORMATTED {table}").collect()
             if r.col_name == "Location"
         )
-        merged = merged.unionByName(
-            spark.read.parquet(loc).select("fingerprint")
+        # crash recovery: a prior run that committed the table at THIS
+        # version but died before deleting the folded epochs must not
+        # read-and-overwrite v{up_to} against itself — the committed
+        # table already contains those epochs' fingerprints, so only
+        # the deletes below remain to be done
+        already_this_version = loc.rstrip("/").endswith(f"/v{up_to}")
+        if not already_this_version:
+            merged = merged.unionByName(
+                spark.read.parquet(loc).select("fingerprint")
+            )
+    if not already_this_version:
+        write_bucketed(
+            merged.distinct(),
+            table,
+            version_path,
+            bucket_cols=("fingerprint",),
+            n_buckets=n_buckets,
+            sort_cols=("fingerprint",),
         )
-    write_bucketed(
-        merged.distinct(),
-        table,
-        f"{compacted_path}/v{up_to}",
-        bucket_cols=("fingerprint",),
-        n_buckets=n_buckets,
-        sort_cols=("fingerprint",),
-    )
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

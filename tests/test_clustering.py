@@ -194,3 +194,27 @@ def test_unionfind_fast_path_matches_distributed_incl_self_pairs(spark):
         )
     )
     assert over == fast
+
+
+def test_unionfind_tolerates_null_endpoints(spark):
+    """NULL edge endpoints never connect anything on the distributed
+    paths (NULL keys match no join row); the fast path must mirror that
+    instead of raising TypeError (review r5)."""
+    df = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None)], "id_a long, id_b long"
+    )
+    fast = sorted(
+        map(tuple, cl.connected_components(df).collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    slow = sorted(
+        map(
+            tuple,
+            cl.connected_components(df, small_graph_threshold=0).collect(),
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert fast == slow
+    labels = dict(fast)
+    assert labels[1] == 1 and labels[2] == 1  # real edge still unions
+    assert labels[3] == 3 and labels[4] == 4  # NULL neighbors isolate

@@ -622,3 +622,22 @@ def test_semantic_dedup_min_id_survivors_and_default_path(spark):
         .collect()
     }
     assert ivf_kept == kept
+
+
+def test_ivf_autosplit_tolerates_empty_sub_blocks(spark):
+    """A list barely over a tiny max_list_rows can hash all rows into a
+    subset of its sub-blocks; empty cross-pair sides must emit nothing,
+    not crash np.stack (review r5)."""
+    rows = [(i, [float(i % 3) + 1.0, 1.0]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs_ivf(
+            df, threshold=0.99, n_lists=1, n_probe=1, max_list_rows=2
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dd.embedding_neardup_pairs(df, threshold=0.99).collect()
+    }
+    assert got == exact  # single list + sub-split covers all pairs

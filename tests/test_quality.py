@@ -101,14 +101,15 @@ class TestMetricHistogram:
     def test_bins_edges_under_overflow(self, spark):
         from real_estate_bigdata_spark.operators.quality import metric_histogram
 
-        rows = [(float(v),) for v in [-5, 0, 1, 9, 10, 15, 19, 20, 99]] + [(None,)]
+        rows = [(float(v),) for v in [-5, 0, 1, 9, 10, 15, 19, 20, 99]]
+        rows += [(None,), (float("nan"),)]
         df = spark.createDataFrame(rows, "m double")
         out = {r.bin: r for r in metric_histogram(df, "m", 0, 20, n_bins=2).collect()}
         assert out[0].n == 1 and out[0].lo_edge is None       # -5 underflows
         assert out[1].n == 3 and out[1].lo_edge == 0.0 and out[1].hi_edge == 10.0
         assert out[2].n == 3 and out[2].lo_edge == 10.0 and out[2].hi_edge == 20.0
         assert out[3].n == 2 and out[3].hi_edge is None       # 20, 99 overflow
-        assert sum(r.n for r in out.values()) == 9            # NULL excluded
+        assert sum(r.n for r in out.values()) == 9    # NULL + NaN excluded
 
     def test_one_shuffle_no_python(self, spark):
         from real_estate_bigdata_spark.operators.quality import metric_histogram

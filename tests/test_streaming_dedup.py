@@ -199,3 +199,49 @@ class TestFingerprintStoreCompaction:
         # the ONLY exchange in the plan is the probe side's
         assert "SelectedBucketsCount" in plan, plan
         assert stats.shuffles == 1, f"{stats}\n{plan}"
+
+    def test_compaction_rerun_after_partial_crash_is_idempotent(
+        self, spark, tmp_path
+    ):
+        """Crash window: write_bucketed committed the new version but the
+        epoch deletes never ran. A re-run with the same up_to must not
+        read-and-overwrite the version against itself — it finishes the
+        deletes and the store stays correct."""
+        import shutil
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+        table = "fp_compact_crash"
+        _write_jsonl(src / "b1.jsonl", [(1, "aaa bbb"), (2, "ccc ddd")])
+        _run(spark, src, dest, store, ckpt)
+        _write_jsonl(src / "b2.jsonl", [(6, "eee fff")])
+        _run(spark, src, dest, store, ckpt)
+
+        # first compaction succeeds fully
+        assert ingest.compact_fingerprint_store(
+            spark, str(store), table=table, up_to_batch=10**6
+        ) == 2
+        # simulate the crash: restore one folded epoch dir as if its
+        # delete never happened (table already holds its fingerprints)
+        restored = store / "ingest_batch=0"
+        restored.mkdir(parents=True)
+        (restored / "dummy").write_bytes(b"")
+        shutil.rmtree(restored)
+        # rebuild epoch 0 properly from a fresh ingest of same content
+        # into a scratch store, then copy the partition dir over
+        src2 = tmp_path / "drop2"
+        src2.mkdir()
+        _write_jsonl(src2 / "b1.jsonl", [(1, "aaa bbb"), (2, "ccc ddd")])
+        _run(spark, src2, tmp_path / "lake2", tmp_path / "store2", tmp_path / "ckpt2")
+        shutil.copytree(
+            tmp_path / "store2" / "ingest_batch=0", store / "ingest_batch=0"
+        )
+        before = spark.table(table).count()
+        # re-run with the SAME up_to: must fold the leftover epoch dir
+        # away WITHOUT rewriting v{up_to} against itself
+        assert ingest.compact_fingerprint_store(
+            spark, str(store), table=table, up_to_batch=10**6
+        ) == 1
+        assert not (store / "ingest_batch=0").exists()
+        assert spark.table(table).count() == before  # no loss, no dupes
