@@ -592,6 +592,17 @@ def _q_redact_spans(spark, sf):
     )
 
 
+def _q_redact_dup_spans(spark, sf):
+    """ExactSubstr-style corpus self-dedup (NEW r5 cont.): every
+    corpus-wide duplicated word-8-gram window is redacted from all
+    occurrences except the minimum-(doc_id, start) one; host docs
+    survive with n_redacted counting removed windows."""
+    from real_estate_bigdata_spark.operators.dedup import redact_duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return redact_duplicate_spans(docs, n=8).select("doc_id", "text", "n_redacted")
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -737,24 +748,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         survivors over the exact pair generator), q_bigram_logprob
         (NEW — bigram corpus-LM quality score), q_pack_sequences
         (NEW — materialized packed training sequences), q_redact_spans
-        (NEW — span-level decontamination);
-    (d) 19 r4-verified fillers: q03/q04/q05/q06/q07/q09/
+        (NEW — span-level decontamination), q_redact_dup_spans (NEW —
+        ExactSubstr-style corpus self-dedup);
+    (d) 18 r4-verified fillers: q04/q05/q06/q07/q09/
         q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 29 oracle-bearing queries ALL hash-verified green in
+    Past slot 50: 30 oracle-bearing queries ALL hash-verified green in
     CORRECTNESS_r04 (<= 1 round stale, rotating back in r6;
-    q10/q12/q13/q14 joined them to make room for the four NEW r5
+    q03/q10/q12/q13/q14 joined them to make room for the five NEW r5
     queries) + the 3 rows-only approximate queries (q_embed_lsh_topk,
     q_embed_ivf_topk, q_dedup_embedding_ivf — pinned by pytest recall
-    tests). Union invariant: r4 ∪ r5 driver rows cover all 79
+    tests). Union invariant: r4 ∪ r5 driver rows cover all 80
     driver-verifiable oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 82 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 83 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -792,8 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_logprob": _q_bigram_logprob,
         "q_pack_sequences": _q_pack_sequences,
         "q_redact_spans": _q_redact_spans,
+        "q_redact_dup_spans": _q_redact_dup_spans,
         # (d) r4-verified fillers
-        "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q06_forecast_revenue": _q06_forecast_revenue,
@@ -813,7 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 29 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 30 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        "q03_shipping_priority": _q03_shipping_priority,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2074,6 +2087,65 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nred n USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
             WHERE d.doc_id % 20 <> 7
+        """,
+        # ExactSubstr self-dedup: a positional-8-gram window duplicated
+        # anywhere in the corpus is redacted from every occurrence
+        # except its minimum-(doc_id, start) one — the count/row_number
+        # window over the gram string mirrors the Spark side's
+        # (count, min-struct) hash aggregate; rebuild mirrors
+        # q_redact_spans. NULL-id docs pass through and don't vote.
+        "q_redact_dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS w
+                FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), pgrams AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(w) - 6, 1))) AS start,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 6, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                                w[i+6] || ' ' || w[i+7])) AS g
+                FROM toks
+            ), ranked AS (
+                SELECT doc_id, start,
+                       count(*) OVER (PARTITION BY g) AS c,
+                       row_number() OVER (
+                           PARTITION BY g ORDER BY doc_id, start) AS rn
+                FROM pgrams
+            ), hits AS (
+                SELECT doc_id, start FROM ranked WHERE c > 1 AND rn > 1
+            ), covered AS (
+                SELECT doc_id, unnest(range(start, start + 8)) AS pos
+                FROM hits
+            ), tokstream AS (
+                SELECT t.doc_id,
+                       unnest(w) AS tok,
+                       unnest(range(1, len(w) + 1)) AS pos
+                FROM toks t
+                JOIN (SELECT DISTINCT doc_id FROM hits) d USING (doc_id)
+            ), rebuilt AS (
+                SELECT s.doc_id, string_agg(s.tok, ' ' ORDER BY s.pos) AS clean
+                FROM tokstream s
+                LEFT JOIN covered c
+                  ON c.doc_id = s.doc_id AND c.pos = s.pos
+                WHERE c.doc_id IS NULL
+                GROUP BY s.doc_id
+            ), nred AS (
+                SELECT doc_id, count(*)::BIGINT AS n_redacted
+                FROM hits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id IS NULL THEN d.text
+                        WHEN n.doc_id IS NULL THEN d.text
+                        ELSE coalesce(r.clean, '') END AS text,
+                   CASE WHEN d.doc_id IS NULL THEN 0
+                        ELSE coalesce(n.n_redacted, 0) END::BIGINT AS n_redacted
+            FROM documents d
+            LEFT JOIN nred n USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
         """,
         # per-stratum deterministic sampling: same md5-prefix bucket as
         # q_hash_split, threshold per lang (unlisted strata keep 0)

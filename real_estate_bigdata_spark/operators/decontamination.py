@@ -29,9 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.functions.text import tokenize
-
-from .dedup import _hashed_shingles
+from .dedup import _hashed_shingles, _rewrite_minus_windows
 
 __all__ = [
     "benchmark_shingles",
@@ -152,31 +150,4 @@ def redact_contaminated_spans(
         .groupBy(id_col)
         .agg(F.collect_set("__start").alias("__starts"))
     )
-    covered = lambda i: F.exists(  # noqa: E731 — token i inside any window
-        F.col("__starts"), lambda s: (i >= s) & (i <= s + F.lit(n - 1))
-    )
-    t = tokenize(F.col(text_col))
-    kept_idx = F.filter(
-        F.sequence(F.lit(0), F.size(t) - 1), lambda i: ~covered(i)
-    )
-    return (
-        corpus.join(spans, id_col, "left")
-        .withColumn(
-            text_col,
-            F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
-                F.array_join(
-                    F.transform(kept_idx, lambda i: F.element_at(t, i + 1)), " "
-                )
-            ),
-        )
-        .withColumn(
-            "n_redacted",
-            # size(NULL) is -1 under legacy sizeOfNull — branch, don't
-            # coalesce (the same pitfall functions.text._nullsafe_size
-            # guards)
-            F.when(F.col("__starts").isNull(), F.lit(0))
-            .otherwise(F.size("__starts"))
-            .cast("bigint"),
-        )
-        .drop("__starts")
-    )
+    return _rewrite_minus_windows(corpus, spans, n, id_col, text_col)

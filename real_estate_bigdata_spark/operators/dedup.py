@@ -50,8 +50,127 @@ __all__ = [
     "embedding_neardup_pairs_blocked",
     "embedding_neardup_pairs_ivf",
     "semantic_dedup",
+    "redact_duplicate_spans",
     "dedup_against_store",
 ]
+
+
+def _rewrite_minus_windows(
+    corpus: DataFrame,
+    spans: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Rebuild ``text_col`` with every token covered by an ``n``-token
+    window starting at a position in ``spans.__starts`` removed.
+
+    ``spans`` is (id_col, __starts: array<int>) with 0-based token
+    starts; docs absent from it (including NULL-id rows, which a join
+    on ``id_col`` can never match) keep their text BYTE-IDENTICAL and
+    get ``n_redacted = 0``. Redacted docs are rebuilt as the surviving
+    tokens joined by single spaces (whitespace normalizes — unavoidable
+    once tokens are removed); a fully-covered doc comes back with empty
+    text but the row survives for accounting. NULL text stays NULL.
+
+    Shared by :func:`redact_duplicate_spans` (self-corpus duplicates)
+    and ``decontamination.redact_contaminated_spans`` (benchmark
+    overlap) — the rewrite is a map-side array filter after the spans
+    table (dirty-doc sized, never the corpus) joins back; the text
+    payload never shuffles.
+    """
+    covered = lambda i: F.exists(  # noqa: E731 — token i inside any window
+        F.col("__starts"), lambda s: (i >= s) & (i <= s + F.lit(n - 1))
+    )
+    t = tokenize(F.col(text_col))
+    kept_idx = F.filter(F.sequence(F.lit(0), F.size(t) - 1), lambda i: ~covered(i))
+    return (
+        corpus.join(spans, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+                F.array_join(
+                    F.transform(kept_idx, lambda i: F.element_at(t, i + 1)), " "
+                )
+            ),
+        )
+        .withColumn(
+            "n_redacted",
+            # size(NULL) is -1 under legacy sizeOfNull — branch, don't
+            # coalesce (the same pitfall functions.text._nullsafe_size
+            # guards)
+            F.when(F.col("__starts").isNull(), F.lit(0))
+            .otherwise(F.size("__starts"))
+            .cast("bigint"),
+        )
+        .drop("__starts")
+    )
+
+
+def redact_duplicate_spans(
+    corpus: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style corpus self-dedup: every word-``n``-gram window
+    that occurs more than once ACROSS THE WHOLE CORPUS is redacted from
+    every occurrence except its first (minimum ``(id, start)``), token
+    by token — the span-level complement of document-level dedup, per
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better": duplicated passages are removed from all but one
+    occurrence while the host documents survive). The reference has no
+    analogue (crawl/count only — ``map_reduce/mapper.py``); this is a
+    north-star training-pipeline operator like the rest of the family.
+
+    Output: full corpus schema with ``text_col`` rewritten plus
+    ``n_redacted`` (count of redacted windows; 0 for clean docs).
+    Clean docs keep byte-identical text; NULL text stays NULL; NULL-id
+    rows pass through untouched and do NOT vote in duplication counts
+    (a span table keyed by id can never reach them).
+
+    Plan shape (100 TB posture): positional hashed n-grams build
+    map-side (rolling xxhash64 — no gram strings); ONE corpus-gram
+    shuffle feeds the per-gram ``(count, first-occurrence)`` hash
+    aggregate, which is partial-aggregation (map-side combine) safe —
+    deliberately NOT a window over ``g``, whose per-key sort would
+    serialize on a viral boilerplate gram repeated billions of times.
+    The dup-gram table (duplication-rate sized) joins back to the gram
+    stream (AQE picks broadcast when it is small); only non-first
+    ``(id, start)`` pairs shuffle to build per-doc span sets; the text
+    payload moves once in the final rewrite join.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    # distinct=False keeps the gram array POSITIONAL (index == start)
+    grams = (
+        _hashed_shingles(corpus, n, id_col=id_col, text_col=text_col, distinct=False)
+        .filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.posexplode("hs").alias("__start", "g"))
+    )
+    dup_first = (
+        grams.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.struct(F.col(id_col).alias("__i"), F.col("__start").alias("__s"))
+            ).alias("__first"),
+        )
+        .filter(F.col("__cnt") > 1)
+        .select("g", "__first")
+    )
+    spans = (
+        grams.join(dup_first, "g")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__first.__i"))
+                & (F.col("__start") == F.col("__first.__s"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__start").alias("__starts"))
+    )
+    return _rewrite_minus_windows(corpus, spans, n, id_col, text_col)
 
 
 def exact_dup_groups(

@@ -641,3 +641,73 @@ def test_ivf_autosplit_tolerates_empty_sub_blocks(spark):
         for r in dd.embedding_neardup_pairs(df, threshold=0.99).collect()
     }
     assert got == exact  # single list + sub-split covers all pairs
+
+
+def test_redact_duplicate_spans_keeps_first_occurrence(spark):
+    """ExactSubstr policy: the minimum (id, start) occurrence of a
+    duplicated n-gram window survives byte-identical; every other
+    occurrence — cross-doc AND within-doc — is redacted token-wise."""
+    corpus = spark.createDataFrame(
+        [
+            # first (min doc_id) occurrence of "q w e r" — survives
+            (1, "q w e r tail1"),
+            # same 4-gram mid-doc — redacted, neighbors survive
+            (2, "keep1 keep2 q w e r keep3"),
+            # within-doc repeat: occurrence at 0 is ALSO non-first
+            # (doc 1 holds the minimum), both windows go
+            (3, "q w e r q w e r end"),
+            # clean doc with irregular whitespace — byte-identical
+            (4, "clean   doc\twith  spacing"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in dd.redact_duplicate_spans(corpus, n=4).collect()
+    }
+    assert out[1].text == "q w e r tail1" and out[1].n_redacted == 0
+    assert out[2].text == "keep1 keep2 keep3" and out[2].n_redacted == 1
+    assert out[3].text == "end" and out[3].n_redacted == 2
+    assert out[4].text == "clean   doc\twith  spacing"
+    assert out[4].n_redacted == 0
+    assert out[5].text is None and out[5].n_redacted == 0
+    assert set(out) == {1, 2, 3, 4, 5}  # every row survives
+
+
+def test_redact_duplicate_spans_within_doc_first_kept(spark):
+    """When the duplicated window's FIRST occurrence is within the same
+    doc, it survives and only later starts are redacted."""
+    corpus = spark.createDataFrame(
+        [(7, "a b c d a b c d z")], "doc_id long, text string"
+    )
+    row = dd.redact_duplicate_spans(corpus, n=4).collect()[0]
+    assert row.text == "a b c d z" and row.n_redacted == 1
+
+
+def test_redact_duplicate_spans_null_id_passthrough(spark):
+    """NULL-id rows keep byte-identical text and do not vote in the
+    duplication count: a gram shared only between a NULL-id row and one
+    keyed row is NOT corpus-duplicated from the keyed row's view."""
+    corpus = spark.createDataFrame(
+        [(None, "x y z w pad"), (9, "x y z w other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dd.redact_duplicate_spans(corpus, n=4).collect()}
+    assert out[None].text == "x y z w pad" and out[None].n_redacted == 0
+    assert out[9].text == "x y z w other" and out[9].n_redacted == 0
+
+
+def test_redact_duplicate_spans_plan_shape(spark):
+    """Hash aggregate on the gram stream (partial-agg safe, NOT a
+    window sort over g), no Python anywhere, text payload moves once:
+    gram-count agg + span agg + (AQE-planned) joins stay within a small
+    exchange budget and zero sort-merge joins at this scale."""
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    docs = load_table(spark, SF, "documents")
+    stats = assert_plan(
+        dd.redact_duplicate_spans(docs, n=8),
+        forbid_python=True,
+        max_sortmerge_joins=0,
+    )
+    assert stats.shuffles <= 4, stats
