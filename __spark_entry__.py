@@ -603,6 +603,17 @@ def _q_redact_dup_spans(spark, sf):
     return redact_duplicate_spans(docs, n=8).select("doc_id", "text", "n_redacted")
 
 
+def _q_shuffle_shard(spark, sf):
+    """Deterministic global shuffle + sharding (NEW r5 cont.): shard in
+    [0,16) + 1-based within-shard position, both pure functions of the
+    doc id — the fixed pseudo-random permutation a training-data export
+    replays; salt derives per-epoch reshuffles."""
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+
+    docs = load_table(spark, sf, "documents")
+    return shuffle_shard(docs, n_shards=16).select("doc_id", "shard", "pos")
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -749,24 +760,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (NEW — bigram corpus-LM quality score), q_pack_sequences
         (NEW — materialized packed training sequences), q_redact_spans
         (NEW — span-level decontamination), q_redact_dup_spans (NEW —
-        ExactSubstr-style corpus self-dedup);
-    (d) 18 r4-verified fillers: q04/q05/q06/q07/q09/
+        ExactSubstr-style corpus self-dedup), q_shuffle_shard (NEW —
+        deterministic global shuffle + sharding);
+    (d) 17 r4-verified fillers: q05/q06/q07/q09/
         q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 30 oracle-bearing queries ALL hash-verified green in
+    Past slot 50: 31 oracle-bearing queries ALL hash-verified green in
     CORRECTNESS_r04 (<= 1 round stale, rotating back in r6;
-    q03/q10/q12/q13/q14 joined them to make room for the five NEW r5
+    q03/q04/q10/q12/q13/q14 joined them to make room for the six NEW r5
     queries) + the 3 rows-only approximate queries (q_embed_lsh_topk,
     q_embed_ivf_topk, q_dedup_embedding_ivf — pinned by pytest recall
-    tests). Union invariant: r4 ∪ r5 driver rows cover all 80
+    tests). Union invariant: r4 ∪ r5 driver rows cover all 81
     driver-verifiable oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 83 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 84 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -805,8 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": _q_pack_sequences,
         "q_redact_spans": _q_redact_spans,
         "q_redact_dup_spans": _q_redact_dup_spans,
+        "q_shuffle_shard": _q_shuffle_shard,
         # (d) r4-verified fillers
-        "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
@@ -825,8 +837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 30 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 31 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
         "q03_shipping_priority": _q03_shipping_priority,
+        "q04_order_priority": _q04_order_priority,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2146,6 +2159,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN nred n USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # deterministic shuffle+shard: shard = full 60-bit md5-prefix
+        # bigint mod 16 (NOT the mod-10000 bucket — double modulo would
+        # bias), pos = row_number ordered by the md5 hex STRING (ASCII
+        # compare, engine-portable) with the id as tiebreak
+        "q_shuffle_shard": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5(doc_id::VARCHAR) AS hhex,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 16 AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY hhex, doc_id) AS pos
+            FROM h
         """,
         # per-stratum deterministic sampling: same md5-prefix bucket as
         # q_hash_split, threshold per lang (unlisted strata keep 0)

@@ -31,6 +31,7 @@ __all__ = [
     "mixture_balance",
     "pack_documents",
     "quality_cutoffs",
+    "shuffle_shard",
     "stratified_hash_sample",
 ]
 
@@ -281,6 +282,61 @@ _QUALITY_GRID = [
     round(i * _QUALITY_GRID_STEP, 2) for i in range(int(1 / _QUALITY_GRID_STEP))
 ]
 _QUALITY_ACC = 10_000  # percentile_approx accuracy: rank error <= N/acc
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export:
+    every row gets a ``shard`` in [0, n_shards) and a 1-based ``pos``
+    within its shard, both pure functions of ``(key, salt)`` — the same
+    layout every run, on every engine, under any input partitioning.
+    Reading the shards in ``(shard, pos)`` order replays one fixed
+    pseudo-random permutation of the corpus; a different ``salt``
+    derives an independent permutation (one per training epoch), which
+    is how epoch reshuffles are produced without ever materializing a
+    random state. The reference has no analogue (SURVEY §2.4 ABSENT
+    family); this is north-star training-pipeline surface like
+    ``hash_split``.
+
+    Keys should be unique (a duplicated key draws the same shard and
+    adjacent, arbitrarily-ordered positions); a NULL key hashes as the
+    empty string (``concat_ws`` semantics), same as the rest of the
+    md5 family.
+
+    Scale posture: shard assignment is map-only (60-bit md5-prefix
+    bigint mod ``n_shards`` — the full-width prefix, NOT ``bucket_of``'s
+    mod-10,000 bucket, whose double-modulo would bias shards that don't
+    divide 10,000). The within-shard ``row_number`` is ONE shuffle on
+    the shard id + a per-shard sort; at 100 TB pick ``n_shards`` in the
+    tens of thousands so each shard is a few GB — uniform by hash, so
+    no skew mitigation is needed. The sort key is the md5 hex STRING
+    (ASCII compare — portable across engines), key as tiebreak.
+
+    To materialize files:
+    ``out.repartition(n_shards, shard_col).sortWithinPartitions(shard_col,
+    pos_col)`` then a partitioned write (``sources.lake``) — the
+    repartition reuses the same hash key, so AQE coalesces nothing away.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    hhex = F.md5(F.concat_ws("", F.col(key_col).cast("string"), F.lit(salt)))
+    staged = df.withColumn("__hhex", hhex).withColumn(
+        shard_col,
+        F.pmod(
+            F.conv(F.substring("__hhex", 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_shards),
+        ),
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__hhex"), F.col(key_col))
+    return staged.withColumn(
+        pos_col, F.row_number().over(w).cast("bigint")
+    ).drop("__hhex")
 
 
 def quality_cutoffs(

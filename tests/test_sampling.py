@@ -323,3 +323,59 @@ def test_materialize_packed_order_and_budget(spark):
         ).collect()
     }
     assert again == {k: v.text for k, v in out.items()}
+
+
+def test_shuffle_shard_is_a_permutation(spark):
+    """Every input row appears exactly once; shards in range; per-shard
+    positions are contiguous 1..|shard| — a valid sharded permutation."""
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    out = shuffle_shard(docs, n_shards=8).collect()
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_shard_deterministic_and_salt_independent(spark):
+    """Same (key, salt) -> identical layout on every run; a different
+    salt draws a genuinely different permutation (epoch reshuffle)."""
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    a = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shard(docs, 8).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in shuffle_shard(docs, 8).collect()}
+    assert a == b
+    c = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in shuffle_shard(docs, 8, salt="epoch1").collect()
+    }
+    assert a != c  # astronomically unlikely to collide if independent
+
+
+def test_shuffle_shard_plan_single_exchange(spark):
+    """Shard assignment is map-only; the only exchange is the window's
+    hash partition on the shard id. No Python anywhere."""
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    stats = assert_plan(
+        shuffle_shard(docs, n_shards=16), forbid_python=True
+    )
+    assert stats.shuffles == 1, stats
+
+
+def test_shuffle_shard_rejects_bad_n(spark):
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+    import pytest as _pytest
+
+    docs = load_table(spark, SF, "documents")
+    with _pytest.raises(ValueError):
+        shuffle_shard(docs, 0)
