@@ -614,6 +614,25 @@ def _q_shuffle_shard(spark, sf):
     return shuffle_shard(docs, n_shards=16).select("doc_id", "shard", "pos")
 
 
+def _q_corpus_diff(spark, sf):
+    """Corpus snapshot diff (NEW r5 cont.): added/removed/changed ids
+    between two derived snapshots of the documents table — old drops
+    ids ≡5 (mod 13), new drops ids ≡4 (mod 11) and rewrites text for
+    ids ≡0 (mod 7). Delta-sized output, fingerprint full-outer join."""
+    from real_estate_bigdata_spark.operators.versioning import corpus_diff
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 5)
+    new = docs.filter(F.col("doc_id") % 11 != 4).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [v2]")),
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -761,24 +780,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (NEW — materialized packed training sequences), q_redact_spans
         (NEW — span-level decontamination), q_redact_dup_spans (NEW —
         ExactSubstr-style corpus self-dedup), q_shuffle_shard (NEW —
-        deterministic global shuffle + sharding);
-    (d) 17 r4-verified fillers: q05/q06/q07/q09/
+        deterministic global shuffle + sharding), q_corpus_diff (NEW —
+        snapshot added/removed/changed delta);
+    (d) 16 r4-verified fillers: q06/q07/q09/
         q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 31 oracle-bearing queries ALL hash-verified green in
+    Past slot 50: 32 oracle-bearing queries ALL hash-verified green in
     CORRECTNESS_r04 (<= 1 round stale, rotating back in r6;
-    q03/q04/q10/q12/q13/q14 joined them to make room for the six NEW r5
-    queries) + the 3 rows-only approximate queries (q_embed_lsh_topk,
-    q_embed_ivf_topk, q_dedup_embedding_ivf — pinned by pytest recall
-    tests). Union invariant: r4 ∪ r5 driver rows cover all 81
-    driver-verifiable oracle queries.
+    q03/q04/q05/q10/q12/q13/q14 joined them to make room for the seven
+    NEW r5 queries) + the 3 rows-only approximate queries
+    (q_embed_lsh_topk, q_embed_ivf_topk, q_dedup_embedding_ivf — pinned
+    by pytest recall tests). Union invariant: r4 ∪ r5 driver rows cover
+    all 82 driver-verifiable oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 84 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 85 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -818,8 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_spans": _q_redact_spans,
         "q_redact_dup_spans": _q_redact_dup_spans,
         "q_shuffle_shard": _q_shuffle_shard,
+        "q_corpus_diff": _q_corpus_diff,
         # (d) r4-verified fillers
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
         "q09_product_profit": _q09_product_profit,
@@ -837,9 +857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 31 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 32 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2159,6 +2180,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN nred n USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # corpus snapshot diff: the Spark side joins injective
+        # length-prefixed md5 fingerprints; value-level IS DISTINCT
+        # FROM comparison is the same relation, so the oracle compares
+        # columns directly on the two derived snapshots
+        "q_corpus_diff": """
+            WITH old AS (
+                SELECT * FROM documents WHERE doc_id % 13 <> 5
+            ), new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN coalesce(text, '') || ' [v2]'
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                FROM documents WHERE doc_id % 11 <> 4
+            ), d AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.text IS DISTINCT FROM n.text
+                              OR o.lang IS DISTINCT FROM n.lang
+                              OR o.source IS DISTINCT FROM n.source
+                              OR o.n_chars IS DISTINCT FROM n.n_chars
+                            THEN 'changed' END AS status
+                FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, status FROM d WHERE status IS NOT NULL
         """,
         # deterministic shuffle+shard: shard = full 60-bit md5-prefix
         # bigint mod 16 (NOT the mod-10000 bucket — double modulo would
