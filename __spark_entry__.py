@@ -633,6 +633,27 @@ def _q_corpus_diff(spark, sf):
     return corpus_diff(old, new)
 
 
+def _q_linear_quality(spark, sf):
+    """Linear bag-of-words classifier scoring (NEW r5 cont.): raw logit
+    form with binary-fraction weights — every term contribution is an
+    exact multiple of 1/8, so the sum is order-independent and
+    bit-identical across engines (no rounding needed)."""
+    from real_estate_bigdata_spark.operators.quality import linear_quality_scores
+
+    docs = load_table(spark, sf, "documents")
+    weights = {
+        "join": 0.5,
+        "hash": -0.25,
+        "slow": -1.0,
+        "fast": 0.75,
+        "query": 0.125,
+        "spark": 1.5,
+    }
+    return linear_quality_scores(
+        docs, weights, bias=0.25, normalize=False, sigmoid=False
+    )
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -781,24 +802,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (NEW — span-level decontamination), q_redact_dup_spans (NEW —
         ExactSubstr-style corpus self-dedup), q_shuffle_shard (NEW —
         deterministic global shuffle + sharding), q_corpus_diff (NEW —
-        snapshot added/removed/changed delta);
-    (d) 16 r4-verified fillers: q06/q07/q09/
+        snapshot added/removed/changed delta), q_linear_quality (NEW —
+        linear bag-of-words classifier scoring);
+    (d) 15 r4-verified fillers: q07/q09/
         q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
         q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
         q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
         q_label_agreement, q_normalize_listings.
 
-    Past slot 50: 32 oracle-bearing queries ALL hash-verified green in
+    Past slot 50: 33 oracle-bearing queries ALL hash-verified green in
     CORRECTNESS_r04 (<= 1 round stale, rotating back in r6;
-    q03/q04/q05/q10/q12/q13/q14 joined them to make room for the seven
-    NEW r5 queries) + the 3 rows-only approximate queries
+    q03/q04/q05/q06/q10/q12/q13/q14 joined them to make room for the
+    eight NEW r5 queries) + the 3 rows-only approximate queries
     (q_embed_lsh_topk, q_embed_ivf_topk, q_dedup_embedding_ivf — pinned
     by pytest recall tests). Union invariant: r4 ∪ r5 driver rows cover
-    all 82 driver-verifiable oracle queries.
+    all 83 driver-verifiable oracle queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 85 run
+    (tests/test_queries.py::test_query_matches_oracle), and all 86 run
     in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
@@ -839,8 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_dup_spans": _q_redact_dup_spans,
         "q_shuffle_shard": _q_shuffle_shard,
         "q_corpus_diff": _q_corpus_diff,
+        "q_linear_quality": _q_linear_quality,
         # (d) r4-verified fillers
-        "q06_forecast_revenue": _q06_forecast_revenue,
         "q07_volume_shipping": _q07_volume_shipping,
         "q09_product_profit": _q09_product_profit,
         "q18_large_orders": _q18_large_orders,
@@ -857,10 +879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_agreement": _q_label_agreement,
         "q_normalize_listings": _q_normalize_listings,
         # ---- slots 51+: past the inferred driver cap ----
-        # 32 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # 33 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q06_forecast_revenue": _q06_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
         "q12_priority_lines": _q12_priority_lines,
         "q13_customer_distribution": _q13_customer_distribution,
@@ -2180,6 +2203,36 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN nred n USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # linear bag-of-words classifier scoring: raw logit, binary-
+        # fraction weights (exact multiples of 1/8) — the sum is exact
+        # FP in any addition order, so no rounding is needed on either
+        # engine; OOV tokens weigh 0; NULL text -> NULL score
+        "q_linear_quality": r"""
+            WITH w(tok, wt) AS (
+                VALUES ('join', 0.5::DOUBLE), ('hash', -0.25::DOUBLE),
+                       ('slow', -1.0::DOUBLE), ('fast', 0.75::DOUBLE),
+                       ('query', 0.125::DOUBLE), ('spark', 1.5::DOUBLE)
+            ), toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS wl
+                FROM documents WHERE text IS NOT NULL
+            ), t AS (
+                SELECT doc_id, unnest(wl) AS tok FROM toks
+            ), s AS (
+                SELECT t.doc_id, sum(coalesce(w.wt, 0.0)) AS tot
+                FROM t LEFT JOIN w ON t.tok = w.tok GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(k.n, 0) END::BIGINT AS n_tokens,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE 0.25 + coalesce(s.tot, 0.0) END::DOUBLE AS score
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, len(wl)::BIGINT AS n FROM toks) k
+              USING (doc_id)
+            LEFT JOIN s USING (doc_id)
         """,
         # corpus snapshot diff: the Spark side joins injective
         # length-prefixed md5 fingerprints; value-level IS DISTINCT

@@ -52,7 +52,10 @@ r5 additions (VERDICT r4 task #3): ``simhash_pairs``,
 ``ngram_jaccard_pairs``, ``decontaminate`` (fixed-size benchmark set),
 ``label_agreement``; plus a 30x extra point for ``dedup_clusters`` (CC
 round count grows with component diameter — one more decade of
-evidence). Extra-scale corpora synthesize documents only.
+evidence). Extra-scale corpora synthesize documents only. Late-r5:
+``redact_dup_spans`` (corpus-gram shuffle; token suffixing keeps the
+per-copy duplicate rate constant — the realistic regime),
+``shuffle_shard``, ``corpus_diff``.
 
 Usage: ``python bench_scale.py`` (env: SPARK_GRAFT_SCALE_BASE for the
 source sf dir, SPARK_GRAFT_SCALE_DIR for the synth output dir).
@@ -77,7 +80,8 @@ from real_estate_bigdata_spark.operators.decontamination import decontaminate
 from real_estate_bigdata_spark.operators.similarity import label_agreement
 from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
 from real_estate_bigdata_spark.operators.quality import metric_histogram
-from real_estate_bigdata_spark.operators.sampling import cap_per_group
+from real_estate_bigdata_spark.operators.sampling import cap_per_group, shuffle_shard
+from real_estate_bigdata_spark.operators.versioning import corpus_diff
 from real_estate_bigdata_spark.schema import load_table
 from real_estate_bigdata_spark.session import get_spark
 
@@ -228,6 +232,16 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         "ngram_jaccard_pairs": lambda: dd.ngram_jaccard_pairs(docs()),
         "decontaminate": lambda: decontaminate(docs(), bench_docs()),
         "label_agreement": lambda: label_agreement(emb()),
+        # r5-cont additions: the corpus-gram-shuffle self-dedup (token
+        # suffixing keeps the duplicate rate constant per copy — the
+        # 100 TB regime), the one-shuffle shard layout, and the
+        # fingerprint-only snapshot diff
+        "redact_dup_spans": lambda: dd.redact_duplicate_spans(docs()),
+        "shuffle_shard": lambda: shuffle_shard(docs(), n_shards=64),
+        "corpus_diff": lambda: corpus_diff(
+            docs().filter(F.col("doc_id") % 13 != 5),
+            docs().filter(F.col("doc_id") % 11 != 4),
+        ),
     }
     if names is not None:
         return {k: defs[k] for k in names}

@@ -25,7 +25,76 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_health_report", "metric_histogram", "quantile_floor"]
+__all__ = [
+    "corpus_health_report",
+    "linear_quality_scores",
+    "metric_histogram",
+    "quantile_floor",
+]
+
+
+def linear_quality_scores(
+    docs: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    normalize: bool = True,
+    sigmoid: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear bag-of-words quality-classifier scoring — the
+    CCNet/fastText inference shape every published pretraining pipeline
+    runs (a trained linear model's vocabulary slice scores each doc;
+    docs below a probability cutoff are dropped or down-sampled). The
+    reference has no analogue; training the model is out of scope —
+    this operator is the SCORING pass, with ``weights`` as the
+    driver-side term→weight dict.
+
+    Output: (id, n_tokens, score). ``score`` =
+    ``sigmoid(bias + Σ w[token] [/ n_tokens])`` (OOV tokens weigh 0);
+    ``normalize=False`` skips the length division, ``sigmoid=False``
+    returns the raw logit — the monotone-equivalent form whose exact
+    value is engine-portable when the weights are binary fractions
+    (no transcendental, no division). NULL text → NULL score/n_tokens;
+    an empty doc scores ``bias`` alone.
+
+    Plan shape: the weight map embeds in the plan as a map literal
+    (broadcast with the task binaries) and the whole operator is ONE
+    map-only projection — per-token lookup + array aggregate, no
+    shuffle, no Python, nothing proportional to |vocab| x |corpus|
+    materialized. For vocabularies too big for a plan literal
+    (100k+ terms), explode-join against a broadcast weight table
+    instead — same result, one extra per-doc aggregate; this literal
+    form is the hot path for the head-vocabulary models the published
+    filters actually use (thousands of terms).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    from real_estate_bigdata_spark.functions.text import tokenize
+
+    wmap = F.create_map(
+        *[F.lit(x) for tok, w in weights.items() for x in (tok, float(w))]
+    )
+    toks = tokenize(F.col(text_col))
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.coalesce(F.element_at(wmap, t), F.lit(0.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    raw = F.lit(float(bias)) + (
+        total / F.greatest(n, F.lit(1)).cast("double") if normalize else total
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)) if sigmoid else raw
+    return docs.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("bigint"))
+        .otherwise(n.cast("bigint"))
+        .alias("n_tokens"),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(score)
+        .alias("score"),
+    )
 
 
 def metric_histogram(

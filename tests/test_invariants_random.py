@@ -185,3 +185,131 @@ def test_semantic_dedup_invariants_random(spark):
     # IVF is approximate: may MISS pairs (keep extra rows) but must never
     # invent one (drop a row the exact graph keeps)
     assert kept_ivf >= kept_exact
+
+
+def test_redact_duplicate_spans_matches_python_reference_random(spark):
+    """Full reference-implementation check on a random corpus: a pure-
+    Python ExactSubstr redactor (gram -> first (id, start); redact all
+    other starts; rebuild) must agree with the Spark operator EXACTLY —
+    text and n_redacted, every doc."""
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    rows = []
+    for i in range(120):
+        k = rng.randrange(0, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k)) or ""))
+    rows.append((900, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+
+    # reference implementation
+    toks = {
+        i: (t.split() if t is not None and t.strip() != "" else [])
+        for i, t in rows
+        if t is not None
+    }
+    first: dict[tuple, tuple] = {}
+    count: dict[tuple, int] = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for s in range(len(w) - n + 1):
+            g = tuple(w[s : s + n])
+            count[g] = count.get(g, 0) + 1
+            first.setdefault(g, (i, s))
+    expected = {}
+    for i, t in rows:
+        if t is None:
+            expected[i] = (None, 0)
+            continue
+        w = toks[i]
+        starts = [
+            s
+            for s in range(len(w) - n + 1)
+            if count[tuple(w[s : s + n])] > 1
+            and first[tuple(w[s : s + n])] != (i, s)
+        ]
+        if not starts:
+            expected[i] = (t, 0)
+        else:
+            covered = {p for s in starts for p in range(s, s + n)}
+            kept = [tok for p, tok in enumerate(w) if p not in covered]
+            expected[i] = (" ".join(kept), len(starts))
+
+    from real_estate_bigdata_spark.operators.dedup import redact_duplicate_spans
+
+    got = {
+        r.doc_id: (r.text, r.n_redacted)
+        for r in redact_duplicate_spans(docs, n=n).collect()
+    }
+    assert got == expected
+
+
+def test_shuffle_shard_random_shapes(spark):
+    """Degenerate shapes: more shards than rows, one shard, size-1
+    input — always a valid sharded permutation."""
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+
+    rng = random.Random(7)
+    for n_rows, n_shards in [(1, 4), (5, 64), (40, 1), (17, 17)]:
+        ids = rng.sample(range(10_000), n_rows)
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = shuffle_shard(df, n_shards).collect()
+        assert sorted(r.doc_id for r in out) == sorted(ids)
+        per = {}
+        for r in out:
+            assert 0 <= r.shard < n_shards
+            per.setdefault(r.shard, []).append(r.pos)
+        for poss in per.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_corpus_diff_matches_python_reference_random(spark):
+    """Random edits (drop/change/add) between two snapshots; the diff
+    must equal the reference set computation exactly."""
+    from real_estate_bigdata_spark.operators.versioning import corpus_diff
+
+    rng = random.Random(99)
+    base = {i: f"text {rng.randrange(5)}" for i in range(200)}
+    old = dict(base)
+    new = dict(base)
+    expected = {}
+    for i in list(base):
+        r = rng.random()
+        if r < 0.1:
+            del new[i]
+            expected[i] = "removed"
+        elif r < 0.2:
+            new[i] = new[i] + " v2"
+            expected[i] = "changed"
+    for i in range(300, 320):
+        new[i] = "fresh"
+        expected[i] = "added"
+    old_df = spark.createDataFrame(list(old.items()), "doc_id long, text string")
+    new_df = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old_df, new_df).collect()}
+    assert got == expected
+
+
+def test_linear_quality_scores_matches_python_reference_random(spark):
+    """Random binary-fraction weights + random docs: unnormalized raw
+    logits must be EXACTLY equal to the Python sum (no FP tolerance —
+    all contributions are multiples of 1/8)."""
+    from real_estate_bigdata_spark.operators.quality import linear_quality_scores
+
+    rng = random.Random(123)
+    vocab = [f"t{i}" for i in range(20)]
+    weights = {t: rng.randrange(-8, 9) / 8 for t in rng.sample(vocab, 10)}
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30))))
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in linear_quality_scores(
+            docs, weights, bias=0.375, normalize=False, sigmoid=False
+        ).collect()
+    }
+    for i, t in rows:
+        want = 0.375 + sum(weights.get(tok, 0.0) for tok in t.split())
+        assert got[i] == want, (i, got[i], want)

@@ -160,3 +160,67 @@ def test_histogram_matches_duckdb_on_unrepresentable_width(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_linear_quality_scores_semantics(spark):
+    """Hand-computed: weights {a:0.5, b:-0.25}, bias 0.25, normalized
+    sigmoid. OOV weighs 0; NULL text -> NULL; empty doc scores bias."""
+    import math
+
+    from real_estate_bigdata_spark.operators.quality import linear_quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b zz"),  # raw = .25 + (.5+.5-.25+0)/4 = 0.4375
+            (2, ""),  # 0 tokens -> raw = bias = 0.25
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in linear_quality_scores(
+            docs, {"a": 0.5, "b": -0.25}, bias=0.25
+        ).collect()
+    }
+    assert out[1].n_tokens == 4
+    assert abs(out[1].score - 1 / (1 + math.exp(-0.4375))) < 1e-12
+    assert out[2].n_tokens == 0
+    assert abs(out[2].score - 1 / (1 + math.exp(-0.25))) < 1e-12
+    assert out[3].n_tokens is None and out[3].score is None
+
+
+def test_linear_quality_scores_raw_unnormalized(spark):
+    from real_estate_bigdata_spark.operators.quality import linear_quality_scores
+
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    row = linear_quality_scores(
+        docs, {"a": 0.5, "b": -0.25}, normalize=False, sigmoid=False
+    ).collect()[0]
+    assert row.score == 0.75  # exact binary fractions
+
+
+def test_linear_quality_scores_map_only_plan(spark):
+    """The weight map is a plan literal: whole operator is a map-only
+    projection — zero exchanges, zero joins, zero Python."""
+    from real_estate_bigdata_spark.operators.quality import linear_quality_scores
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    stats = assert_plan(
+        linear_quality_scores(docs, {"join": 0.5, "slow": -1.0}),
+        forbid_python=True,
+    )
+    assert stats.shuffles == 0, stats
+
+
+def test_linear_quality_scores_rejects_empty_weights(spark):
+    import pytest as _pytest
+
+    from real_estate_bigdata_spark.operators.quality import linear_quality_scores
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    with _pytest.raises(ValueError):
+        linear_quality_scores(docs, {})
