@@ -654,6 +654,20 @@ def _q_linear_quality(spark, sf):
     )
 
 
+def _q_temperature_mixture(spark, sf):
+    """Temperature-scaled mixture sampling (NEW r5 cont.): alpha=0.5
+    resampling toward p_s ~ T_s**alpha — keep fraction
+    sqrt(T_min/T_s), where exactness vs the oracle is guaranteed
+    because IEEE sqrt is correctly rounded on both engines
+    (operators/sampling.py:temperature_mixture)."""
+    from real_estate_bigdata_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf, "documents")
+    return temperature_mixture(docs, alpha=0.5, weight_col="n_chars").select(
+        "doc_id", "source"
+    )
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -913,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_pii_redaction": _q_pii_redaction,
         "q_repetition": _q_repetition,
+        # NEW r5 (post-rotation, oracle-bearing — rotate in-cap r6)
+        "q_temperature_mixture": _q_temperature_mixture,
         # 3 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2357,6 +2373,31 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY source
             ), m AS (SELECT min(t) AS mt FROM tot),
             fr AS (SELECT source, (mt * 10000) // t AS thresh FROM tot, m),
+            b AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT b.doc_id, b.source
+            FROM b JOIN fr ON b.source = fr.source
+            WHERE b.bucket < fr.thresh
+        """,
+        # temperature alpha=0.5: keep fraction sqrt(mt/t); IEEE sqrt is
+        # correctly rounded on both engines, the int/int division is one
+        # correctly-rounded double op, and *10000+floor matches the
+        # driver-side Python exactly (sampling.py:temperature_mixture)
+        "q_temperature_mixture": """
+            WITH tot AS (
+                SELECT source, sum(n_chars) AS t FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY source
+            ), m AS (SELECT min(t) AS mt FROM tot WHERE t > 0),
+            fr AS (
+                SELECT source,
+                       floor(sqrt(mt::DOUBLE / t) * 10000)::BIGINT AS thresh
+                FROM tot, m WHERE t > 0
+            ),
             b AS (
                 SELECT doc_id, source,
                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT

@@ -18,6 +18,8 @@ inherently sequential and would serialize the corpus).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,7 @@ __all__ = [
     "quality_cutoffs",
     "shuffle_shard",
     "stratified_hash_sample",
+    "temperature_mixture",
 ]
 
 #: buckets for percent-style fractions; md5 prefix modulo this
@@ -191,6 +194,72 @@ def mixture_balance(
         s: (min_t * N_BUCKETS // t) / N_BUCKETS if t > 0 else 1.0
         for s, t in totals.items()
     }
+    return stratified_hash_sample(
+        df, fractions, strata_col=strata_col, key_col=key_col, salt=salt
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float,
+    weight_col: str = "n_tokens",
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual
+    alpha-sampling of mBERT/XLM-R): resample strata so the kept token
+    mass follows p_s proportional to T_s**alpha instead of the raw corpus
+    proportions T_s. Realized as pure downsampling — the budget is the
+    largest M such that no stratum needs upsampling — which collapses to
+    the closed form
+
+        keep_fraction(s) = (T_min / T_s) ** (1 - alpha)
+
+    (T_min = smallest positive stratum mass). alpha=1 keeps everything
+    (natural proportions), alpha=0 equalizes all strata to T_min —
+    exactly ``mixture_balance`` — and 0<alpha<1 interpolates, boosting
+    rare strata without flattening the mixture entirely.
+
+    Cross-engine oracle exactness: for alpha=0.5 the fraction is
+    sqrt(T_min/T_s), computed via IEEE-exact ``math.sqrt`` on an exact
+    int/int double division — bit-identical to DuckDB's
+    ``sqrt(mt::DOUBLE / t)`` — so the floor-to-bucket threshold matches
+    the SQL oracle exactly (sqrt is correctly rounded by IEEE 754;
+    general ``pow`` is not guaranteed to be). Other alphas use
+    driver-side ``**`` and are exact-in-practice but not
+    IEEE-guaranteed.
+
+    Same two-job shape as ``mixture_balance``: bounded driver collect of
+    per-stratum totals, then one map-only CASE-threshold scan.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.sum(weight_col).alias("t"))
+        .collect()
+        if r[0] is not None and r[1] is not None
+    }
+    if not totals:
+        return df.filter(F.lit(False))
+    positive = [t for t in totals.values() if t > 0]
+    if not positive:
+        return df
+    min_t = min(positive)
+
+    def _keep(t) -> float:
+        if t <= 0:
+            return 1.0
+        ratio = min_t / t  # exact int/int -> correctly-rounded double
+        if alpha == 0.5:
+            f = math.sqrt(ratio)  # IEEE-exact, matches DuckDB sqrt()
+        else:
+            f = ratio ** (1.0 - alpha)
+        return math.floor(f * N_BUCKETS) / N_BUCKETS
+
+    fractions = {s: _keep(t) for s, t in totals.items()}
     return stratified_hash_sample(
         df, fractions, strata_col=strata_col, key_col=key_col, salt=salt
     )

@@ -379,3 +379,60 @@ def test_shuffle_shard_rejects_bad_n(spark):
     docs = load_table(spark, SF, "documents")
     with _pytest.raises(ValueError):
         shuffle_shard(docs, 0)
+
+
+def _mixture_df(spark):
+    rows = (
+        [(i, "big", 100) for i in range(400)]
+        + [(1000 + i, "mid", 100) for i in range(120)]
+        + [(2000 + i, "small", 100) for i in range(40)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+
+def test_temperature_mixture_endpoints(spark):
+    """alpha=0 reproduces mixture_balance exactly; alpha=1 keeps every
+    row (natural proportions are a fixed point)."""
+    df = _mixture_df(spark)
+    flat = {r.doc_id for r in sp.temperature_mixture(df, alpha=0.0).collect()}
+    bal = {r.doc_id for r in sp.mixture_balance(df).collect()}
+    assert flat == bal
+    assert sp.temperature_mixture(df, alpha=1.0).count() == df.count()
+
+
+def test_temperature_mixture_monotone_in_alpha(spark):
+    """Raising alpha can only keep MORE of every stratum: thresholds
+    (T_min/T_s)**(1-alpha) rise with alpha, and hash-bucket filters are
+    nested, so kept sets are supersets."""
+    df = _mixture_df(spark)
+    kept = [
+        {r.doc_id for r in sp.temperature_mixture(df, alpha=a).collect()}
+        for a in (0.0, 0.3, 0.5, 0.7, 1.0)
+    ]
+    for lo, hi in zip(kept, kept[1:]):
+        assert lo <= hi
+    # strictly more of the big stratum is kept at alpha=0.5 than 0.0
+    assert len(kept[2]) > len(kept[0])
+
+
+def test_temperature_mixture_rare_stratum_kept_whole(spark):
+    """The smallest stratum's keep fraction is (T_min/T_min)**x = 1 for
+    every alpha — rare data is never discarded."""
+    df = _mixture_df(spark)
+    out = sp.temperature_mixture(df, alpha=0.5)
+    n_small = out.filter(F.col("source") == "small").count()
+    assert n_small == 40
+
+
+def test_temperature_mixture_deterministic_and_validates(spark):
+    df = _mixture_df(spark)
+    a = {r.doc_id for r in sp.temperature_mixture(df, alpha=0.5).collect()}
+    b = {
+        r.doc_id
+        for r in sp.temperature_mixture(df.repartition(13), alpha=0.5).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError):
+        sp.temperature_mixture(df, alpha=1.5)
+    empty = spark.createDataFrame([], "doc_id long, source string, n_tokens long")
+    assert sp.temperature_mixture(empty, alpha=0.5).count() == 0
