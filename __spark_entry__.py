@@ -668,6 +668,21 @@ def _q_temperature_mixture(spark, sf):
     )
 
 
+def _q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail split (NEW r5 cont.): equal-frequency
+    terciles of the corpus-unigram-LM score — broadcast quantile
+    cutoffs + map-side comparison count, never a global ntile sort
+    (operators/quality.py:metric_buckets)."""
+    from real_estate_bigdata_spark.operators.quality import metric_buckets
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    scored = unigram_logprob_scores(docs)
+    return metric_buckets(scored, "avg_neg_logprob", n_buckets=3)
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -929,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": _q_repetition,
         # NEW r5 (post-rotation, oracle-bearing — rotate in-cap r6)
         "q_temperature_mixture": _q_temperature_mixture,
+        "q_perplexity_buckets": _q_perplexity_buckets,
         # 3 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2407,6 +2423,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, b.source
             FROM b JOIN fr ON b.source = fr.source
             WHERE b.bucket < fr.thresh
+        """,
+        # CCNet terciles over the unigram-LM score: interior quantile
+        # cutoffs rounded to 6dp on both engines (quantile_floor
+        # contract), ties land in the lower bucket on both sides
+        "q_perplexity_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                              ELSE string_split_regex(trim(text), '\s+') END) AS token
+                FROM documents
+            ), freq AS (
+                SELECT token, count(*)::BIGINT AS n_tok FROM toks GROUP BY token
+            ), tot AS (
+                SELECT sum(n_tok)::DOUBLE AS corpus_n FROM freq
+            ), per AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       avg(ln(f.n_tok)) AS avg_ln_count
+                FROM toks t JOIN freq f USING (token)
+                GROUP BY t.doc_id
+            ), scored AS (
+                SELECT d.doc_id,
+                       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+                       round(ln(tot.corpus_n) - p.avg_ln_count, 6)
+                           AS avg_neg_logprob
+                FROM documents d
+                LEFT JOIN per p ON p.doc_id = d.doc_id
+                CROSS JOIN tot
+            ), c AS (
+                SELECT round(quantile_cont(avg_neg_logprob, 1.0/3), 6) AS c1,
+                       round(quantile_cont(avg_neg_logprob, 2.0/3), 6) AS c2
+                FROM scored
+            )
+            SELECT s.doc_id, s.n_tokens, s.avg_neg_logprob,
+                   (CASE WHEN s.avg_neg_logprob IS NULL OR c.c1 IS NULL
+                         THEN NULL
+                         ELSE 1 + (s.avg_neg_logprob > c.c1)::INT
+                                + (s.avg_neg_logprob > c.c2)::INT
+                    END)::INT AS bucket
+            FROM scored s, c
         """,
         # word-2-gram repetition metrics; LEFT JOIN keeps short/NULL
         # docs with NULL metrics, matching the Spark operator

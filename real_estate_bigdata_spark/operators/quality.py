@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "corpus_health_report",
     "linear_quality_scores",
+    "metric_buckets",
     "metric_histogram",
     "quantile_floor",
 ]
@@ -234,4 +235,58 @@ def quantile_floor(
         with_m.crossJoin(F.broadcast(cutoff))
         .filter(cond)
         .drop("__m", "__cutoff")
+    )
+
+
+def metric_buckets(
+    df: DataFrame,
+    metric: Column | str,
+    n_buckets: int = 3,
+    approx: bool = False,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Equal-frequency bucketing of a quality metric — the CCNet
+    head/middle/tail split (perplexity terciles) generalized to any
+    score and bucket count. Appends an integer ``bucket_col`` in
+    [1, n_buckets] (1 = lowest metric values); rows with a NULL metric
+    keep a NULL bucket and never shape the cutoffs.
+
+    NOT ``ntile``: a global ntile is one window over ONE partition — a
+    single-task sort of the corpus. Here the n-1 interior quantile
+    cutoffs come from a single aggregate (one array-returning
+    ``percentile``), broadcast back, and the bucket is a map-side
+    comparison count — the same Q15-shape scalar-subquery plan as
+    :func:`quantile_floor`, so it scales like a filter, not a sort.
+    Boundary semantics: bucket = 1 + #{cutoffs strictly below the
+    value}, i.e. ties land in the LOWER bucket; buckets can be empty
+    only under heavy ties, never mispopulated.
+
+    Oracle exactness: cutoffs are rounded to 6 decimals on both engines
+    (same contract as :func:`quantile_floor`) so a last-bit
+    interpolation difference between Spark ``percentile`` and DuckDB
+    ``quantile_cont`` cannot flip a boundary value's bucket. At 100 TB
+    pass ``approx=True`` for the one-pass mergeable-sketch cutoffs.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    m = F.col(metric) if isinstance(metric, str) else metric
+    with_m = df.withColumn("__m", m)
+    pcts = F.array([F.lit(k / n_buckets) for k in range(1, n_buckets)])
+    pct = (
+        F.percentile_approx("__m", pcts)
+        if approx
+        else F.percentile("__m", pcts)
+    )
+    cuts = with_m.agg(
+        F.transform(pct, lambda c: F.round(c, 6)).alias("__cuts")
+    )
+    bucket = F.when(
+        F.col("__m").isNotNull() & F.col("__cuts").isNotNull(),
+        F.lit(1)
+        + F.size(F.filter("__cuts", lambda c: F.col("__m") > c)),
+    ).cast("int")
+    return (
+        with_m.crossJoin(F.broadcast(cuts))
+        .withColumn(bucket_col, bucket)
+        .drop("__m", "__cuts")
     )

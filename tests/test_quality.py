@@ -224,3 +224,79 @@ def test_linear_quality_scores_rejects_empty_weights(spark):
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     with _pytest.raises(ValueError):
         linear_quality_scores(docs, {})
+
+
+class TestMetricBuckets:
+    def test_terciles_on_known_values(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+
+        # 9 values 1..9: cutoffs at p=1/3 -> 3.666667, p=2/3 -> 6.333333
+        df = _df(spark, [float(v) for v in range(1, 10)])
+        out = {r.id: r.bucket for r in metric_buckets(df, "m").collect()}
+        assert out == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 2, 6: 3, 7: 3, 8: 3}
+
+    def test_null_metric_gets_null_bucket_and_shapes_nothing(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+
+        df = _df(spark, [1.0, None, 2.0, 3.0, None, 4.0, 5.0, 6.0])
+        rows = {r.id: r.bucket for r in metric_buckets(df, "m").collect()}
+        assert rows[1] is None and rows[4] is None
+        # cutoffs computed over the 6 non-null values only
+        non_null = [rows[i] for i in (0, 2, 3, 5, 6, 7)]
+        assert non_null == [1, 1, 2, 2, 3, 3]
+
+    def test_ties_land_in_lower_bucket(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+
+        # all-equal metric: both cutoffs equal the value, m > cut is
+        # false everywhere -> everything in bucket 1
+        df = _df(spark, [5.0] * 9)
+        assert {r.bucket for r in metric_buckets(df, "m").collect()} == {1}
+
+    def test_bucket_counts_balanced_on_real_metric(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        out = metric_buckets(
+            docs.select("doc_id", F.col("n_chars").cast("double").alias("m")),
+            "m",
+            n_buckets=4,
+        )
+        counts = {r.bucket: r.n for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+        n = sum(counts.values())
+        for b in (1, 2, 3, 4):
+            # equal-frequency within tie tolerance
+            assert counts[b] >= n // 8, counts
+
+    def test_approx_agrees_with_exact_on_real_metric(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", F.col("n_chars").cast("double").alias("m")
+        )
+        exact = {r.doc_id: r.bucket for r in metric_buckets(docs, "m").collect()}
+        approx = {r.doc_id: r.bucket for r in metric_buckets(docs, "m", approx=True).collect()}
+        agree = sum(1 for k in exact if exact[k] == approx[k])
+        assert agree / len(exact) > 0.95
+
+    def test_plan_is_broadcast_scalar_no_global_sort(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+        from real_estate_bigdata_spark.plans import assert_plan
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", F.col("n_chars").cast("double").alias("m")
+        )
+        plan = metric_buckets(docs, "m")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Sort [" not in plan  # never a global ntile sort
+        assert_plan(metric_buckets(docs, "m"), forbid_python=True)
+
+    def test_rejects_bad_n(self, spark):
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+
+        df = _df(spark, [1.0, 2.0])
+        with pytest.raises(ValueError):
+            metric_buckets(df, "m", n_buckets=1)
