@@ -52,6 +52,7 @@ __all__ = [
     "semantic_dedup",
     "redact_duplicate_spans",
     "dedup_against_store",
+    "neardup_against_store",
 ]
 
 
@@ -343,6 +344,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_signatures(
+    hsh: DataFrame, num_hashes: int, id_col: str
+) -> DataFrame:
+    """(id, sig: array<num_hashes> bigint) from hashed shingles.
+
+    Signatures the scale-out way (same trick as simhash_signatures):
+    explode hashed shingles once, then ONE codegen'd hash aggregate
+    computing all num_hashes mins — instead of num_hashes interpreted
+    transform+array_min passes over the array per row. The hash family
+    is min(xxhash64(shingle_id, i)) over the 64-bit shingle universe —
+    same structure as functions.text.minhash_signature (the per-row
+    spec), applied to hashed rather than string shingles. Shingle-less
+    docs (NULL/empty/too-short text) produce no signature row.
+    """
+    return (
+        hsh.select(F.col(id_col), F.explode("hs").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def _band_keys(
+    sig: DataFrame, bands: int, rows_per_band: int, id_col: str
+) -> DataFrame:
+    """(id, band, bucket) LSH band keys — one xxhash64 per contiguous
+    signature slice; a pure map-side projection of the signature table."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -378,43 +432,8 @@ def minhash_lsh_pairs(
     # gets pushed below the Project and re-evaluates the whole shingle
     # expression per row; explode() drops empty arrays on its own.
     hsh = _hashed_shingles(docs, n, id_col, text_col)
-    # Signatures the scale-out way (same trick as simhash_signatures):
-    # explode hashed shingles once, then ONE codegen'd hash aggregate
-    # computing all num_hashes mins — instead of num_hashes interpreted
-    # transform+array_min passes over the array per row. The hash family
-    # is min(xxhash64(shingle_id, i)) over the 64-bit shingle universe —
-    # same structure as functions.text.minhash_signature (the per-row
-    # spec), applied to hashed rather than string shingles.
-    sig = (
-        hsh.select(F.col(id_col), F.explode("hs").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-        )
-    )
-    banded = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col(id_col), "bb.band", "bb.bucket")
+    sig = _minhash_signatures(hsh, num_hashes, id_col)
+    banded = _band_keys(sig, bands, rows_per_band, id_col)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     candidates = (
@@ -988,3 +1007,132 @@ def dedup_against_store(
         novel.filter(F.col("fingerprint").isNotNull()).select("fingerprint")
     ).distinct()
     return (novel if keep_fingerprint else novel.drop("fingerprint")), new_store
+
+
+def neardup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-duplicate dedup for continuous ingest: drop
+    every new document whose MinHash signature says it near-duplicates
+    either an earlier-id document in the same batch or any document in
+    the historical signature ``store``; return the novel docs and the
+    updated store. The production loop mirrors
+    :func:`dedup_against_store`::
+
+        novel, store = neardup_against_store(batch, store)
+        write_lake(novel, ...); overwrite/append the signature store
+
+    ``store`` schema: (``id_col``, ``sig`` array<bigint>[num_hashes]) —
+    exactly what this function returns, and what
+    ``_minhash_signatures`` produces. An empty store (first epoch) is
+    ``store.limit(0)`` of that shape.
+
+    Semantics — signature-estimator, one-pass:
+
+    * candidates come from LSH band-bucket collisions (same banding as
+      :func:`minhash_lsh_pairs`), so only same-bucket docs ever pair;
+    * a candidate is a DUPLICATE when the fraction of agreeing
+      signature positions — the unbiased MinHash estimate of Jaccard —
+      is >= ``threshold``. Unlike the batch operator there is no exact
+      shingle verification: the store deliberately keeps 8-byte
+      signature rows, never document payloads, so the historical side
+      of the comparison must come from the signature alone. With 64
+      hashes the estimator's std-dev at j=0.8 is ~0.05; tune
+      ``num_hashes`` for a tighter band.
+    * within-batch policy is one-pass id-ordered: a doc is dropped
+      whenever a SMALLER-id batch doc collides-and-matches it, whether
+      or not that doc itself survives. This over-drops chain cases
+      (a~b, b~c, a!~c drops both b and c; cluster-exact semantics keep
+      c) — the conservative direction for dedup. Batch-exact cluster
+      policy needs :func:`clustering.near_dup_survivors` over
+      :func:`minhash_lsh_pairs`; this operator trades that for a
+      non-iterative incremental plan.
+    * shingle-less docs (NULL/empty text) have no signature: they pass
+      through as novel and are never added to the store, mirroring
+      :func:`dedup_against_store`'s NULL-fingerprint contract.
+
+    Scale posture: batch signatures are one codegen aggregate over the
+    batch; band keys are map-side projections of BOTH sides, so the
+    store never re-shuffles its payloadless (id, sig) rows beyond the
+    band-key join; every join key is (band, bucket) with
+    near-dup-rate-sized matches. The candidate estimator compares two
+    64-element arrays per candidate — candidates, not corpus, sized.
+    The returned store is distinct-by-id by construction.
+    """
+    if not 0 < bands <= num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 0 < bands <= num_hashes; "
+            f"got bands={bands}, num_hashes={num_hashes}"
+        )
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    rows_per_band = num_hashes // bands
+
+    hsh = _hashed_shingles(new_docs, n, id_col, text_col)
+    sig = _minhash_signatures(hsh, num_hashes, id_col)
+    batch_bands = _band_keys(sig, bands, rows_per_band, id_col)
+
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                        lambda x: x))
+        / F.lit(float(num_hashes)),
+        6,
+    )
+
+    # within-batch: drop any doc matched by a smaller-id batch doc
+    left = batch_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = batch_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand_ids = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    batch_dups = (
+        cand_ids.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .filter(est >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+    # against store: band keys recomputed from stored signatures
+    # (map-side projection — the 16x banding is never persisted)
+    store_bands = _band_keys(store, bands, rows_per_band, id_col)
+    cand_vs_store = (
+        batch_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        .join(
+            store_bands.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    store_sig_b = store.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    store_dups = (
+        cand_vs_store.join(sig_a, "id_a")
+        .join(store_sig_b, "id_b")
+        .filter(est >= F.lit(threshold))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+
+    dropped = batch_dups.unionByName(store_dups).distinct()
+    novel = new_docs.join(dropped, id_col, "left_anti")
+    new_store = store.unionByName(
+        sig.join(dropped, id_col, "left_anti").join(
+            novel.select(id_col), id_col, "left_semi"
+        )
+    )
+    return novel, new_store

@@ -711,3 +711,90 @@ def test_redact_duplicate_spans_plan_shape(spark):
         max_sortmerge_joins=0,
     )
     assert stats.shuffles <= 4, stats
+
+
+class TestNeardupAgainstStore:
+    """Incremental MinHash-LSH dedup vs a persisted signature store —
+    the near-dup analogue of dedup_against_store. Oracle: pytest-only
+    (two inputs + multi-batch state; no single-table SQL shape)."""
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank while seven other foxes watch from the tall dry summer grass"
+    )
+
+    def _near(self, tail: str) -> str:
+        # one-word change: jaccard on word-3-grams ~ 0.9
+        return self.BASE.replace("summer", tail)
+
+    def _empty_store(self, spark):
+        return spark.createDataFrame([], "doc_id long, sig array<bigint>")
+
+    def test_within_batch_and_cross_batch_dedup(self, spark):
+        b1 = spark.createDataFrame(
+            [
+                (1, self.BASE),
+                (2, "completely different text about spark catalyst plans "
+                    "and adaptive query execution at terabyte scale today"),
+                (3, self._near("winter")),  # near-dup of 1 -> dropped
+                (4, None),                   # NULL text passes through
+            ],
+            "doc_id long, text string",
+        )
+        novel1, store1 = dd.neardup_against_store(b1, self._empty_store(spark))
+        assert {r.doc_id for r in novel1.collect()} == {1, 2, 4}
+        # store holds signatures of the 2 kept signature-bearing docs
+        assert {r.doc_id for r in store1.collect()} == {1, 2}
+
+        b2 = spark.createDataFrame(
+            [
+                (10, self._near("autumn")),  # near-dup of stored 1
+                (11, "a brand new document mentioning entirely fresh "
+                     "topics like lakehouse table formats and manifests"),
+                (12, None),
+            ],
+            "doc_id long, text string",
+        )
+        novel2, store2 = dd.neardup_against_store(b2, store1)
+        assert {r.doc_id for r in novel2.collect()} == {11, 12}
+        assert {r.doc_id for r in store2.collect()} == {1, 2, 11}
+        assert novel2.columns == b2.columns
+
+    def test_replay_is_idempotent(self, spark):
+        b = spark.createDataFrame(
+            [(1, self.BASE), (2, None)], "doc_id long, text string"
+        )
+        novel1, store1 = dd.neardup_against_store(b, self._empty_store(spark))
+        assert {r.doc_id for r in novel1.collect()} == {1, 2}
+        # replaying the exact same batch: only the NULL passes again
+        novel2, store2 = dd.neardup_against_store(b, store1)
+        assert {r.doc_id for r in novel2.collect()} == {2}
+        assert store2.count() == store1.count()
+
+    def test_exact_duplicate_always_caught(self, spark):
+        b1 = spark.createDataFrame([(1, self.BASE)], "doc_id long, text string")
+        _, store1 = dd.neardup_against_store(b1, self._empty_store(spark))
+        b2 = spark.createDataFrame([(9, self.BASE)], "doc_id long, text string")
+        novel2, _ = dd.neardup_against_store(b2, store1)
+        assert novel2.count() == 0
+
+    def test_unrelated_docs_never_dropped(self, spark):
+        texts = [
+            (i, f"document number {i} talks about subject {i} in its own "
+                f"particular words with token{i} sprinkled throughout the "
+                f"entire body of this text specimen number {i}")
+            for i in range(1, 8)
+        ]
+        b = spark.createDataFrame(texts, "doc_id long, text string")
+        novel, store = dd.neardup_against_store(b, self._empty_store(spark))
+        assert novel.count() == 7
+        assert store.count() == 7
+
+    def test_validates_params(self, spark):
+        b = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dd.neardup_against_store(b, self._empty_store(spark), bands=7)
+        with _pytest.raises(ValueError):
+            dd.neardup_against_store(b, self._empty_store(spark), threshold=0.0)
