@@ -1018,6 +1018,7 @@ def neardup_against_store(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    return_additions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-duplicate dedup for continuous ingest: drop
     every new document whose MinHash signature says it near-duplicates
@@ -1065,6 +1066,11 @@ def neardup_against_store(
     near-dup-rate-sized matches. The candidate estimator compares two
     64-element arrays per candidate — candidates, not corpus, sized.
     The returned store is distinct-by-id by construction.
+
+    ``return_additions=True`` makes the second element only THIS
+    batch's new (id, sig) rows instead of the full updated store — the
+    epoch-partitioned ingest loop (``streaming.ingest``) appends those
+    rows as its own partition rather than rewriting the store.
     """
     if not 0 < bands <= num_hashes or num_hashes % bands != 0:
         raise ValueError(
@@ -1130,9 +1136,9 @@ def neardup_against_store(
 
     dropped = batch_dups.unionByName(store_dups).distinct()
     novel = new_docs.join(dropped, id_col, "left_anti")
-    new_store = store.unionByName(
-        sig.join(dropped, id_col, "left_anti").join(
-            novel.select(id_col), id_col, "left_semi"
-        )
-    )
-    return novel, new_store
+    # sig ids are a subset of the batch ids, so sig-minus-dropped is
+    # exactly the kept signature-bearing docs — no novel re-join needed
+    additions = sig.join(dropped, id_col, "left_anti")
+    if return_additions:
+        return novel, additions
+    return novel, store.unionByName(additions)

@@ -33,12 +33,32 @@ __all__ = [
     "windowed_event_counts",
     "run_file_ingest",
     "run_deduped_doc_ingest",
+    "run_neardup_doc_ingest",
 ]
 
 #: explicit store schema — epoch reads never infer (an empty but
 #: existing store directory must read as zero rows, not raise
 #: UNABLE_TO_INFER_SCHEMA)
 _STORE_SCHEMA = "fingerprint bigint, ingest_batch int"
+
+
+def _is_missing_path_error(exc) -> bool:
+    """True iff ``exc`` is Spark's missing-input-path error. Checks the
+    STABLE error-class API first (``getCondition`` in PySpark 4,
+    ``getErrorClass`` before it) so a Spark release rewording the
+    message can't wedge a stream on its first batch; the message
+    substrings remain only as a last-resort fallback."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is None:
+            continue
+        try:
+            cls = fn()
+        except Exception:
+            continue
+        if cls is not None:
+            return cls == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 
 def file_stream_ingest(
@@ -131,24 +151,6 @@ def run_deduped_doc_ingest(
     from real_estate_bigdata_spark.operators.dedup import dedup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
 
-    def _is_missing_path(exc) -> bool:
-        """True iff ``exc`` is Spark's missing-input-path error. Checks
-        the STABLE error-class API first (``getCondition`` in PySpark 4,
-        ``getErrorClass`` before it) so a Spark release rewording the
-        message can't wedge the stream on its first batch; the message
-        substrings remain only as a last-resort fallback."""
-        for attr in ("getCondition", "getErrorClass"):
-            fn = getattr(exc, attr, None)
-            if fn is None:
-                continue
-            try:
-                cls = fn()
-            except Exception:
-                continue
-            if cls is not None:
-                return cls == "PATH_NOT_FOUND"
-        return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
@@ -167,7 +169,7 @@ def run_deduped_doc_ingest(
             # permissions) must fail the batch for retry — substituting
             # an empty store would silently admit every duplicate in
             # the batch to the lake.
-            if not _is_missing_path(exc):
+            if not _is_missing_path_error(exc):
                 raise
             store = sess.createDataFrame([], "fingerprint bigint")
         if compacted_table is not None and sess.catalog.tableExists(
@@ -200,6 +202,107 @@ def run_deduped_doc_ingest(
         )
         (
             fps.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(store_dir)
+        )
+
+    raw = file_stream_ingest(
+        spark, src_dir, schema=schema or TESTDATA_SCHEMAS["documents"]
+    )
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_neardup_doc_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+) -> StreamingQuery:
+    """Continuous document ingest that drops NEAR-duplicates against a
+    persistent MinHash signature store — the fuzzy sibling of
+    :func:`run_deduped_doc_ingest` (re-crawled listings rarely come
+    back byte-identical; a tweaked title or timestamp defeats exact
+    fingerprints, SURVEY §1.2's re-crawl intent). Every micro-batch
+    runs ``operators.dedup.neardup_against_store`` against all
+    signatures accumulated by prior batches, across restarts.
+
+    Same exactly-once construction as the exact ingest: lake and
+    signature store are both partitioned by ``ingest_batch`` and
+    written with dynamic partition overwrite; each batch reads only
+    store partitions with ``ingest_batch < current``, so a replayed
+    epoch ignores its own half-written outputs, recomputes the
+    identical novel set (the operator is deterministic), and
+    overwrites exactly its own partitions.
+
+    Scale posture: the store carries (id, 64-hash signature) rows —
+    never payloads; band keys are recomputed map-side on read, so no
+    16x banding is ever persisted. Store reads are epoch-pruned
+    statically, and the per-batch joins shuffle band keys and
+    signature rows only.
+    """
+    from real_estate_bigdata_spark.operators.dedup import neardup_against_store
+    from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        sess = batch_df.sparkSession
+        # explicit schema, like _STORE_SCHEMA: an empty-but-existing
+        # store dir must read as zero rows, not raise on inference
+        sig_schema = f"{id_col} bigint, sig array<bigint>, ingest_batch int"
+        try:
+            store = (
+                sess.read.schema(sig_schema).parquet(store_dir)
+                .filter(F.col("ingest_batch") < F.lit(batch_id))
+                .select(id_col, "sig")
+            )
+        except AnalysisException as exc:
+            # only a provably-missing path means "first epoch"; any
+            # other failure retries the batch (same contract as the
+            # exact ingest — an empty substitute store would silently
+            # admit every near-duplicate)
+            if not _is_missing_path_error(exc):
+                raise
+            store = sess.createDataFrame([], f"{id_col} long, sig array<bigint>")
+        novel, added_sigs = neardup_against_store(
+            batch_df,
+            store,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            return_additions=True,
+        )
+        novel = novel.localCheckpoint(eager=True)
+        added_sigs = added_sigs.localCheckpoint(eager=True)
+        (
+            novel.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(dest_dir)
+        )
+        (
+            added_sigs.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")

@@ -245,3 +245,87 @@ class TestFingerprintStoreCompaction:
         ) == 1
         assert not (store / "ingest_batch=0").exists()
         assert spark.table(table).count() == before  # no loss, no dupes
+
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the old river "
+    "bank while seven other foxes watch from the tall dry summer grass"
+)
+OTHER_TEXT = (
+    "completely different text about spark catalyst plans and adaptive "
+    "query execution rewriting joins at terabyte scale every single day"
+)
+
+
+def _run_near(spark, src, dest, store, ckpt):
+    q = ingest.run_neardup_doc_ingest(
+        spark, str(src), str(dest), str(store), str(ckpt)
+    )
+    q.awaitTermination(120)
+
+
+class TestNeardupDocIngest:
+    """Near-dup streaming ingest against the persistent signature store
+    (fuzzy sibling of TestDedupedDocIngest — re-crawls that come back
+    slightly edited must still dedup)."""
+
+    def test_cross_batch_neardup_across_restart(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+
+        # batch 1: doc 3 is a one-word edit of doc 1; doc 4 NULL text
+        _write_jsonl(
+            src / "b1.jsonl",
+            [
+                (1, BASE_TEXT),
+                (2, OTHER_TEXT),
+                (3, BASE_TEXT.replace("summer", "winter")),
+                (4, None),
+            ],
+        )
+        _run_near(spark, src, dest, store, ckpt)
+        out1 = spark.read.parquet(str(dest))
+        assert sorted(r.doc_id for r in out1.collect()) == [1, 2, 4]
+
+        # restart: doc 5 is ANOTHER one-word edit of stored doc 1 (not
+        # byte-identical to anything ever written), 6 novel, 7 NULL
+        _write_jsonl(
+            src / "b2.jsonl",
+            [
+                (5, BASE_TEXT.replace("summer", "autumn")),
+                (6, "a brand new document mentioning entirely fresh "
+                    "topics like lakehouse table formats and manifests"),
+                (7, None),
+            ],
+        )
+        _run_near(spark, src, dest, store, ckpt)
+        out2 = spark.read.parquet(str(dest))
+        assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 4, 6, 7]
+
+        # signature store: one row per kept signature-bearing doc, in
+        # the epoch partition that admitted it; NULL-text docs absent
+        st = spark.read.parquet(str(store))
+        assert sorted(r.doc_id for r in st.collect()) == [1, 2, 6]
+
+        # drained re-run changes nothing
+        _run_near(spark, src, dest, store, ckpt)
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(str(dest)).collect()
+        ) == [1, 2, 4, 6, 7]
+        assert spark.read.parquet(str(store)).count() == 3
+
+    def test_replayed_epoch_is_idempotent(self, spark, tmp_path):
+        """Crash-after-write/before-commit: a fresh checkpoint replays
+        the same input against a store already holding its signatures;
+        the lake must not gain duplicate rows."""
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store = tmp_path / "lake", tmp_path / "store"
+        _write_jsonl(src / "b1.jsonl", [(1, BASE_TEXT), (2, OTHER_TEXT)])
+        _run_near(spark, src, dest, store, tmp_path / "ckpt1")
+        _run_near(spark, src, dest, store, tmp_path / "ckpt2")
+        out = spark.read.parquet(str(dest))
+        assert out.select("doc_id").distinct().count() == 2
+        assert out.count() == 2
+        assert spark.read.parquet(str(store)).count() == 2
