@@ -242,6 +242,21 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             docs().filter(F.col("doc_id") % 13 != 5),
             docs().filter(F.col("doc_id") % 11 != 4),
         ),
+        # late-r5 additions: SemDeDup over the scaled embedding corpus
+        # (IVF list count follows the sqrt operating rule), the bigram
+        # corpus-LM score (heaviest text query in BENCH_DETAIL), and
+        # incremental near-dup of a FIXED batch against a store that
+        # grows with the corpus — the steady-state ingest regime
+        # (timed thunk includes the O(n) store signature build; the
+        # dedup itself touches band keys + candidates only)
+        "semantic_dedup": lambda: dd.semantic_dedup(emb(), n_lists=n_lists),
+        "bigram_logprob": lambda: ta.bigram_logprob_scores(docs()),
+        "neardup_vs_store": lambda: dd.neardup_against_store(
+            bench_docs().select("doc_id", "text"),
+            dd._minhash_signatures(
+                dd._hashed_shingles(docs(), 3, "doc_id", "text"), 64, "doc_id"
+            ),
+        )[0],
     }
     if names is not None:
         return {k: defs[k] for k in names}

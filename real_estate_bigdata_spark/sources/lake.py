@@ -39,6 +39,7 @@ __all__ = [
     "read_orc",
     "write_bucketed",
     "compact_partitions",
+    "export_jsonl_shards",
 ]
 
 CORRUPT_COL = "_corrupt_record"
@@ -275,3 +276,73 @@ def compact_partitions(
         .partitionBy(*partition_cols)
         .parquet(dest_path or path)
     )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    write_manifest: bool = True,
+) -> DataFrame:
+    """Materialize a training-data export: the corpus as ``n_shards``
+    JSONL shard directories under ``out_dir`` in
+    :func:`operators.sampling.shuffle_shard`'s deterministic global
+    permutation, plus a per-shard manifest (row count, byte size,
+    order-independent content hash) a downstream trainer can use to
+    verify delivery without re-reading the corpus. Returns the manifest
+    DataFrame; with ``write_manifest=True`` it is also written to
+    ``out_dir/_MANIFEST`` (underscore-prefixed — invisible to Spark
+    readers scanning the shard files).
+
+    Layout: ``out_dir/shard=K/part-*.txt`` holding one ``to_json`` line
+    per row in ``(shard, pos)`` order — the fixed pseudo-random
+    permutation; a different ``salt`` exports an independent epoch
+    permutation. Same input -> byte-identical manifest on every run and
+    partitioning.
+
+    Scale posture: shard assignment is map-only; the only wide ops are
+    shuffle_shard's one window shuffle and the repartition ON THE SAME
+    shard key (each shard's rows land in exactly one task, so every
+    ``shard=K`` directory holds one sorted file). The manifest
+    aggregate reuses the serialized line, shuffles only (shard,
+    count/sum) partials, and hashes order-independently (sum of 60-bit
+    line-hash prefixes in decimal, folded mod 2^61-1) so it never needs
+    the per-shard sort.
+    """
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+
+    if not df.columns:
+        raise ValueError("cannot export a zero-column DataFrame")
+    payload_cols = [c for c in df.columns]
+    sharded = shuffle_shard(df, n_shards, key_col=key_col, salt=salt)
+    staged = sharded.withColumn(
+        "__line", F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    )
+    (
+        staged.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .select("shard", "__line")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(out_dir)
+    )
+    line_hash = F.conv(F.substring(F.md5("__line"), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    manifest = (
+        staged.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            # +1: the text sink terminates every line with \n
+            F.sum(F.octet_length("__line") + F.lit(1)).alias("n_bytes"),
+            F.pmod(F.sum(line_hash), F.lit(2**61 - 1).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("content_hash"),
+        )
+        .orderBy("shard")
+    )
+    if write_manifest:
+        manifest.coalesce(1).write.mode("overwrite").json(f"{out_dir}/_MANIFEST")
+    return manifest

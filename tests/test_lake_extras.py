@@ -168,3 +168,82 @@ def test_write_lake_cluster_by_produces_file_skipping_ranges(spark, tmp_path):
         assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
     # and the data is intact
     assert lake.read_lake(spark, path).count() == n
+
+
+class TestExportJsonlShards:
+    """Deterministic training-data export: shard layout, permutation
+    order, manifest integrity, epoch salts."""
+
+    def _docs(self, spark):
+        from real_estate_bigdata_spark.schema import load_table
+
+        return load_table(spark, "/root/testdata/sf0.01", "documents").select(
+            "doc_id", "text", "source"
+        )
+
+    def test_layout_order_and_manifest(self, spark, tmp_path):
+        import json as _json
+
+        from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+        from real_estate_bigdata_spark.sources.lake import export_jsonl_shards
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "export")
+        manifest = export_jsonl_shards(docs, out, n_shards=8).collect()
+        assert [r.shard for r in manifest] == list(range(8))
+        assert sum(r.n_rows for r in manifest) == docs.count()
+
+        # each shard dir holds exactly ONE data file, in (shard,pos) order
+        expected = shuffle_shard(docs, 8)
+        for r in manifest:
+            shard_dir = tmp_path / "export" / f"shard={r.shard}"
+            files = [
+                p for p in shard_dir.iterdir()
+                if p.name.startswith("part-") and not p.name.endswith(".crc")
+            ]
+            assert len(files) == 1, files
+            lines = files[0].read_text(encoding="utf-8").splitlines()
+            assert len(lines) == r.n_rows
+            ids = [_json.loads(ln)["doc_id"] for ln in lines]
+            want = [
+                row.doc_id
+                for row in expected.filter(F.col("shard") == r.shard)
+                .orderBy("pos")
+                .collect()
+            ]
+            assert ids == want
+            # manifest byte count matches the physical file
+            assert files[0].stat().st_size == r.n_bytes
+
+        # _MANIFEST written and readable, invisible to a reader of out
+        mdf = spark.read.json(f"{out}/_MANIFEST")
+        assert mdf.count() == 8
+        txt = spark.read.text(out)
+        assert txt.count() == docs.count()
+
+    def test_deterministic_and_salted(self, spark, tmp_path):
+        from real_estate_bigdata_spark.sources.lake import export_jsonl_shards
+
+        docs = self._docs(spark)
+        m1 = export_jsonl_shards(
+            docs, str(tmp_path / "a"), 4, write_manifest=False
+        ).collect()
+        m2 = export_jsonl_shards(
+            docs.repartition(13), str(tmp_path / "b"), 4, write_manifest=False
+        ).collect()
+        assert [tuple(r) for r in m1] == [tuple(r) for r in m2]
+        m3 = export_jsonl_shards(
+            docs, str(tmp_path / "c"), 4, salt="epoch1", write_manifest=False
+        ).collect()
+        # same corpus, different permutation: totals match, layout differs
+        assert sum(r.n_rows for r in m3) == sum(r.n_rows for r in m1)
+        assert [tuple(r) for r in m3] != [tuple(r) for r in m1]
+
+    def test_rejects_empty_schema(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.sources.lake import export_jsonl_shards
+
+        empty_cols = spark.createDataFrame([], "x int").drop("x")
+        with _pytest.raises(ValueError):
+            export_jsonl_shards(empty_cols, str(tmp_path / "z"), 2)
