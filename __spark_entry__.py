@@ -683,6 +683,19 @@ def _q_perplexity_buckets(spark, sf):
     return metric_buckets(scored, "avg_neg_logprob", n_buckets=3)
 
 
+def _q_distribution_drift(spark, sf):
+    """PSI drift report (NEW r5 cont.) between two derived snapshots of
+    the documents table (same derivation as q_corpus_diff's sides) over
+    the n_chars distribution — per-bin shares + PSI contributions
+    (operators/quality.py:distribution_drift)."""
+    from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 5)
+    new = docs.filter(F.col("doc_id") % 11 != 4)
+    return distribution_drift(old, new, "n_chars", 0, 600, n_bins=12)
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -945,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r5 (post-rotation, oracle-bearing — rotate in-cap r6)
         "q_temperature_mixture": _q_temperature_mixture,
         "q_perplexity_buckets": _q_perplexity_buckets,
+        "q_distribution_drift": _q_distribution_drift,
         # 3 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2463,6 +2477,57 @@ def oracle_sql() -> dict[str, str]:
                                 + (s.avg_neg_logprob > c.c2)::INT
                     END)::INT AS bucket
             FROM scored s, c
+        """,
+        # PSI drift between two derived snapshots over n_chars, 12 bins
+        # on [0, 600): bin arithmetic is metric_histogram's IEEE-exact
+        # expression (::DOUBLE literals keep DuckDB out of DECIMAL);
+        # Laplace shares (n+1)/(t+14) are one correctly-rounded int/int
+        # division on both engines; the single ln-of-ratio ulp is
+        # erased by round(.,6)
+        "q_distribution_drift": """
+            WITH old_b AS (
+                SELECT CASE WHEN x < 0.0::DOUBLE THEN 0
+                            WHEN x >= 600.0::DOUBLE THEN 13
+                            ELSE floor((x - 0.0::DOUBLE)
+                                       / ((600.0::DOUBLE - 0.0::DOUBLE) / 12)
+                                 )::BIGINT + 1
+                       END AS bin
+                FROM (SELECT n_chars::DOUBLE AS x FROM documents
+                      WHERE doc_id % 13 != 5 AND n_chars IS NOT NULL)
+                WHERE NOT isnan(x)
+            ), new_b AS (
+                SELECT CASE WHEN x < 0.0::DOUBLE THEN 0
+                            WHEN x >= 600.0::DOUBLE THEN 13
+                            ELSE floor((x - 0.0::DOUBLE)
+                                       / ((600.0::DOUBLE - 0.0::DOUBLE) / 12)
+                                 )::BIGINT + 1
+                       END AS bin
+                FROM (SELECT n_chars::DOUBLE AS x FROM documents
+                      WHERE doc_id % 11 != 4 AND n_chars IS NOT NULL)
+                WHERE NOT isnan(x)
+            ), ho AS (SELECT bin, count(*)::BIGINT AS n_old FROM old_b GROUP BY bin),
+            hn AS (SELECT bin, count(*)::BIGINT AS n_new FROM new_b GROUP BY bin),
+            joined AS (
+                SELECT t.bin,
+                       coalesce(ho.n_old, 0)::BIGINT AS n_old,
+                       coalesce(hn.n_new, 0)::BIGINT AS n_new
+                FROM range(0, 14) t(bin)
+                LEFT JOIN ho ON ho.bin = t.bin
+                LEFT JOIN hn ON hn.bin = t.bin
+            ), tot AS (
+                SELECT sum(n_old)::BIGINT AS t_old,
+                       sum(n_new)::BIGINT AS t_new
+                FROM joined
+            )
+            SELECT j.bin::BIGINT AS bin, j.n_old, j.n_new,
+                   round((j.n_old + 1) / (tot.t_old + 14), 6) AS share_old,
+                   round((j.n_new + 1) / (tot.t_new + 14), 6) AS share_new,
+                   round(((j.n_new + 1) / (tot.t_new + 14)
+                          - (j.n_old + 1) / (tot.t_old + 14))
+                         * ln(((j.n_new + 1) / (tot.t_new + 14))
+                              / ((j.n_old + 1) / (tot.t_old + 14))), 6)
+                       AS psi_contrib
+            FROM joined j, tot
         """,
         # word-2-gram repetition metrics; LEFT JOIN keeps short/NULL
         # docs with NULL metrics, matching the Spark operator

@@ -300,3 +300,62 @@ class TestMetricBuckets:
         df = _df(spark, [1.0, 2.0])
         with pytest.raises(ValueError):
             metric_buckets(df, "m", n_buckets=1)
+
+
+class TestDistributionDrift:
+    def test_identical_snapshots_zero_psi(self, spark):
+        from real_estate_bigdata_spark.operators.quality import distribution_drift
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        out = distribution_drift(docs, docs, "n_chars", 0, 600, n_bins=10).collect()
+        assert len(out) == 12  # 10 bins + under + overflow
+        assert all(r.psi_contrib == 0.0 for r in out)
+        assert all(r.n_old == r.n_new for r in out)
+
+    def test_planted_shift_detected_in_right_bins(self, spark):
+        from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+        old = spark.createDataFrame(
+            [(i, 10.0) for i in range(100)], "id long, m double"
+        )
+        new = spark.createDataFrame(
+            [(i, 90.0) for i in range(100)], "id long, m double"
+        )
+        rows = {
+            r.bin: r
+            for r in distribution_drift(old, new, "m", 0, 100, n_bins=10).collect()
+        }
+        # all old mass in bin 2 ([10,20)), all new in bin 10 ([90,100))
+        assert rows[2].n_old == 100 and rows[2].n_new == 0
+        assert rows[10].n_old == 0 and rows[10].n_new == 100
+        psi = sum(r.psi_contrib for r in rows.values())
+        assert psi > 0.25  # far past the act threshold
+        # contributions are positive where mass moved, ~0 elsewhere
+        assert rows[2].psi_contrib > 0 and rows[10].psi_contrib > 0
+        assert abs(rows[5].psi_contrib) < 1e-9
+
+    def test_empty_sides_and_nulls_smoothed(self, spark):
+        from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+        old = spark.createDataFrame([(1, None)], "id long, m double")
+        new = spark.createDataFrame([(1, 50.0)], "id long, m double")
+        rows = distribution_drift(old, new, "m", 0, 100, n_bins=4).collect()
+        # NULL metric contributes nothing; smoothing keeps every share
+        # finite and every contribution defined
+        assert len(rows) == 6
+        assert all(r.share_old is not None and r.psi_contrib is not None for r in rows)
+        assert sum(r.n_old for r in rows) == 0
+        assert sum(r.n_new for r in rows) == 1
+
+    def test_nothing_corpus_sized_moves(self, spark):
+        from real_estate_bigdata_spark.operators.quality import distribution_drift
+        from real_estate_bigdata_spark.plans import assert_plan
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        stats = assert_plan(
+            distribution_drift(docs, docs, "n_chars", 0, 600), forbid_python=True
+        )
+        # two bounded-key histogram shuffles + the tiny bin-frame joins
+        assert stats.shuffles <= 6, stats
