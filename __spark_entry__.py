@@ -696,6 +696,19 @@ def _q_distribution_drift(spark, sf):
     return distribution_drift(old, new, "n_chars", 0, 600, n_bins=12)
 
 
+def _q_cross_corpus_pairs(spark, sf):
+    """Cross-corpus near-dup join (NEW r5 cont.): even-id docs as the
+    training side, odd-id docs as the benchmark side; LSH candidates +
+    exact Jaccard verification make the output exact vs the all-pairs
+    oracle (operators/dedup.py:cross_corpus_lsh_pairs)."""
+    from real_estate_bigdata_spark.operators.dedup import cross_corpus_lsh_pairs
+
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return cross_corpus_lsh_pairs(a, b)
+
+
 def _q_stratified_sample(spark, sf):
     from real_estate_bigdata_spark.operators.sampling import stratified_hash_sample
 
@@ -959,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_temperature_mixture": _q_temperature_mixture,
         "q_perplexity_buckets": _q_perplexity_buckets,
         "q_distribution_drift": _q_distribution_drift,
+        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
         # 3 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2528,6 +2542,39 @@ def oracle_sql() -> dict[str, str]:
                               / ((j.n_old + 1) / (tot.t_old + 14))), 6)
                        AS psi_contrib
             FROM joined j, tot
+        """,
+        # exact cross-corpus pairs: even-id side x odd-id side, word-3-
+        # gram Jaccard >= 0.8 — the LSH operator verifies exactly, so
+        # the all-pairs oracle matches bit-for-bit (same shingle
+        # semantics as _jaccard_pairs_sql, no id-order constraint)
+        "q_cross_corpus_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM grams a JOIN grams b ON a.g = b.g
+                WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6)
+                  >= 0.8
         """,
         # word-2-gram repetition metrics; LEFT JOIN keeps short/NULL
         # docs with NULL metrics, matching the Spark operator

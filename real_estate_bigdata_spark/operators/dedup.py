@@ -53,6 +53,7 @@ __all__ = [
     "redact_duplicate_spans",
     "dedup_against_store",
     "neardup_against_store",
+    "cross_corpus_lsh_pairs",
 ]
 
 
@@ -1142,3 +1143,73 @@ def neardup_against_store(
     if return_additions:
         return novel, additions
     return novel, store.unionByName(additions)
+
+
+def cross_corpus_lsh_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level near-duplicate pairs ACROSS two corpora — "which
+    of my training documents near-duplicate a benchmark / another
+    snapshot / a held-out set?" The doc-granularity complement of
+    gram-level ``decontamination.decontaminate``: that flags documents
+    containing benchmark n-grams; this finds whole-document rewrites
+    (high Jaccard) even when no 8-gram survives verbatim.
+
+    Output: (id_a from ``a``, id_b from ``b``, jaccard) for every pair
+    with exact word-``n``-gram Jaccard >= ``threshold`` — the same
+    verified-exact contract as :func:`minhash_lsh_pairs` (banded
+    candidates, then exact verification against both sides' shingle
+    arrays; P(miss) at j=0.9 with 16x4 banding ~4e-8). No id ordering
+    constraint: the corpora are distinct sides, and a shared id is a
+    legitimate pair (same doc present in both snapshots).
+
+    Scale posture: signatures are one codegen aggregate per side; the
+    only cross-side contact is the (band, bucket) equi-join — only
+    same-bucket docs ever meet, so cost is postings-within-buckets,
+    never |a| x |b|. Verification joins move shingle arrays for
+    candidate ids only.
+    """
+    if not 0 < bands <= num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 0 < bands <= num_hashes; "
+            f"got bands={bands}, num_hashes={num_hashes}"
+        )
+    rows_per_band = num_hashes // bands
+    hsh_a = _hashed_shingles(a, n, id_col, text_col)
+    hsh_b = _hashed_shingles(b, n, id_col, text_col)
+    bands_a = _band_keys(
+        _minhash_signatures(hsh_a, num_hashes, id_col), bands, rows_per_band, id_col
+    ).select(F.col(id_col).alias("id_a"), "band", "bucket")
+    bands_b = _band_keys(
+        _minhash_signatures(hsh_b, num_hashes, id_col), bands, rows_per_band, id_col
+    ).select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        bands_a.join(bands_b, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    )
+    sh_a = hsh_a.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    sh_b = hsh_b.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

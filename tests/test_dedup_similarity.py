@@ -798,3 +798,59 @@ class TestNeardupAgainstStore:
             dd.neardup_against_store(b, self._empty_store(spark), bands=7)
         with _pytest.raises(ValueError):
             dd.neardup_against_store(b, self._empty_store(spark), threshold=0.0)
+
+
+class TestCrossCorpusLshPairs:
+    BASE = TestNeardupAgainstStore.BASE
+
+    def test_planted_cross_pairs_found_exactly(self, spark):
+        a = spark.createDataFrame(
+            [
+                (1, self.BASE),
+                (2, "totally unrelated text on catalyst plan rewrites and "
+                    "shuffle partition coalescing under adaptive execution"),
+            ],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [
+                (10, self.BASE.replace("summer", "winter")),  # ~ doc 1
+                (11, "another distinct document about parquet footers and "
+                     "column statistics used for file-level skipping"),
+                (1, self.BASE),  # same id on both sides is a legit pair
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.cross_corpus_lsh_pairs(a, b).collect()
+        }
+        assert (1, 10) in got and 0.8 <= got[(1, 10)] < 1.0
+        assert got[(1, 1)] == 1.0
+        assert all(k[0] in (1, 2) and k[1] in (10, 11, 1) for k in got)
+        assert (2, 11) not in got
+
+    def test_matches_exact_pairs_on_testdata_split(self, spark):
+        """LSH + exact verify must reproduce the exact all-pairs join
+        across the even/odd testdata split (the oracle's construction)."""
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        got = {
+            (r.id_a, r.id_b) for r in dd.cross_corpus_lsh_pairs(a, b).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b) if r.id_a % 2 == 0 else (r.id_b, r.id_a)
+            for r in dd.ngram_jaccard_pairs(docs).collect()
+            if r.id_a % 2 != r.id_b % 2
+        }
+        assert got == exact
+
+    def test_validates_banding(self, spark):
+        a = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dd.cross_corpus_lsh_pairs(a, a, bands=7)
