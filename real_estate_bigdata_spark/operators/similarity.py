@@ -38,6 +38,7 @@ __all__ = [
     "load_ivf_index",
     "ivf_search",
     "ivf_topk",
+    "cluster_balanced_sample",
 ]
 
 
@@ -389,17 +390,17 @@ def build_ivf_index(
         raise ValueError("build_ivf_index: corpus has no non-null vectors to index")
     dim = first.d
     indexable = raw_corpus.filter(F.size("c_vec") == dim)
-    n_vecs = indexable.count()
-    train = indexable
-    if n_vecs > max_train:
-        # content-deterministic bounded sample: the max_train smallest
-        # seeded id-hashes. A Bernoulli .sample() would depend on
-        # partitioning/row order (a rebuild of the same corpus under a
-        # different file split would produce a different index) and only
-        # bounds the row count in expectation.
-        train = indexable.orderBy(
-            F.xxhash64("neighbor_id", F.lit(seed))
-        ).limit(max_train)
+    # content-deterministic bounded sample: the max_train smallest
+    # seeded id-hashes (orderBy+limit folds to TakeOrdered — no full
+    # sort). A Bernoulli .sample() would depend on partitioning/row
+    # order and only bound the count in expectation — and even BELOW
+    # max_train the orderBy is load-bearing: collect() order is
+    # partition-dependent, and the seeded k-means++ init indexes into
+    # the collected array, so an unordered sample would make the same
+    # corpus produce different centroids under a different file split.
+    train = indexable.orderBy(F.xxhash64("neighbor_id", F.lit(seed))).limit(
+        max_train
+    )
     sample = np.array(
         [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
     )
@@ -630,3 +631,58 @@ def ivf_topk(
         # to skip — the prune's collect job would be pure overhead here
         prune_lists=False,
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """Diversity-preserving subset selection over an embedding corpus:
+    cluster the vectors (seeded k-means — the same coarse quantizer
+    :func:`build_ivf_index` trains) and keep at most ``cap`` rows per
+    cluster, so dense semantic regions are downsampled while sparse
+    ones survive whole — the cluster-balanced curation step of
+    SemDeDup-style pipelines (dedup removes near-identical points;
+    this flattens REGION density, the complementary lever on corpus
+    diversity). Output: the input schema plus a ``cluster`` column.
+
+    Within-cluster selection delegates to
+    :func:`operators.sampling.cap_per_group`'s hash-ordered policy —
+    deterministic, content-defined survivors on every run, engine, and
+    partitioning; under-cap clusters pass through whole.
+
+    Approximate by construction (k-means regions), so rows-only /
+    pytest-pinned like the rest of the IVF family: invariants are
+    per-cluster caps, determinism, and whole-corpus pass-through when
+    nothing is over cap. Pass a prebuilt ``index`` to amortize the
+    k-means across multiple curation runs on a static corpus.
+
+    Scale posture: the fit is the bounded driver-side sample k-means
+    (build_ivf_index's contract); assignment is one Arrow-batched
+    argmin pass; the cap is one window shuffle on the cluster id with
+    the count-prefilter shrinking any monster cluster's sort partition
+    to ~cap + O(sqrt(cap)) rows.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from real_estate_bigdata_spark.operators.sampling import cap_per_group
+
+    idx = index if index is not None else build_ivf_index(
+        embeddings, n_lists=n_clusters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assigned = idx.lists.select(
+        F.col("neighbor_id").alias(id_col), F.col("__list").alias("cluster")
+    )
+    kept = cap_per_group(
+        assigned,
+        max_rows=cap,
+        group_col="cluster",
+        id_col=id_col,
+        prefilter_counts=True,
+    )
+    return embeddings.join(kept.select(id_col, "cluster"), id_col)

@@ -854,3 +854,66 @@ class TestCrossCorpusLshPairs:
 
         with _pytest.raises(ValueError):
             dd.cross_corpus_lsh_pairs(a, a, bands=7)
+
+
+class TestClusterBalancedSample:
+    def test_caps_dense_cluster_keeps_sparse_whole(self, spark):
+        import numpy as np
+
+        from real_estate_bigdata_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+
+        rng = np.random.default_rng(7)
+        # dense blob around +e0 (80 pts), sparse blob around -e0 (5 pts)
+        dense = [
+            (i, (np.eye(8)[0] + 0.01 * rng.standard_normal(8)).tolist())
+            for i in range(80)
+        ]
+        sparse = [
+            (100 + i, (-np.eye(8)[0] + 0.01 * rng.standard_normal(8)).tolist())
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in dense + sparse],
+            "vec_id long, embedding array<float>",
+        )
+        out = cluster_balanced_sample(df, n_clusters=2, cap=10)
+        counts = {
+            r.cluster: r.n
+            for r in out.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+        }
+        assert all(n <= 10 for n in counts.values())
+        # sparse side survives whole (5 <= cap), dense side capped at 10
+        assert sorted(counts.values()) == [5, 10]
+        # original schema preserved + cluster column
+        assert set(out.columns) == {"vec_id", "embedding", "cluster"}
+
+    def test_deterministic_and_pass_through_under_cap(self, spark):
+        from real_estate_bigdata_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+        from real_estate_bigdata_spark.schema import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        a = {r.vec_id for r in cluster_balanced_sample(emb, 4, cap=50).collect()}
+        b = {
+            r.vec_id
+            for r in cluster_balanced_sample(emb.repartition(13), 4, cap=50).collect()
+        }
+        assert a == b
+        # cap above any cluster size: everything survives
+        total = emb.count()
+        assert cluster_balanced_sample(emb, 4, cap=total).count() == total
+
+    def test_validates_cap(self, spark):
+        from real_estate_bigdata_spark.operators.similarity import (
+            cluster_balanced_sample,
+        )
+        from real_estate_bigdata_spark.schema import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            cluster_balanced_sample(emb, 4, cap=0)
