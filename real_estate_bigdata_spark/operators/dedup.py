@@ -46,6 +46,7 @@ __all__ = [
     "simhash64",
     "simhash_signatures",
     "simhash_pairs",
+    "hamming_banded_pairs",
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_blocked",
     "embedding_neardup_pairs_ivf",
@@ -567,29 +568,62 @@ def simhash_pairs(
     sig = simhash_signatures(
         docs, n=n, id_col=id_col, text_col=text_col, portable=portable
     )
+    return hamming_banded_pairs(
+        sig, sig_col="sim", max_hamming=max_hamming, bands=bands, id_col=id_col
+    )
+
+
+def hamming_banded_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    max_hamming: int,
+    bands: int,
+    id_col: str,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit signature column (SimHash, image
+    perceptual hash, ...): banded exact-match blocking + bit_count(xor)
+    verification. Output: (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= ``max_hamming``; recall is EXACT when
+    ``max_hamming <= bands - 1`` (pigeonhole — fewer differing bits
+    than bands forces one identical band), approximate beyond. One
+    shuffle on (band, key); only same-key signatures ever pair.
+    NULL-signature rows never pair (band keys of NULL are NULL, and a
+    join key never equals NULL)."""
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64 with 1 <= bands <= 64, got {bands}")
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sig.select(
         F.col(id_col),
-        F.col("sim"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sim", i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                        F.shiftright(F.col(sig_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
                     )
                     for i in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(F.col(id_col), "sim", "bb.band", "bb.key")
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "band", "key")
+    ).select(F.col(id_col), "__sig", "bb.band", "bb.key")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"), "band", "key"
+    )
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -55,6 +55,9 @@ __all__ = [
     "video_codec",
     "decode_video_frames",
     "sample_video_frames",
+    "ahash64",
+    "image_phash",
+    "image_neardup_pairs",
 ]
 
 try:  # optional dependency: real image codec
@@ -592,3 +595,88 @@ def sample_video_frames(
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     ).mapInPandas(batches, schema=_FRAMES_SCHEMA)
+
+
+def ahash64(px: np.ndarray, grid: int = 8) -> int:
+    """64-bit average-hash of a decoded HxWx3 pixel array: grayscale ->
+    ``grid`` x ``grid`` cell means (array_split tolerates any dims, no
+    resample dependency) -> bit i set iff cell i is brighter than the
+    grid mean. Pure numpy, deterministic; returned as a SIGNED 64-bit
+    int (Spark bigint range). Bit order: row-major, bit 0 = top-left,
+    so two hashes' Hamming distance counts differing cells."""
+    gray = px.mean(axis=2)
+    cells = [
+        c.mean()
+        for row in np.array_split(gray, grid, axis=0)
+        for c in np.array_split(row, grid, axis=1)
+    ]
+    mean = float(np.mean(cells))
+    bits = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+_PHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def image_phash(media: DataFrame, use_pil: bool | None = None) -> DataFrame:
+    """(media_id, phash): 64-bit perceptual average-hash per image —
+    the signature column for near-duplicate IMAGE detection. Decode via
+    :func:`decode_image` (real PIL when installed, deterministic stub
+    otherwise); NULL or undecodable payloads yield a NULL phash (the
+    corrupt-media-stays-visible contract shared by the feature
+    extractors). Arrow-batched mapInPandas; the binary payload never
+    leaves the scan stage."""
+    if use_pil and not pil_available():
+        raise ImportError("use_pil=True but PIL/Pillow is not installed")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for content in pdf["content"]:
+                if content is None:
+                    hashes.append(None)
+                    continue
+                try:
+                    px = decode_image(bytes(content), use_pil)
+                except ValueError:
+                    hashes.append(None)
+                else:
+                    hashes.append(ahash64(px))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": hashes})
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=_PHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 7,
+    bands: int = 8,
+    use_pil: bool | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hash + the SAME banded
+    Hamming blocking the text SimHash family uses
+    (``dedup.hamming_banded_pairs``) — (id_a, id_b, hamming) with
+    id_a < id_b and hamming <= ``max_hamming`` differing aHash cells.
+    Recall is exact when ``max_hamming <= bands - 1`` (pigeonhole);
+    re-encoded / lightly-edited copies land within a few cells, while
+    unrelated images differ in ~32. The multimodal counterpart of
+    document dedup: run it before training on an image corpus exactly
+    as ``simhash_pairs`` runs on text.
+
+    Scale posture: one Arrow-batched decode pass produces the 8-byte
+    signature; everything after is the JVM-side banded self-join —
+    payloads never shuffle."""
+    from real_estate_bigdata_spark.operators.dedup import hamming_banded_pairs
+
+    sig = image_phash(media, use_pil=use_pil)
+    return hamming_banded_pairs(
+        sig, sig_col="phash", max_hamming=max_hamming, bands=bands,
+        id_col="media_id",
+    )

@@ -325,3 +325,91 @@ def test_null_content_rows_yield_null_not_task_failure(spark):
         frames = mm.sample_video_frames(df, use_codec=True).collect()
         null_rows = [r for r in frames if r.media_id == 2]
         assert len(null_rows) == 1 and null_rows[0].frame_idx is None
+
+
+class TestImagePhash:
+    """Perceptual-hash image near-dup: aHash bit semantics + banded
+    Hamming pair recovery on real PNGs (PIL path) and NULL tolerance."""
+
+    @staticmethod
+    def _png(arr):
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    @staticmethod
+    def _imgs():
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        near = base.copy()
+        near[:2, :2] = 255 - near[:2, :2]  # corner edit: few cells move
+        unrelated = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        return base, near, unrelated
+
+    def test_ahash_deterministic_and_structural(self):
+        import numpy as np
+
+        px = np.zeros((16, 16, 3))
+        px[:8] = 1.0  # top half bright
+        h = mm.ahash64(px)
+        assert h == mm.ahash64(px)
+        # top 4 cell-rows (32 bits) set, bottom 32 clear
+        assert h & 0xFFFFFFFF == 0xFFFFFFFF
+        assert (h >> 32) & 0xFFFFFFFF == 0
+        # flat image: no cell exceeds the mean -> all bits clear
+        assert mm.ahash64(np.full((8, 8, 3), 0.5)) == 0
+
+    def test_neardup_pairs_on_real_pngs(self, spark):
+        if not mm.pil_available():
+            pytest.skip("PIL/Pillow not installed in this environment")
+        base, near, unrelated = self._imgs()
+        df = spark.createDataFrame(
+            [
+                (1, self._png(base)),
+                (2, self._png(near)),
+                (3, self._png(unrelated)),
+                (4, None),
+                (5, bytearray(b"not an image")),
+            ],
+            "media_id long, content binary",
+        )
+        got = {(r.id_a, r.id_b): r.hamming for r in mm.image_neardup_pairs(df).collect()}
+        assert (1, 2) in got and got[(1, 2)] <= 7
+        assert (1, 3) not in got and (2, 3) not in got
+        assert all(4 not in k and 5 not in k for k in got)
+
+    def test_identical_payloads_hamming_zero_any_codec(self, spark):
+        """Byte-identical payloads hash identically on BOTH decode
+        paths (the stub is a pure function of the bytes), so the exact
+        re-upload case needs no real codec."""
+        payload = bytearray(b"\x89PNG-fake-bytes-shared")
+        df = spark.createDataFrame(
+            [(1, payload), (2, payload), (3, bytearray(b"other-bytes"))],
+            "media_id long, content binary",
+        )
+        rows = mm.image_neardup_pairs(df).collect()
+        got = {(r.id_a, r.id_b): r.hamming for r in rows}
+        assert got.get((1, 2)) == 0
+
+    def test_phash_null_contract_any_codec(self, spark):
+        """NULL payload -> NULL phash on BOTH decode paths; NULL never
+        pairs (band keys of NULL are NULL)."""
+        df = spark.createDataFrame(
+            [(1, bytearray(b"some-bytes")), (2, None)],
+            "media_id long, content binary",
+        )
+        rows = {r.media_id: r.phash for r in mm.image_phash(df).collect()}
+        assert rows[1] is not None and rows[2] is None
+        paired = mm.image_neardup_pairs(
+            spark.createDataFrame(
+                [(1, bytearray(b"x")), (2, None), (3, None)],
+                "media_id long, content binary",
+            )
+        ).collect()
+        assert all(2 not in (r.id_a, r.id_b) and 3 not in (r.id_a, r.id_b) for r in paired)
