@@ -659,6 +659,7 @@ def image_neardup_pairs(
     max_hamming: int = 7,
     bands: int = 8,
     use_pil: bool | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: perceptual hash + the SAME banded
     Hamming blocking the text SimHash family uses
@@ -672,10 +673,20 @@ def image_neardup_pairs(
 
     Scale posture: one Arrow-batched decode pass produces the 8-byte
     signature; everything after is the JVM-side banded self-join —
-    payloads never shuffle."""
+    payloads never shuffle. The signature table is persisted
+    (MEMORY_AND_DISK — 16 bytes/row, negligible) because the self-join
+    references it twice and an unpersisted lineage would DECODE THE
+    ENTIRE IMAGE CORPUS TWICE — at scale the decode is the dominant
+    cost. Callers running several pair queries over one corpus should
+    precompute :func:`image_phash` themselves and pass ``sig``."""
+    from pyspark.storagelevel import StorageLevel
+
     from real_estate_bigdata_spark.operators.dedup import hamming_banded_pairs
 
-    sig = image_phash(media, use_pil=use_pil)
+    if sig is None:
+        sig = image_phash(media, use_pil=use_pil).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     return hamming_banded_pairs(
         sig, sig_col="phash", max_hamming=max_hamming, bands=bands,
         id_col="media_id",

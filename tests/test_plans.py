@@ -391,3 +391,75 @@ def test_r5_query_plans_stay_bounded(spark):
     df = QUERIES["q_semantic_dedup"](spark, SF)
     plan = executed_plan_str(df)
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_store_plan_sig_only_payload_local(spark):
+    """Incremental near-dup vs store: the novel-doc output's plan keys
+    every wide op on band keys / signature rows / ids — the document
+    payload itself is never a join or shuffle KEY (it rides along only
+    in the final left_anti projection)."""
+    from real_estate_bigdata_spark.operators.dedup import neardup_against_store
+    from real_estate_bigdata_spark.plans import plan_stats
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+    novel, _ = neardup_against_store(docs, store)
+    stats = plan_stats(novel)
+    # no Python anywhere: signatures are codegen aggregates
+    assert stats.python_stages == 0, stats
+    plan = novel._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(text" not in plan  # payload never a shuffle key
+
+
+def test_export_shards_single_window_no_python(spark, tmp_path):
+    """The export's manifest side: one window shuffle for positions +
+    the bounded-key manifest aggregate; zero Python crossings."""
+    from real_estate_bigdata_spark.operators.sampling import shuffle_shard
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    # the exporter's internal frame: sharded + serialized line
+    from pyspark.sql import functions as F
+
+    staged = shuffle_shard(docs, 8).withColumn(
+        "__line", F.to_json(F.struct("doc_id", "text"))
+    )
+    manifest_like = staged.groupBy("shard").count()
+    assert_plan(manifest_like, max_shuffles=2, forbid_python=True)
+
+
+def test_image_neardup_python_only_in_decode_stage(spark):
+    """Image near-dup pairs: the persisted signature table means the
+    self-join's two references share ONE decode pass — the plan reads
+    the in-memory relation, not a second ArrowEvalPython lineage."""
+    from real_estate_bigdata_spark.operators.multimodal import image_neardup_pairs
+    from real_estate_bigdata_spark.plans import plan_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a")), (2, bytearray(b"b"))],
+        "media_id long, content binary",
+    )
+    out = image_neardup_pairs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # both join sides read the persisted signature relation — the
+    # MapInPandas decode appears only INSIDE the InMemoryRelation
+    # (executed once at materialization), never as live lineage
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    live = plan.split("InMemoryRelation")[0]
+    assert "MapInPandas" not in live, live
+
+
+def test_cross_corpus_pairs_no_python_banded_join(spark):
+    from real_estate_bigdata_spark.operators.dedup import cross_corpus_lsh_pairs
+    from real_estate_bigdata_spark.plans import assert_plan
+    from real_estate_bigdata_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    assert_plan(cross_corpus_lsh_pairs(a, b), forbid_python=True)
