@@ -2436,11 +2436,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, sum(n_chars) AS t FROM documents
                 WHERE source IS NOT NULL AND n_chars IS NOT NULL
                 GROUP BY source
-            ), m AS (SELECT min(t) AS mt FROM tot WHERE t > 0),
+            ), m AS (
+                -- coalesce keeps the cross join populated when NO
+                -- stratum has positive mass (operator keeps everything)
+                SELECT coalesce(min(t) FILTER (WHERE t > 0), 0) AS mt
+                FROM tot
+            ),
             fr AS (
+                -- zero-mass strata keep everything (thresh = full
+                -- bucket space), mirroring the operator's _keep(t<=0)
                 SELECT source,
-                       floor(sqrt(mt::DOUBLE / t) * 10000)::BIGINT AS thresh
-                FROM tot, m WHERE t > 0
+                       CASE WHEN t > 0
+                            THEN floor(sqrt(mt::DOUBLE / t) * 10000)::BIGINT
+                            ELSE 10000 END AS thresh
+                FROM tot, m
             ),
             b AS (
                 SELECT doc_id, source,

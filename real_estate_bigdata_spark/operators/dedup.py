@@ -444,8 +444,24 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh_a = hsh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
-    sh_b = hsh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
+    return _verify_jaccard(candidates, hsh, hsh, threshold, id_col)
+
+
+def _verify_jaccard(
+    candidates: DataFrame,
+    hsh_a: DataFrame,
+    hsh_b: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of an (id_a, id_b) candidate frame
+    against the two sides' hashed-shingle tables — shared by the
+    self-corpus (:func:`minhash_lsh_pairs`) and cross-corpus
+    (:func:`cross_corpus_lsh_pairs`) LSH operators so the jaccard
+    expression can never silently diverge between them. Shingle arrays
+    move for candidate ids only."""
+    sh_a = hsh_a.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
+    sh_b = hsh_b.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
     return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -592,7 +608,14 @@ def hamming_banded_pairs(
     if not 1 <= bands <= 64 or 64 % bands != 0:
         raise ValueError(f"bands must divide 64 with 1 <= bands <= 64, got {bands}")
     width = 64 // bands
-    mask = (1 << width) - 1
+
+    def _band_key(i: int):
+        if width == 64:  # single band: the signature IS the key (a
+            # 64-bit mask literal would overflow Spark's signed long)
+            return F.col(sig_col)
+        mask = (1 << width) - 1
+        return F.shiftright(F.col(sig_col), i * width).bitwiseAND(F.lit(mask))
+
     banded = sig.select(
         F.col(id_col),
         F.col(sig_col).alias("__sig"),
@@ -600,10 +623,7 @@ def hamming_banded_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col(sig_col), i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
+                        F.lit(i).alias("band"), _band_key(i).alias("key")
                     )
                     for i in range(bands)
                 ]
@@ -1100,7 +1120,12 @@ def neardup_against_store(
     band-key join; every join key is (band, bucket) with
     near-dup-rate-sized matches. The candidate estimator compares two
     64-element arrays per candidate — candidates, not corpus, sized.
-    The returned store is distinct-by-id by construction.
+    The returned store is distinct-by-id: additions exclude NULL ids
+    (dead rows an id equi-join could never match) and ids the store
+    already holds (a same-id re-crawl whose rewrite fell below the
+    threshold passes through as novel without creating a second store
+    row — the stored signature, the dedup reference, stays the
+    first-seen one).
 
     ``return_additions=True`` makes the second element only THIS
     batch's new (id, sig) rows instead of the full updated store — the
@@ -1172,8 +1197,17 @@ def neardup_against_store(
     dropped = batch_dups.unionByName(store_dups).distinct()
     novel = new_docs.join(dropped, id_col, "left_anti")
     # sig ids are a subset of the batch ids, so sig-minus-dropped is
-    # exactly the kept signature-bearing docs — no novel re-join needed
-    additions = sig.join(dropped, id_col, "left_anti")
+    # exactly the kept signature-bearing docs — no novel re-join needed.
+    # NULL-id signatures are excluded (an equi-join on id can never
+    # match them later — they would accumulate as dead store rows), and
+    # ids already present in the store are excluded too: a re-crawled
+    # id whose rewrite fell BELOW the threshold passes through as novel
+    # but must not create a second store row under the same id.
+    additions = (
+        sig.filter(F.col(id_col).isNotNull())
+        .join(dropped, id_col, "left_anti")
+        .join(store.select(id_col), id_col, "left_anti")
+    )
     if return_additions:
         return novel, additions
     return novel, store.unionByName(additions)
@@ -1227,23 +1261,4 @@ def cross_corpus_lsh_pairs(
     candidates = (
         bands_a.join(bands_b, ["band", "bucket"]).select("id_a", "id_b").distinct()
     )
-    sh_a = hsh_a.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a"))
-    sh_b = hsh_b.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b"))
-    return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                ).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(candidates, hsh_a, hsh_b, threshold, id_col)

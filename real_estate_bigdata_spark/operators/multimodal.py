@@ -603,8 +603,22 @@ def ahash64(px: np.ndarray, grid: int = 8) -> int:
     resample dependency) -> bit i set iff cell i is brighter than the
     grid mean. Pure numpy, deterministic; returned as a SIGNED 64-bit
     int (Spark bigint range). Bit order: row-major, bit 0 = top-left,
-    so two hashes' Hamming distance counts differing cells."""
+    so two hashes' Hamming distance counts differing cells.
+
+    Images narrower/shorter than the grid are nearest-neighbor
+    upsampled first (np.repeat): without it array_split yields EMPTY
+    cells whose mean is NaN, every comparison against the NaN grid
+    mean is False, and every tiny image would degenerate to hash 0 —
+    pairing all thumbnails/tracking pixels as mutual near-duplicates.
+    """
     gray = px.mean(axis=2)
+    if gray.size == 0:  # degenerate 0-dim decode: defined, flat hash
+        return 0
+    h, w = gray.shape
+    if h < grid:
+        gray = np.repeat(gray, -(-grid // h), axis=0)
+    if w < grid:
+        gray = np.repeat(gray, -(-grid // w), axis=1)
     cells = [
         c.mean()
         for row in np.array_split(gray, grid, axis=0)

@@ -245,16 +245,25 @@ def temperature_mixture(
     if not totals:
         return df.filter(F.lit(False))
     positive = [t for t in totals.values() if t > 0]
-    if not positive:
-        return df
-    min_t = min(positive)
+    # no positive mass: min_t is never read (_keep's t<=0 branch wins
+    # everywhere) and every listed stratum keeps all rows — while
+    # NULL-source / NULL-total strata still drop, same as the oracle
+    min_t = min(positive) if positive else 0
 
     def _keep(t) -> float:
         if t <= 0:
             return 1.0
+        if alpha == 0.0:
+            # EXACT mixture_balance endpoint: its integer floor-division
+            # (min_t * B // t) can differ by one bucket from
+            # floor((min_t/t) * B) in doubles (e.g. 3/5000), so the
+            # identity holds only by reusing the same integer arithmetic
+            return (min_t * N_BUCKETS // t) / N_BUCKETS
         ratio = min_t / t  # exact int/int -> correctly-rounded double
         if alpha == 0.5:
             f = math.sqrt(ratio)  # IEEE-exact, matches DuckDB sqrt()
+        elif alpha == 1.0:
+            f = 1.0
         else:
             f = ratio ** (1.0 - alpha)
         return math.floor(f * N_BUCKETS) / N_BUCKETS

@@ -305,16 +305,27 @@ def export_jsonl_shards(
     Scale posture: shard assignment is map-only; the only wide ops are
     shuffle_shard's one window shuffle and the repartition ON THE SAME
     shard key (each shard's rows land in exactly one task, so every
-    ``shard=K`` directory holds one sorted file). The manifest
-    aggregate reuses the serialized line, shuffles only (shard,
-    count/sum) partials, and hashes order-independently (sum of 60-bit
-    line-hash prefixes in decimal, folded mod 2^61-1) so it never needs
-    the per-shard sort.
+    ``shard=K`` directory holds one sorted file). The manifest is
+    aggregated from the WRITTEN shard files (one disk read; partition
+    discovery provides the shard column) rather than re-running the
+    serialize pipeline — so it certifies the bytes on disk — and
+    hashes order-independently (sum of 60-bit line-hash prefixes in
+    decimal, folded mod 2^61-1) so it never needs the per-shard sort.
+    ``shard``/``pos`` input columns are rejected (the bookkeeping
+    columns would silently overwrite them in the serialized lines).
     """
     from real_estate_bigdata_spark.operators.sampling import shuffle_shard
 
     if not df.columns:
         raise ValueError("cannot export a zero-column DataFrame")
+    clash = {"shard", "pos"} & set(df.columns)
+    if clash:
+        # shuffle_shard would overwrite them and the serialized lines
+        # would silently carry the synthetic values under the user's key
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the export's "
+            "shard/pos bookkeeping — rename them before exporting"
+        )
     payload_cols = [c for c in df.columns]
     sharded = shuffle_shard(df, n_shards, key_col=key_col, salt=salt)
     staged = sharded.withColumn(
@@ -328,15 +339,24 @@ def export_jsonl_shards(
         .partitionBy("shard")
         .text(out_dir)
     )
-    line_hash = F.conv(F.substring(F.md5("__line"), 1, 15), 16, 10).cast(
+    # Manifest from the WRITTEN files, not the input lineage: one disk
+    # read of the shards instead of re-running the whole
+    # scan+shard+serialize pipeline a second time, and the manifest
+    # certifies what is physically on disk (partition discovery yields
+    # the shard= dir as a column; _-prefixed dirs are skipped, so a
+    # prior _MANIFEST never pollutes a re-export's read-back).
+    written = df.sparkSession.read.text(out_dir).withColumn(
+        "shard", F.col("shard").cast("bigint")
+    )
+    line_hash = F.conv(F.substring(F.md5("value"), 1, 15), 16, 10).cast(
         "decimal(38,0)"
     )
     manifest = (
-        staged.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count("*").alias("n_rows"),
             # +1: the text sink terminates every line with \n
-            F.sum(F.octet_length("__line") + F.lit(1)).alias("n_bytes"),
+            F.sum(F.octet_length("value") + F.lit(1)).alias("n_bytes"),
             F.pmod(F.sum(line_hash), F.lit(2**61 - 1).cast("decimal(38,0)"))
             .cast("bigint")
             .alias("content_hash"),

@@ -266,8 +266,12 @@ def run_neardup_doc_ingest(
 
         sess = batch_df.sparkSession
         # explicit schema, like _STORE_SCHEMA: an empty-but-existing
-        # store dir must read as zero rows, not raise on inference
-        sig_schema = f"{id_col} bigint, sig array<bigint>, ingest_batch int"
+        # store dir must read as zero rows, not raise on inference.
+        # The id column's type follows the STREAM schema (a hardcoded
+        # bigint would make every store read fail — and fail again on
+        # every retry — the moment a caller ingests string ids).
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        sig_schema = f"{id_col} {id_type}, sig array<bigint>, ingest_batch int"
         try:
             store = (
                 sess.read.schema(sig_schema).parquet(store_dir)
@@ -281,7 +285,9 @@ def run_neardup_doc_ingest(
             # admit every near-duplicate)
             if not _is_missing_path_error(exc):
                 raise
-            store = sess.createDataFrame([], f"{id_col} long, sig array<bigint>")
+            store = sess.createDataFrame(
+                [], f"{id_col} {id_type}, sig array<bigint>"
+            )
         novel, added_sigs = neardup_against_store(
             batch_df,
             store,

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.operators import dedup as dd
+from real_estate_bigdata_spark.operators import sampling as sp_sampling
 from real_estate_bigdata_spark.operators import similarity as sim
 from real_estate_bigdata_spark.schema import load_table
 
@@ -917,3 +918,45 @@ class TestClusterBalancedSample:
 
         with _pytest.raises(ValueError):
             cluster_balanced_sample(emb, 4, cap=0)
+
+
+def test_hamming_banded_pairs_single_band_exact_match(spark):
+    """Review fix: bands=1 (64-bit exact-match blocking) must not
+    overflow the band-key mask literal."""
+    sig = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, -9223372036854775808)], "id long, s long"
+    )
+    rows = dd.hamming_banded_pairs(sig, "s", max_hamming=0, bands=1, id_col="id")
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows.collect()] == [(1, 2, 0)]
+
+
+def test_temperature_mixture_alpha_zero_integer_exact(spark):
+    """Review fix: the alpha=0 endpoint reuses mixture_balance's
+    integer floor-division — the double path differs by one bucket on
+    ratios like 3/5000."""
+    rows = (
+        [(i, "big", 1) for i in range(5000)] + [(10000 + i, "small", 1) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    flat = {r.doc_id for r in sp_sampling.temperature_mixture(df, alpha=0.0).collect()}
+    bal = {r.doc_id for r in sp_sampling.mixture_balance(df).collect()}
+    assert flat == bal
+
+
+def test_neardup_store_same_id_recrawl_no_duplicate_store_row(spark):
+    """Review fix: a same-id re-crawl whose rewrite falls BELOW the
+    threshold passes as novel but must not add a second store row; the
+    stored signature stays first-seen. NULL-id sigs never enter."""
+    base = TestNeardupAgainstStore.BASE
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+    _, store1 = dd.neardup_against_store(b1, empty)
+    rewrite = "an entirely rewritten listing with none of the original words left"
+    b2 = spark.createDataFrame(
+        [(1, rewrite), (None, base + " with a null id")],
+        "doc_id long, text string",
+    )
+    novel2, store2 = dd.neardup_against_store(b2, store1)
+    assert novel2.count() == 2  # rewrite + NULL-id doc both pass
+    assert store2.count() == 1  # still one row for id 1, none for NULL
+    assert store2.filter(F.col("doc_id").isNull()).count() == 0

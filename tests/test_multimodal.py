@@ -393,7 +393,9 @@ class TestImagePhash:
             [(1, payload), (2, payload), (3, bytearray(b"other-bytes"))],
             "media_id long, content binary",
         )
-        rows = mm.image_neardup_pairs(df).collect()
+        # use_pil=False pins the stub path: with Pillow installed the
+        # auto path would (correctly) yield NULL for fake bytes
+        rows = mm.image_neardup_pairs(df, use_pil=False).collect()
         got = {(r.id_a, r.id_b): r.hamming for r in rows}
         assert got.get((1, 2)) == 0
 
@@ -404,12 +406,31 @@ class TestImagePhash:
             [(1, bytearray(b"some-bytes")), (2, None)],
             "media_id long, content binary",
         )
-        rows = {r.media_id: r.phash for r in mm.image_phash(df).collect()}
+        rows = {r.media_id: r.phash for r in mm.image_phash(df, use_pil=False).collect()}
         assert rows[1] is not None and rows[2] is None
         paired = mm.image_neardup_pairs(
             spark.createDataFrame(
                 [(1, bytearray(b"x")), (2, None), (3, None)],
                 "media_id long, content binary",
-            )
+            ),
+            use_pil=False,
         ).collect()
         assert all(2 not in (r.id_a, r.id_b) and 3 not in (r.id_a, r.id_b) for r in paired)
+
+
+def test_ahash_small_images_not_degenerate():
+    """Review fix: images smaller than the 8x8 grid must NOT collapse
+    to hash 0 (empty array_split cells -> NaN means). Distinct tiny
+    images hash differently; upsampling is nearest-neighbor."""
+    import numpy as np
+
+    a = np.zeros((4, 9, 3))
+    a[:2] = 1.0  # top half bright
+    b = np.zeros((3, 5, 3))
+    b[:, :2] = 1.0  # left side bright
+    ha, hb = mm.ahash64(a), mm.ahash64(b)
+    assert ha != 0 and hb != 0 and ha != hb
+    # 1x1 image: flat -> hash 0 is LEGITIMATE (no cell above the mean)
+    assert mm.ahash64(np.full((1, 1, 3), 0.7)) == 0
+    # degenerate empty decode stays defined
+    assert mm.ahash64(np.zeros((0, 4, 3))) == 0
