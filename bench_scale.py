@@ -55,7 +55,10 @@ round count grows with component diameter — one more decade of
 evidence). Extra-scale corpora synthesize documents only. Late-r5:
 ``redact_dup_spans`` (corpus-gram shuffle; token suffixing keeps the
 per-copy duplicate rate constant — the realistic regime),
-``shuffle_shard``, ``corpus_diff``.
+``shuffle_shard``, ``corpus_diff``; final-r5: ``semantic_dedup``,
+``bigram_logprob``, ``neardup_vs_store`` (fixed batch vs corpus-scaled
+signature store — the steady-state ingest regime), the cross-corpus
+LSH join, and stub-decoded perceptual-hash image near-dup.
 
 Usage: ``python bench_scale.py`` (env: SPARK_GRAFT_SCALE_BASE for the
 source sf dir, SPARK_GRAFT_SCALE_DIR for the synth output dir).
@@ -73,6 +76,7 @@ import time
 from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.operators import dedup as dd
+from real_estate_bigdata_spark.operators import multimodal as mm
 from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.curation import curate_corpus
@@ -257,6 +261,22 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
                 dd._hashed_shingles(docs(), 3, "doc_id", "text"), 64, "doc_id"
             ),
         )[0],
+        # final-r5 additions: the cross-corpus LSH join (even/odd split
+        # of the scaled corpus — both sides grow) and perceptual-hash
+        # image near-dup over stub-decoded text bytes (measures the
+        # Arrow decode pass + banded Hamming join; payload size scales
+        # with the corpus)
+        "cross_corpus_pairs": lambda: dd.cross_corpus_lsh_pairs(
+            docs().filter(F.col("doc_id") % 2 == 0),
+            docs().filter(F.col("doc_id") % 2 == 1),
+        ),
+        "image_neardup": lambda: mm.image_neardup_pairs(
+            docs().select(
+                F.col("doc_id").alias("media_id"),
+                F.col("text").cast("binary").alias("content"),
+            ),
+            use_pil=False,
+        ),
     }
     if names is not None:
         return {k: defs[k] for k in names}

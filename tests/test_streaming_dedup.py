@@ -329,3 +329,44 @@ class TestNeardupDocIngest:
         assert out.select("doc_id").distinct().count() == 2
         assert out.count() == 2
         assert spark.read.parquet(str(store)).count() == 2
+
+
+def test_neardup_ingest_string_ids(spark, tmp_path):
+    """Review fix: the signature-store read schema follows the stream's
+    id type — a hardcoded bigint wedged the stream permanently on
+    string ids (schema mismatch != PATH_NOT_FOUND, so every retry
+    failed)."""
+    import json as _json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    src = tmp_path / "drop"
+    src.mkdir()
+    dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+
+    def w(name, rows):
+        with open(src / name, "w", encoding="utf-8") as f:
+            for i, t in rows:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    w("b1.jsonl", [("a", BASE_TEXT), ("b", OTHER_TEXT)])
+    q = ingest.run_neardup_doc_ingest(
+        spark, str(src), str(dest), str(store), str(ckpt), schema=schema,
+    )
+    q.awaitTermination(120)
+    # second batch exercises the store READ with string ids — the
+    # wedge was here, not in the first write
+    w("b2.jsonl", [("c", BASE_TEXT.replace("summer", "spring")), ("d", "totally novel words about parquet readers")])
+    q = ingest.run_neardup_doc_ingest(
+        spark, str(src), str(dest), str(store), str(ckpt), schema=schema,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in spark.read.parquet(str(dest)).collect()) == [
+        "a", "b", "d",
+    ]
+    assert sorted(r.doc_id for r in spark.read.parquet(str(store)).collect()) == [
+        "a", "b", "d",
+    ]
