@@ -34,6 +34,7 @@ __all__ = [
     "lsh_topk",
     "IvfIndex",
     "build_ivf_index",
+    "extend_ivf_index",
     "save_ivf_index",
     "load_ivf_index",
     "ivf_search",
@@ -405,7 +406,15 @@ def build_ivf_index(
         [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
     )
     centers = _kmeans_fit(sample, k=n_lists, seed=seed, max_iter=max_iter)
+    return IvfIndex(centroids=centers, lists=_assign_lists(indexable, centers))
 
+
+def _assign_lists(indexable: DataFrame, centers: np.ndarray) -> DataFrame:
+    """Distributed nearest-centroid assignment of an (neighbor_id,
+    c_vec) frame — one Arrow-batched argmin GEMM per batch; the
+    centroid matrix (n_lists x dim, tiny) ships with the task
+    closures. Shared by the initial build and the incremental extend
+    path so assignment semantics can never diverge."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
@@ -416,13 +425,45 @@ def build_ivf_index(
         d = _sq_dists(A, centers)
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
-    lists = indexable.select(
+    return indexable.select(
         "neighbor_id",
         "c_vec",
         l2_norm(F.col("c_vec")).alias("c_nrm"),
         assign_list(F.col("c_vec")).alias("__list"),
     )
-    return IvfIndex(centroids=centers, lists=lists)
+
+
+def extend_ivf_index(
+    index: IvfIndex,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Incremental IVF maintenance: assign NEW vectors to the EXISTING
+    centroids (no refit) and union them into the inverted lists — the
+    standard FAISS-style append path for a continuously-ingested
+    embedding corpus. Centroids are immutable here by design: a refit
+    would re-shuffle every existing assignment (and invalidate a
+    persisted index); the coarse quantizer's recall degrades only when
+    the DISTRIBUTION shifts, which is a rebuild decision, not an
+    append decision — monitor with ``quality.distribution_drift`` over
+    a projection and rebuild when it alarms.
+
+    Same exclusion contract as the build: NULL vectors and vectors of
+    the wrong dimension cannot be assigned and are dropped. The
+    returned index shares the (immutable) centroid matrix; only the
+    assignment pass over the NEW vectors runs — history is never
+    re-scanned. Compose with :func:`save_ivf_index` to persist the
+    appended lists.
+    """
+    new_raw = new_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).filter(F.col("c_vec").isNotNull() & (F.size("c_vec") == index.dim))
+    return IvfIndex(
+        centroids=index.centroids,
+        lists=index.lists.unionByName(_assign_lists(new_raw, index.centroids)),
+    )
 
 
 def _sq_dists(A: np.ndarray, C: np.ndarray) -> np.ndarray:
