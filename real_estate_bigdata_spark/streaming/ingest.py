@@ -29,6 +29,7 @@ from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA
 
 __all__ = [
     "compact_fingerprint_store",
+    "compact_signature_store",
     "file_stream_ingest",
     "windowed_event_counts",
     "run_file_ingest",
@@ -235,6 +236,7 @@ def run_neardup_doc_ingest(
     bands: int = 16,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    compacted_table: str | None = None,
 ) -> StreamingQuery:
     """Continuous document ingest that drops NEAR-duplicates against a
     persistent MinHash signature store — the fuzzy sibling of
@@ -256,7 +258,10 @@ def run_neardup_doc_ingest(
     never payloads; band keys are recomputed map-side on read, so no
     16x banding is ever persisted. Store reads are epoch-pruned
     statically, and the per-batch joins shuffle band keys and
-    signature rows only.
+    signature rows only. Steady state: periodically run
+    :func:`compact_signature_store` (stream STOPPED) and pass its
+    ``table`` here as ``compacted_table`` — the additions anti-join
+    then reads id-bucketed, pre-sorted store buckets.
     """
     from real_estate_bigdata_spark.operators.dedup import neardup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
@@ -287,6 +292,15 @@ def run_neardup_doc_ingest(
                 raise
             store = sess.createDataFrame(
                 [], f"{id_col} {id_type}, sig array<bigint>"
+            )
+        if compacted_table is not None and sess.catalog.tableExists(
+            compacted_table
+        ):
+            # signatures folded out of the epoch partitions by
+            # compact_signature_store; never contains a replayable
+            # epoch (its contract), so no batch-id filter needed
+            store = store.unionByName(
+                sess.table(compacted_table).select(id_col, "sig")
             )
         novel, added_sigs = neardup_against_store(
             batch_df,
@@ -328,6 +342,88 @@ def run_neardup_doc_ingest(
     return writer.start()
 
 
+def _compact_epoch_store(
+    spark: SparkSession,
+    store_dir: str,
+    table: str,
+    compacted_path: str | None,
+    up_to_batch: int | None,
+    n_buckets: int,
+    schema_str: str,
+    value_cols: tuple[str, ...],
+    bucket_col: str,
+) -> int:
+    """Shared epoch-folding core for the exact-fingerprint and MinHash
+    signature stores: fold committed ``ingest_batch`` partitions into
+    ONE bucketed+sorted table (``sources.lake.write_bucketed`` on
+    ``bucket_col``), versioned per fold, then delete the folded epoch
+    directories. See :func:`compact_fingerprint_store` for the full
+    replay-safety contract — identical for both stores.
+    """
+    from pyspark.errors import AnalysisException
+
+    compacted_path = compacted_path or store_dir.rstrip("/") + "_compacted"
+    try:
+        epochs_df = spark.read.schema(schema_str).parquet(store_dir)
+        epoch_ids = sorted(
+            r[0] for r in epochs_df.select("ingest_batch").distinct().collect()
+        )  # bounded: one id per micro-batch since the last compaction
+    except AnalysisException:
+        epoch_ids = []
+    if not epoch_ids:
+        return 0
+    up_to = max(epoch_ids) if up_to_batch is None else up_to_batch
+    fold = [k for k in epoch_ids if k < up_to]
+    if not fold:
+        return 0
+
+    from real_estate_bigdata_spark.sources.lake import write_bucketed
+
+    version_path = f"{compacted_path.rstrip('/')}/v{up_to}"
+    merged = (
+        epochs_df.filter(F.col("ingest_batch") < F.lit(up_to))
+        .select(*value_cols)
+    )
+    already_this_version = False
+    if spark.catalog.tableExists(table):
+        # merge the previous version by reading its FILES directly —
+        # referencing the catalog table here would trip Spark's
+        # self-overwrite check (UNSUPPORTED_OVERWRITE.TABLE) when
+        # saveAsTable replaces it below. The old files are not deleted,
+        # so the scan stays valid throughout.
+        loc = next(
+            r.data_type
+            for r in spark.sql(f"DESC FORMATTED {table}").collect()
+            if r.col_name == "Location"
+        )
+        # crash recovery: a prior run that committed the table at THIS
+        # version but died before deleting the folded epochs must not
+        # read-and-overwrite v{up_to} against itself — the committed
+        # table already contains those epochs' rows, so only the
+        # deletes below remain to be done
+        already_this_version = loc.rstrip("/").endswith(f"/v{up_to}")
+        if not already_this_version:
+            merged = merged.unionByName(
+                spark.read.parquet(loc).select(*value_cols)
+            )
+    if not already_this_version:
+        write_bucketed(
+            merged.distinct(),
+            table,
+            version_path,
+            bucket_cols=(bucket_col,),
+            n_buckets=n_buckets,
+            sort_cols=(bucket_col,),
+        )
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k in fold:
+        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/ingest_batch={k}")
+        p.getFileSystem(conf).delete(p, True)
+    return len(fold)
+
+
 def compact_fingerprint_store(
     spark: SparkSession,
     store_dir: str,
@@ -365,68 +461,53 @@ def compact_fingerprint_store(
     the previous table's contents; the prior version's files are left
     for out-of-band deletion (they may still back a reader's plan).
     """
-    from pyspark.errors import AnalysisException
-
-    compacted_path = compacted_path or store_dir.rstrip("/") + "_compacted"
-    try:
-        epochs_df = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
-        epoch_ids = sorted(
-            r[0] for r in epochs_df.select("ingest_batch").distinct().collect()
-        )  # bounded: one id per micro-batch since the last compaction
-    except AnalysisException:
-        epoch_ids = []
-    if not epoch_ids:
-        return 0
-    up_to = max(epoch_ids) if up_to_batch is None else up_to_batch
-    fold = [k for k in epoch_ids if k < up_to]
-    if not fold:
-        return 0
-
-    from real_estate_bigdata_spark.sources.lake import write_bucketed
-
-    version_path = f"{compacted_path.rstrip('/')}/v{up_to}"
-    merged = (
-        epochs_df.filter(F.col("ingest_batch") < F.lit(up_to))
-        .select("fingerprint")
+    return _compact_epoch_store(
+        spark,
+        store_dir,
+        table,
+        compacted_path,
+        up_to_batch,
+        n_buckets,
+        _STORE_SCHEMA,
+        ("fingerprint",),
+        "fingerprint",
     )
-    already_this_version = False
-    if spark.catalog.tableExists(table):
-        # merge the previous version by reading its FILES directly —
-        # referencing the catalog table here would trip Spark's
-        # self-overwrite check (UNSUPPORTED_OVERWRITE.TABLE) when
-        # saveAsTable replaces it below. The old files are not deleted,
-        # so the scan stays valid throughout.
-        loc = next(
-            r.data_type
-            for r in spark.sql(f"DESC FORMATTED {table}").collect()
-            if r.col_name == "Location"
-        )
-        # crash recovery: a prior run that committed the table at THIS
-        # version but died before deleting the folded epochs must not
-        # read-and-overwrite v{up_to} against itself — the committed
-        # table already contains those epochs' fingerprints, so only
-        # the deletes below remain to be done
-        already_this_version = loc.rstrip("/").endswith(f"/v{up_to}")
-        if not already_this_version:
-            merged = merged.unionByName(
-                spark.read.parquet(loc).select("fingerprint")
-            )
-    if not already_this_version:
-        write_bucketed(
-            merged.distinct(),
-            table,
-            version_path,
-            bucket_cols=("fingerprint",),
-            n_buckets=n_buckets,
-            sort_cols=("fingerprint",),
-        )
 
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for k in fold:
-        p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/ingest_batch={k}")
-        p.getFileSystem(conf).delete(p, True)
-    return len(fold)
+
+def compact_signature_store(
+    spark: SparkSession,
+    store_dir: str,
+    table: str = "sig_store_compacted",
+    compacted_path: str | None = None,
+    up_to_batch: int | None = None,
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+    id_type: str = "bigint",
+) -> int:
+    """:func:`compact_fingerprint_store`'s twin for the
+    ``run_neardup_doc_ingest`` MinHash signature store: fold committed
+    epoch partitions into one table bucketed+sorted on ``id_col``.
+
+    The bucketing serves the ingest's per-batch ADDITIONS anti-join
+    (new ids vs all stored ids — co-located, pre-sorted buckets, no
+    store-side exchange); the band-key join is layout-indifferent
+    (band keys are a map-side projection of the signatures wherever
+    they live). Same replay-safety contract: run with the stream
+    STOPPED; only epochs below the newest (or an explicit
+    ``up_to_batch``) fold. ``id_type`` must match the stream schema's
+    id column (see ``run_neardup_doc_ingest``).
+    """
+    return _compact_epoch_store(
+        spark,
+        store_dir,
+        table,
+        compacted_path,
+        up_to_batch,
+        n_buckets,
+        f"{id_col} {id_type}, sig array<bigint>, ingest_batch int",
+        (id_col, "sig"),
+        id_col,
+    )
 
 
 def windowed_event_counts(

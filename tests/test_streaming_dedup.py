@@ -370,3 +370,67 @@ def test_neardup_ingest_string_ids(spark, tmp_path):
     assert sorted(r.doc_id for r in spark.read.parquet(str(store)).collect()) == [
         "a", "b", "d",
     ]
+
+
+class TestSignatureStoreCompaction:
+    """compact_signature_store: epoch folding + continued near-dup
+    ingest against both store tiers (compacted table + epoch dirs)."""
+
+    def test_folds_epochs_and_neardup_ingest_continues(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+        table = "sig_compact_continue"
+
+        third = (
+            "a third completely separate document about bucketed join "
+            "layouts and the exchanges they remove from batch plans "
+            "when both sides of an equality join are clustered into "
+            "the same number of sorted buckets on the very same key "
+            "so that no repartitioning is ever required at read time"
+        )
+        _write_jsonl(src / "b1.jsonl", [(1, BASE_TEXT), (2, OTHER_TEXT)])
+        _run_near(spark, src, dest, store, ckpt)
+        _write_jsonl(src / "b2.jsonl", [(6, third)])
+        _run_near(spark, src, dest, store, ckpt)
+
+        # default contract: fold all but the newest epoch
+        folded = ingest.compact_signature_store(spark, str(store), table=table)
+        assert folded == 1
+        assert spark.read.parquet(str(store)).select(
+            "ingest_batch"
+        ).distinct().count() == 1
+        assert sorted(r.doc_id for r in spark.table(table).collect()) == [1, 2]
+
+        # near-dups against BOTH tiers drop: 7 edits doc 1 (compacted
+        # tier), 8 edits doc 6 (epoch tier), 9 novel
+        _write_jsonl(
+            src / "b3.jsonl",
+            [
+                (7, BASE_TEXT.replace("summer", "spring")),
+                (8, third.replace("bucketed", "clustered")),
+                (9, "fresh corpus entry about arrow batches and codegen"),
+            ],
+        )
+        q = ingest.run_neardup_doc_ingest(
+            spark, str(src), str(dest), str(store), str(ckpt),
+            compacted_table=table,
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.read.parquet(str(dest)).collect())
+        assert got == [1, 2, 6, 9]
+
+        # second fold sweeps the accumulated epochs into the table
+        folded2 = ingest.compact_signature_store(
+            spark, str(store), table=table, up_to_batch=10**6
+        )
+        assert folded2 == 2
+        assert sorted(r.doc_id for r in spark.table(table).collect()) == [1, 2, 6, 9]
+
+    def test_noop_on_absent_store(self, spark, tmp_path):
+        assert (
+            ingest.compact_signature_store(
+                spark, str(tmp_path / "absent"), table="sig_compact_noop"
+            )
+            == 0
+        )
