@@ -40,6 +40,10 @@ __all__ = [
     "ivf_search",
     "ivf_topk",
     "cluster_balanced_sample",
+    "PqCodebook",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -727,3 +731,255 @@ def cluster_balanced_sample(
         prefilter_counts=True,
     )
     return embeddings.join(kept.select(id_col, "cluster"), id_col)
+
+
+class PqCodebook:
+    """A trained product-quantization codebook: the vector space split
+    into ``m`` contiguous sub-spaces, each with its own ``ksub``-entry
+    centroid table. ``centroids`` has shape (m, ksub, dim/m).
+
+    Train once (:func:`train_pq`), encode the corpus
+    (:func:`pq_encode` — one uint8 code per sub-space, a dim-float
+    vector compresses to ``m`` bytes), search with asymmetric-distance
+    lookup tables (:func:`pq_topk`). The compression half of FAISS-
+    style IVF-PQ; compose with :class:`IvfIndex` lists for candidate
+    pruning when the corpus outgrows a full code scan.
+    """
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids  # (m, ksub, dsub)
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[0] * self.centroids.shape[2]
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+    max_iter: int = 10,
+) -> PqCodebook:
+    """Train a product quantizer on a bounded, content-deterministic
+    sample (same seeded-hash orderBy+limit as :func:`build_ivf_index` —
+    rebuilds of the same corpus give the same codebook under any file
+    split). Vectors are L2-normalized before training so the
+    inner-product ADC in :func:`pq_topk` ranks by cosine.
+
+    One driver-side k-means per sub-space over the sample (reusing the
+    seeded ``_kmeans_fit``); ``ksub`` caps at the sample size. ``m``
+    must divide the vector dimension.
+    """
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).filter(F.col("c_vec").isNotNull())
+    first = raw.select(F.size("c_vec").alias("d")).first()
+    if first is None:
+        raise ValueError("train_pq: corpus has no non-null vectors")
+    dim = first.d
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide the vector dimension {dim}")
+    indexable = raw.filter(F.size("c_vec") == dim)
+    train = indexable.orderBy(F.xxhash64("neighbor_id", F.lit(seed))).limit(
+        max_train
+    )
+    X = np.array(
+        [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
+    )
+    nrm = np.sqrt((X * X).sum(axis=1))
+    nrm[nrm == 0.0] = 1.0
+    X = X / nrm[:, None]
+    dsub = dim // m
+    cents = np.stack(
+        [
+            _kmeans_fit(
+                X[:, j * dsub : (j + 1) * dsub], k=ksub, seed=seed + j,
+                max_iter=max_iter,
+            )
+            for j in range(m)
+        ]
+    )
+    return PqCodebook(cents)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PqCodebook,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<int>[m]) — each vector L2-normalized and
+    quantized to its nearest sub-space centroids. A dim-float vector
+    becomes ``m`` small ints — the 16-32x memory compression that lets
+    a billion-vector corpus live in cluster RAM. NULL / wrong-dimension
+    vectors are excluded (cannot be encoded). Arrow-batched argmin per
+    sub-space; the full-precision vector never leaves the scan."""
+    cents = codebook.centroids
+    dim, m, dsub = codebook.dim, codebook.m, cents.shape[2]
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"__id": pdf["__id"], "code": []})
+                continue
+            A = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((A * A).sum(axis=1))
+            nrm[nrm == 0.0] = 1.0
+            A = A / nrm[:, None]
+            codes = np.empty((len(A), m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = _sq_dists(
+                    A[:, j * dsub : (j + 1) * dsub], cents[j]
+                ).argmin(axis=1)
+            yield pd.DataFrame({"__id": pdf["__id"], "code": list(codes)})
+
+    out = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
+        .mapInPandas(batches, schema="__id long, code array<int>")
+    )
+    return out.select(F.col("__id").alias(id_col), "code")
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: PqCodebook,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance:
+    each query builds an (m x ksub) inner-product lookup table against
+    the codebook, and a candidate's score is the sum of ``m`` table
+    lookups — the corpus is scanned as ``m``-byte codes, never floats.
+    Same small-queries contract as :func:`brute_force_topk` (the LUT
+    tensor rides into the task closures); self-matches excluded.
+
+    With ``rerank`` (the original vector table), the ADC pass keeps
+    ``k * rerank_factor`` candidates per query and exact cosine
+    re-scores just those — the standard two-stage that recovers
+    near-exact recall while still never scanning full vectors.
+    Output: (query_id, neighbor_id, cosine, rn); in the pure-ADC path
+    ``cosine`` is the quantized estimate.
+    """
+    if k < 1 or rerank_factor < 1:
+        raise ValueError(f"need k >= 1 and rerank_factor >= 1")
+    cents = codebook.centroids  # (m, ksub, dsub)
+    dim, m, dsub = codebook.dim, codebook.m, cents.shape[2]
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .filter(F.col("__qv").isNotNull() & (F.size("__qv") == dim))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("pq_topk: no valid query vectors")
+    qids = np.array([r["__qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    Q = Q / qn[:, None]
+    # LUT[q, j, c] = <query_q sub_j, centroid_{j,c}> ; scores sum over j
+    lut = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ cents[j].T for j in range(m)],
+        axis=1,
+    )
+    n_keep = k * (rerank_factor if rerank is not None else 1)
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["code"].to_numpy())  # (n, m)
+            ids = pdf["__cid"].to_numpy()
+            # scores[q, n] = sum_j lut[q, j, C[n, j]]
+            scores = np.zeros((len(qids), len(C)))
+            for j in range(m):
+                scores += lut[:, j, C[:, j]]
+            out_q, out_n, out_s = [], [], []
+            top = min(n_keep, len(C))
+            for qi in range(len(qids)):
+                part = np.argpartition(-scores[qi], top - 1)[:top]
+                out_q.extend([qids[qi]] * len(part))
+                out_n.extend(ids[part])
+                out_s.extend(scores[qi, part])
+            yield pd.DataFrame(
+                {"__qid": out_q, "neighbor_id": out_n, "__score": out_s}
+            )
+
+    cand = (
+        codes.select(F.col(id_col).alias("__cid"), "code")
+        .mapInPandas(batches, schema="__qid long, neighbor_id long, __score double")
+        .filter(F.col("neighbor_id") != F.col("__qid"))
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(
+                F.col("__qid").alias(query_id_col),
+                "neighbor_id",
+                F.round(F.col("__score"), 6).alias("cosine"),
+                "rn",
+            )
+        )
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_keep)
+        .select("__qid", "neighbor_id")
+    )
+    qdf = codes.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
+        "__qid long, __qv array<double>",
+    )
+    truth = rerank.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__cv"),
+    )
+    rescored = (
+        shortlist.join(truth, "neighbor_id")
+        .join(F.broadcast(qdf), "__qid")
+        .select(
+            "__qid",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("__qv"), F.col("__cv"), l2_norm(F.col("__qv")),
+                l2_norm(F.col("__cv")),
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col), "neighbor_id", "cosine", "rn"
+        )
+    )

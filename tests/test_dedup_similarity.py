@@ -1009,3 +1009,73 @@ class TestExtendIvfIndex:
         # the appended vector is at least REACHABLE: its exact twin is
         # itself, excluded, so assert every query returns SOME hit
         assert set(got) == {r.vec_id for r in newbies.select("vec_id").collect()}
+
+
+class TestProductQuantization:
+    def test_codes_shape_and_determinism(self, spark):
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        cb = sim.train_pq(emb, m=8, ksub=16)
+        assert cb.centroids.shape == (8, 16, 8)  # dim 64 / m 8
+        codes_a = {r.vec_id: list(r.code) for r in sim.pq_encode(emb, cb).collect()}
+        codes_b = {
+            r.vec_id: list(r.code)
+            for r in sim.pq_encode(emb.repartition(13), cb).collect()
+        }
+        assert codes_a == codes_b
+        assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes_a.values())
+        # codebook itself is partition-independent (seeded-hash sample)
+        cb2 = sim.train_pq(emb.repartition(7), m=8, ksub=16)
+        assert (cb.centroids == cb2.centroids).all()
+
+    def test_reranked_recall_vs_bruteforce(self, spark):
+        """Two-stage ADC + exact rerank must recover most of the exact
+        top-10 — the standard IVF-PQ quality bar."""
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        queries = emb.limit(8)
+        cb = sim.train_pq(emb, m=8, ksub=32)
+        codes = sim.pq_encode(emb, cb)
+        approx = sim.pq_topk(codes, cb, queries, k=10, rerank=emb, rerank_factor=5)
+        exact = sim.brute_force_topk(emb, queries, k=10)
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        assert len(a & e) / len(e) >= 0.6, len(a & e) / len(e)
+        # reranked scores are EXACT cosines: every common pair agrees
+        ax = {(r.query_id, r.neighbor_id): r.cosine for r in approx.collect()}
+        ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+        assert all(abs(ax[p] - ex[p]) < 1e-6 for p in a & e)
+
+    def test_pure_adc_finds_planted_twins(self, spark):
+        """Without rerank, ADC quantization noise can shuffle weak
+        (near-orthogonal) neighbors, but a planted near-copy (cosine
+        ~0.99) survives quantization: its code differs in few
+        sub-spaces, so it must appear in the ADC top-10."""
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((200, 64))
+        twins = base[:10] + 0.05 * rng.standard_normal((10, 64))
+        rows = [
+            (i, [float(x) for x in v]) for i, v in enumerate(base)
+        ] + [
+            (1000 + i, [float(x) for x in v]) for i, v in enumerate(twins)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = emb.filter(F.col("vec_id") < 10)
+        cb = sim.train_pq(emb, m=8, ksub=32)
+        codes = sim.pq_encode(emb, cb)
+        hits = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.pq_topk(codes, cb, queries, k=10).collect()
+        }
+        found = sum(1 for i in range(10) if (i, 1000 + i) in hits)
+        assert found >= 8, found
+
+    def test_validation(self, spark):
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sim.train_pq(emb, m=7)  # 7 does not divide 64
+        cb = sim.train_pq(emb, m=8, ksub=8)
+        with _pytest.raises(ValueError):
+            sim.pq_topk(sim.pq_encode(emb, cb), cb, emb.limit(1), k=0)
