@@ -392,6 +392,20 @@ def _q_embed_ivf_topk(spark, sf):
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_probe=6)
 
 
+def _q_embed_pq_topk(spark, sf):
+    """Product-quantized ANN (NEW r5 cont.) — rows-only like the other
+    ANN queries (quantization approximate by construction; recall
+    pinned by pytest): codebook + m-byte codes + ADC lookup-table scan
+    with exact rerank of the 5x shortlist
+    (operators/similarity.py:train_pq/pq_encode/pq_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    cb = sim.train_pq(emb, m=8, ksub=32)
+    codes = sim.pq_encode(emb, cb)
+    return sim.pq_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 5), k=10, rerank=emb
+    )
+
+
 def _q_dedup_embedding_ivf(spark, sf):
     """IVF-blocked near-dup pair generation (NEW r4) — rows-only like
     the other ANN queries: approximate by construction (pairs found iff
@@ -973,10 +987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity_buckets": _q_perplexity_buckets,
         "q_distribution_drift": _q_distribution_drift,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # 3 rows-only approximate queries (pytest recall-pinned)
+        # 4 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
+        "q_embed_pq_topk": _q_embed_pq_topk,
     }
 
 
