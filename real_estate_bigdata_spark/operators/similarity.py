@@ -386,31 +386,53 @@ def build_ivf_index(
     job, unlike the search path, which stays action-free until the
     caller collects).
     """
-    raw_corpus = corpus.select(
+    sample, dim = _deterministic_vector_sample(
+        corpus, id_col, vec_col, seed, max_train, caller="build_ivf_index"
+    )
+    centers = _kmeans_fit(sample, k=n_lists, seed=seed, max_iter=max_iter)
+    indexable = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).filter(F.col("c_vec").isNotNull() & (F.size("c_vec") == dim))
+    return IvfIndex(centroids=centers, lists=_assign_lists(indexable, centers))
+
+
+def _deterministic_vector_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    max_train: int,
+    caller: str,
+) -> tuple[np.ndarray, int]:
+    """Bounded, content-deterministic training sample shared by the
+    coarse quantizer (:func:`build_ivf_index`) and the product
+    quantizer (:func:`train_pq`): NULL/ragged vectors excluded, then
+    the ``max_train`` smallest seeded id-hashes (orderBy+limit folds to
+    TakeOrdered — no full sort). A Bernoulli ``.sample()`` would depend
+    on partitioning/row order and only bound the count in expectation —
+    and even BELOW max_train the orderBy is load-bearing: collect()
+    order is partition-dependent, and the seeded k-means++ init indexes
+    into the collected array, so an unordered sample would make the
+    same corpus produce different centroids under a different file
+    split. Returns (sample matrix, vector dimension)."""
+    raw = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     ).filter(F.col("c_vec").isNotNull())
-    first = raw_corpus.select(F.size("c_vec").alias("d")).first()
+    first = raw.select(F.size("c_vec").alias("d")).first()
     if first is None:
-        raise ValueError("build_ivf_index: corpus has no non-null vectors to index")
+        raise ValueError(f"{caller}: corpus has no non-null vectors")
     dim = first.d
-    indexable = raw_corpus.filter(F.size("c_vec") == dim)
-    # content-deterministic bounded sample: the max_train smallest
-    # seeded id-hashes (orderBy+limit folds to TakeOrdered — no full
-    # sort). A Bernoulli .sample() would depend on partitioning/row
-    # order and only bound the count in expectation — and even BELOW
-    # max_train the orderBy is load-bearing: collect() order is
-    # partition-dependent, and the seeded k-means++ init indexes into
-    # the collected array, so an unordered sample would make the same
-    # corpus produce different centroids under a different file split.
-    train = indexable.orderBy(F.xxhash64("neighbor_id", F.lit(seed))).limit(
-        max_train
+    train = (
+        raw.filter(F.size("c_vec") == dim)
+        .orderBy(F.xxhash64("neighbor_id", F.lit(seed)))
+        .limit(max_train)
     )
-    sample = np.array(
+    X = np.array(
         [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
     )
-    centers = _kmeans_fit(sample, k=n_lists, seed=seed, max_iter=max_iter)
-    return IvfIndex(centroids=centers, lists=_assign_lists(indexable, centers))
+    return X, dim
 
 
 def _assign_lists(indexable: DataFrame, centers: np.ndarray) -> DataFrame:
@@ -782,23 +804,11 @@ def train_pq(
     seeded ``_kmeans_fit``); ``ksub`` caps at the sample size. ``m``
     must divide the vector dimension.
     """
-    raw = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).filter(F.col("c_vec").isNotNull())
-    first = raw.select(F.size("c_vec").alias("d")).first()
-    if first is None:
-        raise ValueError("train_pq: corpus has no non-null vectors")
-    dim = first.d
+    X, dim = _deterministic_vector_sample(
+        corpus, id_col, vec_col, seed, max_train, caller="train_pq"
+    )
     if dim % m != 0:
         raise ValueError(f"m={m} must divide the vector dimension {dim}")
-    indexable = raw.filter(F.size("c_vec") == dim)
-    train = indexable.orderBy(F.xxhash64("neighbor_id", F.lit(seed))).limit(
-        max_train
-    )
-    X = np.array(
-        [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
-    )
     nrm = np.sqrt((X * X).sum(axis=1))
     nrm[nrm == 0.0] = 1.0
     X = X / nrm[:, None]
@@ -815,6 +825,21 @@ def train_pq(
     return PqCodebook(cents)
 
 
+def _require_integral_id(df: DataFrame, id_col: str, caller: str) -> None:
+    """The PQ mapInPandas schemas carry ids as int64; a non-integral id
+    column would crash the Arrow cast deep inside a pandas worker —
+    validate up front with a clear error (same contract and rationale
+    as ``label_agreement``)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{caller} requires an integral {id_col!r} column "
+            f"(got {dt.simpleString()}); map string ids to integers first"
+        )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: PqCodebook,
@@ -825,8 +850,12 @@ def pq_encode(
     quantized to its nearest sub-space centroids. A dim-float vector
     becomes ``m`` small ints — the 16-32x memory compression that lets
     a billion-vector corpus live in cluster RAM. NULL / wrong-dimension
-    vectors are excluded (cannot be encoded). Arrow-batched argmin per
-    sub-space; the full-precision vector never leaves the scan."""
+    vectors and NULL ids are excluded (the Arrow long schema cannot
+    carry a NaN id, and an id-less code is unusable downstream);
+    ``id_col`` must be integral, like ``label_agreement``'s ids.
+    Arrow-batched argmin per sub-space; the full-precision vector never
+    leaves the scan."""
+    _require_integral_id(corpus, id_col, "pq_encode")
     cents = codebook.centroids
     dim, m, dsub = codebook.dim, codebook.m, cents.shape[2]
 
@@ -851,7 +880,11 @@ def pq_encode(
             F.col(id_col).alias("__id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
-        .filter(F.col("__v").isNotNull() & (F.size("__v") == dim))
+        .filter(
+            F.col("__id").isNotNull()
+            & F.col("__v").isNotNull()
+            & (F.size("__v") == dim)
+        )
         .mapInPandas(batches, schema="__id long, code array<int>")
     )
     return out.select(F.col("__id").alias(id_col), "code")
@@ -884,6 +917,8 @@ def pq_topk(
     """
     if k < 1 or rerank_factor < 1:
         raise ValueError(f"need k >= 1 and rerank_factor >= 1")
+    _require_integral_id(codes, id_col, "pq_topk")
+    _require_integral_id(queries, id_col, "pq_topk")
     cents = codebook.centroids  # (m, ksub, dsub)
     dim, m, dsub = codebook.dim, codebook.m, cents.shape[2]
     qrows = (
@@ -891,7 +926,11 @@ def pq_topk(
             F.col(id_col).alias("__qid"),
             F.col(vec_col).cast("array<double>").alias("__qv"),
         )
-        .filter(F.col("__qv").isNotNull() & (F.size("__qv") == dim))
+        .filter(
+            F.col("__qid").isNotNull()
+            & F.col("__qv").isNotNull()
+            & (F.size("__qv") == dim)
+        )
         .collect()
     )
     if not qrows:
@@ -918,6 +957,11 @@ def pq_topk(
             scores = np.zeros((len(qids), len(C)))
             for j in range(m):
                 scores += lut[:, j, C[:, j]]
+            # exclude self-matches BEFORE the per-batch truncation —
+            # filtering after would burn one of the kept slots on the
+            # self row (always the max ADC score), permanently losing
+            # the true k-th candidate for queries drawn from the corpus
+            scores[ids[None, :] == qids[:, None]] = -np.inf
             out_q, out_n, out_s = [], [], []
             top = min(n_keep, len(C))
             for qi in range(len(qids)):
@@ -931,6 +975,7 @@ def pq_topk(
 
     cand = (
         codes.select(F.col(id_col).alias("__cid"), "code")
+        .filter(F.col("__cid").isNotNull())
         .mapInPandas(batches, schema="__qid long, neighbor_id long, __score double")
         .filter(F.col("neighbor_id") != F.col("__qid"))
     )

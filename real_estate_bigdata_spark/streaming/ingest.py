@@ -144,10 +144,14 @@ def run_deduped_doc_ingest(
     corpus scale: periodically run :func:`compact_fingerprint_store`
     (while the stream is stopped) to fold committed epoch partitions
     into a bucketed+sorted table, and pass its ``table`` name here as
-    ``compacted_table`` — each batch then dedups against the bucketed
-    table (anti-join reads co-located buckets, no exchange and no sort
-    on the store side) unioned with whatever epoch partitions have
-    accumulated since the last compaction.
+    ``compacted_table``. Honest scope of the layout win: the in-batch
+    anti-join unions the table with the unfolded epoch partitions, and
+    bucketing does not propagate through a Union — so THIS join still
+    exchanges (a far smaller post-fold store); the exchange-free,
+    sort-free bucketed join (pinned by the plan test) belongs to
+    consumers that join the compacted table directly, and compaction's
+    own next merge. What the fold buys the ingest is a bounded epoch
+    tier and one table read instead of thousands of small files.
     """
     from real_estate_bigdata_spark.operators.dedup import dedup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
@@ -260,8 +264,12 @@ def run_neardup_doc_ingest(
     statically, and the per-batch joins shuffle band keys and
     signature rows only. Steady state: periodically run
     :func:`compact_signature_store` (stream STOPPED) and pass its
-    ``table`` here as ``compacted_table`` — the additions anti-join
-    then reads id-bucketed, pre-sorted store buckets.
+    ``table`` here as ``compacted_table`` — same two-tier union and
+    the same honest scope as the exact ingest: the in-batch joins
+    still exchange (bucketing does not survive the Union), while
+    direct consumers of the id-bucketed table join exchange-free; the
+    fold's in-ingest win is the bounded epoch tier and single-table
+    read.
     """
     from real_estate_bigdata_spark.operators.dedup import neardup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
@@ -402,7 +410,31 @@ def _compact_epoch_store(
         # table already contains those epochs' rows, so only the
         # deletes below remain to be done
         already_this_version = loc.rstrip("/").endswith(f"/v{up_to}")
-        if not already_this_version:
+        if already_this_version:
+            # Two situations share this table location: (a) crash
+            # recovery — the write committed v{up_to} but the folded
+            # epoch dirs were not yet deleted (their rows ARE in the
+            # table; only the deletes remain), and (b) a NEW fold that
+            # REUSED an old up_to_batch after the stream wrote fresh
+            # epochs — skipping the merge there would delete rows never
+            # written anywhere (silent store loss, every future
+            # near-dup of them admitted). Distinguish by containment:
+            # any folded key missing from the table means (b) — refuse.
+            missing = (
+                merged.select(bucket_col)
+                .join(spark.read.parquet(loc).select(bucket_col),
+                      bucket_col, "left_anti")
+                .limit(1)
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"compaction version v{up_to} already exists but does "
+                    f"not contain the epochs now pending; pass an "
+                    f"up_to_batch above the newest folded epoch instead "
+                    f"of reusing {up_to}"
+                )
+        else:
             merged = merged.unionByName(
                 spark.read.parquet(loc).select(*value_cols)
             )
@@ -488,11 +520,13 @@ def compact_signature_store(
     ``run_neardup_doc_ingest`` MinHash signature store: fold committed
     epoch partitions into one table bucketed+sorted on ``id_col``.
 
-    The bucketing serves the ingest's per-batch ADDITIONS anti-join
-    (new ids vs all stored ids — co-located, pre-sorted buckets, no
-    store-side exchange); the band-key join is layout-indifferent
-    (band keys are a map-side projection of the signatures wherever
-    they live). Same replay-safety contract: run with the stream
+    The id-bucketed layout gives DIRECT consumers of the table (audit
+    joins, the compaction's own next merge) exchange-free, sort-free
+    anti-joins; inside the ingest the table is unioned with the
+    unfolded epochs first, so that join still exchanges — the in-ingest
+    win is the bounded epoch tier (see ``run_neardup_doc_ingest``).
+    The band-key join is layout-indifferent (band keys are a map-side
+    projection of the signatures wherever they live). Same replay-safety contract: run with the stream
     STOPPED; only epochs below the newest (or an explicit
     ``up_to_batch``) fold. ``id_type`` must match the stream schema's
     id column (see ``run_neardup_doc_ingest``).

@@ -1079,3 +1079,28 @@ class TestProductQuantization:
         cb = sim.train_pq(emb, m=8, ksub=8)
         with _pytest.raises(ValueError):
             sim.pq_topk(sim.pq_encode(emb, cb), cb, emb.limit(1), k=0)
+
+
+def test_pq_self_mask_keeps_full_k_and_null_ids_tolerated(spark):
+    """Review fixes: (1) a query drawn from the corpus still gets k
+    full neighbors in the pure-ADC path (self excluded BEFORE the
+    per-batch truncation); (2) NULL-id corpus rows are dropped, not a
+    pandas-worker crash; (3) non-integral ids fail fast."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    rows.append((None, [0.5] * 16))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = sim.train_pq(emb, m=4, ksub=8)
+    codes = sim.pq_encode(emb, cb)
+    assert codes.count() == 40  # NULL id silently excluded
+    out = sim.pq_topk(codes, cb, emb.filter(F.col("vec_id") == 0), k=10)
+    got = out.collect()
+    assert len(got) == 10  # full k despite the query being in the corpus
+    assert all(r.neighbor_id != 0 for r in got)
+
+    strs = spark.createDataFrame([("a", [0.1] * 16)], "vec_id string, embedding array<float>")
+    with _pytest.raises(TypeError):
+        sim.pq_encode(strs, cb)

@@ -434,3 +434,33 @@ class TestSignatureStoreCompaction:
             )
             == 0
         )
+
+
+def test_compaction_refuses_reused_up_to_batch(spark, tmp_path):
+    """Review fix: a NEW fold that reuses an old up_to_batch after the
+    stream wrote fresh epochs must refuse — skipping the merge would
+    delete epoch rows never written to the table (silent store loss)."""
+    import pytest as _pytest
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+    table = "fp_compact_reuse_guard"
+    _write_jsonl(src / "b1.jsonl", [(1, "aaa bbb"), (2, "ccc ddd")])
+    _run(spark, src, dest, store, ckpt)
+    assert ingest.compact_fingerprint_store(
+        spark, str(store), table=table, up_to_batch=100
+    ) == 1
+    _write_jsonl(src / "b2.jsonl", [(6, "eee fff")])
+    _run(spark, src, dest, store, ckpt)
+    with _pytest.raises(ValueError, match="v100 already exists"):
+        ingest.compact_fingerprint_store(
+            spark, str(store), table=table, up_to_batch=100
+        )
+    # the fresh epoch survived the refused fold
+    assert spark.read.parquet(str(store)).count() >= 1
+    # a HIGHER up_to folds it cleanly
+    assert ingest.compact_fingerprint_store(
+        spark, str(store), table=table, up_to_batch=200
+    ) == 1
+    assert spark.table(table).count() == 3
