@@ -93,6 +93,10 @@ def test_every_query_has_oracle_or_is_documented():
         # sets intersect — approximate by construction; recall >= 0.95
         # pinned in tests/test_dedup_similarity.py
         "q_dedup_embedding_ivf",
+        # product-quantized ANN (NEW r5): quantization approximate by
+        # construction; recall + determinism pinned in
+        # tests/test_dedup_similarity.py::TestProductQuantization
+        "q_embed_pq_topk",
     }
     assert set(missing) <= allowed_rows_only
 
