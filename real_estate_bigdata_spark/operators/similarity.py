@@ -44,6 +44,8 @@ __all__ = [
     "train_pq",
     "pq_encode",
     "pq_topk",
+    "save_pq",
+    "load_pq",
 ]
 
 
@@ -1028,3 +1030,37 @@ def pq_topk(
             F.col("__qid").alias(query_id_col), "neighbor_id", "cosine", "rn"
         )
     )
+
+
+def save_pq(
+    codebook: PqCodebook, codes: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Persist a product-quantized corpus: the codebook as one tiny
+    parquet table (one row per sub-space, its ksub x dsub centroid
+    block flattened) and the codes as parquet. The build-once /
+    search-many contract of :func:`save_ivf_index` extended to PQ:
+    re-encoding a static corpus on every search session would repay
+    the full decode+argmin pass for nothing."""
+    spark = codes.sparkSession
+    m, ksub, dsub = codebook.centroids.shape
+    rows = [
+        (int(j), int(ksub), int(dsub),
+         [float(x) for x in codebook.centroids[j].reshape(-1)])
+        for j in range(m)
+    ]
+    spark.createDataFrame(
+        rows, "sub_space int, ksub int, dsub int, flat array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    codes.select(F.col(id_col), "code").write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def load_pq(spark, path: str) -> tuple[PqCodebook, DataFrame]:
+    """Load a persisted PQ corpus -> (codebook, codes). The codebook
+    (tiny) collects to the driver; codes stay a lazy scan."""
+    rows = spark.read.parquet(f"{path}/codebook").orderBy("sub_space").collect()
+    cents = np.stack(
+        [np.asarray(r.flat).reshape(r.ksub, r.dsub) for r in rows]
+    )
+    return PqCodebook(cents), spark.read.parquet(f"{path}/codes")

@@ -1104,3 +1104,23 @@ def test_pq_self_mask_keeps_full_k_and_null_ids_tolerated(spark):
     strs = spark.createDataFrame([("a", [0.1] * 16)], "vec_id string, embedding array<float>")
     with _pytest.raises(TypeError):
         sim.pq_encode(strs, cb)
+
+
+def test_pq_save_load_roundtrip(spark, tmp_path):
+    """Persisted codebook+codes reload bit-identically and search the
+    same — the build-once/search-many contract extended to PQ."""
+    import numpy as np
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb = sim.train_pq(emb, m=8, ksub=16)
+    codes = sim.pq_encode(emb, cb)
+    sim.save_pq(cb, codes, str(tmp_path / "pq"))
+    cb2, codes2 = sim.load_pq(spark, str(tmp_path / "pq"))
+    assert (cb2.centroids == cb.centroids).all()
+    a = {r.vec_id: list(r.code) for r in codes.collect()}
+    b = {r.vec_id: list(r.code) for r in codes2.collect()}
+    assert a == b
+    q = emb.limit(3)
+    r1 = {(r.query_id, r.rn): r.neighbor_id for r in sim.pq_topk(codes, cb, q, k=5).collect()}
+    r2 = {(r.query_id, r.rn): r.neighbor_id for r in sim.pq_topk(codes2, cb2, q, k=5).collect()}
+    assert r1 == r2
