@@ -46,6 +46,7 @@ __all__ = [
     "pq_topk",
     "save_pq",
     "load_pq",
+    "ivfpq_topk",
 ]
 
 
@@ -1064,3 +1065,70 @@ def load_pq(spark, path: str) -> tuple[PqCodebook, DataFrame]:
         [np.asarray(r.flat).reshape(r.ksub, r.dsub) for r in rows]
     )
     return PqCodebook(cents), spark.read.parquet(f"{path}/codes")
+
+
+def ivfpq_topk(
+    index: IvfIndex,
+    codebook: PqCodebook,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 6,
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Full FAISS-shape IVF-PQ search: the coarse quantizer prunes the
+    corpus to the union of every query's ``n_probe`` nearest inverted
+    lists, and the PQ ADC kernel (:func:`pq_topk`) scans only those
+    lists' m-byte codes — compute proportional to probed lists, memory
+    proportional to codes, never a full-corpus float scan. Composes the
+    two persisted artifacts (:func:`save_ivf_index` + :func:`save_pq`):
+    with the partitioned list layout the ``isin`` filter prunes whole
+    list directories at the scan, exactly like :func:`ivf_search`.
+
+    Probing uses RAW query vectors against the raw-vector centroids
+    (the assignment metric); ADC scoring then normalizes, as always.
+    The union-of-probes candidate set can only ADD candidates for any
+    single query versus per-query pruning — recall is monotonically
+    better at the cost of scoring a few extra codes per batch.
+    """
+    _require_integral_id(queries, id_col, "ivfpq_topk")
+    dim = codebook.dim
+    qrows = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .filter(
+            F.col("__qid").isNotNull()
+            & F.col("__qv").isNotNull()
+            & (F.size("__qv") == dim)
+        )
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ivfpq_topk: no valid query vectors")
+    Q = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    d = _sq_dists(Q, index.centroids)
+    n_probe = min(n_probe, index.n_lists)
+    probed = sorted(
+        {int(x) for row in np.argsort(d, axis=1)[:, :n_probe] for x in row}
+    )
+    cand_ids = (
+        index.lists.filter(F.col("__list").isin(probed))
+        .select(F.col("neighbor_id").alias(id_col))
+    )
+    return pq_topk(
+        codes.join(cand_ids, id_col, "left_semi"),
+        codebook,
+        queries,
+        k=k,
+        rerank=rerank,
+        rerank_factor=rerank_factor,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
