@@ -406,6 +406,20 @@ def _q_embed_pq_topk(spark, sf):
     )
 
 
+def _q_embed_ivfpq_topk(spark, sf):
+    """Composed IVF-PQ search (NEW r5 cont.) — rows-only: coarse lists
+    prune the corpus, ADC scans only the probed lists' codes, exact
+    rerank on the shortlist (operators/similarity.py:ivfpq_topk)."""
+    emb = load_table(spark, sf, "embeddings")
+    idx = sim.build_ivf_index(emb, n_lists=16)
+    cb = sim.train_pq(emb, m=8, ksub=32)
+    codes = sim.pq_encode(emb, cb)
+    return sim.ivfpq_topk(
+        idx, cb, codes, emb.filter(F.col("vec_id") < 5), k=10, n_probe=6,
+        rerank=emb,
+    )
+
+
 def _q_dedup_embedding_ivf(spark, sf):
     """IVF-blocked near-dup pair generation (NEW r4) — rows-only like
     the other ANN queries: approximate by construction (pairs found iff
@@ -987,11 +1001,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity_buckets": _q_perplexity_buckets,
         "q_distribution_drift": _q_distribution_drift,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # 4 rows-only approximate queries (pytest recall-pinned)
+        # 5 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
         "q_embed_pq_topk": _q_embed_pq_topk,
+        "q_embed_ivfpq_topk": _q_embed_ivfpq_topk,
     }
 
 

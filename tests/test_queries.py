@@ -97,6 +97,10 @@ def test_every_query_has_oracle_or_is_documented():
         # construction; recall + determinism pinned in
         # tests/test_dedup_similarity.py::TestProductQuantization
         "q_embed_pq_topk",
+        # composed IVF-PQ (NEW r5): list pruning + quantization, both
+        # approximate by construction; pinned in
+        # tests/test_dedup_similarity.py::TestIvfPq
+        "q_embed_ivfpq_topk",
     }
     assert set(missing) <= allowed_rows_only
 
