@@ -828,6 +828,30 @@ def train_pq(
     return PqCodebook(cents)
 
 
+def _collect_query_rows(
+    queries: DataFrame, id_col: str, vec_col: str, dim: int, caller: str
+) -> list:
+    """Driver-side query snapshot shared by :func:`pq_topk` and
+    :func:`ivfpq_topk` (small-queries contract): NULL ids, NULL
+    vectors, and wrong-dimension vectors excluded; raises with a clear
+    error when nothing searchable remains."""
+    rows = (
+        queries.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        )
+        .filter(
+            F.col("__qid").isNotNull()
+            & F.col("__qv").isNotNull()
+            & (F.size("__qv") == dim)
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"{caller}: no valid query vectors")
+    return rows
+
+
 def _require_integral_id(df: DataFrame, id_col: str, caller: str) -> None:
     """The PQ mapInPandas schemas carry ids as int64; a non-integral id
     column would crash the Arrow cast deep inside a pandas worker —
@@ -903,6 +927,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    _qrows: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes via asymmetric distance:
     each query builds an (m x ksub) inner-product lookup table against
@@ -924,20 +949,14 @@ def pq_topk(
     _require_integral_id(queries, id_col, "pq_topk")
     cents = codebook.centroids  # (m, ksub, dsub)
     dim, m, dsub = codebook.dim, codebook.m, cents.shape[2]
+    # _qrows: pre-collected query rows from ivfpq_topk — the composed
+    # search already ran this exact collect for list probing; accepting
+    # it avoids executing the queries' upstream pipeline twice
     qrows = (
-        queries.select(
-            F.col(id_col).alias("__qid"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        )
-        .filter(
-            F.col("__qid").isNotNull()
-            & F.col("__qv").isNotNull()
-            & (F.size("__qv") == dim)
-        )
-        .collect()
+        _collect_query_rows(queries, id_col, vec_col, dim, "pq_topk")
+        if _qrows is None
+        else _qrows
     )
-    if not qrows:
-        raise ValueError("pq_topk: no valid query vectors")
     qids = np.array([r["__qid"] for r in qrows], dtype=np.int64)
     Q = np.array([r["__qv"] for r in qrows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))
@@ -1096,21 +1115,16 @@ def ivfpq_topk(
     better at the cost of scoring a few extra codes per batch.
     """
     _require_integral_id(queries, id_col, "ivfpq_topk")
+    if codebook.dim != index.dim:
+        # fail fast with the artifact named — a mismatched pair would
+        # otherwise die in _sq_dists with an opaque broadcast error
+        raise ValueError(
+            f"ivfpq_topk: codebook dim {codebook.dim} != index dim "
+            f"{index.dim} — the PQ and IVF artifacts were built on "
+            f"different embedding spaces"
+        )
     dim = codebook.dim
-    qrows = (
-        queries.select(
-            F.col(id_col).alias("__qid"),
-            F.col(vec_col).cast("array<double>").alias("__qv"),
-        )
-        .filter(
-            F.col("__qid").isNotNull()
-            & F.col("__qv").isNotNull()
-            & (F.size("__qv") == dim)
-        )
-        .collect()
-    )
-    if not qrows:
-        raise ValueError("ivfpq_topk: no valid query vectors")
+    qrows = _collect_query_rows(queries, id_col, vec_col, dim, "ivfpq_topk")
     Q = np.array([r["__qv"] for r in qrows], dtype=np.float64)
     d = _sq_dists(Q, index.centroids)
     n_probe = min(n_probe, index.n_lists)
@@ -1131,4 +1145,5 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+        _qrows=qrows,
     )
