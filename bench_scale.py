@@ -58,7 +58,8 @@ per-copy duplicate rate constant — the realistic regime),
 ``shuffle_shard``, ``corpus_diff``; final-r5: ``semantic_dedup``,
 ``bigram_logprob``, ``neardup_vs_store`` (fixed batch vs corpus-scaled
 signature store — the steady-state ingest regime), the cross-corpus
-LSH join, and stub-decoded perceptual-hash image near-dup.
+LSH join, stub-decoded perceptual-hash image near-dup, and the
+full PQ pipeline (train + encode + reranked ADC search).
 
 Usage: ``python bench_scale.py`` (env: SPARK_GRAFT_SCALE_BASE for the
 source sf dir, SPARK_GRAFT_SCALE_DIR for the synth output dir).
@@ -81,7 +82,12 @@ from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.decontamination import decontaminate
-from real_estate_bigdata_spark.operators.similarity import label_agreement
+from real_estate_bigdata_spark.operators.similarity import (
+    label_agreement,
+    pq_encode,
+    pq_topk,
+    train_pq,
+)
 from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
 from real_estate_bigdata_spark.operators.quality import metric_histogram
 from real_estate_bigdata_spark.operators.sampling import cap_per_group, shuffle_shard
@@ -277,6 +283,15 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             ),
             use_pil=False,
         ),
+        # PQ family over the scaled embedding corpus: train (bounded
+        # sample) + encode (linear Arrow pass) + reranked ADC search —
+        # the full two-stage pipeline a search session pays
+        "pq_search": lambda: (
+            lambda cb: pq_topk(
+                pq_encode(emb(), cb), cb,
+                emb().orderBy("vec_id").limit(8), k=10, rerank=emb(),
+            )
+        )(train_pq(emb(), m=8, ksub=32)),
     }
     if names is not None:
         return {k: defs[k] for k in names}
