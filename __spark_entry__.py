@@ -724,6 +724,16 @@ def _q_distribution_drift(spark, sf):
     return distribution_drift(old, new, "n_chars", 0, 600, n_bins=12)
 
 
+def _q_novelty_scores(spark, sf):
+    """Per-document n-gram novelty profile (NEW r5 cont.): the
+    fraction of each doc's distinct word-3-grams whose global first
+    occurrence (min owning id) is that doc
+    (operators/dedup.py:novelty_scores)."""
+    from real_estate_bigdata_spark.operators.dedup import novelty_scores
+
+    return novelty_scores(load_table(spark, sf, "documents"))
+
+
 def _q_cross_corpus_pairs(spark, sf):
     """Cross-corpus near-dup join (NEW r5 cont.): even-id docs as the
     training side, odd-id docs as the benchmark side; LSH candidates +
@@ -1001,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_perplexity_buckets": _q_perplexity_buckets,
         "q_distribution_drift": _q_distribution_drift,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
+        "q_novelty_scores": _q_novelty_scores,
         # 5 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2581,6 +2592,39 @@ def oracle_sql() -> dict[str, str]:
                               / ((j.n_old + 1) / (tot.t_old + 14))), 6)
                        AS psi_contrib
             FROM joined j, tot
+        """,
+        # per-doc novelty: distinct word-3-grams, global min-owning-id
+        # per gram; grouping by string gram matches the hashed-gram
+        # Spark grouping up to xxhash64 collisions (Jaccard-family
+        # argument); int/int division + round 6 on both engines
+        "q_novelty_scores": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS w
+                FROM documents WHERE doc_id IS NOT NULL
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           list_transform(range(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+                FROM toks
+            ), fst AS (
+                SELECT g, min(doc_id) AS fid FROM grams GROUP BY g
+            ), per AS (
+                SELECT gr.doc_id,
+                       count(*)::BIGINT AS n_grams,
+                       sum((f.fid = gr.doc_id)::INT)::BIGINT AS n_novel
+                FROM grams gr JOIN fst f USING (g)
+                GROUP BY gr.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+                   CASE WHEN p.n_grams > 0
+                        THEN round(p.n_novel / p.n_grams, 6) END AS novelty
+            FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+            LEFT JOIN per p USING (doc_id)
         """,
         # exact cross-corpus pairs: even-id side x odd-id side, word-3-
         # gram Jaccard >= 0.8 — the LSH operator verifies exactly, so

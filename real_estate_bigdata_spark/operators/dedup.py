@@ -55,6 +55,7 @@ __all__ = [
     "dedup_against_store",
     "neardup_against_store",
     "cross_corpus_lsh_pairs",
+    "novelty_scores",
 ]
 
 
@@ -1262,3 +1263,62 @@ def cross_corpus_lsh_pairs(
         bands_a.join(bands_b, ["band", "bucket"]).select("id_a", "id_b").distinct()
     )
     return _verify_jaccard(candidates, hsh_a, hsh_b, threshold, id_col)
+
+
+def novelty_scores(
+    corpus: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document content novelty: the fraction of a doc's DISTINCT
+    word-``n``-grams whose global first occurrence (minimum owning doc
+    id) is this doc — 1.0 = nothing seen before (fresh content), ~0 =
+    assembled entirely from earlier documents (aggregator/spam shape).
+    The per-doc profile underlying span-level dedup
+    (:func:`redact_duplicate_spans` REMOVES repeats; this MEASURES
+    each doc's contribution), and a curation signal in its own right:
+    rank a crawl snapshot by novelty before deciding what to keep.
+
+    Output: (id, n_grams, n_novel, novelty round-6). Docs with no
+    grams (NULL/empty/too-short text) keep n_grams = 0 and NULL
+    novelty; NULL-id docs are excluded entirely (they cannot own a
+    first occurrence, and a NULL id is unusable downstream).
+
+    Plan: the same two bounded shuffles as the gram-dedup family — one
+    per-gram min-id aggregate (map-side combinable), one per-doc count
+    aggregate; the gram stream is hashed 64-bit ids, never strings,
+    and the oracle's string-gram grouping matches up to xxhash64
+    collisions (~|grams|^2 x 2^-64, immaterial — same argument as the
+    Jaccard family).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = corpus.filter(F.col(id_col).isNotNull())
+    grams = _hashed_shingles(base, n, id_col, text_col).select(
+        F.col(id_col), F.explode("hs").alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min(id_col).alias("__first_id"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first_id") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )

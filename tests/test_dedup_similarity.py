@@ -1270,3 +1270,52 @@ class TestIvfPq:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "__list" in plan  # the list filter reaches the scan
         assert out.count() > 0
+
+
+class TestNoveltyScores:
+    def test_first_doc_fully_novel_copies_score_zero(self, spark):
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        df = spark.createDataFrame(
+            [
+                (1, base),            # owns every gram
+                (2, base),            # exact copy: nothing novel
+                (3, base + " extra tail words here"),  # mostly seen
+                (4, "entirely different text about spark plans and joins"),
+                (5, ""),              # no grams
+                (6, None),            # no grams
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in dd.novelty_scores(df).collect()}
+        assert rows[1].novelty == 1.0
+        assert rows[2].novelty == 0.0 and rows[2].n_grams > 0
+        assert 0.0 < rows[3].novelty < 1.0
+        assert rows[4].novelty == 1.0
+        assert rows[5].n_grams == 0 and rows[5].novelty is None
+        assert rows[6].n_grams == 0 and rows[6].novelty is None
+
+    def test_null_ids_excluded_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (None, "a b c d e f")],
+            "doc_id long, text string",
+        )
+        out = dd.novelty_scores(df).collect()
+        # NULL-id doc excluded entirely — cannot own or consume grams
+        assert [r.doc_id for r in out] == [1]
+        assert out[0].novelty == 1.0
+        a = {(r.doc_id, r.novelty) for r in dd.novelty_scores(df).collect()}
+        b = {
+            (r.doc_id, r.novelty)
+            for r in dd.novelty_scores(df.repartition(7)).collect()
+        }
+        assert a == b
+
+    def test_rejects_bad_n(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            dd.novelty_scores(df, n=0)
