@@ -216,10 +216,17 @@ def temperature_mixture(
 
         keep_fraction(s) = (T_min / T_s) ** (1 - alpha)
 
-    (T_min = smallest positive stratum mass). alpha=1 keeps everything
+    (T_min = smallest POSITIVE stratum mass). alpha=1 keeps everything
     (natural proportions), alpha=0 equalizes all strata to T_min —
-    exactly ``mixture_balance`` — and 0<alpha<1 interpolates, boosting
-    rare strata without flattening the mixture entirely.
+    exactly ``mixture_balance`` whenever every stratum has positive
+    mass (the integer floor-division is reused verbatim for that
+    endpoint) — and 0<alpha<1 interpolates, boosting rare strata
+    without flattening the mixture entirely. Deliberate divergence
+    under ZERO-mass strata: ``mixture_balance``'s min includes 0, so
+    one all-zero-weight stratum collapses every positive stratum to
+    nothing; here T_min is the smallest positive mass (zero-mass
+    strata still keep all their rows), because flooring the whole
+    corpus to zero is never the curation intent.
 
     Cross-engine oracle exactness: for alpha=0.5 the fraction is
     sqrt(T_min/T_s), computed via IEEE-exact ``math.sqrt`` on an exact

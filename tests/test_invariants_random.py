@@ -313,3 +313,114 @@ def test_linear_quality_scores_matches_python_reference_random(spark):
     for i, t in rows:
         want = 0.375 + sum(weights.get(tok, 0.0) for tok in t.split())
         assert got[i] == want, (i, got[i], want)
+
+
+def test_temperature_mixture_invariants_random(spark):
+    """Randomized corpus: for any alpha grid, kept sets are NESTED in
+    alpha, per-stratum keeps never exceed stratum size, the smallest
+    positive-mass stratum is kept whole, and endpoints reproduce
+    mixture_balance / identity exactly."""
+    import random as _random
+
+    from real_estate_bigdata_spark.operators.sampling import (
+        mixture_balance,
+        temperature_mixture,
+    )
+
+    rng = _random.Random(7)
+    rows = []
+    i = 0
+    for s, size in (("big", 250), ("mid", 60), ("small", 9), ("zero", 4)):
+        for _ in range(size):
+            w = 0 if s == "zero" else rng.randrange(1, 400)
+            rows.append((i, s, w))
+            i += 1
+    rows.append((i, None, 50))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    kept_prev = None
+    for a in (0.0, 0.25, 0.5, 0.75, 1.0):
+        kept = {r.doc_id for r in temperature_mixture(df, alpha=a).collect()}
+        if kept_prev is not None:
+            assert kept_prev <= kept, f"not nested at alpha={a}"
+        kept_prev = kept
+        per = {
+            r.source: r.n
+            for r in df.filter(F.col("doc_id").isin(list(kept)) if kept else F.lit(False))
+            .groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert per.get("small", 0) == 9  # smallest positive stratum whole
+        assert per.get("zero", 0) == 4   # zero-mass stratum whole
+        assert None not in per           # NULL stratum dropped
+    # endpoint identity holds on positive-mass strata (documented
+    # divergence under zero-mass strata: mixture_balance's min includes
+    # 0 and collapses every positive stratum — see the docstring)
+    df_pos = df.filter(F.col("source") != "zero")
+    bal = {r.doc_id for r in mixture_balance(df_pos).collect()}
+    flat = {r.doc_id for r in temperature_mixture(df_pos, alpha=0.0).collect()}
+    assert flat == bal
+    assert len(kept_prev) == df.count() - 1  # alpha=1: all but NULL stratum
+
+
+def test_metric_buckets_invariants_random(spark):
+    """Random metric: buckets are within [1, n], non-decreasing in the
+    metric, NULLs get NULL, and counts are near-balanced for a
+    continuous metric."""
+    import random as _random
+
+    from real_estate_bigdata_spark.operators.quality import metric_buckets
+
+    rng = _random.Random(11)
+    rows = [
+        (i, rng.random() * 1000 if rng.random() > 0.05 else None)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, m double")
+    for nb in (2, 3, 7):
+        out = sorted(
+            ((r.m, r.bucket) for r in metric_buckets(df, "m", n_buckets=nb).collect()
+             if r.m is not None),
+        )
+        assert all(1 <= b <= nb for _, b in out)
+        assert all(b1 <= b2 for (_, b1), (_, b2) in zip(out, out[1:]))
+        counts = {}
+        for _, b in out:
+            counts[b] = counts.get(b, 0) + 1
+        n = len(out)
+        for b in range(1, nb + 1):
+            assert counts.get(b, 0) >= n // (2 * nb), (nb, counts)
+    nulls = [r.bucket for r in metric_buckets(df, "m").collect() if r.m is None]
+    assert nulls and all(b is None for b in nulls)
+
+
+def test_novelty_scores_matches_python_reference_random(spark):
+    """Exact replay of novelty semantics in pure Python over a random
+    corpus with heavy copying (first-owner = min doc id, distinct
+    word-3-grams)."""
+    import random as _random
+
+    from real_estate_bigdata_spark.operators.dedup import novelty_scores
+
+    rng = _random.Random(13)
+    vocab = [f"w{j}" for j in range(30)]
+    docs = {}
+    for i in range(120):
+        if rng.random() < 0.2 and docs:
+            docs[i] = docs[rng.choice(list(docs))]  # exact copy
+        else:
+            docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 12)))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[k:k + 3]) for k in range(len(w) - 2)}
+
+    first = {}
+    for i in sorted(docs):
+        for g in grams(docs[i]):
+            first.setdefault(g, i)
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in novelty_scores(df).collect()}
+    for i in sorted(docs):
+        gs = grams(docs[i])
+        want = (len(gs), sum(1 for g in gs if first[g] == i))
+        assert got[i] == want, (i, got[i], want)
