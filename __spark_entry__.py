@@ -724,6 +724,20 @@ def _q_distribution_drift(spark, sf):
     return distribution_drift(old, new, "n_chars", 0, 600, n_bins=12)
 
 
+def _q_source_drift(spark, sf):
+    """Per-source PSI drift (NEW r5 cont.): distribution_drift grouped
+    by source over the corpus_diff-style derived snapshots — WHICH
+    source drifted (operators/quality.py:distribution_drift)."""
+    from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 5)
+    new = docs.filter(F.col("doc_id") % 11 != 4)
+    return distribution_drift(
+        old, new, "n_chars", 0, 600, n_bins=12, group_col="source"
+    )
+
+
 def _q_novelty_scores(spark, sf):
     """Per-document n-gram novelty profile (NEW r5 cont.): the
     fraction of each doc's distinct word-3-grams whose global first
@@ -1012,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distribution_drift": _q_distribution_drift,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
         "q_novelty_scores": _q_novelty_scores,
+        "q_source_drift": _q_source_drift,
         # 5 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2592,6 +2607,68 @@ def oracle_sql() -> dict[str, str]:
                               / ((j.n_old + 1) / (tot.t_old + 14))), 6)
                        AS psi_contrib
             FROM joined j, tot
+        """,
+        # per-source PSI: the global drift oracle grouped by source;
+        # bins enumerate per source observed on EITHER side, totals per
+        # source; same IEEE-exact arithmetic
+        "q_source_drift": """
+            WITH old_b AS (
+                SELECT source,
+                       CASE WHEN x < 0.0::DOUBLE THEN 0
+                            WHEN x >= 600.0::DOUBLE THEN 13
+                            ELSE floor((x - 0.0::DOUBLE)
+                                       / ((600.0::DOUBLE - 0.0::DOUBLE) / 12)
+                                 )::BIGINT + 1
+                       END AS bin
+                FROM (SELECT source, n_chars::DOUBLE AS x FROM documents
+                      WHERE doc_id % 13 != 5 AND n_chars IS NOT NULL
+                        AND source IS NOT NULL)
+                WHERE NOT isnan(x)
+            ), new_b AS (
+                SELECT source,
+                       CASE WHEN x < 0.0::DOUBLE THEN 0
+                            WHEN x >= 600.0::DOUBLE THEN 13
+                            ELSE floor((x - 0.0::DOUBLE)
+                                       / ((600.0::DOUBLE - 0.0::DOUBLE) / 12)
+                                 )::BIGINT + 1
+                       END AS bin
+                FROM (SELECT source, n_chars::DOUBLE AS x FROM documents
+                      WHERE doc_id % 11 != 4 AND n_chars IS NOT NULL
+                        AND source IS NOT NULL)
+                WHERE NOT isnan(x)
+            ), ho AS (
+                SELECT source, bin, count(*)::BIGINT AS n_old
+                FROM old_b GROUP BY source, bin
+            ), hn AS (
+                SELECT source, bin, count(*)::BIGINT AS n_new
+                FROM new_b GROUP BY source, bin
+            ), gs AS (
+                SELECT DISTINCT source FROM (
+                    SELECT source FROM documents WHERE doc_id % 13 != 5
+                    UNION ALL
+                    SELECT source FROM documents WHERE doc_id % 11 != 4
+                ) WHERE source IS NOT NULL
+            ), joined AS (
+                SELECT g.source, t.bin,
+                       coalesce(ho.n_old, 0)::BIGINT AS n_old,
+                       coalesce(hn.n_new, 0)::BIGINT AS n_new
+                FROM gs g CROSS JOIN range(0, 14) t(bin)
+                LEFT JOIN ho ON ho.source = g.source AND ho.bin = t.bin
+                LEFT JOIN hn ON hn.source = g.source AND hn.bin = t.bin
+            ), tot AS (
+                SELECT source, sum(n_old)::BIGINT AS t_old,
+                       sum(n_new)::BIGINT AS t_new
+                FROM joined GROUP BY source
+            )
+            SELECT j.source, j.bin::BIGINT AS bin, j.n_old, j.n_new,
+                   round((j.n_old + 1) / (t.t_old + 14), 6) AS share_old,
+                   round((j.n_new + 1) / (t.t_new + 14), 6) AS share_new,
+                   round(((j.n_new + 1) / (t.t_new + 14)
+                          - (j.n_old + 1) / (t.t_old + 14))
+                         * ln(((j.n_new + 1) / (t.t_new + 14))
+                              / ((j.n_old + 1) / (t.t_old + 14))), 6)
+                       AS psi_contrib
+            FROM joined j JOIN tot t USING (source)
         """,
         # per-doc novelty: distinct word-3-grams, global min-owning-id
         # per gram; grouping by string gram matches the hashed-gram

@@ -300,6 +300,7 @@ def distribution_drift(
     lo: float,
     hi: float,
     n_bins: int = 10,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Population-stability-index drift report between two corpus
     snapshots — the monitoring step that catches a crawler change, a
@@ -323,38 +324,103 @@ def distribution_drift(
     ulp between libms, erased by the 6-decimal rounding.
 
     Scale posture: one pass over each snapshot (bounded-key shuffle to
-    n_bins+2 groups), then all drift arithmetic happens on a
-    (n_bins+2)-row frame with broadcast totals. Nothing corpus-sized
-    ever moves.
+    n_bins+2 groups, x group cardinality when grouped), then all drift
+    arithmetic happens on a (n_bins+2)-row-per-group frame with
+    per-group totals joined back. Nothing corpus-sized ever moves.
+
+    ``group_col`` (e.g. ``source``): per-group PSI — WHICH source
+    drifted, the question a multi-source crawl monitor actually asks.
+    Output gains the group column; bins enumerate per group observed
+    on EITHER side (a group absent from one side gets the all-smoothed
+    uniform there — maximal drift signal, never a division by zero);
+    NULL groups are excluded. Same oracle-exactness arguments.
     """
     k = n_bins + 2
-    h_old = metric_histogram(old, metric, lo, hi, n_bins).select(
-        "bin", F.col("n").alias("n_old")
-    )
-    h_new = metric_histogram(new, metric, lo, hi, n_bins).select(
-        "bin", F.col("n").alias("n_new")
-    )
-    bins = old.sparkSession.range(0, k).select(F.col("id").alias("bin"))
-    joined = (
-        bins.join(h_old, "bin", "left")
-        .join(h_new, "bin", "left")
-        .fillna(0, ["n_old", "n_new"])
-    )
-    totals = joined.agg(
-        F.sum("n_old").alias("__t_old"), F.sum("n_new").alias("__t_new")
-    )
+    if group_col is None:
+        h_old = metric_histogram(old, metric, lo, hi, n_bins).select(
+            "bin", F.col("n").alias("n_old")
+        )
+        h_new = metric_histogram(new, metric, lo, hi, n_bins).select(
+            "bin", F.col("n").alias("n_new")
+        )
+        bins = old.sparkSession.range(0, k).select(F.col("id").alias("bin"))
+        joined = (
+            bins.join(h_old, "bin", "left")
+            .join(h_new, "bin", "left")
+            .fillna(0, ["n_old", "n_new"])
+        )
+        totals = joined.agg(
+            F.sum("n_old").alias("__t_old"), F.sum("n_new").alias("__t_new")
+        )
+        joined = joined.crossJoin(F.broadcast(totals))
+        group_cols = []
+    else:
+        h_old = _grouped_histogram(old, metric, lo, hi, n_bins, group_col).select(
+            group_col, "bin", F.col("n").alias("n_old")
+        )
+        h_new = _grouped_histogram(new, metric, lo, hi, n_bins, group_col).select(
+            group_col, "bin", F.col("n").alias("n_new")
+        )
+        groups = (
+            old.select(group_col)
+            .unionByName(new.select(group_col))
+            .filter(F.col(group_col).isNotNull())
+            .distinct()
+        )
+        bins = groups.crossJoin(
+            old.sparkSession.range(0, k).select(F.col("id").alias("bin"))
+        )
+        joined = (
+            bins.join(h_old, [group_col, "bin"], "left")
+            .join(h_new, [group_col, "bin"], "left")
+            .fillna(0, ["n_old", "n_new"])
+        )
+        totals = joined.groupBy(group_col).agg(
+            F.sum("n_old").alias("__t_old"), F.sum("n_new").alias("__t_new")
+        )
+        joined = joined.join(totals, group_col)
+        group_cols = [group_col]
     p_old = (F.col("n_old") + F.lit(1)) / (F.col("__t_old") + F.lit(k))
     p_new = (F.col("n_new") + F.lit(1)) / (F.col("__t_new") + F.lit(k))
-    return (
-        joined.crossJoin(F.broadcast(totals))
-        .select(
-            F.col("bin").cast("bigint").alias("bin"),
-            "n_old",
-            "n_new",
-            F.round(p_old, 6).alias("share_old"),
-            F.round(p_new, 6).alias("share_new"),
-            F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias(
-                "psi_contrib"
-            ),
+    return joined.select(
+        *group_cols,
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_old",
+        "n_new",
+        F.round(p_old, 6).alias("share_old"),
+        F.round(p_new, 6).alias("share_new"),
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias("psi_contrib"),
+    )
+
+
+def _grouped_histogram(
+    df: DataFrame,
+    metric: Column | str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_col: str,
+) -> DataFrame:
+    """(group, bin, n) — :func:`metric_histogram`'s bin assignment
+    (same IEEE-exact expression, NaN/NULL exclusion) aggregated per
+    group; NULL groups excluded. One pass, bounded-key shuffle."""
+    m = F.col(metric) if isinstance(metric, str) else metric
+    width = (hi - lo) / n_bins
+    x = m.cast("double")
+    bin_expr = (
+        F.when(x < float(lo), F.lit(0).cast("bigint"))
+        .when(x >= float(hi), F.lit(n_bins + 1).cast("bigint"))
+        .otherwise(
+            (F.floor((x - F.lit(float(lo))) / F.lit(width)) + F.lit(1)).cast(
+                "bigint"
+            )
         )
+    )
+    return (
+        df.filter(~F.isnan(F.coalesce(x, F.lit(0.0))))
+        .filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col), bin_expr.alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

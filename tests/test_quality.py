@@ -359,3 +359,42 @@ class TestDistributionDrift:
         )
         # two bounded-key histogram shuffles + the tiny bin-frame joins
         assert stats.shuffles <= 6, stats
+
+
+class TestGroupedDrift:
+    def test_per_group_psi_isolates_the_shifted_source(self, spark):
+        from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+        old = spark.createDataFrame(
+            [(i, "stable", 50.0) for i in range(100)]
+            + [(200 + i, "drifty", 10.0) for i in range(100)],
+            "id long, src string, m double",
+        )
+        new = spark.createDataFrame(
+            [(i, "stable", 50.0) for i in range(100)]
+            + [(200 + i, "drifty", 90.0) for i in range(100)],
+            "id long, src string, m double",
+        )
+        out = distribution_drift(old, new, "m", 0, 100, n_bins=10, group_col="src")
+        psi = {}
+        for r in out.collect():
+            psi[r.src] = psi.get(r.src, 0.0) + r.psi_contrib
+        assert psi["stable"] < 0.01
+        assert psi["drifty"] > 0.25
+
+    def test_group_absent_from_one_side_gets_uniform_smoothing(self, spark):
+        from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+        old = spark.createDataFrame(
+            [(1, "gone", 10.0), (2, "kept", 20.0)], "id long, src string, m double"
+        )
+        new = spark.createDataFrame(
+            [(3, "kept", 20.0), (4, None, 30.0)], "id long, src string, m double"
+        )
+        rows = distribution_drift(old, new, "m", 0, 100, n_bins=4, group_col="src").collect()
+        srcs = {r.src for r in rows}
+        assert srcs == {"gone", "kept"}  # NULL group excluded
+        gone = [r for r in rows if r.src == "gone"]
+        assert len(gone) == 6  # 4 bins + under/overflow, all defined
+        assert all(r.psi_contrib is not None for r in gone)
+        assert sum(r.n_new for r in gone) == 0
