@@ -927,8 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 86 run
-    in bench + pytest."""
+    (tests/test_queries.py::test_query_matches_oracle), and all 94 (89
+    oracle-bearing; late-r5 additions sit past-cap, rotation-mapped in
+    COVERAGE.md) run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
         # (a) 22 r3-verified queries returning from r4's past-cap block
@@ -2643,11 +2644,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT source, bin, count(*)::BIGINT AS n_new
                 FROM new_b GROUP BY source, bin
             ), gs AS (
+                -- groups derive from the BINNED aggregates (either
+                -- side), mirroring the operator: a source with no
+                -- non-NULL metrics anywhere has no distribution to
+                -- compare and is absent
                 SELECT DISTINCT source FROM (
-                    SELECT source FROM documents WHERE doc_id % 13 != 5
-                    UNION ALL
-                    SELECT source FROM documents WHERE doc_id % 11 != 4
-                ) WHERE source IS NOT NULL
+                    SELECT source FROM ho UNION ALL SELECT source FROM hn
+                )
             ), joined AS (
                 SELECT g.source, t.bin,
                        coalesce(ho.n_old, 0)::BIGINT AS n_old,

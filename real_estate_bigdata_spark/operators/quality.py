@@ -99,6 +99,30 @@ def linear_quality_scores(
     )
 
 
+def _validate_bins(lo: float, hi: float, n_bins: int) -> None:
+    if hi <= lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+
+
+def _bin_expr(x: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """THE single IEEE-exact bin assignment (same arithmetic and
+    operation order as every DuckDB drift/histogram oracle) — shared by
+    :func:`metric_histogram` and the grouped drift path so the two can
+    never silently diverge. ``x`` must already be cast to double."""
+    width = (hi - lo) / n_bins
+    return (
+        F.when(x < float(lo), F.lit(0).cast("bigint"))
+        .when(x >= float(hi), F.lit(n_bins + 1).cast("bigint"))
+        .otherwise(
+            (F.floor((x - F.lit(float(lo))) / F.lit(width)) + F.lit(1)).cast(
+                "bigint"
+            )
+        )
+    )
+
+
 def metric_histogram(
     df: DataFrame,
     metric: Column | str,
@@ -132,26 +156,14 @@ def metric_histogram(
     NULL for NaN). Empty bins are absent (count them as zero
     downstream).
     """
-    if hi <= lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    _validate_bins(lo, hi, n_bins)
     m = F.col(metric) if isinstance(metric, str) else metric
     width = (hi - lo) / n_bins
     b = F.col("bin")
     x = m.cast("double")
     return (
         df.filter(~F.isnan(F.coalesce(x, F.lit(0.0))))
-        .select(
-            F.when(x < float(lo), F.lit(0).cast("bigint"))
-            .when(x >= float(hi), F.lit(n_bins + 1).cast("bigint"))
-            .otherwise(
-                (F.floor((x - F.lit(float(lo))) / F.lit(width)) + F.lit(1)).cast(
-                    "bigint"
-                )
-            )
-            .alias("bin")
-        )
+        .select(_bin_expr(x, lo, hi, n_bins).alias("bin"))
         .filter(b.isNotNull())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -330,11 +342,17 @@ def distribution_drift(
 
     ``group_col`` (e.g. ``source``): per-group PSI — WHICH source
     drifted, the question a multi-source crawl monitor actually asks.
-    Output gains the group column; bins enumerate per group observed
-    on EITHER side (a group absent from one side gets the all-smoothed
-    uniform there — maximal drift signal, never a division by zero);
-    NULL groups are excluded. Same oracle-exactness arguments.
+    Output gains the group column; bins enumerate per group with >= 1
+    BINNED row on EITHER side (a group absent from one side gets the
+    all-smoothed uniform there — maximal drift signal, never a
+    division by zero; a group with no non-NULL metrics anywhere has no
+    distribution to compare and is absent from the output). NULL
+    groups are excluded. The group set derives from the histogram
+    AGGREGATES, not a third corpus scan — the grouped report still
+    costs exactly one pass per snapshot. Same oracle-exactness
+    arguments.
     """
+    _validate_bins(lo, hi, n_bins)
     k = n_bins + 2
     if group_col is None:
         h_old = metric_histogram(old, metric, lo, hi, n_bins).select(
@@ -362,9 +380,8 @@ def distribution_drift(
             group_col, "bin", F.col("n").alias("n_new")
         )
         groups = (
-            old.select(group_col)
-            .unionByName(new.select(group_col))
-            .filter(F.col(group_col).isNotNull())
+            h_old.select(group_col)
+            .unionByName(h_new.select(group_col))
             .distinct()
         )
         bins = groups.crossJoin(
@@ -402,24 +419,14 @@ def _grouped_histogram(
     group_col: str,
 ) -> DataFrame:
     """(group, bin, n) — :func:`metric_histogram`'s bin assignment
-    (same IEEE-exact expression, NaN/NULL exclusion) aggregated per
+    (the SHARED :func:`_bin_expr`, NaN/NULL exclusion) aggregated per
     group; NULL groups excluded. One pass, bounded-key shuffle."""
     m = F.col(metric) if isinstance(metric, str) else metric
-    width = (hi - lo) / n_bins
     x = m.cast("double")
-    bin_expr = (
-        F.when(x < float(lo), F.lit(0).cast("bigint"))
-        .when(x >= float(hi), F.lit(n_bins + 1).cast("bigint"))
-        .otherwise(
-            (F.floor((x - F.lit(float(lo))) / F.lit(width)) + F.lit(1)).cast(
-                "bigint"
-            )
-        )
-    )
     return (
         df.filter(~F.isnan(F.coalesce(x, F.lit(0.0))))
         .filter(F.col(group_col).isNotNull())
-        .select(F.col(group_col), bin_expr.alias("bin"))
+        .select(F.col(group_col), _bin_expr(x, lo, hi, n_bins).alias("bin"))
         .filter(F.col("bin").isNotNull())
         .groupBy(group_col, "bin")
         .agg(F.count(F.lit(1)).alias("n"))

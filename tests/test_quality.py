@@ -398,3 +398,24 @@ class TestGroupedDrift:
         assert len(gone) == 6  # 4 bins + under/overflow, all defined
         assert all(r.psi_contrib is not None for r in gone)
         assert sum(r.n_new for r in gone) == 0
+
+
+def test_grouped_drift_validates_and_metricless_group_absent(spark):
+    """Review fixes: the grouped path validates bounds like the
+    ungrouped one, and a group with no non-NULL metrics anywhere has no
+    distribution to compare — absent from the output (the group set
+    derives from the histogram aggregates, not a third corpus scan)."""
+    from real_estate_bigdata_spark.operators.quality import distribution_drift
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "metricless", None)], "id long, src string, m double"
+    )
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "m", 100, 0, group_col="src")
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "m", 0, 100, n_bins=0, group_col="src")
+    srcs = {
+        r.src
+        for r in distribution_drift(df, df, "m", 0, 100, group_col="src").collect()
+    }
+    assert srcs == {"a"}
