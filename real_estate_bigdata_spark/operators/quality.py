@@ -373,11 +373,23 @@ def distribution_drift(
         joined = joined.crossJoin(F.broadcast(totals))
         group_cols = []
     else:
-        h_old = _grouped_histogram(old, metric, lo, hi, n_bins, group_col).select(
-            group_col, "bin", F.col("n").alias("n_old")
+        # persist the two BOUNDED aggregates (groups x bins rows):
+        # each is referenced three times below (group set, join,
+        # totals), and an unpersisted lineage would re-scan the
+        # corpus-sized snapshot per reference — verified: without this
+        # the executed plan shows no ReusedExchange, just repeated
+        # FileScans
+        from pyspark.storagelevel import StorageLevel
+
+        h_old = (
+            _grouped_histogram(old, metric, lo, hi, n_bins, group_col)
+            .select(group_col, "bin", F.col("n").alias("n_old"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        h_new = _grouped_histogram(new, metric, lo, hi, n_bins, group_col).select(
-            group_col, "bin", F.col("n").alias("n_new")
+        h_new = (
+            _grouped_histogram(new, metric, lo, hi, n_bins, group_col)
+            .select(group_col, "bin", F.col("n").alias("n_new"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         groups = (
             h_old.select(group_col)
