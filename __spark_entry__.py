@@ -883,111 +883,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification at most one round stale (VERDICT r2 task #2; rotation
     map in COVERAGE.md).
 
-    Round-5 rotation. In-cap (slots 1-50):
+    Round-6 rotation. In-cap (slots 1-50):
 
-    (a) the 22 queries hash-verified in CORRECTNESS_r03 that sat past
-        the cap in r4 (two rounds stale after r5 otherwise): q01, q02,
-        q08, q15, q16, q19, q_cube_lineitem, q_rollup_orders,
-        q_token_accounting, q_doc_fingerprints,
-        q_interval_signup_errors, q_topk_orders,
-        q_window_top_customers, q_window_frames,
-        q_semi_active_customers, q_anti_customers_no_orders,
-        q_corr_lineitem, q_outer_customer_profile, q_tumbling_events,
-        q_dedup_embedding, q_dedup_ngram_jaccard, q_dedup_simhash;
-    (b) q_value_histogram and q_weighted_sample — NEW in r4 with no
-        free slot then, never driver-verified (the r4 verdict's task
-        #2), plus q_value_histogram's bin arithmetic changed in r5
-        (explicit IEEE expression instead of width_bucket);
-    (c) queries new or changed in r5, which must (re-)verify:
-        q_cap_per_source_best (NEW — quality-ordered prefiltered cap),
-        q_cap_per_source (cap_per_group refactored),
-        q_remove_boilerplate (oracle gained the operator's NULL-doc_id
-        pass-through semantics), q_semantic_dedup (NEW — SemDeDup
-        survivors over the exact pair generator), q_bigram_logprob
-        (NEW — bigram corpus-LM quality score), q_pack_sequences
-        (NEW — materialized packed training sequences), q_redact_spans
-        (NEW — span-level decontamination), q_redact_dup_spans (NEW —
-        ExactSubstr-style corpus self-dedup), q_shuffle_shard (NEW —
-        deterministic global shuffle + sharding), q_corpus_diff (NEW —
-        snapshot added/removed/changed delta), q_linear_quality (NEW —
-        linear bag-of-words classifier scoring);
-    (d) 15 r4-verified fillers: q07/q09/
-        q18/q21/q22, q_stats_profile_orders, q_groupingsets_orders,
-        q_rank_dense_ntile, q_sessionize, q_dedup_minhash_lsh,
-        q_dedup_embedding_gemm, q_cluster_safe_split, q_dedup_clusters,
-        q_label_agreement, q_normalize_listings.
+    (a) the 6 late-r5 queries that landed after the r5 rotation was
+        fixed and therefore have NEVER been driver-verified (the only
+        such oracle-bearing queries; VERDICT r5 task #1):
+        q_temperature_mixture, q_perplexity_buckets,
+        q_distribution_drift, q_source_drift, q_novelty_scores,
+        q_cross_corpus_pairs. q_perplexity_buckets and both drift
+        queries also re-verify r6 implementation changes
+        (metric_buckets NaN exclusion; ungrouped-drift persist —
+        ADVICE r5);
+    (b) the 33 queries hash-verified in CORRECTNESS_r04 that sat past
+        the cap in r5 (two rounds stale after r6 otherwise;
+        VERDICT r5 task #2): q03, q04, q05, q06, q10, q12, q13, q14,
+        q17, q_vocab_top_tokens, q_unigram_logprob, q_tfidf,
+        q_chunk_documents, q_text_quality, q_lang_id, q_pivot_status,
+        q_collect_top_keys, q_scalar_gallery, q_set_nation_coverage,
+        q_mixture_balance, q_quality_floor, q_json_props,
+        q_asof_view_purchase, q_corpus_health, q_dedup_exact_docs,
+        q_embed_cosine_topk, q_curate_corpus, q_hash_split,
+        q_pack_documents, q_decontaminate, q_stratified_sample,
+        q_pii_redaction, q_repetition;
+    (c) 11 r5-verified fillers chosen as family representatives for
+        the past-cap block: q01 (scan-filter agg), q02 (reference
+        parity core), q_normalize_listings (normalize core),
+        q_value_histogram (quality/histogram), q_weighted_sample
+        (sampling), q_topk_orders (global top-k), q_window_frames
+        (window family), q_rollup_orders (grouping analytics),
+        q_stats_profile_orders (statistical aggs), q_corpus_diff
+        (versioning), q_linear_quality (quality classifier).
 
-    Past slot 50: 33 oracle-bearing queries ALL hash-verified green in
-    CORRECTNESS_r04 (<= 1 round stale, rotating back in r6;
-    q03/q04/q05/q06/q10/q12/q13/q14 joined them to make room for the
-    eight NEW r5 queries) + the 3 rows-only approximate queries
-    (q_embed_lsh_topk, q_embed_ivf_topk, q_dedup_embedding_ivf — pinned
-    by pytest recall tests). Union invariant: r4 ∪ r5 driver rows cover
-    all 83 driver-verifiable oracle queries.
+    Past slot 50: 39 oracle-bearing queries ALL hash-verified green in
+    CORRECTNESS_r05 (<= 1 round stale, rotating back in r7), each with
+    an in-cap family sibling (joins via q03-q17 block; banded dedup via
+    q_cross_corpus_pairs/q_dedup_exact_docs/q_curate_corpus; windows
+    via q_window_frames; grouping analytics via q_rollup_orders; text
+    profile via q_text_quality/q_vocab_top_tokens; event-time via
+    q_sessionize sibling q_asof_view_purchase + streaming tests) + the
+    5 rows-only approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
+    q_dedup_embedding_ivf, q_embed_pq_topk, q_embed_ivfpq_topk — pinned
+    by pytest recall tests). Union invariant: r5 ∪ r6 driver rows cover
+    all 89 oracle-bearing queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
     (tests/test_queries.py::test_query_matches_oracle), and all 94 (89
-    oracle-bearing; late-r5 additions sit past-cap, rotation-mapped in
-    COVERAGE.md) run in bench + pytest."""
+    oracle-bearing) run in bench + pytest."""
     return {
-        # ---- slots 1-50: oracle-bearing (r5 rotation, see docstring) ----
-        # (a) 22 r3-verified queries returning from r4's past-cap block
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q08_market_share": _q08_market_share,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_rollup_orders": _q_rollup_orders,
-        "q_token_accounting": _q_token_accounting,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_topk_orders": _q_topk_orders,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_window_frames": _q_window_frames,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_dedup_embedding": _q_dedup_embedding,
-        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "q_dedup_simhash": _q_dedup_simhash,
-        # (b) the two r4 newcomers that sat past-cap, never driver-verified
-        "q_value_histogram": _q_value_histogram,
-        "q_weighted_sample": _q_weighted_sample,
-        # (c) changed/new in r5 — must (re-)verify
-        "q_cap_per_source_best": _q_cap_per_source_best,
-        "q_cap_per_source": _q_cap_per_source,
-        "q_remove_boilerplate": _q_remove_boilerplate,
-        "q_semantic_dedup": _q_semantic_dedup,
-        "q_bigram_logprob": _q_bigram_logprob,
-        "q_pack_sequences": _q_pack_sequences,
-        "q_redact_spans": _q_redact_spans,
-        "q_redact_dup_spans": _q_redact_dup_spans,
-        "q_shuffle_shard": _q_shuffle_shard,
-        "q_corpus_diff": _q_corpus_diff,
-        "q_linear_quality": _q_linear_quality,
-        # (d) r4-verified fillers
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q09_product_profit": _q09_product_profit,
-        "q18_large_orders": _q18_large_orders,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_sessionize": _q_sessionize,
-        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
-        "q_cluster_safe_split": _q_cluster_safe_split,
-        "q_dedup_clusters": _q_dedup_clusters,
-        "q_label_agreement": _q_label_agreement,
-        "q_normalize_listings": _q_normalize_listings,
-        # ---- slots 51+: past the inferred driver cap ----
-        # 33 oracle-bearing queries, all hash-verified in CORRECTNESS_r04
+        # ---- slots 1-50: oracle-bearing (r6 rotation, see docstring) ----
+        # (a) the 6 late-r5 queries never driver-verified before
+        "q_temperature_mixture": _q_temperature_mixture,
+        "q_perplexity_buckets": _q_perplexity_buckets,
+        "q_distribution_drift": _q_distribution_drift,
+        "q_source_drift": _q_source_drift,
+        "q_novelty_scores": _q_novelty_scores,
+        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
+        # (b) 33 r4-verified queries returning from r5's past-cap block
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
@@ -1021,13 +973,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_pii_redaction": _q_pii_redaction,
         "q_repetition": _q_repetition,
-        # NEW r5 (post-rotation, oracle-bearing — rotate in-cap r6)
-        "q_temperature_mixture": _q_temperature_mixture,
-        "q_perplexity_buckets": _q_perplexity_buckets,
-        "q_distribution_drift": _q_distribution_drift,
-        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        "q_novelty_scores": _q_novelty_scores,
-        "q_source_drift": _q_source_drift,
+        # (c) 11 r5-verified family-representative fillers
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q_normalize_listings": _q_normalize_listings,
+        "q_value_histogram": _q_value_histogram,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_topk_orders": _q_topk_orders,
+        "q_window_frames": _q_window_frames,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_corpus_diff": _q_corpus_diff,
+        "q_linear_quality": _q_linear_quality,
+        # ---- slots 51+: past the inferred driver cap ----
+        # 39 oracle-bearing queries, all hash-verified in CORRECTNESS_r05
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_token_accounting": _q_token_accounting,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_dedup_embedding": _q_dedup_embedding,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_dedup_simhash": _q_dedup_simhash,
+        "q_cap_per_source_best": _q_cap_per_source_best,
+        "q_cap_per_source": _q_cap_per_source,
+        "q_remove_boilerplate": _q_remove_boilerplate,
+        "q_semantic_dedup": _q_semantic_dedup,
+        "q_bigram_logprob": _q_bigram_logprob,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_redact_spans": _q_redact_spans,
+        "q_redact_dup_spans": _q_redact_dup_spans,
+        "q_shuffle_shard": _q_shuffle_shard,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
+        "q_cluster_safe_split": _q_cluster_safe_split,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_label_agreement": _q_label_agreement,
         # 5 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
