@@ -378,10 +378,42 @@ def _minhash_signatures(
 
 
 def _band_keys(
-    sig: DataFrame, bands: int, rows_per_band: int, id_col: str
+    sig: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    id_col: str,
+    expected_len: int | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band keys — one xxhash64 per contiguous
-    signature slice; a pure map-side projection of the signature table."""
+    signature slice; a pure map-side projection of the signature table.
+
+    ``expected_len`` (used for EXTERNAL signature tables, e.g. the
+    persisted near-dup store): fail fast at execution time if any
+    ``sig`` array is not exactly that long. Banding a wrong-length
+    signature would not error on its own — slices just come out short,
+    bucket keys hash over different content, and cross-table buckets
+    silently never collide — so a store written with a different
+    ``num_hashes`` would admit every historical near-duplicate. The
+    guard is part of the bucket expression itself (not a
+    projected-then-dropped assert column) so column pruning can never
+    optimize it away."""
+    sig_col = F.col("sig")
+    if expected_len is not None:
+        sig_col = F.when(F.size("sig") == expected_len, sig_col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"signature length mismatch: expected {expected_len}"
+                        " hashes, got "
+                    ),
+                    F.size("sig").cast("string"),
+                    F.lit(
+                        " — was this signature store written with a"
+                        " different num_hashes?"
+                    ),
+                )
+            )
+        )
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -390,7 +422,7 @@ def _band_keys(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.xxhash64(
-                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                            F.slice(sig_col, i * rows_per_band + 1, rows_per_band)
                         ).alias("bucket"),
                     )
                     for i in range(bands)
@@ -581,7 +613,16 @@ def simhash_pairs(
     fully deterministic AND DuckDB-reproducible, so it carries a
     hash-match oracle (q_dedup_simhash); wider bands = weaker blocking
     keys, so at 100 TB prefer bands=4 approximate unless exactness is
-    contractual."""
+    contractual.
+
+    Contract change (r5): ``bands`` must now divide 64 exactly (1, 2,
+    4, 8, 16, 32, 64) — enforced by :func:`hamming_banded_pairs`, which
+    this delegates to. Previously a non-divisor (e.g. ``bands=3``) ran
+    silently but LOSSILY: the top ``64 % bands`` signature bits were
+    ignored by the blocking, so two signatures differing only there
+    collided in every band and recall claims were quietly weaker than
+    documented. Callers that hit the new ValueError were relying on
+    that lossy behavior, not a valid configuration."""
     sig = simhash_signatures(
         docs, n=n, id_col=id_col, text_col=text_col, portable=portable
     )
@@ -1089,7 +1130,14 @@ def neardup_against_store(
     ``store`` schema: (``id_col``, ``sig`` array<bigint>[num_hashes]) —
     exactly what this function returns, and what
     ``_minhash_signatures`` produces. An empty store (first epoch) is
-    ``store.limit(0)`` of that shape.
+    ``store.limit(0)`` of that shape. Store ``sig`` arrays MUST be
+    exactly ``num_hashes`` long — signatures are not comparable across
+    different ``num_hashes`` settings, and band keys hashed over
+    different-length slices would silently never collide — so the
+    operator raises at execution time on the first wrong-length store
+    row (see :func:`_band_keys`). Compacted stores
+    (``streaming.ingest.compact_signature_store``) inherit the
+    constraint: compaction rewrites rows verbatim.
 
     Semantics — signature-estimator, one-pass:
 
@@ -1173,8 +1221,15 @@ def neardup_against_store(
     )
 
     # against store: band keys recomputed from stored signatures
-    # (map-side projection — the 16x banding is never persisted)
-    store_bands = _band_keys(store, bands, rows_per_band, id_col)
+    # (map-side projection — the 16x banding is never persisted).
+    # expected_len fails fast if the store was written under a
+    # different num_hashes (wrong-length sigs would otherwise never
+    # collide with batch buckets and every historical near-dup would be
+    # silently admitted); compacted stores inherit the same constraint
+    # since compaction only rewrites rows verbatim.
+    store_bands = _band_keys(
+        store, bands, rows_per_band, id_col, expected_len=num_hashes
+    )
     cand_vs_store = (
         batch_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
         .join(

@@ -687,20 +687,23 @@ def image_neardup_pairs(
 
     Scale posture: one Arrow-batched decode pass produces the 8-byte
     signature; everything after is the JVM-side banded self-join —
-    payloads never shuffle. The signature table is persisted
-    (MEMORY_AND_DISK — 16 bytes/row, negligible) because the self-join
-    references it twice and an unpersisted lineage would DECODE THE
-    ENTIRE IMAGE CORPUS TWICE — at scale the decode is the dominant
-    cost. Callers running several pair queries over one corpus should
+    payloads never shuffle. The internally-computed signature table is
+    EAGERLY localCheckpoint-ed (16 bytes/row, negligible) because the
+    self-join references it twice and an unmaterialized lineage would
+    DECODE THE ENTIRE IMAGE CORPUS TWICE — at scale the decode is the
+    dominant cost. localCheckpoint, not ``persist``: a cached relation
+    lives in the session's cache manager until an explicit unpersist
+    (which this function could only issue before the caller has
+    materialized the result), so repeated calls in a long-lived session
+    would accumulate cached relations indefinitely; checkpoint blocks
+    are instead reclaimed by the ContextCleaner when the DataFrame is
+    garbage-collected. The eager decode runs at CALL time, not first
+    action. Callers running several pair queries over one corpus should
     precompute :func:`image_phash` themselves and pass ``sig``."""
-    from pyspark.storagelevel import StorageLevel
-
     from real_estate_bigdata_spark.operators.dedup import hamming_banded_pairs
 
     if sig is None:
-        sig = image_phash(media, use_pil=use_pil).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sig = image_phash(media, use_pil=use_pil).localCheckpoint(eager=True)
     return hamming_banded_pairs(
         sig, sig_col="phash", max_hamming=max_hamming, bands=bands,
         id_col="media_id",

@@ -224,8 +224,11 @@ def quantile_floor(
 ) -> DataFrame:
     """Rows whose ``metric`` is >= (``keep="above"``) or <=
     (``keep="below"``) the global ``q``-quantile of ``metric``,
-    original schema. Rows with a NULL metric are dropped (a missing
-    score can't clear a floor), and never contribute to the quantile.
+    original schema. Rows with a NULL or NaN metric are dropped (a
+    missing or undefined score can't clear a floor), and never
+    contribute to the quantile — NaN compares greater than any double
+    in Spark, so without the guard it would both inflate the cutoff
+    and sail over it (``NaN >= cutoff`` is true).
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
@@ -233,19 +236,21 @@ def quantile_floor(
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
     m = F.col(metric) if isinstance(metric, str) else metric
     with_m = df.withColumn("__m", m)
+    ok = ~F.isnan(F.coalesce(F.col("__m").cast("double"), F.lit(0.0)))
     pct = (
         F.percentile_approx("__m", F.lit(q))
         if approx
         else F.percentile("__m", F.lit(q))
     )
-    cutoff = with_m.agg(F.round(pct, 6).alias("__cutoff"))
+    cutoff = with_m.filter(ok).agg(F.round(pct, 6).alias("__cutoff"))
     cond = (
         F.col("__m") >= F.col("__cutoff")
         if keep == "above"
         else F.col("__m") <= F.col("__cutoff")
     )
     return (
-        with_m.crossJoin(F.broadcast(cutoff))
+        with_m.filter(ok)
+        .crossJoin(F.broadcast(cutoff))
         .filter(cond)
         .drop("__m", "__cutoff")
     )
@@ -261,8 +266,12 @@ def metric_buckets(
     """Equal-frequency bucketing of a quality metric — the CCNet
     head/middle/tail split (perplexity terciles) generalized to any
     score and bucket count. Appends an integer ``bucket_col`` in
-    [1, n_buckets] (1 = lowest metric values); rows with a NULL metric
-    keep a NULL bucket and never shape the cutoffs.
+    [1, n_buckets] (1 = lowest metric values); rows with a NULL or NaN
+    metric keep a NULL bucket and never shape the cutoffs (NaN sorts
+    greater than any double in Spark, so without the explicit guard it
+    would both skew every percentile cutoff and land in the top bucket
+    — the same exclusion :func:`metric_histogram` and
+    :func:`quantile_floor` apply).
 
     NOT ``ntile``: a global ntile is one window over ONE partition — a
     single-task sort of the corpus. Here the n-1 interior quantile
@@ -284,17 +293,18 @@ def metric_buckets(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     m = F.col(metric) if isinstance(metric, str) else metric
     with_m = df.withColumn("__m", m)
+    ok = ~F.isnan(F.coalesce(F.col("__m").cast("double"), F.lit(0.0)))
     pcts = F.array([F.lit(k / n_buckets) for k in range(1, n_buckets)])
     pct = (
         F.percentile_approx("__m", pcts)
         if approx
         else F.percentile("__m", pcts)
     )
-    cuts = with_m.agg(
+    cuts = with_m.filter(ok).agg(
         F.transform(pct, lambda c: F.round(c, 6)).alias("__cuts")
     )
     bucket = F.when(
-        F.col("__m").isNotNull() & F.col("__cuts").isNotNull(),
+        F.col("__m").isNotNull() & ok & F.col("__cuts").isNotNull(),
         F.lit(1)
         + F.size(F.filter("__cuts", lambda c: F.col("__m") > c)),
     ).cast("int")
@@ -355,11 +365,24 @@ def distribution_drift(
     _validate_bins(lo, hi, n_bins)
     k = n_bins + 2
     if group_col is None:
-        h_old = metric_histogram(old, metric, lo, hi, n_bins).select(
-            "bin", F.col("n").alias("n_old")
+        # eagerly localCheckpoint the two BOUNDED aggregates
+        # (<= n_bins+2 rows each): their lineage is referenced twice
+        # below — once by the totals aggregate and once by the final
+        # select — and unmaterialized each reference re-scans the
+        # corpus-sized snapshot, making the "one pass per snapshot"
+        # contract a lie. localCheckpoint, not persist: cached
+        # relations outlive the call in the session cache manager
+        # (repeated monitor runs would accumulate them indefinitely),
+        # while checkpoint blocks are GC-reclaimed with the DataFrame.
+        h_old = (
+            metric_histogram(old, metric, lo, hi, n_bins)
+            .select("bin", F.col("n").alias("n_old"))
+            .localCheckpoint(eager=True)
         )
-        h_new = metric_histogram(new, metric, lo, hi, n_bins).select(
-            "bin", F.col("n").alias("n_new")
+        h_new = (
+            metric_histogram(new, metric, lo, hi, n_bins)
+            .select("bin", F.col("n").alias("n_new"))
+            .localCheckpoint(eager=True)
         )
         bins = old.sparkSession.range(0, k).select(F.col("id").alias("bin"))
         joined = (
@@ -373,23 +396,22 @@ def distribution_drift(
         joined = joined.crossJoin(F.broadcast(totals))
         group_cols = []
     else:
-        # persist the two BOUNDED aggregates (groups x bins rows):
-        # each is referenced three times below (group set, join,
-        # totals), and an unpersisted lineage would re-scan the
-        # corpus-sized snapshot per reference — verified: without this
-        # the executed plan shows no ReusedExchange, just repeated
-        # FileScans
-        from pyspark.storagelevel import StorageLevel
-
+        # eagerly localCheckpoint the two BOUNDED aggregates (groups x
+        # bins rows): each is referenced three times below (group set,
+        # join, totals), and an unmaterialized lineage would re-scan
+        # the corpus-sized snapshot per reference — verified: without
+        # this the executed plan shows no ReusedExchange, just repeated
+        # FileScans. Same persist-vs-checkpoint lifecycle rationale as
+        # the ungrouped path above.
         h_old = (
             _grouped_histogram(old, metric, lo, hi, n_bins, group_col)
             .select(group_col, "bin", F.col("n").alias("n_old"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         h_new = (
             _grouped_histogram(new, metric, lo, hi, n_bins, group_col)
             .select(group_col, "bin", F.col("n").alias("n_new"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         groups = (
             h_old.select(group_col)

@@ -32,6 +32,20 @@ def get_spark(
     On a real cluster, ``master`` comes from spark-submit and the shuffle
     partition count should be overridden; locally we default to
     ``local[$SPARK_GRAFT_CPUS]``.
+
+    Session-conf contract (matters when EMBEDDING this package in an
+    application that shares the session): this factory pins
+    ``spark.sql.session.timeZone=UTC`` and the legacy parquet
+    ``nanosAsLong`` conf at build time, and ``schema.load_table``
+    RE-PINS both, permanently, on whatever session it is handed — the
+    returned DataFrames are lazy and read the timezone at execution
+    time, so restoring the conf after the call would corrupt their
+    timestamp casts later (full rationale in ``schema.load_table``).
+    A mixed-timezone application should therefore either run this
+    package in its own session, or set its own timezone per-query via
+    ``spark.conf.set`` AFTER materializing this package's results —
+    there is deliberately no opt-out, because a non-UTC session would
+    silently shift every timestamp the engine reads.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -800,6 +800,27 @@ class TestNeardupAgainstStore:
         with _pytest.raises(ValueError):
             dd.neardup_against_store(b, self._empty_store(spark), threshold=0.0)
 
+    def test_wrong_length_store_signature_fails_fast(self, spark):
+        """A store written under a different num_hashes must ERROR, not
+        silently admit every historical near-dup: band keys hashed over
+        different-length slices never collide, so without the guard an
+        exact re-crawl of a stored doc would sail through as novel
+        (ADVICE r5 #1). The guard lives inside the bucket expression so
+        column pruning cannot drop it."""
+        from pyspark.errors import PySparkException
+
+        b1 = spark.createDataFrame([(1, self.BASE)], "doc_id long, text string")
+        # a store produced with num_hashes=32 — wrong for the default 64
+        _, short_store = dd.neardup_against_store(
+            b1, self._empty_store(spark), num_hashes=32, bands=16
+        )
+        b2 = spark.createDataFrame([(9, self.BASE)], "doc_id long, text string")
+        novel, _ = dd.neardup_against_store(b2, short_store)
+        import pytest as _pytest
+
+        with _pytest.raises(PySparkException, match="signature length mismatch"):
+            novel.collect()
+
 
 class TestCrossCorpusLshPairs:
     BASE = TestNeardupAgainstStore.BASE

@@ -433,11 +433,13 @@ def test_export_shards_single_window_no_python(spark, tmp_path):
 
 
 def test_image_neardup_python_only_in_decode_stage(spark):
-    """Image near-dup pairs: the persisted signature table means the
-    self-join's two references share ONE decode pass — the plan reads
-    the in-memory relation, not a second ArrowEvalPython lineage."""
+    """Image near-dup pairs: the eagerly localCheckpoint-ed signature
+    table means the self-join's two references share ONE decode pass —
+    the live plan reads the materialized checkpoint (Scan ExistingRDD),
+    and the MapInPandas decode never appears as live lineage. (Was a
+    persist pre-r6; localCheckpoint so repeated calls can't accumulate
+    cached relations — blocks are GC-reclaimed with the DataFrame.)"""
     from real_estate_bigdata_spark.operators.multimodal import image_neardup_pairs
-    from real_estate_bigdata_spark.plans import plan_stats
 
     df = spark.createDataFrame(
         [(1, bytearray(b"a")), (2, bytearray(b"b"))],
@@ -445,12 +447,10 @@ def test_image_neardup_python_only_in_decode_stage(spark):
     )
     out = image_neardup_pairs(df)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # both join sides read the persisted signature relation — the
-    # MapInPandas decode appears only INSIDE the InMemoryRelation
-    # (executed once at materialization), never as live lineage
-    assert plan.count("InMemoryTableScan") >= 2, plan
-    live = plan.split("InMemoryRelation")[0]
-    assert "MapInPandas" not in live, live
+    # the decode already ran (eager checkpoint at call time); the pair
+    # plan must be pure-JVM over the materialized signature rows
+    assert "MapInPandas" not in plan, plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
 
 
 def test_cross_corpus_pairs_no_python_banded_join(spark):

@@ -36,6 +36,20 @@ def test_null_metrics_dropped_and_ignored(spark):
         quantile_floor(df, "m", keep="sideways")
 
 
+def test_nan_metrics_dropped_and_ignored(spark):
+    """NaN >= any cutoff is true in Spark, so an unguarded NaN would
+    both inflate the quantile and always clear the floor — it must be
+    dropped like NULL (module-wide NaN contract, ADVICE r5 #3)."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, nan), (3, 10.0), (4, nan)], "id long, m double"
+    )
+    out = quantile_floor(df, "m", q=0.5)
+    assert {r.id for r in out.collect()} == {3}  # median of {5,10}=7.5
+    below = quantile_floor(df, "m", q=0.5, keep="below")
+    assert {r.id for r in below.collect()} == {1}
+
+
 def test_approx_close_to_exact_on_real_metric(spark):
     from real_estate_bigdata_spark.functions.text import token_count
     from real_estate_bigdata_spark.schema import load_table
@@ -244,6 +258,20 @@ class TestMetricBuckets:
         # cutoffs computed over the 6 non-null values only
         non_null = [rows[i] for i in (0, 2, 3, 5, 6, 7)]
         assert non_null == [1, 1, 2, 2, 3, 3]
+
+    def test_nan_metric_gets_null_bucket_and_shapes_nothing(self, spark):
+        """NaN sorts greater than any double in Spark, so an unguarded
+        NaN would both skew every percentile cutoff and land in the top
+        bucket (ADVICE r5 #3) — it must behave exactly like NULL."""
+        from real_estate_bigdata_spark.operators.quality import metric_buckets
+
+        nan = float("nan")
+        df = _df(spark, [1.0, nan, 2.0, 3.0, nan, 4.0, 5.0, 6.0])
+        rows = {r.id: r.bucket for r in metric_buckets(df, "m").collect()}
+        assert rows[1] is None and rows[4] is None
+        # cutoffs computed over the 6 finite values only — identical
+        # buckets to the NULL-metric case above
+        assert [rows[i] for i in (0, 2, 3, 5, 6, 7)] == [1, 1, 2, 2, 3, 3]
 
     def test_ties_land_in_lower_bucket(self, spark):
         from real_estate_bigdata_spark.operators.quality import metric_buckets
