@@ -26,8 +26,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "baseline_histogram",
     "corpus_health_report",
     "distribution_drift",
+    "drift_from_histograms",
     "linear_quality_scores",
     "metric_buckets",
     "metric_histogram",
@@ -362,29 +364,72 @@ def distribution_drift(
     costs exactly one pass per snapshot. Same oracle-exactness
     arguments.
     """
+    h_old = baseline_histogram(old, metric, lo, hi, n_bins, group_col)
+    h_new = baseline_histogram(new, metric, lo, hi, n_bins, group_col)
+    return drift_from_histograms(h_old, h_new, n_bins, group_col)
+
+
+def baseline_histogram(
+    df: DataFrame,
+    metric: Column | str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The materializable side of a drift comparison: the (``group?``,
+    ``bin``, ``n``) histogram frame :func:`distribution_drift` computes
+    internally, exposed so a monitoring pipeline can compute it ONCE
+    over a reference snapshot, write the handful of rows to the lake,
+    and compare every future batch against it — the baseline corpus is
+    scanned once ever, not once per report
+    (``streaming.drift_monitor`` does exactly this). Same bin
+    arithmetic, NULL/NaN exclusion, and under/overflow bins as
+    :func:`metric_histogram`; grouped mode enumerates bins per group.
+    Empty bins are absent (drift arithmetic zero-fills them)."""
     _validate_bins(lo, hi, n_bins)
-    k = n_bins + 2
     if group_col is None:
-        # eagerly localCheckpoint the two BOUNDED aggregates
-        # (<= n_bins+2 rows each): their lineage is referenced twice
-        # below — once by the totals aggregate and once by the final
-        # select — and unmaterialized each reference re-scans the
-        # corpus-sized snapshot, making the "one pass per snapshot"
-        # contract a lie. localCheckpoint, not persist: cached
-        # relations outlive the call in the session cache manager
-        # (repeated monitor runs would accumulate them indefinitely),
-        # while checkpoint blocks are GC-reclaimed with the DataFrame.
-        h_old = (
-            metric_histogram(old, metric, lo, hi, n_bins)
-            .select("bin", F.col("n").alias("n_old"))
-            .localCheckpoint(eager=True)
-        )
-        h_new = (
-            metric_histogram(new, metric, lo, hi, n_bins)
-            .select("bin", F.col("n").alias("n_new"))
-            .localCheckpoint(eager=True)
-        )
-        bins = old.sparkSession.range(0, k).select(F.col("id").alias("bin"))
+        return metric_histogram(df, metric, lo, hi, n_bins).select("bin", "n")
+    return _grouped_histogram(df, metric, lo, hi, n_bins, group_col).select(
+        group_col, "bin", "n"
+    )
+
+
+def drift_from_histograms(
+    h_old: DataFrame,
+    h_new: DataFrame,
+    n_bins: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """The PSI arithmetic of :func:`distribution_drift` over two
+    PRECOMPUTED histogram frames of :func:`baseline_histogram` shape —
+    everything here moves (groups x bins)-sized frames, nothing
+    corpus-sized. Callers must pass the same ``n_bins`` the histograms
+    were built with (bins outside [0, n_bins+1] would silently distort
+    the smoothing denominators — there is no cheap way to validate
+    without an action, so the contract is documented instead).
+
+    Both inputs are eagerly localCheckpoint-ed: each is referenced up
+    to three times below (group set, join, totals), and when handed a
+    live aggregate lineage each reference would re-scan the underlying
+    corpus — verified: without this the executed plan shows no
+    ReusedExchange, just repeated FileScans. localCheckpoint, not
+    persist: cached relations outlive the call in the session cache
+    manager (repeated monitor runs would accumulate them
+    indefinitely), while checkpoint blocks are GC-reclaimed with the
+    DataFrame."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    k = n_bins + 2
+    spark = h_old.sparkSession
+    if group_col is None:
+        h_old = h_old.select(
+            "bin", F.col("n").alias("n_old")
+        ).localCheckpoint(eager=True)
+        h_new = h_new.select(
+            "bin", F.col("n").alias("n_new")
+        ).localCheckpoint(eager=True)
+        bins = spark.range(0, k).select(F.col("id").alias("bin"))
         joined = (
             bins.join(h_old, "bin", "left")
             .join(h_new, "bin", "left")
@@ -396,30 +441,19 @@ def distribution_drift(
         joined = joined.crossJoin(F.broadcast(totals))
         group_cols = []
     else:
-        # eagerly localCheckpoint the two BOUNDED aggregates (groups x
-        # bins rows): each is referenced three times below (group set,
-        # join, totals), and an unmaterialized lineage would re-scan
-        # the corpus-sized snapshot per reference — verified: without
-        # this the executed plan shows no ReusedExchange, just repeated
-        # FileScans. Same persist-vs-checkpoint lifecycle rationale as
-        # the ungrouped path above.
-        h_old = (
-            _grouped_histogram(old, metric, lo, hi, n_bins, group_col)
-            .select(group_col, "bin", F.col("n").alias("n_old"))
-            .localCheckpoint(eager=True)
-        )
-        h_new = (
-            _grouped_histogram(new, metric, lo, hi, n_bins, group_col)
-            .select(group_col, "bin", F.col("n").alias("n_new"))
-            .localCheckpoint(eager=True)
-        )
+        h_old = h_old.select(
+            group_col, "bin", F.col("n").alias("n_old")
+        ).localCheckpoint(eager=True)
+        h_new = h_new.select(
+            group_col, "bin", F.col("n").alias("n_new")
+        ).localCheckpoint(eager=True)
         groups = (
             h_old.select(group_col)
             .unionByName(h_new.select(group_col))
             .distinct()
         )
         bins = groups.crossJoin(
-            old.sparkSession.range(0, k).select(F.col("id").alias("bin"))
+            spark.range(0, k).select(F.col("id").alias("bin"))
         )
         joined = (
             bins.join(h_old, [group_col, "bin"], "left")

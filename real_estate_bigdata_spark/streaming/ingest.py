@@ -31,6 +31,8 @@ __all__ = [
     "compact_fingerprint_store",
     "compact_signature_store",
     "file_stream_ingest",
+    "retract_fingerprints",
+    "retract_signatures",
     "windowed_event_counts",
     "run_file_ingest",
     "run_deduped_doc_ingest",
@@ -160,14 +162,20 @@ def run_deduped_doc_ingest(
         from pyspark.errors import AnalysisException
 
         sess = batch_df.sparkSession
+        tombs = _read_tombstones(sess, store_dir, "fingerprint", "bigint")
         try:
             store = (
                 sess.read.schema(_STORE_SCHEMA).parquet(store_dir)
                 # replay safety: never see this epoch's own (possibly
                 # partial) fingerprints; prunes to prior-epoch partitions
                 .filter(F.col("ingest_batch") < F.lit(batch_id))
-                .select("fingerprint")
             )
+            # retraction mask: epoch-scoped, so a fingerprint RE-ADDED
+            # after its retraction (the re-ingested document) is live
+            # again and keeps deduplicating its future duplicates
+            store = _mask_retracted(
+                store, tombs, "fingerprint", epoch_col="ingest_batch"
+            ).select("fingerprint")
         except AnalysisException as exc:
             # ONLY a missing store path means "first epoch". Any other
             # read failure (transient storage error, corrupt footer,
@@ -182,9 +190,16 @@ def run_deduped_doc_ingest(
         ):
             # fingerprints folded out of the epoch partitions by
             # compact_fingerprint_store; never contains any epoch that
-            # could replay (its contract), so no batch-id filter needed
+            # could replay (its contract), so no batch-id filter needed.
+            # Live tombstones always postdate every folded row
+            # (compaction consumes the ones it applies), so the
+            # key-only mask is exact here.
             store = store.unionByName(
-                sess.table(compacted_table).select("fingerprint")
+                _mask_retracted(
+                    sess.table(compacted_table).select("fingerprint"),
+                    tombs,
+                    "fingerprint",
+                )
             )
         # keep_fingerprint: the store write below reuses the fingerprints
         # dedup already computed instead of a second md5 pass per batch
@@ -285,12 +300,16 @@ def run_neardup_doc_ingest(
         # every retry — the moment a caller ingests string ids).
         id_type = batch_df.schema[id_col].dataType.simpleString()
         sig_schema = f"{id_col} {id_type}, sig array<bigint>, ingest_batch int"
+        tombs = _read_tombstones(sess, store_dir, id_col, id_type)
         try:
             store = (
                 sess.read.schema(sig_schema).parquet(store_dir)
                 .filter(F.col("ingest_batch") < F.lit(batch_id))
-                .select(id_col, "sig")
             )
+            # retraction mask — epoch-scoped; see the exact ingest
+            store = _mask_retracted(
+                store, tombs, id_col, epoch_col="ingest_batch"
+            ).select(id_col, "sig")
         except AnalysisException as exc:
             # only a provably-missing path means "first epoch"; any
             # other failure retries the batch (same contract as the
@@ -306,9 +325,15 @@ def run_neardup_doc_ingest(
         ):
             # signatures folded out of the epoch partitions by
             # compact_signature_store; never contains a replayable
-            # epoch (its contract), so no batch-id filter needed
+            # epoch (its contract), so no batch-id filter needed. The
+            # key-only mask is exact for folded rows (compaction
+            # consumes applied tombstones).
             store = store.unionByName(
-                sess.table(compacted_table).select(id_col, "sig")
+                _mask_retracted(
+                    sess.table(compacted_table).select(id_col, "sig"),
+                    tombs,
+                    id_col,
+                )
             )
         novel, added_sigs = neardup_against_store(
             batch_df,
@@ -350,6 +375,167 @@ def run_neardup_doc_ingest(
     return writer.start()
 
 
+def _tombstones_dir(store_dir: str) -> str:
+    # leading underscore: Spark's file index treats _-prefixed paths as
+    # hidden, so tombstones are invisible to the normal store read
+    return store_dir.rstrip("/") + "/_tombstones"
+
+
+def _read_tombstones(
+    spark: SparkSession, store_dir: str, key_col: str, key_type: str
+) -> DataFrame | None:
+    """The store's retraction ledger: (key, as_of_batch) rows, or None
+    when no retraction was ever issued (the overwhelmingly common case —
+    callers skip the mask joins entirely)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        t = spark.read.schema(f"{key_col} {key_type}, as_of_batch int").parquet(
+            _tombstones_dir(store_dir)
+        )
+    except AnalysisException as exc:
+        if not _is_missing_path_error(exc):
+            raise
+        return None
+    return t
+
+
+def _mask_retracted(
+    rows: DataFrame,
+    tombs: DataFrame | None,
+    key_col: str,
+    epoch_col: str | None = None,
+) -> DataFrame:
+    """Hide retracted store rows behind the tombstone ledger.
+
+    Epoch rows (``epoch_col`` given) are masked only when their epoch is
+    <= the tombstone's ``as_of_batch`` — a key RE-ADDED by a later batch
+    (the re-ingested document) is live again and keeps deduplicating its
+    future duplicates. Compacted-table rows (``epoch_col=None``) lost
+    their epoch, but every live tombstone postdates every row the table
+    held at retraction time (``as_of_batch`` is the max epoch present,
+    and compaction CONSUMES tombstones it folds), so a key-only mask is
+    exact: post-retraction re-adds live in epochs above ``as_of_batch``,
+    which by the consumption rule are never folded under a live
+    tombstone. Tombstone sets are retraction-sized — broadcast."""
+    if tombs is None:
+        return rows
+    t = tombs.groupBy(key_col).agg(F.max("as_of_batch").alias("__as_of"))
+    if epoch_col is None:
+        return rows.join(F.broadcast(t.select(key_col)), key_col, "left_anti")
+    r, tt = rows.alias("__r"), t.alias("__t")
+    cond = (F.col(f"__r.{key_col}") == F.col(f"__t.{key_col}")) & (
+        F.col(f"__r.{epoch_col}") <= F.col("__t.__as_of")
+    )
+    return r.join(F.broadcast(tt), cond, "left_anti")
+
+
+def _retract_keys(
+    spark: SparkSession,
+    store_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    key_type: str,
+    epoch_schema: str,
+) -> int:
+    """Append (key, as_of_batch) tombstones for ``keys``; shared core of
+    :func:`retract_fingerprints` / :func:`retract_signatures`.
+
+    ``as_of_batch`` — the newest epoch currently in the store — scopes
+    the retraction to rows that exist NOW: a future re-ingest of the
+    same content lands in a later epoch and is NOT masked, so the store
+    resumes deduplicating against it (the retract-then-reingest
+    round-trip). Run with the ingest stream STOPPED (same contract as
+    compaction) so "newest epoch" is stable. Returns the number of
+    distinct keys tombstoned. NULL keys are dropped — no store row can
+    equi-join them."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        epochs = (
+            spark.read.schema(epoch_schema)
+            .parquet(store_dir)
+            .agg(F.max("ingest_batch"))
+            .first()[0]
+        )
+    except AnalysisException as exc:
+        if not _is_missing_path_error(exc):
+            raise
+        epochs = None
+    as_of = -1 if epochs is None else int(epochs)
+    out = (
+        keys.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .distinct()
+        .withColumn("as_of_batch", F.lit(as_of).cast("int"))
+        .localCheckpoint(eager=True)  # count + write below, one pass
+    )
+    n = out.count()
+    if n:
+        out.write.mode("append").parquet(_tombstones_dir(store_dir))
+    return n
+
+
+def retract_fingerprints(
+    spark: SparkSession,
+    store_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Retract documents from a ``run_deduped_doc_ingest`` fingerprint
+    store (VERDICT r5 task #6): a takedown / opt-out / bad-crawl removal
+    must ALSO free the content's fingerprint, or the store blocks
+    re-ingestion of legitimate content forever — ``versioning.
+    corpus_diff`` detects the removal, this makes the dedup store agree
+    with it.
+
+    Deletion-vector style: nothing is rewritten now; (fingerprint,
+    as_of_batch) tombstones land in a hidden ``_tombstones`` ledger
+    inside the store, every store read masks against them (broadcast
+    anti-join, retraction-sized), and the next
+    :func:`compact_fingerprint_store` run applies them physically and
+    consumes them. ``docs`` carries the CONTENT to retract (same
+    ``text_col`` the ingest fingerprinted — retraction is by content,
+    because that is what the store keys on). Run with the stream
+    stopped. Returns the number of fingerprints tombstoned."""
+    from real_estate_bigdata_spark.operators.text_analysis import doc_fingerprints
+
+    fps = doc_fingerprints(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    ).select("fingerprint")
+    return _retract_keys(
+        spark, store_dir, fps, "fingerprint", "bigint", _STORE_SCHEMA
+    )
+
+
+def retract_signatures(
+    spark: SparkSession,
+    store_dir: str,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+) -> int:
+    """:func:`retract_fingerprints`' twin for the
+    ``run_neardup_doc_ingest`` MinHash signature store, keyed by
+    document id (what that store keys on — a near-dup store retraction
+    removes THE DOCUMENT's signature; its content re-ingested later
+    gets a fresh signature row under its new epoch). ``ids``: a
+    DataFrame carrying ``id_col``. Same tombstone mechanics, masking
+    points, and stream-stopped contract. Returns the number of ids
+    tombstoned."""
+    id_type = ids.schema[id_col].dataType.simpleString()
+    return _retract_keys(
+        spark,
+        store_dir,
+        ids,
+        id_col,
+        id_type,
+        f"{id_col} {id_type}, sig array<bigint>, ingest_batch int",
+    )
+
+
 def _compact_epoch_store(
     spark: SparkSession,
     store_dir: str,
@@ -360,6 +546,7 @@ def _compact_epoch_store(
     schema_str: str,
     value_cols: tuple[str, ...],
     bucket_col: str,
+    key_type: str = "bigint",
 ) -> int:
     """Shared epoch-folding core for the exact-fingerprint and MinHash
     signature stores: fold committed ``ingest_batch`` partitions into
@@ -367,6 +554,18 @@ def _compact_epoch_store(
     ``bucket_col``), versioned per fold, then delete the folded epoch
     directories. See :func:`compact_fingerprint_store` for the full
     replay-safety contract — identical for both stores.
+
+    Retraction tombstones are APPLIED here (this is the "rewrite" half
+    of the tombstone-then-compact design): folded epoch rows are masked
+    epoch-aware (a key re-added after its retraction survives via its
+    later epoch), the prior table's rows key-only, and tombstones whose
+    masked range folded completely (``as_of_batch < up_to``) are
+    CONSUMED — deleted from the ledger — because the new table no
+    longer contains anything they masked. Consumption runs BEFORE the
+    epoch-directory deletes: a crash in between leaves already-masked
+    epochs on disk, which the next compaction detects as a containment
+    violation and refuses loudly (delete the stale epoch dirs manually)
+    rather than silently resurrecting retracted rows.
     """
     from pyspark.errors import AnalysisException
 
@@ -387,11 +586,14 @@ def _compact_epoch_store(
 
     from real_estate_bigdata_spark.sources.lake import write_bucketed
 
+    tombs = _read_tombstones(spark, store_dir, bucket_col, key_type)
     version_path = f"{compacted_path.rstrip('/')}/v{up_to}"
-    merged = (
-        epochs_df.filter(F.col("ingest_batch") < F.lit(up_to))
-        .select(*value_cols)
-    )
+    merged = _mask_retracted(
+        epochs_df.filter(F.col("ingest_batch") < F.lit(up_to)),
+        tombs,
+        bucket_col,
+        epoch_col="ingest_batch",
+    ).select(*value_cols)
     already_this_version = False
     if spark.catalog.tableExists(table):
         # merge the previous version by reading its FILES directly —
@@ -436,7 +638,11 @@ def _compact_epoch_store(
                 )
         else:
             merged = merged.unionByName(
-                spark.read.parquet(loc).select(*value_cols)
+                _mask_retracted(
+                    spark.read.parquet(loc).select(*value_cols),
+                    tombs,
+                    bucket_col,
+                )
             )
     if not already_this_version:
         write_bucketed(
@@ -450,6 +656,22 @@ def _compact_epoch_store(
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if tombs is not None:
+        # consume fully-applied tombstones (everything they masked is
+        # folded and the new table excludes it); keep the rest — they
+        # still mask unfolded epoch rows. Runs before the epoch deletes
+        # (docstring: loud containment failure beats silent
+        # resurrection on a double-crash).
+        survivors = tombs.filter(
+            F.col("as_of_batch") >= F.lit(up_to)
+        ).localCheckpoint(eager=True)
+        tdir = jvm.org.apache.hadoop.fs.Path(_tombstones_dir(store_dir))
+        if survivors.first() is None:
+            tdir.getFileSystem(conf).delete(tdir, True)
+        else:
+            survivors.write.mode("overwrite").parquet(
+                _tombstones_dir(store_dir)
+            )
     for k in fold:
         p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/ingest_batch={k}")
         p.getFileSystem(conf).delete(p, True)
@@ -541,6 +763,7 @@ def compact_signature_store(
         f"{id_col} {id_type}, sig array<bigint>, ingest_batch int",
         (id_col, "sig"),
         id_col,
+        key_type=id_type,
     )
 
 
