@@ -471,6 +471,19 @@ def _q_tfidf(spark, sf):
     return ta.tfidf_scores(load_table(spark, sf, "documents"))
 
 
+def _q_bm25_search(spark, sf):
+    """BM25 top-10 for a fixed 3-term query (NEW r6): the lexical
+    retrieval surface over the document lake (Okapi BM25, Lucene idf).
+    Corpus stats broadcast; df computed for the query's terms only
+    (bounded-key shuffle); candidates pruned map-side before anything
+    moves; top-k is a TakeOrdered. Round-6 contributions before the
+    sum and (score desc, doc_id) ordering make the ranking
+    DuckDB-exact."""
+    return ta.bm25_topk(
+        load_table(spark, sf, "documents"), "join spark window", k=10
+    )
+
+
 def _q_chunk_documents(spark, sf):
     return ta.chunk_documents(load_table(spark, sf, "documents"))
 
@@ -905,16 +918,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_embed_cosine_topk, q_curate_corpus, q_hash_split,
         q_pack_documents, q_decontaminate, q_stratified_sample,
         q_pii_redaction, q_repetition;
-    (c) 11 r5-verified fillers chosen as family representatives for
+    (c) q_bm25_search — NEW in r6 (BM25 lexical retrieval), must
+        verify on its first round;
+    (d) 10 r5-verified fillers chosen as family representatives for
         the past-cap block: q01 (scan-filter agg), q02 (reference
         parity core), q_normalize_listings (normalize core),
         q_value_histogram (quality/histogram), q_weighted_sample
         (sampling), q_topk_orders (global top-k), q_window_frames
         (window family), q_rollup_orders (grouping analytics),
-        q_stats_profile_orders (statistical aggs), q_corpus_diff
-        (versioning), q_linear_quality (quality classifier).
+        q_corpus_diff (versioning), q_linear_quality (quality
+        classifier).
 
-    Past slot 50: 39 oracle-bearing queries ALL hash-verified green in
+    Past slot 50: 40 oracle-bearing queries ALL hash-verified green in
     CORRECTNESS_r05 (<= 1 round stale, rotating back in r7), each with
     an in-cap family sibling (joins via q03-q17 block; banded dedup via
     q_cross_corpus_pairs/q_dedup_exact_docs/q_curate_corpus; windows
@@ -928,7 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 94 (89
+    (tests/test_queries.py::test_query_matches_oracle), and all 95 (90
     oracle-bearing) run in bench + pytest."""
     return {
         # ---- slots 1-50: oracle-bearing (r6 rotation, see docstring) ----
@@ -973,7 +988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_pii_redaction": _q_pii_redaction,
         "q_repetition": _q_repetition,
-        # (c) 11 r5-verified family-representative fillers
+        # (c) NEW in r6 — first-round verification
+        "q_bm25_search": _q_bm25_search,
+        # (d) 10 r5-verified family-representative fillers
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
         "q_normalize_listings": _q_normalize_listings,
@@ -982,11 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_orders": _q_topk_orders,
         "q_window_frames": _q_window_frames,
         "q_rollup_orders": _q_rollup_orders,
-        "q_stats_profile_orders": _q_stats_profile_orders,
         "q_corpus_diff": _q_corpus_diff,
         "q_linear_quality": _q_linear_quality,
         # ---- slots 51+: past the inferred driver cap ----
-        # 39 oracle-bearing queries, all hash-verified in CORRECTNESS_r05
+        # 40 oracle-bearing queries, all hash-verified in CORRECTNESS_r05
         "q07_volume_shipping": _q07_volume_shipping,
         "q08_market_share": _q08_market_share,
         "q09_product_profit": _q09_product_profit,
@@ -1018,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redact_spans": _q_redact_spans,
         "q_redact_dup_spans": _q_redact_dup_spans,
         "q_shuffle_shard": _q_shuffle_shard,
+        "q_stats_profile_orders": _q_stats_profile_orders,
         "q_groupingsets_orders": _q_groupingsets_orders,
         "q_rank_dense_ntile": _q_rank_dense_ntile,
         "q_sessionize": _q_sessionize,
@@ -1829,6 +1846,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # TF-IDF exploded term weights (scikit smooth_idf convention);
         # tf/idf each rounded to 6 BEFORE the product on both engines
+        # BM25 top-10 (NEW r6): Lucene idf, k1=1.2 b=0.75 (so k1+1=2.2,
+        # 1-b=0.25). Same operation ORDER as the Spark expressions —
+        # contributions rounded to 6dp before the sum, score rounded
+        # again, (score desc, doc_id) tie-break — so the top-10 set and
+        # values are engine-exact.
+        "q_bm25_search": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS toks
+                FROM documents
+                WHERE text IS NOT NULL
+            ), stats AS (
+                SELECT count(*)::DOUBLE AS n, avg(len(toks))::DOUBLE AS avgdl
+                FROM base
+            ), hits AS (
+                SELECT b.doc_id, len(b.toks)::DOUBLE AS dl, t.token AS term
+                FROM base b, unnest(b.toks) AS t(token)
+                WHERE t.token IN ('join', 'spark', 'window')
+            ), dfc AS (
+                SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                FROM hits GROUP BY term
+            ), per AS (
+                SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+                FROM hits GROUP BY doc_id, dl, term
+            ), contrib AS (
+                SELECT p.doc_id,
+                       round(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                             * p.tf * 2.2
+                             / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)),
+                             6) AS c
+                FROM per p
+                JOIN dfc d USING (term)
+                CROSS JOIN stats s
+            )
+            SELECT doc_id, round(sum(c), 6) AS score
+            FROM contrib
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 10
+        """,
         "q_tfidf": r"""
             WITH toks AS (
                 SELECT doc_id,

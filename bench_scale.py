@@ -52,7 +52,13 @@ r5 additions (VERDICT r4 task #3): ``simhash_pairs``,
 ``ngram_jaccard_pairs``, ``decontaminate`` (fixed-size benchmark set),
 ``label_agreement``; plus a 30x extra point for ``dedup_clusters`` (CC
 round count grows with component diameter — one more decade of
-evidence). Extra-scale corpora synthesize documents only. Late-r5:
+evidence). Extra-scale corpora synthesize only the tables their
+queries touch (documents and, since r6, embeddings). r6 (VERDICT r5
+task #4): 30x extra points for the four operators whose 10x exponent
+sat closest to linear — ``ivf_embedding_neardup`` (0.57),
+``label_agreement`` (0.57), ``pq_search`` (0.41), ``image_neardup``
+(0.91) — the curves where a super-linear knee would first appear.
+Late-r5:
 ``redact_dup_spans`` (corpus-gram shuffle; token suffixing keeps the
 per-copy duplicate rate constant — the realistic regime),
 ``shuffle_shard``, ``corpus_diff``; final-r5: ``semantic_dedup``,
@@ -96,10 +102,18 @@ from real_estate_bigdata_spark.schema import load_table
 from real_estate_bigdata_spark.session import get_spark
 
 SCALES = (1, 3, 10)
-#: per-query additional scale points (r4 verdict task #3: the CC round
-#: count grows with component diameter, so the clustering family gets
-#: one more decade of evidence). Extra scales synthesize DOCUMENTS only.
-EXTRA_SCALES: dict[str, tuple[int, ...]] = {"dedup_clusters": (30,)}
+#: per-query additional scale points: dedup_clusters (r4 task #3 — CC
+#: round count grows with component diameter) plus the four
+#: closest-to-linear 10x exponents (r5 task #4 — where a super-linear
+#: knee would first appear). Extra scales synthesize only the tables
+#: their queries touch (documents + embeddings, never the fact tables).
+EXTRA_SCALES: dict[str, tuple[int, ...]] = {
+    "dedup_clusters": (30,),
+    "ivf_embedding_neardup": (30,),
+    "label_agreement": (30,),
+    "pq_search": (30,),
+    "image_neardup": (30,),
+}
 N_PASSES = 2
 QUADRATIC_ALARM = 1.7
 #: operators whose super-linear exponent is BY DESIGN and bounded, not a
@@ -161,26 +175,43 @@ def _synth_embeddings(emb, k):
 
 
 def synthesize(spark, base_dir: str, out_dir: str) -> None:
+    """Write the scaled corpora, one table at a time, each guarded by
+    its own parquet ``_SUCCESS`` marker — so adding a table to an
+    existing extra-scale point (r6 added embeddings to x30) fills the
+    gap without resynthesizing what a prior round already wrote, and a
+    crash mid-write rewrites only the incomplete table."""
     docs = load_table(spark, base_dir, "documents")
     li = load_table(spark, base_dir, "lineitem")
     ords = load_table(spark, base_dir, "orders")
     emb = load_table(spark, base_dir, "embeddings")
+    builders = {
+        "documents": lambda s: _union(
+            [_synth_documents(docs, k) for k in range(s)]
+        ),
+        "embeddings": lambda s: _union(
+            [_synth_embeddings(emb, k) for k in range(s)]
+        ),
+        "lineitem": lambda s: _union(
+            [_synth_facts(li, ords, k)[0] for k in range(s)]
+        ),
+        "orders": lambda s: _union(
+            [_synth_facts(li, ords, k)[1] for k in range(s)]
+        ),
+    }
     extra = {s for scales in EXTRA_SCALES.values() for s in scales}
     for scale in sorted(set(SCALES) | extra):
         sdir = f"{out_dir}/x{scale}"
-        docs_only = scale not in SCALES  # extra points: documents battery
-        if os.path.exists(f"{sdir}/_DONE"):
-            continue
-        shutil.rmtree(sdir, ignore_errors=True)
-        d_parts = [_synth_documents(docs, k) for k in range(scale)]
-        _union(d_parts).write.parquet(f"{sdir}/documents.parquet")
-        if not docs_only:
-            f_parts = [_synth_facts(li, ords, k) for k in range(scale)]
-            e_parts = [_synth_embeddings(emb, k) for k in range(scale)]
-            _union([p[0] for p in f_parts]).write.parquet(f"{sdir}/lineitem.parquet")
-            _union([p[1] for p in f_parts]).write.parquet(f"{sdir}/orders.parquet")
-            _union(e_parts).write.parquet(f"{sdir}/embeddings.parquet")
-        open(f"{sdir}/_DONE", "w").close()
+        tables = (
+            ("documents", "embeddings", "lineitem", "orders")
+            if scale in SCALES
+            else ("documents", "embeddings")  # extra points' batteries
+        )
+        for t in tables:
+            path = f"{sdir}/{t}.parquet"
+            if os.path.exists(f"{path}/_SUCCESS"):
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            builders[t](scale).write.parquet(path)
 
 
 def _union(parts):

@@ -100,6 +100,7 @@ def label_agreement(
     vec_col: str = "embedding",
     label_col: str = "label",
     max_rows: int = 200_000,
+    _tile_elems: int = 1 << 23,
 ) -> DataFrame:
     """Label-noise detection over a labeled embedding set: for every
     vector, its exact cosine 1-nearest-neighbor and whether the labels
@@ -126,6 +127,14 @@ def label_agreement(
     ``id_col`` and ``label_col`` must be integral and non-null (the
     kernel packs them into int64 arrays); validated up front with a
     clear error rather than a pandas-worker crash.
+
+    The per-batch GEMM is TILED over the snapshot axis (``_tile_elems``
+    product-matrix elements per tile, default 8M ≈ 64 MB — a testing
+    hook, not a tuning knob): the r6 scale battery's x30 point caught
+    the unblocked form building multi-GB products per task and
+    page-thrashing every worker. Tiling is result-identical (strict->
+    displacement keeps the lowest-id tie-break across tiles;
+    pytest-pinned at a forced 1-column tile).
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -172,16 +181,40 @@ def label_agreement(
             q = np.array(list(pdf["__v"]), dtype=np.float64)
             qn = np.sqrt((q * q).sum(axis=1))
             qn[qn == 0.0] = np.inf
-            raw = (q / qn[:, None]) @ Mn.T
-            # half-away-from-zero to match DuckDB round() (np.round is
-            # half-to-even; boundary cosines would tie-break differently)
-            sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
-            for row_i, qid in enumerate(pdf["__id"]):
-                sims[row_i, id_pos[int(qid)]] = -np.inf  # mask self
-            best = sims.max(axis=1)
-            # ids are sorted ascending, so the FIRST column attaining the
-            # max is the lowest-id tie-break
-            nn_pos = (sims == best[:, None]).argmax(axis=1)
+            Qn = q / qn[:, None]
+            # Tile the GEMM over the snapshot axis, bounding the product
+            # matrix to ~64 MB. Unblocked, a 10k-row Arrow batch against
+            # a 60k-row snapshot builds a 4.8 GB product PER TASK — the
+            # r6 scale battery's x30 point caught all 32 local workers
+            # page-thrashing at 92% system time on exactly that. Results
+            # are bit-identical to the unblocked form: rounding happens
+            # per tile before comparison, within-tile argmax takes the
+            # first (lowest-id — ids are sorted) max column, and across
+            # tiles only a STRICTLY greater cosine displaces the
+            # incumbent, so the earliest tile keeps ties.
+            tile = max(1, _tile_elems // max(len(q), 1))
+            best = np.full(len(q), -np.inf)
+            nn_pos = np.zeros(len(q), dtype=np.int64)
+            row_self = np.array(
+                [id_pos[int(qid)] for qid in pdf["__id"]], dtype=np.int64
+            )
+            rows = np.arange(len(q))
+            for start in range(0, Mn.shape[0], tile):
+                stop = min(start + tile, Mn.shape[0])
+                raw = Qn @ Mn[start:stop].T
+                # half-away-from-zero to match DuckDB round() (np.round
+                # is half-to-even; boundary cosines would tie-break
+                # differently)
+                sims = np.copysign(
+                    np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw
+                )
+                in_tile = (row_self >= start) & (row_self < stop)
+                sims[rows[in_tile], row_self[in_tile] - start] = -np.inf
+                t_best = sims.max(axis=1)
+                t_pos = (sims == t_best[:, None]).argmax(axis=1) + start
+                upd = t_best > best
+                best[upd] = t_best[upd]
+                nn_pos[upd] = t_pos[upd]
             yield pd.DataFrame(
                 {
                     "__id": pdf["__id"].astype("int64"),

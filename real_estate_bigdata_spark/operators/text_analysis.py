@@ -20,6 +20,7 @@ from real_estate_bigdata_spark.functions.text import (
 )
 
 __all__ = [
+    "bm25_topk",
     "doc_quality_profile",
     "token_accounting",
     "lang_id_report",
@@ -484,6 +485,99 @@ def tfidf_scores(
             F.round(idf, 6).alias("idf"),
             F.round(F.round(tf, 6) * F.round(idf, 6), 6).alias("tfidf"),
         )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents for a free-text
+    ``query`` — the lexical half of a RAG / retrieval pipeline (the
+    embedding half is ``similarity.embedding_topk``), and the standard
+    keyword-search surface over a document lake. Okapi BM25 with the
+    Lucene idf: ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score = sum_t idf_t * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    over whitespace tokens (``functions.text.tokenize`` semantics; the
+    query is split the same way, duplicates dropped).
+
+    Output: (``id_col``, ``score``) ordered score-desc then id-asc
+    (round-6 score before both the sum and the compare, so ranking is
+    deterministic and DuckDB-reproducible; per-term contributions are
+    rounded before summation so the two engines add identical values).
+
+    Scale shape — the inverted-index analogue without an index:
+
+    * one aggregate pass over the corpus for (N, avgdl) — broadcast
+      scalars;
+    * document frequency is computed for the QUERY'S terms only: tokens
+      are array-filtered map-side before the explode, so the df shuffle
+      carries <= |query| keys with map-side combine — never a full
+      vocabulary aggregate;
+    * candidates (docs sharing >= 1 query term) are pruned by the same
+      map-side array filter BEFORE anything shuffles; only candidate
+      (doc, term) rows — posting-list sized — ever move;
+    * the final top-k is a TakeOrdered, never a global sort.
+
+    N counts non-NULL-text documents (a missing document can neither
+    match nor meaningfully lengthen the average). NULL/short ``k1``/
+    ``b`` follow the standard Robertson defaults.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q_terms = sorted(set(str(query).split()))
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    qarr = F.array(*[F.lit(t) for t in q_terms])
+    base = (
+        ensure_min_parallelism(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size("__toks")).alias("__avgdl"),
+    )
+    hits = F.filter("__toks", lambda t: F.array_contains(qarr, t))
+    df_t = (
+        base.select(
+            F.explode(F.array_distinct(hits)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("__df"))
+    )
+    cand = (
+        base.withColumn("__qhits", hits)
+        .filter(F.size("__qhits") > 0)
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__qhits").alias("term"),
+        )
+    )
+    per_term = cand.groupBy(id_col, "__dl", "term").agg(
+        F.count("*").cast("double").alias("__tf")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = F.round(idf * F.col("__tf") * F.lit(k1 + 1.0) / denom, 6)
+    return (
+        per_term.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
     )
 
 

@@ -384,6 +384,19 @@ def test_label_agreement_flags_planted_mislabel(spark):
     # member — except whichever A-vector has 99 as its nearest neighbor
     assert sum(not r.agree for r in clean) <= 1
 
+    # tiling invariance (r6: the x30 scale point caught the unblocked
+    # GEMM page-thrashing; results must be identical at ANY tile size):
+    # _tile_elems=1 forces one-column tiles — every boundary and
+    # cross-tile tie-break path executes — and must reproduce the
+    # default's nn assignments bit-for-bit
+    tiled = {
+        r.vec_id: (r.nn_id, r.nn_label, r.agree)
+        for r in sim.label_agreement(emb, _tile_elems=1).collect()
+    }
+    assert tiled == {
+        i: (r.nn_id, r.nn_label, r.agree) for i, r in out.items()
+    }
+
 
 def test_portable_hash64_matches_duckdb_on_adversarial_strings(spark):
     """portable_hash64 is the cross-engine contract every portable-mode

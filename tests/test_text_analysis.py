@@ -377,3 +377,99 @@ def test_dedup_paragraphs_keep_first_order_preserving(spark):
     assert out2 == "a||b"
     # map-only: no shuffle, no Python
     assert_plan(dedup_paragraphs(df), max_shuffles=0, forbid_python=True)
+
+
+class TestBm25Topk:
+    CORPUS = [
+        (1, "spark catalyst optimizer rewrites the logical plan"),
+        (2, "spark spark spark everywhere in this document about spark"),
+        (3, "duckdb is an embedded analytical database"),
+        (4, "the catalyst framework inside spark powers query planning"),
+        (5, None),
+        (6, ""),
+    ]
+
+    def _py_bm25(self, query, k1=1.2, b=0.75):
+        """Independent Python mirror of the documented formula (same
+        operation order as the Spark expressions; tolerance compare —
+        exact cross-engine determinism is the DuckDB oracle's job)."""
+        import math
+
+        docs = {
+            i: (t.split() if t.strip() else [])
+            for i, t in self.CORPUS
+            if t is not None
+        }
+        n = float(len(docs))
+        avgdl = sum(len(v) for v in docs.values()) / n
+        terms = sorted(set(query.split()))
+        df = {
+            t: float(sum(1 for v in docs.values() if t in v)) for t in terms
+        }
+        out = {}
+        for i, toks in docs.items():
+            s = 0.0
+            for t in terms:
+                tf = float(toks.count(t))
+                if tf == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                denom = tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+                s += round(idf * tf * (k1 + 1.0) / denom, 6)
+            if s > 0:
+                out[i] = round(s, 6)
+        return out
+
+    def test_scores_match_independent_mirror(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import bm25_topk
+
+        df = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = {
+            r.doc_id: r.score
+            for r in bm25_topk(df, "spark catalyst", k=10).collect()
+        }
+        want = self._py_bm25("spark catalyst")
+        assert set(got) == set(want)
+        for i in want:
+            assert abs(got[i] - want[i]) < 2e-6, (i, got[i], want[i])
+        # rare term (catalyst, df=2) + term-saturation: doc 1 carries
+        # both terms and must outrank the spark-only docs
+        ranked = [
+            r.doc_id for r in bm25_topk(df, "spark catalyst", k=10).collect()
+        ]
+        assert ranked[0] in (1, 4) and set(ranked[:2]) == {1, 4}
+
+    def test_k_truncates_with_deterministic_tiebreak(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import bm25_topk
+
+        # identical docs -> identical scores -> id-ordered tie-break
+        df = spark.createDataFrame(
+            [(i, "same words here") for i in range(1, 6)],
+            "doc_id long, text string",
+        )
+        top = bm25_topk(df, "words", k=3).collect()
+        assert [r.doc_id for r in top] == [1, 2, 3]
+
+    def test_validates_inputs(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.text_analysis import bm25_topk
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            bm25_topk(df, "   ")
+        with _pytest.raises(ValueError):
+            bm25_topk(df, "a", k=0)
+
+    def test_plan_prunes_before_shuffle_and_stays_jvm(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import bm25_topk
+        from real_estate_bigdata_spark.plans import assert_plan, executed_plan_str
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = bm25_topk(docs, "report market", k=5)
+        # stats agg + df agg + per-term agg + final agg + TakeOrdered:
+        # bounded-key shuffles only; dims broadcast; no Python
+        stats = assert_plan(out, forbid_python=True, min_broadcast_joins=2)
+        plan = executed_plan_str(out)
+        assert "TakeOrdered" in plan, plan
