@@ -896,113 +896,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification at most one round stale (VERDICT r2 task #2; rotation
     map in COVERAGE.md).
 
-    Round-6 rotation. In-cap (slots 1-50):
+    Round-7 rotation (VERDICT r6 task #1). In-cap (slots 1-50):
 
-    (a) the 6 late-r5 queries that landed after the r5 rotation was
-        fixed and therefore have NEVER been driver-verified (the only
-        such oracle-bearing queries; VERDICT r5 task #1):
-        q_temperature_mixture, q_perplexity_buckets,
-        q_distribution_drift, q_source_drift, q_novelty_scores,
-        q_cross_corpus_pairs. q_perplexity_buckets and both drift
-        queries also re-verify r6 implementation changes
-        (metric_buckets NaN exclusion; ungrouped-drift persist —
-        ADVICE r5);
-    (b) the 33 queries hash-verified in CORRECTNESS_r04 that sat past
-        the cap in r5 (two rounds stale after r6 otherwise;
-        VERDICT r5 task #2): q03, q04, q05, q06, q10, q12, q13, q14,
-        q17, q_vocab_top_tokens, q_unigram_logprob, q_tfidf,
-        q_chunk_documents, q_text_quality, q_lang_id, q_pivot_status,
-        q_collect_top_keys, q_scalar_gallery, q_set_nation_coverage,
-        q_mixture_balance, q_quality_floor, q_json_props,
-        q_asof_view_purchase, q_corpus_health, q_dedup_exact_docs,
-        q_embed_cosine_topk, q_curate_corpus, q_hash_split,
-        q_pack_documents, q_decontaminate, q_stratified_sample,
-        q_pii_redaction, q_repetition;
-    (c) q_bm25_search — NEW in r6 (BM25 lexical retrieval), must
-        verify on its first round;
-    (d) 10 r5-verified fillers chosen as family representatives for
+    (a) the 40 oracle-bearing queries hash-verified green in
+        CORRECTNESS_r05 that sat past the cap through r6 — two rounds
+        stale after r7 otherwise: q07, q08, q09, q15, q16, q18, q19,
+        q21, q22, q_cube_lineitem, q_token_accounting,
+        q_doc_fingerprints, q_interval_signup_errors,
+        q_window_top_customers, q_semi_active_customers,
+        q_anti_customers_no_orders, q_corr_lineitem,
+        q_outer_customer_profile, q_tumbling_events, q_dedup_embedding,
+        q_dedup_ngram_jaccard, q_dedup_simhash, q_cap_per_source_best,
+        q_cap_per_source, q_remove_boilerplate, q_semantic_dedup,
+        q_bigram_logprob, q_pack_sequences, q_redact_spans,
+        q_redact_dup_spans, q_shuffle_shard, q_stats_profile_orders,
+        q_groupingsets_orders, q_rank_dense_ntile, q_sessionize,
+        q_dedup_minhash_lsh, q_dedup_embedding_gemm,
+        q_cluster_safe_split, q_dedup_clusters, q_label_agreement;
+    (b) 10 r6-verified fillers chosen as family representatives for
         the past-cap block: q01 (scan-filter agg), q02 (reference
-        parity core), q_normalize_listings (normalize core),
-        q_value_histogram (quality/histogram), q_weighted_sample
-        (sampling), q_topk_orders (global top-k), q_window_frames
-        (window family), q_rollup_orders (grouping analytics),
-        q_corpus_diff (versioning), q_linear_quality (quality
-        classifier).
+        parity core), q03 (broadcast star join / top-k),
+        q_normalize_listings (normalize core), q_text_quality (text
+        profile), q_dedup_exact_docs (exact dedup), q_embed_cosine_topk
+        (ANN brute force), q_quality_floor (quality family),
+        q_stratified_sample (sampling), q_curate_corpus (curation
+        composite).
 
-    Past slot 50: 40 oracle-bearing queries ALL hash-verified green in
-    CORRECTNESS_r05 (<= 1 round stale, rotating back in r7), each with
-    an in-cap family sibling (joins via q03-q17 block; banded dedup via
-    q_cross_corpus_pairs/q_dedup_exact_docs/q_curate_corpus; windows
-    via q_window_frames; grouping analytics via q_rollup_orders; text
-    profile via q_text_quality/q_vocab_top_tokens; event-time via
-    q_sessionize sibling q_asof_view_purchase + streaming tests) + the
-    5 rows-only approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
-    q_dedup_embedding_ivf, q_embed_pq_topk, q_embed_ivfpq_topk — pinned
-    by pytest recall tests). Union invariant: r5 ∪ r6 driver rows cover
-    all 89 oracle-bearing queries.
+    Past slot 50: the remaining 41 oracle-bearing queries, ALL
+    hash-verified green in CORRECTNESS_r06 (<= 1 round stale, rotating
+    back in r8), each with an in-cap family sibling (broadcast star
+    joins via q03/q07/q08/q09; scan-filter aggs via q01; text profile
+    via q_text_quality; grouping analytics via q_cube_lineitem/
+    q_groupingsets_orders; windows via q_window_top_customers/
+    q_rank_dense_ntile; sampling via q_stratified_sample/
+    q_cap_per_source; dedup via the in-cap dedup block; drift/buckets
+    via q_corr_lineitem-family statistical aggs) + the 5 rows-only
+    approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
+    q_dedup_embedding_ivf, q_embed_pq_topk, q_embed_ivfpq_topk —
+    pinned by pytest recall tests). Union invariant: r6 ∪ r7 driver
+    rows cover all 90 oracle-bearing queries.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
-    (tests/test_queries.py::test_query_matches_oracle), and all 95 (90
-    oracle-bearing) run in bench + pytest."""
+    (tests/test_queries.py::test_query_matches_oracle), and the whole
+    registry runs in bench + pytest."""
     return {
-        # ---- slots 1-50: oracle-bearing (r6 rotation, see docstring) ----
-        # (a) the 6 late-r5 queries never driver-verified before
-        "q_temperature_mixture": _q_temperature_mixture,
-        "q_perplexity_buckets": _q_perplexity_buckets,
-        "q_distribution_drift": _q_distribution_drift,
-        "q_source_drift": _q_source_drift,
-        "q_novelty_scores": _q_novelty_scores,
-        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # (b) 33 r4-verified queries returning from r5's past-cap block
-        "q03_shipping_priority": _q03_shipping_priority,
-        "q04_order_priority": _q04_order_priority,
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
-        "q06_forecast_revenue": _q06_forecast_revenue,
-        "q10_returned_items": _q10_returned_items,
-        "q12_priority_lines": _q12_priority_lines,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q17_small_quantity": _q17_small_quantity,
-        "q_vocab_top_tokens": _q_vocab_top_tokens,
-        "q_unigram_logprob": _q_unigram_logprob,
-        "q_tfidf": _q_tfidf,
-        "q_chunk_documents": _q_chunk_documents,
-        "q_text_quality": _q_text_quality,
-        "q_lang_id": _q_lang_id,
-        "q_pivot_status": _q_pivot_status,
-        "q_collect_top_keys": _q_collect_top_keys,
-        "q_scalar_gallery": _q_scalar_gallery,
-        "q_set_nation_coverage": _q_set_nation_coverage,
-        "q_mixture_balance": _q_mixture_balance,
-        "q_quality_floor": _q_quality_floor,
-        "q_json_props": _q_json_props,
-        "q_asof_view_purchase": _q_asof_view_purchase,
-        "q_corpus_health": _q_corpus_health,
-        "q_dedup_exact_docs": _q_dedup_exact_docs,
-        "q_embed_cosine_topk": _q_embed_cosine_topk,
-        "q_curate_corpus": _q_curate_corpus,
-        "q_hash_split": _q_hash_split,
-        "q_pack_documents": _q_pack_documents,
-        "q_decontaminate": _q_decontaminate,
-        "q_stratified_sample": _q_stratified_sample,
-        "q_pii_redaction": _q_pii_redaction,
-        "q_repetition": _q_repetition,
-        # (c) NEW in r6 — first-round verification
-        "q_bm25_search": _q_bm25_search,
-        # (d) 10 r5-verified family-representative fillers
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q_normalize_listings": _q_normalize_listings,
-        "q_value_histogram": _q_value_histogram,
-        "q_weighted_sample": _q_weighted_sample,
-        "q_topk_orders": _q_topk_orders,
-        "q_window_frames": _q_window_frames,
-        "q_rollup_orders": _q_rollup_orders,
-        "q_corpus_diff": _q_corpus_diff,
-        "q_linear_quality": _q_linear_quality,
-        # ---- slots 51+: past the inferred driver cap ----
-        # 40 oracle-bearing queries, all hash-verified in CORRECTNESS_r05
+        # ---- slots 1-50: oracle-bearing (r7 rotation, see docstring) ----
+        # (a) the 40 r5-verified queries returning from past-cap
         "q07_volume_shipping": _q07_volume_shipping,
         "q08_market_share": _q08_market_share,
         "q09_product_profit": _q09_product_profit,
@@ -1043,6 +983,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_safe_split": _q_cluster_safe_split,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_label_agreement": _q_label_agreement,
+        # (b) 10 r6-verified family-representative fillers
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q_normalize_listings": _q_normalize_listings,
+        "q_text_quality": _q_text_quality,
+        "q_dedup_exact_docs": _q_dedup_exact_docs,
+        "q_embed_cosine_topk": _q_embed_cosine_topk,
+        "q_quality_floor": _q_quality_floor,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_curate_corpus": _q_curate_corpus,
+        # ---- slots 51+: past the inferred driver cap ----
+        # 41 oracle-bearing queries, all hash-verified in CORRECTNESS_r06
+        "q04_order_priority": _q04_order_priority,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q06_forecast_revenue": _q06_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q12_priority_lines": _q12_priority_lines,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_quantity": _q17_small_quantity,
+        "q_vocab_top_tokens": _q_vocab_top_tokens,
+        "q_unigram_logprob": _q_unigram_logprob,
+        "q_tfidf": _q_tfidf,
+        "q_chunk_documents": _q_chunk_documents,
+        "q_lang_id": _q_lang_id,
+        "q_pivot_status": _q_pivot_status,
+        "q_collect_top_keys": _q_collect_top_keys,
+        "q_scalar_gallery": _q_scalar_gallery,
+        "q_set_nation_coverage": _q_set_nation_coverage,
+        "q_mixture_balance": _q_mixture_balance,
+        "q_json_props": _q_json_props,
+        "q_asof_view_purchase": _q_asof_view_purchase,
+        "q_corpus_health": _q_corpus_health,
+        "q_hash_split": _q_hash_split,
+        "q_pack_documents": _q_pack_documents,
+        "q_decontaminate": _q_decontaminate,
+        "q_pii_redaction": _q_pii_redaction,
+        "q_repetition": _q_repetition,
+        "q_bm25_search": _q_bm25_search,
+        "q_value_histogram": _q_value_histogram,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_topk_orders": _q_topk_orders,
+        "q_window_frames": _q_window_frames,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_corpus_diff": _q_corpus_diff,
+        "q_linear_quality": _q_linear_quality,
+        "q_temperature_mixture": _q_temperature_mixture,
+        "q_perplexity_buckets": _q_perplexity_buckets,
+        "q_distribution_drift": _q_distribution_drift,
+        "q_source_drift": _q_source_drift,
+        "q_novelty_scores": _q_novelty_scores,
+        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
         # 5 rows-only approximate queries (pytest recall-pinned)
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
