@@ -13,13 +13,26 @@ unparseable (this exact failure produced round 2's ``parsed: null``).
 Full-precision timings and the regression report are written to disk
 (``BENCH_DETAIL.json`` / ``BENCH_REGRESSIONS.json`` next to this file).
 
-Contention defense: every query is timed over TWO full passes and the
-per-query MINIMUM is reported. A single contended pass (another
+Contention defense: every query is timed over THREE full passes and
+the per-query MINIMUM is reported. A single contended pass (another
 process hammering the host, cold page cache) inflates every query by a
 uniform factor — the min across passes recovers the true warm number,
 so one bad run can't fake a fleet-wide regression. The total is the
 sum of per-query minima (i.e. best-case wall time, the stable
 comparable quantity).
+
+Session-state defense (round 7, after two consecutive rounds of
++5-11 % diffuse creep on unchanged plans): a long single-session bench
+accumulates JVM garbage — localCheckpoint RDD blocks, torrent
+broadcast pieces, shuffle metadata — that Spark's ContextCleaner only
+frees on a JVM GC, and its periodic forced GC
+(spark.cleaner.periodicGC.interval) defaults to 30 min: it never fires
+inside a ~4-minute bench, so pass N runs under strictly more heap
+pressure than pass 1. Between passes we now clearCache() and force a
+JVM System.gc() so the ContextCleaner drains its reference queue, and
+BENCH_DETAIL.json records PER-PASS timings (``per_pass``) so any
+future drift is attributable to a specific pass shape instead of
+guessed at.
 
 Regression guard: when ``BENCH_BASELINE.json`` exists and its sf
 matches this run, any query slower than 2x its baseline AND >1 s
@@ -37,7 +50,18 @@ import time
 import __spark_entry__ as entry_mod
 from real_estate_bigdata_spark.session import get_spark
 
-N_PASSES = 2
+N_PASSES = 3
+
+
+def _session_gc(spark) -> None:
+    """Drop cached blocks and force a JVM GC so the ContextCleaner frees
+    accumulated localCheckpoint / broadcast blocks between passes (its
+    own periodic GC never fires inside a short bench)."""
+    try:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # cleanup is best-effort — never fail the bench over it
 
 # The driver records a bounded tail of stdout (measured: exactly 2,000
 # bytes in BENCH_r04.json).  A line longer than that window loses its
@@ -116,13 +140,17 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
-    for _ in range(N_PASSES):
+    per_pass: dict[str, list[float]] = {name: [] for name in queries}
+    for pass_idx in range(N_PASSES):
+        if pass_idx:
+            _session_gc(spark)
         for name in sorted(queries):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = round(time.perf_counter() - t0, 4)
+            per_pass[name].append(dt)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
@@ -153,6 +181,7 @@ def main() -> None:
                 "sf": sf_val,
                 "passes": N_PASSES,
                 "queries": timings,
+                "per_pass": per_pass,
             },
             fh,
             indent=1,
