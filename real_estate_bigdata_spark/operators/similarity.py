@@ -47,6 +47,8 @@ __all__ = [
     "save_pq",
     "load_pq",
     "ivfpq_topk",
+    "retract_from_ann_index",
+    "compact_ann_index",
 ]
 
 
@@ -594,7 +596,11 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
 
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Load a persisted index. Centroids (tiny) collect to the driver;
-    the lists stay a lazy partitioned scan."""
+    the lists stay a lazy partitioned scan, masked against the
+    artifact's retraction ledger (:func:`retract_from_ann_index`) so a
+    retracted id can never surface from ``ivf_search`` / ``ivfpq_topk``
+    over a loaded index — a broadcast anti-join that vanishes entirely
+    in the common no-retractions case."""
     cent = (
         spark.read.parquet(f"{path}/centroids")
         .orderBy("list_id")
@@ -603,6 +609,13 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     centroids = np.stack([np.asarray(r.centroid) for r in cent])
     lists = spark.read.parquet(f"{path}/lists").select(
         "neighbor_id", "c_vec", "c_nrm", "__list"
+    )
+    lists = _mask_ann_retracted(
+        lists,
+        _read_ann_tombstones(
+            spark, path, lists.schema["neighbor_id"].dataType.simpleString()
+        ),
+        "neighbor_id",
     )
     return IvfIndex(centroids=centroids, lists=lists)
 
@@ -1111,12 +1124,24 @@ def save_pq(
 
 def load_pq(spark, path: str) -> tuple[PqCodebook, DataFrame]:
     """Load a persisted PQ corpus -> (codebook, codes). The codebook
-    (tiny) collects to the driver; codes stay a lazy scan."""
+    (tiny) collects to the driver; codes stay a lazy scan, masked
+    against the artifact's retraction ledger
+    (:func:`retract_from_ann_index`) so ``pq_topk`` / ``ivfpq_topk``
+    over loaded codes can never return a retracted id."""
     rows = spark.read.parquet(f"{path}/codebook").orderBy("sub_space").collect()
     cents = np.stack(
         [np.asarray(r.flat).reshape(r.ksub, r.dsub) for r in rows]
     )
-    return PqCodebook(cents), spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(f"{path}/codes")
+    id_field = next(f.name for f in codes.schema.fields if f.name != "code")
+    codes = _mask_ann_retracted(
+        codes,
+        _read_ann_tombstones(
+            spark, path, codes.schema[id_field].dataType.simpleString()
+        ),
+        id_field,
+    )
+    return PqCodebook(cents), codes
 
 
 def ivfpq_topk(
@@ -1180,3 +1205,201 @@ def ivfpq_topk(
         query_id_col=query_id_col,
         _qrows=qrows,
     )
+
+# --------------------------------------------------------------------------
+# Persisted-artifact retraction (round 7, VERDICT r6 task #3)
+# --------------------------------------------------------------------------
+#
+# The dedup stores gained takedown support in round 6
+# (streaming/ingest.retract_fingerprints / retract_signatures), but a
+# taken-down document's VECTORS remained retrievable forever through the
+# persisted IVF lists and PQ codes — the search half of the takedown
+# story. Same deletion-vector design: retraction appends (id) tombstones
+# to a hidden ledger inside the artifact, every artifact LOAD masks
+# against it (so all three search paths — ivf_search, pq_topk,
+# ivfpq_topk — stop returning the id with zero rewrite cost), and
+# compaction applies the mask physically and consumes the ledger.
+
+
+def _ann_tombstones_dir(path: str) -> str:
+    # leading underscore: Spark's file index treats _-prefixed paths as
+    # hidden, so the ledger is invisible to a raw artifact read
+    return path.rstrip("/") + "/_tombstones"
+
+
+def _ann_data_tables(spark, path: str) -> list[tuple[str, str, str]]:
+    """The data tables of the persisted ANN artifact at ``path``:
+    ``[(subdir, id_field, id_type)]`` — ``lists`` for an IVF index
+    (:func:`save_ivf_index`), ``codes`` for a PQ corpus
+    (:func:`save_pq`); both for a co-located IVF-PQ pair. The id
+    field/type are read from the ARTIFACT's own parquet schema — never
+    trusted from the caller's frame (a narrower caller type would
+    otherwise write a ledger the masks cannot join exactly)."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    out: list[tuple[str, str, str]] = []
+    for sub in ("lists", "codes"):
+        try:
+            schema = spark.read.parquet(f"{path}/{sub}").schema
+        except AnalysisException as exc:
+            if not is_missing_path_error(exc):
+                raise
+            continue
+        if sub == "lists":
+            id_field = "neighbor_id"
+        else:
+            id_field = next(f.name for f in schema.fields if f.name != "code")
+        out.append((sub, id_field, schema[id_field].dataType.simpleString()))
+    if not out:
+        raise ValueError(
+            f"retract/compact: no ANN artifact at {path!r} — expected a "
+            f"save_ivf_index 'lists' and/or save_pq 'codes' table"
+        )
+    return out
+
+
+def _read_ann_tombstones(spark, path: str, id_type: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    try:
+        return spark.read.schema(f"__retracted_id {id_type}").parquet(
+            _ann_tombstones_dir(path)
+        )
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        return None
+
+
+def _mask_ann_retracted(
+    rows: DataFrame, tombs: DataFrame | None, id_field: str
+) -> DataFrame:
+    """Key-only anti-join mask; the ledger is retraction-sized —
+    broadcast, never a shuffle of the lists/codes side."""
+    if tombs is None:
+        return rows
+    t = tombs.select(F.col("__retracted_id").alias(id_field)).distinct()
+    return rows.join(F.broadcast(t), id_field, "left_anti")
+
+
+def retract_from_ann_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Retract vectors from a persisted ANN artifact (IVF index, PQ
+    corpus, or a co-located IVF-PQ pair at one ``path``): after this
+    call, :func:`load_ivf_index` / :func:`load_pq` mask the ids out, so
+    ``ivf_search`` / ``pq_topk`` / ``ivfpq_topk`` over the loaded
+    artifacts can never return them — the search-side half of the
+    takedown story (the dedup-store half is
+    ``streaming.ingest.retract_fingerprints`` / ``retract_signatures``).
+
+    Deletion-vector style: nothing is rewritten now; ``(id)`` tombstones
+    append to a hidden ``_tombstones`` ledger inside the artifact and
+    :func:`compact_ann_index` later applies them physically and consumes
+    the ledger. The ledger key type derives from the ARTIFACT schema;
+    caller ids are cast to it and the cast is validated (a lossy cast
+    fails loudly instead of writing unjoinable tombstones). NULL ids are
+    dropped — no artifact row can equi-join them.
+
+    Re-adding a retracted id (``extend_ivf_index`` + save, or appending
+    fresh codes) requires a :func:`compact_ann_index` first — the ledger
+    is epoch-less (the artifacts carry no ingest history), so a live
+    tombstone masks the id regardless of when its row was written. Same
+    single-writer, searches-drained contract as store compaction.
+    Returns the number of distinct ids tombstoned."""
+    tables = _ann_data_tables(spark, path)
+    id_types = {t[2] for t in tables}
+    if len(id_types) > 1:
+        raise ValueError(
+            f"retract_from_ann_index: artifact tables at {path!r} disagree "
+            f"on id type ({sorted(id_types)}) — rebuild them from one corpus"
+        )
+    id_type = id_types.pop()
+    keys = (
+        ids.select(F.col(id_col).alias("__raw"))
+        .filter(F.col("__raw").isNotNull())
+        .distinct()
+        .withColumn("__retracted_id", F.col("__raw").cast(id_type))
+    )
+    bad = keys.filter(F.col("__retracted_id").isNull()).limit(1)
+    out = keys.select("__retracted_id").localCheckpoint(eager=True)
+    if bad.count():
+        raise ValueError(
+            f"retract_from_ann_index: ids of type "
+            f"{ids.schema[id_col].dataType.simpleString()!r} do not cast "
+            f"losslessly to the artifact id type {id_type!r}"
+        )
+    n = out.count()
+    if n:
+        out.write.mode("append").parquet(_ann_tombstones_dir(path))
+    return n
+
+
+def compact_ann_index(spark, path: str) -> int:
+    """Apply a persisted ANN artifact's tombstone ledger physically —
+    rewrite the ``lists`` / ``codes`` tables without the retracted rows
+    — and CONSUME the ledger, returning the number of ids applied (0 =
+    nothing to do). After compaction a re-added id is searchable again
+    (the rewrite-half of :func:`retract_from_ann_index`'s contract).
+
+    Rewrite protocol (the artifact path IS the pointer — no catalog
+    version to swing, unlike the epoch stores' versioned fold): write
+    the masked table to a hidden ``_<name>_new`` sibling, rename the
+    live table aside, rename ``_new`` in, drop the old. Every crash
+    window re-runs to completion: before the renames the live table and
+    ledger are untouched (re-run restarts); between the renames the next
+    call finds ``_<name>_new`` present with the live table missing and
+    finishes the swap before doing anything else; after the swap but
+    before ledger consumption, re-masking the already-clean table is a
+    no-op rewrite. Single-writer maintenance op — run with searches
+    drained, same contract as the dedup-store compactions."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def hpath(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    def fs_of(p):
+        return p.getFileSystem(conf)
+
+    # crash recovery first: finish a half-done swap from a prior run
+    for sub in ("lists", "codes"):
+        new_p = hpath(f"{path}/_{sub}_new")
+        live_p = hpath(f"{path}/{sub}")
+        fs = fs_of(live_p)
+        if fs.exists(new_p) and not fs.exists(live_p):
+            fs.rename(new_p, live_p)
+
+    tables = _ann_data_tables(spark, path)
+    tombs = _read_ann_tombstones(spark, path, tables[0][2])
+    if tombs is None:
+        return 0
+    n_ids = tombs.select("__retracted_id").distinct().count()
+
+    for sub, id_field, _ in tables:
+        live = f"{path}/{sub}"
+        masked = _mask_ann_retracted(spark.read.parquet(live), tombs, id_field)
+        writer = masked.write.mode("overwrite")
+        if sub == "lists":
+            # preserve the partition-pruned layout searches depend on
+            writer = writer.partitionBy("__list")
+        writer.parquet(f"{path}/_{sub}_new")
+        live_p, new_p, old_p = (
+            hpath(live),
+            hpath(f"{path}/_{sub}_new"),
+            hpath(f"{path}/_{sub}_old"),
+        )
+        fs = fs_of(live_p)
+        if fs.exists(old_p):
+            fs.delete(old_p, True)
+        fs.rename(live_p, old_p)
+        fs.rename(new_p, live_p)
+        fs.delete(old_p, True)
+
+    tdir = hpath(_ann_tombstones_dir(path))
+    fs_of(tdir).delete(tdir, True)
+    return n_ids

@@ -45,23 +45,13 @@ __all__ = [
 _STORE_SCHEMA = "fingerprint bigint, ingest_batch int"
 
 
-def _is_missing_path_error(exc) -> bool:
-    """True iff ``exc`` is Spark's missing-input-path error. Checks the
-    STABLE error-class API first (``getCondition`` in PySpark 4,
-    ``getErrorClass`` before it) so a Spark release rewording the
-    message can't wedge a stream on its first batch; the message
-    substrings remain only as a last-resort fallback."""
-    for attr in ("getCondition", "getErrorClass"):
-        fn = getattr(exc, attr, None)
-        if fn is None:
-            continue
-        try:
-            cls = fn()
-        except Exception:
-            continue
-        if cls is not None:
-            return cls == "PATH_NOT_FOUND"
-    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+# moved to util.is_missing_path_error (round 7) so the persisted-ANN
+# artifact readers in operators/similarity.py can share it without an
+# operators -> streaming import cycle; re-exported under the old name
+# for this module's many call sites
+from real_estate_bigdata_spark.util import (  # noqa: E402
+    is_missing_path_error as _is_missing_path_error,
+)
 
 
 def file_stream_ingest(
@@ -448,7 +438,9 @@ def _retract_keys(
     round-trip). Run with the ingest stream STOPPED (same contract as
     compaction) so "newest epoch" is stable. Returns the number of
     distinct keys tombstoned. NULL keys are dropped — no store row can
-    equi-join them."""
+    equi-join them. ``key_type`` is the STORE's key type (derived from
+    the store schema by the callers, never trusted from the keys frame)
+    — caller keys are cast to it with a lossy-cast fail-fast."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -463,13 +455,26 @@ def _retract_keys(
             raise
         epochs = None
     as_of = -1 if epochs is None else int(epochs)
+    # keys are CAST to the store-derived key_type before writing (ADVICE
+    # r6 #1): the masks read the ledger with the store's id type, so a
+    # caller frame with a narrower/wider type must not dictate the
+    # ledger's physical schema. A lossy cast fails loudly instead of
+    # writing tombstones the masks can't equi-join.
     out = (
-        keys.select(key_col)
-        .filter(F.col(key_col).isNotNull())
+        keys.select(F.col(key_col).alias("__raw"))
+        .filter(F.col("__raw").isNotNull())
         .distinct()
+        .withColumn(key_col, F.col("__raw").cast(key_type))
         .withColumn("as_of_batch", F.lit(as_of).cast("int"))
-        .localCheckpoint(eager=True)  # count + write below, one pass
+        .localCheckpoint(eager=True)  # validate + count + write, one pass
     )
+    if out.filter(F.col(key_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"retraction keys of type "
+            f"{keys.schema[key_col].dataType.simpleString()!r} do not cast "
+            f"losslessly to the store key type {key_type!r}"
+        )
+    out = out.select(key_col, "as_of_batch")
     n = out.count()
     if n:
         out.write.mode("append").parquet(_tombstones_dir(store_dir))
@@ -524,8 +529,24 @@ def retract_signatures(
     gets a fresh signature row under its new epoch). ``ids``: a
     DataFrame carrying ``id_col``. Same tombstone mechanics, masking
     points, and stream-stopped contract. Returns the number of ids
-    tombstoned."""
+    tombstoned.
+
+    The ledger key type derives from the STORE's own parquet schema when
+    the store exists (ADVICE r6 #1 — a caller passing a narrower id
+    type, e.g. int ids against a bigint-keyed store, previously produced
+    a ledger whose schema-on-read could mismatch the masks); the caller
+    frame's type is only the fallback for a not-yet-created store."""
+    from pyspark.errors import AnalysisException
+
     id_type = ids.schema[id_col].dataType.simpleString()
+    try:
+        store_schema = spark.read.parquet(store_dir).schema
+        if id_col in store_schema.fieldNames():
+            id_type = store_schema[id_col].dataType.simpleString()
+    except AnalysisException:
+        # missing or empty (schema-less) store — nothing to mask yet,
+        # the caller frame's type stands for the fresh ledger
+        pass
     return _retract_keys(
         spark,
         store_dir,

@@ -4,7 +4,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["ensure_min_parallelism", "with_run_metrics"]
+__all__ = [
+    "ensure_min_parallelism",
+    "is_missing_path_error",
+    "with_run_metrics",
+]
+
+
+def is_missing_path_error(exc) -> bool:
+    """True iff ``exc`` is Spark's missing-input-path error. Checks the
+    STABLE error-class API first (``getCondition`` in PySpark 4,
+    ``getErrorClass`` before it) so a Spark release rewording the
+    message can't wedge a caller probing an optional path; the message
+    substrings remain only as a last-resort fallback. Shared by the
+    streaming store readers and the persisted-ANN-artifact readers."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is None:
+            continue
+        try:
+            cls = fn()
+        except Exception:
+            continue
+        if cls is not None:
+            return cls == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:

@@ -1242,70 +1242,6 @@ class TestIvfPq:
             sim.ivfpq_topk(idx, cb32, sim.pq_encode(short, cb32), emb.limit(1))
 
 
-def test_pq_save_load_roundtrip(spark, tmp_path):
-    """Persisted codebook+codes reload bit-identically and search the
-    same — the build-once/search-many contract extended to PQ."""
-    import numpy as np
-
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    cb = sim.train_pq(emb, m=8, ksub=16)
-    codes = sim.pq_encode(emb, cb)
-    sim.save_pq(cb, codes, str(tmp_path / "pq"))
-    cb2, codes2 = sim.load_pq(spark, str(tmp_path / "pq"))
-    assert (cb2.centroids == cb.centroids).all()
-    a = {r.vec_id: list(r.code) for r in codes.collect()}
-    b = {r.vec_id: list(r.code) for r in codes2.collect()}
-    assert a == b
-    q = emb.limit(3)
-    r1 = {(r.query_id, r.rn): r.neighbor_id for r in sim.pq_topk(codes, cb, q, k=5).collect()}
-    r2 = {(r.query_id, r.rn): r.neighbor_id for r in sim.pq_topk(codes2, cb2, q, k=5).collect()}
-    assert r1 == r2
-
-
-class TestIvfPq:
-    def test_recall_tracks_pq_fullscan_and_prunes(self, spark):
-        """IVF-PQ at full probe count == plain PQ (same candidates);
-        at n_probe < n_lists the candidate codes are a strict subset
-        and recall stays near the full scan on real data."""
-        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-        queries = emb.limit(5)
-        idx = sim.build_ivf_index(emb, n_lists=8)
-        cb = sim.train_pq(emb, m=8, ksub=32)
-        codes = sim.pq_encode(emb, cb)
-        full = {
-            (r.query_id, r.neighbor_id)
-            for r in sim.pq_topk(codes, cb, queries, k=10, rerank=emb).collect()
-        }
-        allprobe = {
-            (r.query_id, r.neighbor_id)
-            for r in sim.ivfpq_topk(
-                idx, cb, codes, queries, k=10, n_probe=8, rerank=emb
-            ).collect()
-        }
-        assert allprobe == full  # all lists probed == full scan
-        pruned = {
-            (r.query_id, r.neighbor_id)
-            for r in sim.ivfpq_topk(
-                idx, cb, codes, queries, k=10, n_probe=4, rerank=emb
-            ).collect()
-        }
-        assert len(pruned & full) / len(full) >= 0.5
-
-    def test_probed_scan_reads_partition_subset(self, spark, tmp_path):
-        """With the persisted list layout, the probe filter prunes list
-        directories at the scan (same contract as ivf_search)."""
-        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-        idx = sim.build_ivf_index(emb, n_lists=8)
-        sim.save_ivf_index(idx, str(tmp_path / "idx"))
-        loaded = sim.load_ivf_index(spark, str(tmp_path / "idx"))
-        cb = sim.train_pq(emb, m=8, ksub=16)
-        codes = sim.pq_encode(emb, cb)
-        out = sim.ivfpq_topk(loaded, cb, codes, emb.limit(2), k=5, n_probe=2)
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "__list" in plan  # the list filter reaches the scan
-        assert out.count() > 0
-
-
 class TestNoveltyScores:
     def test_first_doc_fully_novel_copies_score_zero(self, spark):
         base = (

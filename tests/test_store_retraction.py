@@ -171,3 +171,166 @@ class TestSignatureRetraction:
         _write_jsonl(src / "b4.jsonl", [(11, self._near("spring"))])
         run()
         assert _lake_ids(spark, dest) == [1, 10]
+
+
+class TestAnnIndexRetraction:
+    """ANN-artifact retraction (VERDICT r6 task #3): the search-side
+    half of the takedown story. Contract: retract id -> absent from all
+    three search paths (ivf_search / pq_topk / ivfpq_topk over loaded
+    artifacts) -> compaction removes the rows physically and consumes
+    the ledger -> a re-added id is searchable again."""
+
+    def _emb(self, spark, n=60, dim=16, seed=7):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        rows = [
+            (i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _build_artifacts(self, spark, emb, path):
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        idx = sim.build_ivf_index(emb, n_lists=4)
+        sim.save_ivf_index(idx, path)
+        cb = sim.train_pq(emb, m=4, ksub=8)
+        sim.save_pq(cb, sim.pq_encode(emb, cb), path)
+        return cb
+
+    def _search_ids(self, spark, path, emb, victim):
+        """The union of neighbor ids the three search paths return for
+        a few queries (excluding the victim as a query)."""
+        from pyspark.sql import functions as F
+
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        q = emb.filter(F.col("vec_id") != victim).orderBy("vec_id").limit(3)
+        index = sim.load_ivf_index(spark, path)
+        cb, codes = sim.load_pq(spark, path)
+        out = set()
+        big_k = 70  # > corpus size: any live id MUST appear
+        for df in (
+            sim.ivf_search(index, q, k=big_k, n_probe=4),
+            sim.pq_topk(codes, cb, q, k=big_k),
+            sim.ivfpq_topk(index, cb, codes, q, k=big_k, n_probe=4),
+        ):
+            out |= {r.neighbor_id for r in df.collect()}
+        return out
+
+    def test_retract_compact_readd_lifecycle(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        emb = self._emb(spark)
+        path = str(tmp_path / "ann")
+        cb = self._build_artifacts(spark, emb, path)
+        victim = 17
+
+        assert victim in self._search_ids(spark, path, emb, victim)
+
+        n = sim.retract_from_ann_index(
+            spark, path, spark.createDataFrame([(victim,)], "vec_id long")
+        )
+        assert n == 1
+        # masked everywhere, zero rewrite yet
+        assert victim not in self._search_ids(spark, path, emb, victim)
+
+        # compaction removes the rows physically and consumes the ledger
+        applied = sim.compact_ann_index(spark, path)
+        assert applied == 1
+        raw_lists = spark.read.parquet(f"{path}/lists")
+        raw_codes = spark.read.parquet(f"{path}/codes")
+        assert raw_lists.filter(F.col("neighbor_id") == victim).count() == 0
+        assert raw_codes.filter(F.col("vec_id") == victim).count() == 0
+        assert sim.compact_ann_index(spark, path) == 0  # ledger consumed
+        assert victim not in self._search_ids(spark, path, emb, victim)
+
+        # re-add the id: extend the IVF lists, append fresh codes
+        readd = emb.filter(F.col("vec_id") == victim)
+        index = sim.load_ivf_index(spark, path)
+        extended = sim.extend_ivf_index(index, readd)
+        # write via checkpoint: save overwrites the dir the lists read
+        ext_rows = extended.lists.localCheckpoint(eager=True)
+        sim.save_ivf_index(sim.IvfIndex(extended.centroids, ext_rows), path)
+        sim.pq_encode(readd, cb).select("vec_id", "code").write.mode(
+            "append"
+        ).parquet(f"{path}/codes")
+        assert victim in self._search_ids(spark, path, emb, victim)
+
+    def test_retraction_survives_partial_swap_crash(self, spark, tmp_path):
+        """Crash window: _lists_new written, live table renamed away,
+        process died before the rename-in. The next compact call must
+        finish the swap before doing anything else."""
+        from pyspark.sql import functions as F
+
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        emb = self._emb(spark, n=30)
+        path = str(tmp_path / "ann")
+        self._build_artifacts(spark, emb, path)
+        sim.retract_from_ann_index(
+            spark, path, spark.createDataFrame([(3,)], "vec_id long")
+        )
+        # simulate the half-done swap for the lists table
+        masked = spark.read.parquet(f"{path}/lists").filter(
+            F.col("neighbor_id") != 3
+        )
+        masked.write.mode("overwrite").partitionBy("__list").parquet(
+            f"{path}/_lists_new"
+        )
+        import shutil
+
+        shutil.rmtree(f"{path}/lists")
+        assert sim.compact_ann_index(spark, path) == 1
+        raw = spark.read.parquet(f"{path}/lists")
+        assert raw.filter(F.col("neighbor_id") == 3).count() == 0
+        assert raw.count() == 29
+
+    def test_lossy_id_cast_fails_fast(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        emb = self._emb(spark, n=10)
+        path = str(tmp_path / "ann")
+        self._build_artifacts(spark, emb, path)
+        strs = spark.createDataFrame([("not-an-id",)], "vec_id string")
+        with _pytest.raises(ValueError, match="losslessly"):
+            sim.retract_from_ann_index(spark, path, strs)
+
+    def test_missing_artifact_fails_with_clear_error(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        with _pytest.raises(ValueError, match="no ANN artifact"):
+            sim.retract_from_ann_index(
+                spark,
+                str(tmp_path / "nope"),
+                spark.createDataFrame([(1,)], "vec_id long"),
+            )
+
+
+class TestSignatureLedgerKeyType:
+    def test_ledger_key_type_derives_from_store_not_caller(
+        self, spark, tmp_path
+    ):
+        """ADVICE r6 #1: int-typed caller ids against a bigint-keyed
+        store must produce a bigint ledger (readable by the masks), not
+        an int one."""
+        from pyspark.sql import functions as F
+
+        store = tmp_path / "store"
+        # seed a bigint-keyed signature store epoch directly
+        spark.createDataFrame(
+            [(10, [1, 2, 3], 0)],
+            "doc_id long, sig array<bigint>, ingest_batch int",
+        ).write.partitionBy("ingest_batch").parquet(str(store))
+        narrow = spark.createDataFrame([(10,)], "doc_id int")
+        assert ingest.retract_signatures(spark, str(store), narrow) == 1
+        ledger = spark.read.parquet(str(store) + "/_tombstones")
+        assert ledger.schema["doc_id"].dataType.simpleString() == "bigint"
+        assert [r.doc_id for r in ledger.collect()] == [10]
