@@ -484,6 +484,23 @@ def _q_bm25_search(spark, sf):
     )
 
 
+def _q_bm25_index_search(spark, sf):
+    """BM25 top-10 served from a PERSISTED index (NEW r7, VERDICT r6
+    task #5): build-once/search-many — the index build (one corpus pass
+    into term-hash-partitioned posting lists + stats) runs only when the
+    artifact for this sf dir is absent; the search itself reads ONLY the
+    queried terms' posting partitions (driver-side md5-bucket filter →
+    static partition pruning) and ranks through the same _bm25_rank
+    kernel as the one-shot path, so the q_bm25_search DuckDB oracle
+    applies verbatim (bit-parity pytest-pinned)."""
+    import os
+
+    path = f"/tmp/spark_graft_bm25/{os.path.basename(sf.rstrip('/'))}"
+    if not os.path.exists(f"{path}/term_stats/_SUCCESS"):
+        ta.build_bm25_index(load_table(spark, sf, "documents"), path)
+    return ta.bm25_search(spark, path, "join spark window", k=10)
+
+
 def _q_chunk_documents(spark, sf):
     return ta.chunk_documents(load_table(spark, sf, "documents"))
 
@@ -913,16 +930,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_groupingsets_orders, q_rank_dense_ntile, q_sessionize,
         q_dedup_minhash_lsh, q_dedup_embedding_gemm,
         q_cluster_safe_split, q_dedup_clusters, q_label_agreement;
-    (b) 10 r6-verified fillers chosen as family representatives for
+    (b) 9 r6-verified fillers chosen as family representatives for
         the past-cap block: q01 (scan-filter agg), q02 (reference
         parity core), q03 (broadcast star join / top-k),
         q_normalize_listings (normalize core), q_text_quality (text
         profile), q_dedup_exact_docs (exact dedup), q_embed_cosine_topk
         (ANN brute force), q_quality_floor (quality family),
-        q_stratified_sample (sampling), q_curate_corpus (curation
-        composite).
+        q_stratified_sample (sampling);
+    (c) q_bm25_index_search — NEW in r7 (persisted BM25 index search,
+        VERDICT r6 task #5), must verify on its first round; same
+        oracle as q_bm25_search (bit-parity by shared kernel).
 
-    Past slot 50: the remaining 41 oracle-bearing queries, ALL
+    Past slot 50: the remaining 42 oracle-bearing queries, ALL
     hash-verified green in CORRECTNESS_r06 (<= 1 round stale, rotating
     back in r8), each with an in-cap family sibling (broadcast star
     joins via q03/q07/q08/q09; scan-filter aggs via q01; text profile
@@ -934,7 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
     q_dedup_embedding_ivf, q_embed_pq_topk, q_embed_ivfpq_topk —
     pinned by pytest recall tests). Union invariant: r6 ∪ r7 driver
-    rows cover all 90 oracle-bearing queries.
+    rows cover all 91 oracle-bearing queries (90 pre-existing + the
+    new in-cap q_bm25_index_search).
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
@@ -993,9 +1013,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q_quality_floor": _q_quality_floor,
         "q_stratified_sample": _q_stratified_sample,
-        "q_curate_corpus": _q_curate_corpus,
+        # (c) NEW in r7 — first-round verification (persisted BM25 index;
+        # the q_curate_corpus filler moved past-cap to make the slot)
+        "q_bm25_index_search": _q_bm25_index_search,
         # ---- slots 51+: past the inferred driver cap ----
-        # 41 oracle-bearing queries, all hash-verified in CORRECTNESS_r06
+        # 42 oracle-bearing queries, all hash-verified in CORRECTNESS_r06
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q06_forecast_revenue": _q06_forecast_revenue,
@@ -1022,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_pii_redaction": _q_pii_redaction,
         "q_repetition": _q_repetition,
+        "q_curate_corpus": _q_curate_corpus,
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
         "q_weighted_sample": _q_weighted_sample,
@@ -1192,7 +1215,7 @@ def _simhash_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "q_pii_redaction": _pii_sql(),
         "q_dedup_simhash": _simhash_sql(),
         # corpus vocabulary head: wordcount + doc frequency, rank by
@@ -2814,3 +2837,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
     }
+    # the persisted-index search is bit-identical to the one-shot BM25
+    # path by construction (shared _bm25_rank kernel, pytest-pinned), so
+    # the same oracle applies verbatim
+    oracles["q_bm25_index_search"] = oracles["q_bm25_search"]
+    return oracles

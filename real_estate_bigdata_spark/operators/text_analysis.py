@@ -21,6 +21,8 @@ from real_estate_bigdata_spark.functions.text import (
 
 __all__ = [
     "bm25_topk",
+    "build_bm25_index",
+    "bm25_search",
     "doc_quality_profile",
     "token_accounting",
     "lang_id_report",
@@ -563,6 +565,25 @@ def bm25_topk(
     per_term = cand.groupBy(id_col, "__dl", "term").agg(
         F.count("*").cast("double").alias("__tf")
     )
+    return _bm25_rank(per_term, df_t, stats, id_col, k, k1, b)
+
+
+def _bm25_rank(
+    per_term: DataFrame,
+    df_t: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """THE single BM25 scoring kernel: per-candidate (id, __dl, term,
+    __tf) rows joined with broadcast per-term document frequencies
+    (term, __df) and broadcast corpus scalars (__n, __avgdl), round-6
+    per-term contributions summed per doc, TakeOrdered top-k. Shared by
+    the one-shot :func:`bm25_topk` and the persisted-index
+    :func:`bm25_search` so the two paths are bit-identical by
+    construction (pytest-pinned)."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
@@ -579,6 +600,127 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+#: term-hash buckets for the persisted BM25 postings layout; the
+#: PHYSICAL partition key (one directory per bucket), so it bounds the
+#: directory count at any vocabulary size while still letting a
+#: query's handful of terms prune to a handful of directories
+_BM25_TERM_BUCKETS = 64
+
+
+def _bm25_term_bucket_py(term: str, n_buckets: int = _BM25_TERM_BUCKETS) -> int:
+    """Driver-side twin of the build's Spark-side bucket expression
+    (``pmod(portable_hash64(term), n_buckets)``) — same md5-prefix
+    60-bit hash, so the search can compute its partition filter without
+    a Spark job."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a BM25 index for :func:`bm25_search` — the build-once /
+    search-many contract of ``similarity.save_ivf_index`` extended to
+    lexical retrieval. :func:`bm25_topk` recomputes (N, avgdl, per-term
+    df) per query; a SERVED search surface over a static corpus must pay
+    the corpus scan once, then answer each query from posting lists.
+
+    Layout at ``path``:
+
+    * ``stats``  — one row: (n_docs, avgdl), both double;
+    * ``postings`` — (``id_col``, dl, term, tf) partitioned by
+      ``__tp = pmod(portable_hash64(term), 64)``: the inverted index in
+      its shuffle-friendly exploded form. Partitioning by a term-hash
+      bucket (not the raw term) bounds the directory count at any
+      vocabulary size while still letting a query's few terms prune to
+      few directories — the search computes the same hash driver-side
+      (:func:`_bm25_term_bucket_py`) and filters ``__tp`` BEFORE the
+      scan, so unqueried term partitions are never read (pytest-pinned
+      via ``input_file_name``);
+    * ``term_stats`` — (term, df, ``__tp``), same partitioning.
+
+    All stored measures are double, matching :func:`bm25_topk`'s casts,
+    so index-backed scores are bit-identical to the one-shot path.
+    N counts non-NULL-text documents (same contract)."""
+    from real_estate_bigdata_spark.functions.text import portable_hash64
+
+    base = (
+        ensure_min_parallelism(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    )
+    base.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size("__toks")).alias("__avgdl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    postings = (
+        base.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+        .withColumn(
+            "__tp", F.pmod(portable_hash64(F.col("term")), F.lit(_BM25_TERM_BUCKETS))
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("__tp").parquet(
+        f"{path}/postings"
+    )
+    # df per term from the postings just written (re-read, not recompute:
+    # postings' lineage would re-run the explode+agg a second time)
+    (
+        docs.sparkSession.read.parquet(f"{path}/postings")
+        .groupBy("term", "__tp")
+        .agg(F.count("*").cast("double").alias("__df"))
+        .write.mode("overwrite")
+        .partitionBy("__tp")
+        .parquet(f"{path}/term_stats")
+    )
+
+
+def bm25_search(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` over a :func:`build_bm25_index` artifact —
+    bit-identical ranking to :func:`bm25_topk` (shared
+    :func:`_bm25_rank` kernel, pytest-pinned) with NO corpus pass: the
+    query's terms hash driver-side to their partition buckets, the
+    ``__tp`` filter prunes every other posting directory at the scan,
+    and only posting-list-sized (doc, term, tf) rows ever move. The
+    per-query cost is proportional to the queried terms' posting lists,
+    not the corpus — the served-search half of the BM25 surface."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q_terms = sorted(set(str(query).split()))
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    buckets = sorted({_bm25_term_bucket_py(t) for t in q_terms})
+    stats = spark.read.parquet(f"{path}/stats")
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("__tp").isin(buckets) & F.col("term").isin(q_terms))
+        .select(id_col, "__dl", "term", "__tf")
+    )
+    df_t = (
+        spark.read.parquet(f"{path}/term_stats")
+        .filter(F.col("__tp").isin(buckets) & F.col("term").isin(q_terms))
+        .select("term", "__df")
+    )
+    return _bm25_rank(posts, df_t, stats, id_col, k, k1, b)
 
 
 def chunk_documents(

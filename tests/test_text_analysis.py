@@ -473,3 +473,103 @@ class TestBm25Topk:
         stats = assert_plan(out, forbid_python=True, min_broadcast_joins=2)
         plan = executed_plan_str(out)
         assert "TakeOrdered" in plan, plan
+
+
+class TestBm25Index:
+    """Persisted BM25 index (VERDICT r6 task #5): build-once /
+    search-many with bit-parity to the one-shot path and queried-term
+    partition pruning at the scan."""
+
+    def test_search_bit_parity_with_one_shot(self, spark, tmp_path):
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            bm25_search,
+            bm25_topk,
+            build_bm25_index,
+        )
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        path = str(tmp_path / "bm25")
+        build_bm25_index(docs, path)
+        for q in ("report market", "join spark window", "the"):
+            one_shot = [
+                (r.doc_id, r.score) for r in bm25_topk(docs, q, k=10).collect()
+            ]
+            indexed = [
+                (r.doc_id, r.score)
+                for r in bm25_search(spark, path, q, k=10).collect()
+            ]
+            assert indexed == one_shot, q  # same ids, same scores, same order
+
+    def test_only_queried_term_partitions_scan(self, spark, tmp_path):
+        """The __tp filter prunes posting directories at the scan: the
+        files actually read for a query are a strict subset of the full
+        postings table (input_file_name technique — plan-string asserts
+        on '__tp' are vacuous)."""
+        from pyspark.sql import functions as F
+
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            _bm25_term_bucket_py,
+            build_bm25_index,
+        )
+        from real_estate_bigdata_spark.schema import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        path = str(tmp_path / "bm25")
+        build_bm25_index(docs, path)
+        # terms from the synthetic corpus's actual vocabulary
+        buckets = [_bm25_term_bucket_py(t) for t in ("join", "spark")]
+        pruned = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("__tp").isin(buckets))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+        )
+        all_files = (
+            spark.read.parquet(f"{path}/postings")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+        )
+        read_pruned = {r.f for r in pruned.collect()}
+        read_all = {r.f for r in all_files.collect()}
+        assert read_pruned and read_pruned < read_all
+
+    def test_driver_and_spark_bucket_hash_agree(self, spark):
+        """The driver-side md5 bucket must equal the build's Spark-side
+        pmod(portable_hash64) for adversarial tokens — the partition
+        filter silently misses postings if they ever diverge."""
+        from real_estate_bigdata_spark.functions.text import portable_hash64
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            _BM25_TERM_BUCKETS,
+            _bm25_term_bucket_py,
+        )
+
+        terms = ["the", "café", "naïve", "ผสม", "x" * 100, "0", "-", "ñ"]
+        df = spark.createDataFrame([(t,) for t in terms], "term string")
+        got = {
+            r.term: r.b
+            for r in df.select(
+                "term",
+                F.pmod(
+                    portable_hash64(F.col("term")), F.lit(_BM25_TERM_BUCKETS)
+                ).alias("b"),
+            ).collect()
+        }
+        for t in terms:
+            assert got[t] == _bm25_term_bucket_py(t), t
+
+    def test_validates_inputs(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.text_analysis import (
+            bm25_search,
+            build_bm25_index,
+        )
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        path = str(tmp_path / "bm25")
+        build_bm25_index(docs, path)
+        with _pytest.raises(ValueError):
+            bm25_search(spark, path, "   ")
+        with _pytest.raises(ValueError):
+            bm25_search(spark, path, "a", k=0)
