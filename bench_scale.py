@@ -65,7 +65,13 @@ per-copy duplicate rate constant — the realistic regime),
 ``bigram_logprob``, ``neardup_vs_store`` (fixed batch vs corpus-scaled
 signature store — the steady-state ingest regime), the cross-corpus
 LSH join, stub-decoded perceptual-hash image near-dup, and the
-full PQ pipeline (train + encode + reranked ADC search).
+full PQ pipeline (train + encode + reranked ADC search). r7 (VERDICT
+r6 tasks #4/#8): ``label_agreement_ivf`` (the corpus-scale 1-NN audit)
+joins the battery, and x100 points — one decade beyond x30, where a
+super-linear knee would first appear — are added for the two
+output-bound exponents (``ivf_embedding_neardup`` 0.64,
+``pq_search`` 0.46) and the new IVF audit; all three read embeddings
+only, so x100 synthesizes no document corpus.
 
 Usage: ``python bench_scale.py`` (env: SPARK_GRAFT_SCALE_BASE for the
 source sf dir, SPARK_GRAFT_SCALE_DIR for the synth output dir).
@@ -90,6 +96,7 @@ from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.decontamination import decontaminate
 from real_estate_bigdata_spark.operators.similarity import (
     label_agreement,
+    label_agreement_ivf,
     pq_encode,
     pq_topk,
     train_pq,
@@ -109,10 +116,20 @@ SCALES = (1, 3, 10)
 #: their queries touch (documents + embeddings, never the fact tables).
 EXTRA_SCALES: dict[str, tuple[int, ...]] = {
     "dedup_clusters": (30,),
-    "ivf_embedding_neardup": (30,),
+    "ivf_embedding_neardup": (30, 100),
     "label_agreement": (30,),
-    "pq_search": (30,),
+    "label_agreement_ivf": (30, 100),
+    "pq_search": (30, 100),
     "image_neardup": (30,),
+}
+#: tables synthesized for the extra (non-SCALES) points: the x30
+#: battery spans documents + embeddings ops; every x100 op (r7 task #8
+#: — one decade beyond x30 for the two output-bound exponents, plus the
+#: new IVF label audit) reads embeddings only, so x100 skips the 100x
+#: document-regex synthesis entirely
+EXTRA_TABLES: dict[int, tuple[str, ...]] = {
+    30: ("documents", "embeddings"),
+    100: ("embeddings",),
 }
 N_PASSES = 2
 QUADRATIC_ALARM = 1.7
@@ -204,7 +221,7 @@ def synthesize(spark, base_dir: str, out_dir: str) -> None:
         tables = (
             ("documents", "embeddings", "lineitem", "orders")
             if scale in SCALES
-            else ("documents", "embeddings")  # extra points' batteries
+            else EXTRA_TABLES[scale]  # extra points' batteries
         )
         for t in tables:
             path = f"{sdir}/{t}.parquet"
@@ -273,6 +290,12 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         "ngram_jaccard_pairs": lambda: dd.ngram_jaccard_pairs(docs()),
         "decontaminate": lambda: decontaminate(docs(), bench_docs()),
         "label_agreement": lambda: label_agreement(emb()),
+        # r7 (VERDICT r6 task #4): the IVF-blocked 1-NN audit — the
+        # corpus-scale twin of the driver-snapshot exact path; n_lists
+        # follows the same sqrt operating rule, n_probe fixed
+        "label_agreement_ivf": lambda: label_agreement_ivf(
+            emb(), n_lists=n_lists, n_probe=4
+        ),
         # r5-cont additions: the corpus-gram-shuffle self-dedup (token
         # suffixing keeps the duplicate rate constant per copy — the
         # 100 TB regime), the one-shuffle shard layout, and the

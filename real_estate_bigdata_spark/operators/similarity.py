@@ -30,6 +30,7 @@ from real_estate_bigdata_spark.functions.vectors import cosine_from_norms, l2_no
 __all__ = [
     "brute_force_topk",
     "label_agreement",
+    "label_agreement_ivf",
     "hyperplane_lsh_bucket",
     "lsh_topk",
     "IvfIndex",
@@ -152,8 +153,9 @@ def label_agreement(
     if emb.limit(max_rows + 1).count() > max_rows:
         raise ValueError(
             f"label_agreement snapshots the labeled set driver-side; "
-            f"input exceeds max_rows={max_rows}. Use "
-            f"dedup.embedding_neardup_pairs_blocked for corpus-scale sets."
+            f"input exceeds max_rows={max_rows}. Use label_agreement_ivf "
+            f"for corpus-scale sets (same audit, IVF-blocked 1-NN, no "
+            f"driver snapshot)."
         )
     snap = (
         emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"), F.col(label_col))
@@ -241,6 +243,104 @@ def label_agreement(
         F.col("nn_id").cast(id_type).alias("nn_id"),
         F.col("nn_label").cast(label_type).alias("nn_label"),
         (F.col("__label") == F.col("nn_label")).alias("agree"),
+    )
+
+
+def label_agreement_ivf(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """:func:`label_agreement` past its driver-snapshot bound (VERDICT
+    r6 task #4): the same 1-NN label audit, but the corpus is assigned
+    to IVF inverted lists (shared :func:`build_ivf_index` /
+    ``_assign_lists`` machinery) and each vector scores only against its
+    ``n_probe`` nearest lists instead of the whole set — per-doc work
+    drops from O(N) to O(N * n_probe / n_lists), and nothing snapshots
+    to the driver beyond the bounded k-means sample.
+
+    Semantics: identical ranking to the exact path — round-6 cosine,
+    argmax with lowest-id tie-break, self-match excluded — over the
+    PROBED candidate set. With ``n_probe == n_lists`` the candidate set
+    is the full corpus and the result EQUALS the exact path by
+    construction (pytest-pinned); below that, recall of the true 1-NN
+    is approximate exactly like ``ivf_search`` (a planted mislabel deep
+    inside another class's region is still flagged — its whole
+    neighborhood shares its lists). Pass a prebuilt/persisted ``index``
+    to amortize the coarse quantizer across audits.
+
+    Scale shape: probe assignment is one Arrow-batched argmin per batch
+    (the whitelisted BLAS crossing); candidate scoring is pure Column
+    cosine inside the (``__list``) equi-join — corpus shuffles once on
+    the list id, once on the query id for the argmax window, and once
+    on ``id_col`` for the label join; no driver-side corpus state at
+    any point. NULL/ragged vectors cannot be scored and are excluded
+    (the exact path's integral id/label contract is enforced the same
+    way). NULL labels pass through with a NULL ``agree``.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for cname in (id_col, label_col):
+        dt = emb.schema[cname].dataType
+        if not isinstance(dt, integral):
+            raise TypeError(
+                f"label_agreement_ivf requires an integral {cname!r} column "
+                f"(got {dt.simpleString()}); map string ids/labels to "
+                f"integers first"
+            )
+    if index is None:
+        index = build_ivf_index(
+            emb, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    dim = index.dim
+    probe = _probe_lists_udf(index.centroids, min(n_probe, index.n_lists))
+    q = (
+        emb.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+            F.col(label_col).alias("__qlabel"),
+        )
+        .filter(F.col("q_vec").isNotNull() & (F.size("q_vec") == dim))
+        .withColumn("q_nrm", l2_norm(F.col("q_vec")))
+        .withColumn("__list", F.explode(probe(F.col("q_vec"))))
+    )
+    # a candidate lives in exactly one list, so each (query, candidate)
+    # pair appears at most once — no post-join dedup needed
+    cand = (
+        q.join(index.lists, "__list")
+        .filter(F.col("neighbor_id") != F.col("__qid"))
+        .select(
+            "__qid",
+            "__qlabel",
+            "neighbor_id",
+            cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    top = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cosine")
+    )
+    nn_labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nn_label")
+    )
+    return top.join(nn_labels, "neighbor_id").select(
+        F.col("__qid").alias(id_col),
+        F.col("__qlabel").alias(label_col),
+        F.col("neighbor_id").alias("nn_id"),
+        "nn_label",
+        (F.col("__qlabel") == F.col("nn_label")).alias("agree"),
     )
 
 

@@ -1289,3 +1289,88 @@ class TestNoveltyScores:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             dd.novelty_scores(df, n=0)
+
+
+class TestLabelAgreementIvf:
+    """IVF-blocked 1-NN label audit (VERDICT r6 task #4): exact-path
+    equality at full probe, planted-mislabel detection when pruned, and
+    the same validation contract."""
+
+    def test_full_probe_equals_exact_path(self, spark):
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        exact = {
+            r.vec_id: (r.nn_id, r.nn_label, r.agree)
+            for r in sim.label_agreement(emb).collect()
+        }
+        ivf = {
+            r.vec_id: (r.nn_id, r.nn_label, r.agree)
+            for r in sim.label_agreement_ivf(
+                emb, n_lists=8, n_probe=8
+            ).collect()
+        }
+        assert ivf == exact  # full probe == full candidate set
+
+    def test_pruned_probe_detects_planted_mislabel(self, spark):
+        import random
+
+        rng = random.Random(7)
+
+        def vec(base, eps):
+            return [b + rng.uniform(-eps, eps) for b in base]
+
+        a = [1.0, 0.0, 0.0, 0.0]
+        b = [0.0, 1.0, 0.0, 0.0]
+        rows = (
+            [(i, vec(a, 0.01), 0) for i in range(8)]
+            + [(10 + i, vec(b, 0.01), 1) for i in range(8)]
+            + [(99, vec(a, 0.01), 1)]  # A-cluster geometry, B label
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            r.vec_id: r
+            for r in sim.label_agreement_ivf(
+                emb, n_lists=4, n_probe=1
+            ).collect()
+        }
+        # the mislabel sits inside the A cluster: its probed list IS the
+        # A region, so pruning cannot hide it
+        assert out[99].agree is False and out[99].nn_label == 0
+        clean = [r for i, r in out.items() if i != 99]
+        assert sum(not r.agree for r in clean) <= 1
+
+    def test_pruned_probe_agreement_rate_near_exact(self, spark):
+        """n_probe < n_lists may miss a true 1-NN, but on real data the
+        vast majority of verdicts must match the exact audit."""
+        emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+        exact = {r.vec_id: r.agree for r in sim.label_agreement(emb).collect()}
+        pruned = {
+            r.vec_id: r.agree
+            for r in sim.label_agreement_ivf(
+                emb, n_lists=8, n_probe=4
+            ).collect()
+        }
+        assert set(pruned) == set(exact)  # every vector still audited
+        same = sum(pruned[i] == exact[i] for i in exact)
+        assert same / len(exact) >= 0.9
+
+    def test_validates_integral_columns(self, spark):
+        import pytest as _pytest
+
+        emb = spark.createDataFrame(
+            [("x", [0.1, 0.2], 0)],
+            "vec_id string, embedding array<float>, label int",
+        )
+        with _pytest.raises(TypeError, match="integral"):
+            sim.label_agreement_ivf(emb)
+
+    def test_exact_path_error_points_here(self, spark):
+        import pytest as _pytest
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0], 0) for i in range(5)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with _pytest.raises(ValueError, match="label_agreement_ivf"):
+            sim.label_agreement(emb, max_rows=3)
