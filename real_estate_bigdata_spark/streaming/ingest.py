@@ -37,6 +37,7 @@ __all__ = [
     "run_file_ingest",
     "run_deduped_doc_ingest",
     "run_neardup_doc_ingest",
+    "run_guarded_neardup_ingest",
 ]
 
 #: explicit store schema — epoch reads never infer (an empty but
@@ -276,84 +277,245 @@ def run_neardup_doc_ingest(
     fold's in-ingest win is the bounded epoch tier and single-table
     read.
     """
-    from real_estate_bigdata_spark.operators.dedup import neardup_against_store
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        sess = batch_df.sparkSession
-        # explicit schema, like _STORE_SCHEMA: an empty-but-existing
-        # store dir must read as zero rows, not raise on inference.
-        # The id column's type follows the STREAM schema (a hardcoded
-        # bigint would make every store read fail — and fail again on
-        # every retry — the moment a caller ingests string ids).
-        id_type = batch_df.schema[id_col].dataType.simpleString()
-        sig_schema = f"{id_col} {id_type}, sig array<bigint>, ingest_batch int"
-        tombs = _read_tombstones(sess, store_dir, id_col, id_type)
-        try:
-            store = (
-                sess.read.schema(sig_schema).parquet(store_dir)
-                .filter(F.col("ingest_batch") < F.lit(batch_id))
-            )
-            # retraction mask — epoch-scoped; see the exact ingest
-            store = _mask_retracted(
-                store, tombs, id_col, epoch_col="ingest_batch"
-            ).select(id_col, "sig")
-        except AnalysisException as exc:
-            # only a provably-missing path means "first epoch"; any
-            # other failure retries the batch (same contract as the
-            # exact ingest — an empty substitute store would silently
-            # admit every near-duplicate)
-            if not _is_missing_path_error(exc):
-                raise
-            store = sess.createDataFrame(
-                [], f"{id_col} {id_type}, sig array<bigint>"
-            )
-        if compacted_table is not None and sess.catalog.tableExists(
-            compacted_table
-        ):
-            # signatures folded out of the epoch partitions by
-            # compact_signature_store; never contains a replayable
-            # epoch (its contract), so no batch-id filter needed. The
-            # key-only mask is exact for folded rows (compaction
-            # consumes applied tombstones).
-            store = store.unionByName(
-                _mask_retracted(
-                    sess.table(compacted_table).select(id_col, "sig"),
-                    tombs,
-                    id_col,
-                )
-            )
-        novel, added_sigs = neardup_against_store(
+        _neardup_batch_dedup(
             batch_df,
-            store,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=threshold,
-            id_col=id_col,
-            text_col=text_col,
-            return_additions=True,
-        )
-        novel = novel.localCheckpoint(eager=True)
-        added_sigs = added_sigs.localCheckpoint(eager=True)
-        (
-            novel.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(dest_dir)
-        )
-        (
-            added_sigs.withColumn("ingest_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch")
-            .parquet(store_dir)
+            batch_id,
+            dest_dir,
+            store_dir,
+            compacted_table,
+            id_col,
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
         )
 
     raw = file_stream_ingest(
         spark, src_dir, schema=schema or TESTDATA_SCHEMAS["documents"]
+    )
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def _neardup_batch_dedup(
+    batch_df: DataFrame,
+    batch_id: int,
+    dest_dir: str,
+    store_dir: str,
+    compacted_table: str | None,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+) -> None:
+    """One micro-batch of the store-backed near-dup ingest: dedup
+    ``batch_df`` against all prior epochs (+ compacted tier), write the
+    novel rows and their signatures under this epoch's partitions with
+    dynamic overwrite. Shared by :func:`run_neardup_doc_ingest` and the
+    drift-guarded :func:`run_guarded_neardup_ingest` so the dedup/
+    exactly-once mechanics cannot fork between them."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.operators.dedup import neardup_against_store
+
+    sess = batch_df.sparkSession
+    # explicit schema, like _STORE_SCHEMA: an empty-but-existing
+    # store dir must read as zero rows, not raise on inference.
+    # The id column's type follows the STREAM schema (a hardcoded
+    # bigint would make every store read fail — and fail again on
+    # every retry — the moment a caller ingests string ids).
+    id_type = batch_df.schema[id_col].dataType.simpleString()
+    sig_schema = f"{id_col} {id_type}, sig array<bigint>, ingest_batch int"
+    tombs = _read_tombstones(sess, store_dir, id_col, id_type)
+    try:
+        store = (
+            sess.read.schema(sig_schema).parquet(store_dir)
+            .filter(F.col("ingest_batch") < F.lit(batch_id))
+        )
+        # retraction mask — epoch-scoped; see the exact ingest
+        store = _mask_retracted(
+            store, tombs, id_col, epoch_col="ingest_batch"
+        ).select(id_col, "sig")
+    except AnalysisException as exc:
+        # only a provably-missing path means "first epoch"; any
+        # other failure retries the batch (same contract as the
+        # exact ingest — an empty substitute store would silently
+        # admit every near-duplicate)
+        if not _is_missing_path_error(exc):
+            raise
+        store = sess.createDataFrame(
+            [], f"{id_col} {id_type}, sig array<bigint>"
+        )
+    if compacted_table is not None and sess.catalog.tableExists(
+        compacted_table
+    ):
+        # signatures folded out of the epoch partitions by
+        # compact_signature_store; never contains a replayable
+        # epoch (its contract), so no batch-id filter needed. The
+        # key-only mask is exact for folded rows (compaction
+        # consumes applied tombstones).
+        store = store.unionByName(
+            _mask_retracted(
+                sess.table(compacted_table).select(id_col, "sig"),
+                tombs,
+                id_col,
+            )
+        )
+    novel, added_sigs = neardup_against_store(
+        batch_df,
+        store,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        return_additions=True,
+    )
+    novel = novel.localCheckpoint(eager=True)
+    added_sigs = added_sigs.localCheckpoint(eager=True)
+    (
+        novel.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(dest_dir)
+    )
+    (
+        added_sigs.withColumn("ingest_batch", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(store_dir)
+    )
+
+
+def run_guarded_neardup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    baseline_dir: str,
+    metric: str,
+    lo: float,
+    hi: float,
+    quarantine_dir: str,
+    n_bins: int = 10,
+    psi_threshold: float = 0.25,
+    report_dir: str | None = None,
+    schema: StructType | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    compacted_table: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Drift-GUARDED near-dup ingest (VERDICT r6 task #6):
+    :func:`run_neardup_doc_ingest` composed with the drift monitor so
+    the monitor ACTS instead of only reporting — each micro-batch is
+    first PSI-compared against the materialized baseline histogram at
+    ``baseline_dir`` (``drift_monitor.write_baseline_histogram``), and
+    a batch whose whole-batch PSI meets ``psi_threshold`` is QUARANTINED
+    (rows written under ``quarantine_dir``'s epoch partition; lake and
+    signature store untouched) instead of ingested. A broken parser or
+    a crawler change skews minutes of data into the quarantine, not
+    weeks of it into the store that every future batch dedups against.
+
+    Guard cost per batch: one histogram aggregate over THE BATCH plus
+    PSI arithmetic on an (n_bins+2)-row frame, and one bounded collect
+    of that PSI scalar — the baseline corpus is never re-scanned
+    (``drift_monitor``'s design). ``metric``/``lo``/``hi``/``n_bins``
+    must match the baseline's build parameters (its documented
+    contract). When ``report_dir`` is given, every batch's per-bin
+    drift report also lands there, quarantined or not.
+
+    Replay semantics: the PSI decision is deterministic for a given
+    (batch, baseline) pair, and all three sinks (lake+store / quarantine
+    / report) write dynamic-overwrite epoch partitions — a replayed
+    epoch re-derives the same verdict and overwrites exactly its own
+    partitions. If the baseline was REFRESHED between the crash and the
+    replay, the verdict follows the new baseline — acceptable, since
+    the operator's contract is "distributed like the CURRENT reference
+    corpus". An empty micro-batch PSI-scores maximally (a silent
+    upstream is drift) but writes no quarantine rows.
+
+    Recovering a quarantined batch after investigation: read its epoch
+    partition from ``quarantine_dir`` and drop it into a fresh source
+    dir for re-ingest (it will near-dup-dedup against the store as
+    usual); retire handled partitions by deleting them.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    source files (availableNow honors it as a read limit) — the
+    quarantine verdict is per micro-batch, so batch sizing IS verdict
+    granularity: without a bound, a full-history replay from a fresh
+    checkpoint folds every pending file into one batch and one verdict.
+    """
+    from real_estate_bigdata_spark.operators.quality import (
+        baseline_histogram,
+        drift_from_histograms,
+    )
+    from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # scored + written
+        h_base = sess.read.parquet(baseline_dir)
+        h_batch = baseline_histogram(batch_df, metric, lo, hi, n_bins, None)
+        report = drift_from_histograms(h_base, h_batch, n_bins, None)
+        report = report.localCheckpoint(eager=True)
+        psi_row = report.agg(F.round(F.sum("psi_contrib"), 6)).first()
+        psi = float(psi_row[0]) if psi_row and psi_row[0] is not None else 0.0
+        if report_dir is not None:
+            (
+                report.withColumn("psi_total", F.lit(psi))
+                .withColumn("quarantined", F.lit(psi >= psi_threshold))
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(report_dir)
+            )
+        if psi >= psi_threshold:
+            (
+                batch_df.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(quarantine_dir)
+            )
+            return
+        _neardup_batch_dedup(
+            batch_df,
+            batch_id,
+            dest_dir,
+            store_dir,
+            compacted_table,
+            id_col,
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
+        )
+
+    raw = file_stream_ingest(
+        spark,
+        src_dir,
+        schema=schema or TESTDATA_SCHEMAS["documents"],
+        max_files_per_trigger=max_files_per_trigger,
     )
     writer = raw.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,194 @@
+"""Drift-GUARDED near-dup ingest (VERDICT r6 task #6): the drift
+monitor composed into the store-backed near-dup ingest so it ACTS —
+a micro-batch whose PSI against the materialized baseline meets the
+threshold is quarantined (lake and signature store untouched) instead
+of ingested; healthy batches flow through the unchanged dedup path;
+replayed epochs re-derive the same verdict and overwrite only their own
+partitions.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.streaming import drift_monitor as dm
+from real_estate_bigdata_spark.streaming import ingest
+
+LO, HI, NBINS = 0.0, 600.0, 6
+
+BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog near the old river "
+    "bank while seven other foxes watch from the tall dry summer grass"
+)
+
+
+def _write_jsonl(path, rows):
+    """rows: (doc_id, text, n_chars)."""
+    with open(path, "w", encoding="utf-8") as f:
+        for doc_id, text, n in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "lang": "en",
+                        "source": "s1",
+                        "n_chars": n,
+                    }
+                )
+                + "\n"
+            )
+
+
+def _healthy_rows(start_id, n=50, edit_of_base=None):
+    """n docs whose n_chars reproduce the baseline distribution
+    (uniform over [100, 300) — bins 2-3 of six 100-wide bins; the *37
+    stride sweeps the full range so bin shares match the baseline's,
+    and n=50 keeps Laplace smoothing noise on empty bins well under the
+    0.25 PSI gate) with unique texts; optionally one extra doc that is
+    a one-word edit of BASE_TEXT."""
+    rows = [
+        (start_id + i, f"unique document {start_id + i} talks about "
+         f"topic{(start_id + i) * 3} and topic{(start_id + i) * 7} at length",
+         100 + (i * 37) % 200)
+        for i in range(n)
+    ]
+    if edit_of_base is not None:
+        rows.append(
+            (edit_of_base, BASE_TEXT.replace("summer", "autumn"), 150)
+        )
+    return rows
+
+
+def _shifted_rows(start_id, n=20):
+    # concentrated in [500, 550): bin 6 — far from the baseline mass
+    return [
+        (start_id + i, f"shifted document {start_id + i} body", 500 + i % 50)
+        for i in range(n)
+    ]
+
+
+def _run(spark, src, dest, store, ckpt, baseline, quarantine, reports):
+    q = ingest.run_guarded_neardup_ingest(
+        spark,
+        str(src),
+        str(dest),
+        str(store),
+        str(ckpt),
+        str(baseline),
+        metric="n_chars",
+        lo=LO,
+        hi=HI,
+        quarantine_dir=str(quarantine),
+        n_bins=NBINS,
+        psi_threshold=0.25,
+        report_dir=str(reports),
+        # one file per micro-batch: the verdict is per batch, and the
+        # fresh-checkpoint replay must re-judge each file separately
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+
+def _write_baseline(spark, path):
+    rows = [
+        (i, f"baseline doc {i}", "en", "s1", 100 + (i * 7) % 200)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    dm.write_baseline_histogram(
+        df, "n_chars", LO, HI, str(path), n_bins=NBINS, group_col=None
+    )
+
+
+def _ids(spark, path):
+    try:
+        return sorted(r.doc_id for r in spark.read.parquet(str(path)).collect())
+    except Exception:
+        return []
+
+
+class TestGuardedNeardupIngest:
+    def test_shifted_batch_quarantined_healthy_batches_ingest(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt"
+        baseline, quarantine, reports = (
+            tmp_path / "baseline_hist",
+            tmp_path / "quarantine",
+            tmp_path / "reports",
+        )
+        _write_baseline(spark, baseline)
+
+        # batch 1: healthy, includes BASE_TEXT itself (id 1)
+        rows1 = _healthy_rows(100) + [(1, BASE_TEXT, 130)]
+        _write_jsonl(src / "b1.jsonl", rows1)
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        want1 = sorted(r[0] for r in rows1)
+        assert _ids(spark, dest) == want1
+        assert _ids(spark, quarantine) == []
+
+        # batch 2: planted distribution shift -> quarantined whole
+        rows2 = _shifted_rows(300)
+        _write_jsonl(src / "b2.jsonl", rows2)
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        assert _ids(spark, dest) == want1  # lake untouched
+        assert _ids(spark, quarantine) == sorted(r[0] for r in rows2)
+        store_after_q = _ids(spark, store)
+
+        # batch 3: healthy again; contains a one-word edit of stored
+        # doc 1 (id 999) which must still near-dup-drop — the store was
+        # not poisoned or advanced by the quarantined epoch
+        rows3 = _healthy_rows(500, edit_of_base=999)
+        _write_jsonl(src / "b3.jsonl", rows3)
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        want3 = want1 + [r[0] for r in rows3 if r[0] != 999]
+        assert _ids(spark, dest) == sorted(want3)
+        assert 999 not in _ids(spark, store)
+        assert set(store_after_q) <= set(_ids(spark, store))
+
+        # reports: one per epoch, quarantine flag set only on the shift
+        rep = spark.read.parquet(str(reports))
+        flags = {
+            r.ingest_batch: r.quarantined
+            for r in rep.select("ingest_batch", "quarantined")
+            .distinct()
+            .collect()
+        }
+        assert sorted(flags) == [0, 1, 2]
+        assert flags[1] is True and flags[0] is False and flags[2] is False
+
+    def test_replay_is_idempotent_for_both_verdicts(self, spark, tmp_path):
+        """A fresh checkpoint replays every batch: the quarantined epoch
+        re-quarantines, the healthy epoch re-ingests, and no sink gains
+        duplicate rows."""
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store = tmp_path / "lake", tmp_path / "store"
+        baseline, quarantine, reports = (
+            tmp_path / "baseline_hist",
+            tmp_path / "quarantine",
+            tmp_path / "reports",
+        )
+        _write_baseline(spark, baseline)
+        rows1 = _healthy_rows(100)
+        rows2 = _shifted_rows(300)
+        _write_jsonl(src / "b1.jsonl", rows1)
+        _run(spark, src, dest, store, tmp_path / "ck1", baseline, quarantine, reports)
+        _write_jsonl(src / "b2.jsonl", rows2)
+        _run(spark, src, dest, store, tmp_path / "ck1", baseline, quarantine, reports)
+        lake1, store1, quar1 = (
+            _ids(spark, dest), _ids(spark, store), _ids(spark, quarantine),
+        )
+        # replay everything under a brand-new checkpoint
+        _run(spark, src, dest, store, tmp_path / "ck2", baseline, quarantine, reports)
+        assert _ids(spark, dest) == lake1
+        assert _ids(spark, store) == store1
+        assert _ids(spark, quarantine) == quar1
