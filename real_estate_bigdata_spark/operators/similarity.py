@@ -264,24 +264,33 @@ def label_agreement_ivf(
     drops from O(N) to O(N * n_probe / n_lists), and nothing snapshots
     to the driver beyond the bounded k-means sample.
 
-    Semantics: identical ranking to the exact path — round-6 cosine,
-    argmax with lowest-id tie-break, self-match excluded — over the
-    PROBED candidate set. With ``n_probe == n_lists`` the candidate set
-    is the full corpus and the result EQUALS the exact path by
-    construction (pytest-pinned); below that, recall of the true 1-NN
-    is approximate exactly like ``ivf_search`` (a planted mislabel deep
-    inside another class's region is still flagged — its whole
-    neighborhood shares its lists). Pass a prebuilt/persisted ``index``
-    to amortize the coarse quantizer across audits.
+    Semantics: identical ranking to the exact path — round-6
+    (half-away-from-zero) cosine, argmax with lowest-id tie-break,
+    self-match excluded — over the PROBED candidate set. With
+    ``n_probe == n_lists`` the candidate set is the full corpus and the
+    result EQUALS the exact path by construction (pytest-pinned); below
+    that, recall of the true 1-NN is approximate exactly like
+    ``ivf_search`` (a planted mislabel deep inside another class's
+    region is still flagged — its whole neighborhood shares its lists).
+    A query whose every probed list is empty of other vectors emits no
+    row (the exact path has no such case — its candidate set is always
+    the full snapshot). Pass a prebuilt/persisted ``index`` to amortize
+    the coarse quantizer across audits.
 
-    Scale shape: probe assignment is one Arrow-batched argmin per batch
-    (the whitelisted BLAS crossing); candidate scoring is pure Column
-    cosine inside the (``__list``) equi-join — corpus shuffles once on
-    the list id, once on the query id for the argmax window, and once
-    on ``id_col`` for the label join; no driver-side corpus state at
-    any point. NULL/ragged vectors cannot be scored and are excluded
-    (the exact path's integral id/label contract is enforced the same
-    way). NULL labels pass through with a NULL ``agree``.
+    Scale shape: probe assignment is one Arrow-batched argmin per batch;
+    scoring is a PER-LIST BLAS GEMM — query and candidate sides union
+    into one frame tagged by role, ONE shuffle groups it by ``__list``,
+    and each list's kernel call scores that list's probing queries
+    against its members in tiled matrix multiplies (the same
+    ``_tile_elems`` bound as the exact path — a hot list cannot build a
+    multi-GB product). Labels ride through the kernel, so the only
+    other shuffle is the per-query argmax-across-lists aggregate. A
+    first cut scored candidates with per-pair Column-expression cosine
+    inside a list equi-join; the scale battery measured it 4-7x SLOWER
+    than the exact GEMM at x1-x10 — per-element expression folds cannot
+    compete with BLAS on 64-dim dots, so the Arrow crossing pays for
+    itself here. NULL/ragged vectors cannot be scored and are excluded;
+    the integral id/label contract matches the exact path.
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -300,47 +309,107 @@ def label_agreement_ivf(
         )
     dim = index.dim
     probe = _probe_lists_udf(index.centroids, min(n_probe, index.n_lists))
-    q = (
-        emb.select(
-            F.col(id_col).alias("__qid"),
-            F.col(vec_col).cast("array<double>").alias("q_vec"),
-            F.col(label_col).alias("__qlabel"),
+    base = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        F.col(label_col).cast("long").alias("__lab"),
+    ).filter(F.col("__vec").isNotNull() & (F.size("__vec") == dim))
+    q_side = base.select(
+        F.explode(probe(F.col("__vec"))).alias("__list"),
+        "__id",
+        "__vec",
+        "__lab",
+        F.lit(True).alias("__isq"),
+    )
+    # candidate-side assignment = the 1-probe (nearest centroid) of the
+    # same shared probe kernel, so labels ride along with no join; the
+    # passed index contributes its CENTROIDS (the coarse quantizer) —
+    # membership is re-derived for exactly the audited frame
+    assign1 = _probe_lists_udf(index.centroids, 1)
+    c_side = base.select(
+        F.element_at(assign1(F.col("__vec")), 1).alias("__list"),
+        "__id",
+        "__vec",
+        "__lab",
+        F.lit(False).alias("__isq"),
+    )
+    tile_elems = 1 << 23
+
+    def score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "__qid": pd.array([], dtype="int64"),
+                "__qlab": pd.array([], dtype="int64"),
+                "nn_id": pd.array([], dtype="int64"),
+                "nn_label": pd.array([], dtype="int64"),
+                "cosine": pd.array([], dtype="float64"),
+            }
         )
-        .filter(F.col("q_vec").isNotNull() & (F.size("q_vec") == dim))
-        .withColumn("q_nrm", l2_norm(F.col("q_vec")))
-        .withColumn("__list", F.explode(probe(F.col("q_vec"))))
-    )
-    # a candidate lives in exactly one list, so each (query, candidate)
-    # pair appears at most once — no post-join dedup needed
-    cand = (
-        q.join(index.lists, "__list")
-        .filter(F.col("neighbor_id") != F.col("__qid"))
-        .select(
-            "__qid",
-            "__qlabel",
-            "neighbor_id",
-            cosine_from_norms(
-                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
-            ).alias("cosine"),
+        qf = pdf[pdf["__isq"]]
+        cf = pdf[~pdf["__isq"]].sort_values("__id")  # lowest-id argmax
+        if len(qf) == 0 or len(cf) == 0:
+            return empty
+        qids = qf["__id"].to_numpy(dtype=np.int64)
+        qlabs = qf["__lab"].to_numpy(dtype=np.int64)
+        cids = cf["__id"].to_numpy(dtype=np.int64)
+        clabs = cf["__lab"].to_numpy(dtype=np.int64)
+        Q = np.array(list(qf["__vec"]), dtype=np.float64)
+        C = np.array(list(cf["__vec"]), dtype=np.float64)
+        for M in (Q, C):
+            n = np.sqrt((M * M).sum(axis=1))
+            n[n == 0.0] = np.inf  # zero vectors: cosine 0, like exact
+            M /= n[:, None]
+        # tiled over the candidate axis — same strictly-greater
+        # displacement as the exact path, so ties keep the lowest id
+        tile = max(1, tile_elems // max(len(Q), 1))
+        best = np.full(len(Q), -np.inf)
+        nn_pos = np.zeros(len(Q), dtype=np.int64)
+        for start in range(0, len(C), tile):
+            stop = min(start + tile, len(C))
+            raw = Q @ C[start:stop].T
+            sims = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6, raw)
+            sims[qids[:, None] == cids[None, start:stop]] = -np.inf
+            t_best = sims.max(axis=1)
+            t_pos = (sims == t_best[:, None]).argmax(axis=1) + start
+            upd = t_best > best
+            best[upd] = t_best[upd]
+            nn_pos[upd] = t_pos[upd]
+        keep = best > -np.inf  # a lone self-match has no neighbor here
+        return pd.DataFrame(
+            {
+                "__qid": qids[keep],
+                "__qlab": qlabs[keep],
+                "nn_id": cids[nn_pos[keep]],
+                "nn_label": clabs[nn_pos[keep]],
+                "cosine": best[keep],
+            }
+        )
+
+    per_list = (
+        q_side.unionByName(c_side)
+        .groupBy("__list")
+        .applyInPandas(
+            score_list,
+            schema="__qid long, __qlab long, nn_id long, nn_label long, "
+            "cosine double",
         )
     )
-    w = Window.partitionBy("__qid").orderBy(
-        F.desc("cosine"), F.col("neighbor_id")
-    )
-    top = (
-        cand.withColumn("rn", F.row_number().over(w))
+    # across probed lists: best rounded cosine, lowest nn_id on ties —
+    # per-list winners are already lowest-id within their list, so the
+    # global min over winners is the global lowest-id max
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.col("nn_id"))
+    label_type = emb.schema[label_col].dataType
+    id_type = emb.schema[id_col].dataType
+    return (
+        per_list.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "cosine")
-    )
-    nn_labels = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nn_label")
-    )
-    return top.join(nn_labels, "neighbor_id").select(
-        F.col("__qid").alias(id_col),
-        F.col("__qlabel").alias(label_col),
-        F.col("neighbor_id").alias("nn_id"),
-        "nn_label",
-        (F.col("__qlabel") == F.col("nn_label")).alias("agree"),
+        .select(
+            F.col("__qid").cast(id_type).alias(id_col),
+            F.col("__qlab").cast(label_type).alias(label_col),
+            F.col("nn_id").cast(id_type).alias("nn_id"),
+            F.col("nn_label").cast(label_type).alias("nn_label"),
+            (F.col("__qlab") == F.col("nn_label")).alias("agree"),
+        )
     )
 
 
