@@ -699,7 +699,20 @@ def image_neardup_pairs(
     are instead reclaimed by the ContextCleaner when the DataFrame is
     garbage-collected. The eager decode runs at CALL time, not first
     action. Callers running several pair queries over one corpus should
-    precompute :func:`image_phash` themselves and pass ``sig``."""
+    precompute :func:`image_phash` themselves and pass ``sig``.
+
+    Cluster posture caveat (ADVICE r6 #2): localCheckpoint blocks live
+    only on executors — they are NOT fault-tolerant. On a cluster with
+    preemptible/spot executors or aggressive dynamic allocation, losing
+    an executor mid-query fails the job instead of recomputing the lost
+    lineage. For those deployments, precompute the signature table and
+    WRITE it (``image_phash(...).write.parquet(...)``) — a reliable
+    store is the durable equivalent of the caller-supplied ``sig`` —
+    or set a reliable ``spark.sparkContext.setCheckpointDir`` and
+    ``.checkpoint()`` the signatures yourself before passing them in.
+    The same trade applies everywhere this engine localCheckpoints
+    (drift baselines, CC rounds): correctness is never at risk — only
+    job-restart cost on executor loss."""
     from real_estate_bigdata_spark.operators.dedup import hamming_banded_pairs
 
     if sig is None:

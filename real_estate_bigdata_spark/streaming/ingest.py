@@ -749,6 +749,20 @@ def _compact_epoch_store(
     epochs on disk, which the next compaction detects as a containment
     violation and refuses loudly (delete the stale epoch dirs manually)
     rather than silently resurrecting retracted rows.
+
+    Known crash window (ADVICE r6 #3, documented trade): if the table
+    version commits — possibly folding a post-retraction RE-ADDED key
+    from a later epoch — but the process dies before tombstone
+    consumption, the still-live tombstone's key-only mask on the
+    compacted table transiently hides that legitimately re-added row,
+    so its near/exact duplicates are ADMITTED until compaction is
+    re-run (the re-run consumes the tombstone and self-heals via the
+    already-this-version containment path). The failure mode is
+    temporary over-admission of duplicates — never data loss and never
+    resurrection of retracted content — and the recovery action is the
+    idempotent re-run the crash contract already prescribes; recording
+    a fold version in the ledger to close the window was judged not
+    worth the extra ledger state for a duplicate-admission blip.
     """
     from pyspark.errors import AnalysisException
 
