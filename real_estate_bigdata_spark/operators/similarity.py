@@ -36,6 +36,7 @@ __all__ = [
     "IvfIndex",
     "build_ivf_index",
     "extend_ivf_index",
+    "append_ivf_epoch",
     "save_ivf_index",
     "load_ivf_index",
     "ivf_search",
@@ -779,6 +780,11 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     lists = spark.read.parquet(f"{path}/lists").select(
         "neighbor_id", "c_vec", "c_nrm", "__list"
     )
+    epochs = _read_ivf_epochs(spark, path)
+    if epochs is not None:
+        lists = lists.unionByName(
+            epochs.select("neighbor_id", "c_vec", "c_nrm", "__list")
+        )
     lists = _mask_ann_retracted(
         lists,
         _read_ann_tombstones(
@@ -787,6 +793,73 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
         "neighbor_id",
     )
     return IvfIndex(centroids=centroids, lists=lists)
+
+
+def _ivf_epochs_dir(path: str) -> str:
+    return path.rstrip("/") + "/lists_epochs"
+
+
+def _read_ivf_epochs(spark, path: str) -> DataFrame | None:
+    """The append tier of a persisted IVF index: epoch-partitioned list
+    rows written by :func:`append_ivf_epoch`, or None when the index
+    has never been appended to (the common static-corpus case — no
+    union, no extra scan)."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    try:
+        return spark.read.parquet(_ivf_epochs_dir(path))
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        return None
+
+
+def append_ivf_epoch(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED IVF index without rewriting it
+    — the scale path :func:`extend_ivf_index` lacks: extend+save
+    rewrites every existing list to add a batch, which a 10^9-vector
+    index cannot afford per micro-batch. The new vectors are assigned
+    to the index's immutable centroids (shared ``_assign_lists``, so
+    assignment semantics cannot diverge from the build) and land under
+    ``lists_epochs/ingest_batch=<epoch>/__list=<l>/`` with dynamic
+    partition overwrite — a replayed epoch recomputes the identical
+    assignment and overwrites exactly its own partition, the same
+    exactly-once recipe as the dedup stores. ``__list`` stays a
+    partition level, so probe-pruned searches skip unprobed directories
+    in the epoch tier exactly like the base tier.
+
+    :func:`load_ivf_index` unions the tier in automatically;
+    :func:`compact_ann_index` folds it into the base ``lists`` table
+    (and drops the epoch directories) on its next run — steady-state
+    maintenance, exactly like signature-store compaction. Same
+    exclusion contract as the build: NULL/ragged vectors are dropped.
+    """
+    cent = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    )
+    centroids = np.stack([np.asarray(r.centroid) for r in cent])
+    dim = centroids.shape[1]
+    new_raw = new_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).filter(F.col("c_vec").isNotNull() & (F.size("c_vec") == dim))
+    (
+        _assign_lists(new_raw, centroids)
+        .withColumn("ingest_batch", F.lit(int(epoch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "__list")
+        .parquet(_ivf_epochs_dir(path))
+    )
 
 
 def _probe_lists_udf(centers: np.ndarray, n_probe: int):
@@ -1511,9 +1584,15 @@ def retract_from_ann_index(
 def compact_ann_index(spark, path: str) -> int:
     """Apply a persisted ANN artifact's tombstone ledger physically —
     rewrite the ``lists`` / ``codes`` tables without the retracted rows
-    — and CONSUME the ledger, returning the number of ids applied (0 =
-    nothing to do). After compaction a re-added id is searchable again
-    (the rewrite-half of :func:`retract_from_ann_index`'s contract).
+    — and CONSUME the ledger, returning the number of ids applied.
+    Also FOLDS the IVF append tier (:func:`append_ivf_epoch`'s
+    ``lists_epochs`` partitions) into the base ``lists`` table and
+    drops the epoch directories — the steady-state maintenance pass, so
+    a continuously-appended index periodically collapses back to one
+    partition-pruned tier. A fold-only run (append tier present, no
+    ledger) still rewrites and returns 0; with neither present it is a
+    true no-op. After compaction a re-added id is searchable again (the
+    rewrite-half of :func:`retract_from_ann_index`'s contract).
 
     Rewrite protocol (the artifact path IS the pointer — no catalog
     version to swing, unlike the epoch stores' versioned fold): write
@@ -1545,13 +1624,32 @@ def compact_ann_index(spark, path: str) -> int:
 
     tables = _ann_data_tables(spark, path)
     tombs = _read_ann_tombstones(spark, path, tables[0][2])
-    if tombs is None:
+    epochs = _read_ivf_epochs(spark, path) if any(
+        sub == "lists" for sub, _, _ in tables
+    ) else None
+    if tombs is None and epochs is None:
         return 0
-    n_ids = tombs.select("__retracted_id").distinct().count()
+    n_ids = (
+        tombs.select("__retracted_id").distinct().count()
+        if tombs is not None
+        else 0
+    )
 
     for sub, id_field, _ in tables:
         live = f"{path}/{sub}"
-        masked = _mask_ann_retracted(spark.read.parquet(live), tombs, id_field)
+        rows = spark.read.parquet(live)
+        if sub == "lists" and epochs is not None:
+            # fold the append tier (append_ivf_epoch) into the base
+            # table; the epoch dirs are dropped after the swap. distinct
+            # makes the fold crash-idempotent: a prior run that swapped
+            # the base but died before dropping the epoch dirs re-folds
+            # rows the base already holds
+            rows = rows.select(
+                "neighbor_id", "c_vec", "c_nrm", "__list"
+            ).unionByName(
+                epochs.select("neighbor_id", "c_vec", "c_nrm", "__list")
+            ).distinct()
+        masked = _mask_ann_retracted(rows, tombs, id_field)
         writer = masked.write.mode("overwrite")
         if sub == "lists":
             # preserve the partition-pruned layout searches depend on
@@ -1569,6 +1667,9 @@ def compact_ann_index(spark, path: str) -> int:
         fs.rename(new_p, live_p)
         fs.delete(old_p, True)
 
+    if epochs is not None:
+        edir = hpath(_ivf_epochs_dir(path))
+        fs_of(edir).delete(edir, True)
     tdir = hpath(_ann_tombstones_dir(path))
     fs_of(tdir).delete(tdir, True)
     return n_ids

@@ -38,6 +38,7 @@ __all__ = [
     "run_deduped_doc_ingest",
     "run_neardup_doc_ingest",
     "run_guarded_neardup_ingest",
+    "run_embedding_index_ingest",
 ]
 
 #: explicit store schema — epoch reads never infer (an empty but
@@ -515,6 +516,66 @@ def run_guarded_neardup_ingest(
         spark,
         src_dir,
         schema=schema or TESTDATA_SCHEMAS["documents"],
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_embedding_index_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous maintenance of a persisted IVF index: each micro-batch
+    of newly-embedded vectors is assigned to the index's immutable
+    centroids and appended as an epoch partition
+    (``similarity.append_ivf_epoch``) — the ANN-search twin of the
+    dedup-store ingests, completing the lifecycle the search state was
+    missing: grow (this), serve (``load_ivf_index`` unions the tier in),
+    retract (``retract_from_ann_index``), compact (``compact_ann_index``
+    folds epochs + applies tombstones).
+
+    Exactly-once by the same construction as the stores: the epoch
+    write is dynamic-partition-overwrite keyed by the foreachBatch
+    epoch id, so a replayed batch recomputes the identical assignment
+    and overwrites exactly its own partitions. The index must exist
+    (``build_ivf_index`` + ``save_ivf_index``) before the stream
+    starts; centroids are immutable here by design — distribution
+    shift is a REBUILD decision, monitored by
+    ``quality.distribution_drift`` over an embedding projection, not
+    an append decision.
+    """
+    from real_estate_bigdata_spark.operators.similarity import append_ivf_epoch
+    from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_epoch(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    raw = file_stream_ingest(
+        spark,
+        src_dir,
+        schema=schema or TESTDATA_SCHEMAS["embeddings"],
         max_files_per_trigger=max_files_per_trigger,
     )
     writer = raw.writeStream.foreachBatch(_process).option(

@@ -1,0 +1,142 @@
+"""Continuous IVF-index maintenance (round 7): the epoch-append tier
+that makes a persisted ANN index maintainable at scale — append without
+rewriting the base, serve the union, retract, compact back to one tier.
+The search-state twin of the dedup-store ingest lifecycle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from real_estate_bigdata_spark.operators import similarity as sim
+from real_estate_bigdata_spark.streaming import ingest
+
+DIM = 8
+
+
+def _vecs(start, n, seed):
+    rng = np.random.default_rng(seed)
+    return [
+        (start + i, [float(x) for x in rng.standard_normal(DIM)], 0)
+        for i in range(n)
+    ]
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w", encoding="utf-8") as f:
+        for vec_id, emb, label in rows:
+            f.write(
+                json.dumps({"vec_id": vec_id, "embedding": emb, "label": label})
+                + "\n"
+            )
+
+
+def _build_base(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sim.save_ivf_index(sim.build_ivf_index(df, n_lists=4), path)
+    return df
+
+
+def _run(spark, src, path, ckpt):
+    q = ingest.run_embedding_index_ingest(
+        spark, str(src), path, str(ckpt), max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+
+def _loaded_ids(spark, path):
+    return sorted(
+        r.neighbor_id
+        for r in sim.load_ivf_index(spark, path).lists.collect()
+    )
+
+
+class TestEmbeddingIndexIngest:
+    def test_appended_vectors_searchable_and_replay_idempotent(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "idx")
+        base_rows = _vecs(0, 30, seed=1)
+        _build_base(spark, path, base_rows)
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        b1, b2 = _vecs(100, 10, seed=2), _vecs(200, 10, seed=3)
+        # plant a twin: 205 is (nearly) vector 0's direction
+        twin = [float(x) + 0.001 for x in base_rows[0][1]]
+        b2[5] = (205, twin, 0)
+        _write_jsonl(src / "b1.jsonl", b1)
+        _write_jsonl(src / "b2.jsonl", b2)
+        _run(spark, src, path, tmp_path / "ck1")
+
+        want = sorted([r[0] for r in base_rows + b1 + b2])
+        assert _loaded_ids(spark, path) == want
+
+        # the appended twin is retrievable: query with vector 0
+        q = spark.createDataFrame(
+            [base_rows[0]], "vec_id long, embedding array<float>, label int"
+        )
+        idx = sim.load_ivf_index(spark, path)
+        top = sim.ivf_search(idx, q, k=3, n_probe=4).collect()
+        assert top[0].neighbor_id == 205
+
+        # fresh-checkpoint replay: same epochs rewritten, no dup rows
+        _run(spark, src, path, tmp_path / "ck2")
+        assert _loaded_ids(spark, path) == want
+
+    def test_retract_appended_then_compact_folds_epochs(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "idx")
+        base_rows = _vecs(0, 20, seed=4)
+        _build_base(spark, path, base_rows)
+        src = tmp_path / "drop"
+        src.mkdir()
+        b1 = _vecs(100, 10, seed=5)
+        _write_jsonl(src / "b1.jsonl", b1)
+        _run(spark, src, path, tmp_path / "ck")
+
+        # retract one appended id: masked out of the loaded union
+        n = sim.retract_from_ann_index(
+            spark, path, spark.createDataFrame([(103,)], "vec_id long")
+        )
+        assert n == 1
+        assert 103 not in _loaded_ids(spark, path)
+
+        # compact: epoch tier folds into base, tombstone applied+consumed
+        assert sim.compact_ann_index(spark, path) == 1
+        import os
+
+        assert not os.path.exists(f"{path}/lists_epochs")
+        assert not os.path.exists(f"{path}/_tombstones")
+        want = sorted(r[0] for r in base_rows + b1 if r[0] != 103)
+        base = spark.read.parquet(f"{path}/lists")  # raw base, no mask
+        assert sorted(r.neighbor_id for r in base.collect()) == want
+
+        # the partition-pruned layout survives the fold
+        pruned = {
+            r.f
+            for r in base.filter(F.col("__list") == 0)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        allf = {
+            r.f
+            for r in base.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert pruned and pruned < allf
+
+        # fold-only compaction after more appends, no tombstones
+        _write_jsonl(src / "b2.jsonl", _vecs(300, 5, seed=6))
+        _run(spark, src, path, tmp_path / "ck")
+        assert sim.compact_ann_index(spark, path) == 0  # ids applied: none
+        assert not os.path.exists(f"{path}/lists_epochs")
+        assert len(_loaded_ids(spark, path)) == len(want) + 5
