@@ -634,6 +634,25 @@ def _q_decontaminate(spark, sf):
     return contamination_report(corpus, bench, n=8)
 
 
+def _q_semantic_decontaminate(spark, sf):
+    """Semantic contamination report (NEW r7): corpus docs whose
+    EMBEDDING is within cosine 0.4 of any benchmark embedding
+    (even/odd vec_id split) — the paraphrase-leakage complement of the
+    lexical q_decontaminate. Benchmark side broadcast with precomputed
+    norms; corpus never shuffles; only matching (id, cosine) rows reach
+    the per-doc aggregate."""
+    from real_estate_bigdata_spark.operators.decontamination import (
+        semantic_contamination_report,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_contamination_report(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        threshold=0.4,
+    )
+
+
 def _q_redact_spans(spark, sf):
     """Span-level decontamination (NEW r5): remove exactly the tokens
     covered by benchmark-matching 8-gram windows, keep everything else;
@@ -930,18 +949,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_groupingsets_orders, q_rank_dense_ntile, q_sessionize,
         q_dedup_minhash_lsh, q_dedup_embedding_gemm,
         q_cluster_safe_split, q_dedup_clusters, q_label_agreement;
-    (b) 9 r6-verified fillers chosen as family representatives for
+    (b) 8 r6-verified fillers chosen as family representatives for
         the past-cap block: q01 (scan-filter agg), q02 (reference
-        parity core), q03 (broadcast star join / top-k),
-        q_normalize_listings (normalize core), q_text_quality (text
-        profile), q_dedup_exact_docs (exact dedup), q_embed_cosine_topk
-        (ANN brute force), q_quality_floor (quality family),
-        q_stratified_sample (sampling);
-    (c) q_bm25_index_search — NEW in r7 (persisted BM25 index search,
-        VERDICT r6 task #5), must verify on its first round; same
-        oracle as q_bm25_search (bit-parity by shared kernel).
+        parity core), q_normalize_listings (normalize core),
+        q_text_quality (text profile), q_dedup_exact_docs (exact
+        dedup), q_embed_cosine_topk (ANN brute force),
+        q_quality_floor (quality family), q_stratified_sample
+        (sampling);
+    (c) the 2 NEW r7 queries, verifying on their first round:
+        q_bm25_index_search (persisted BM25 index search, VERDICT r6
+        task #5; same oracle as q_bm25_search by shared-kernel
+        bit-parity) and q_semantic_decontaminate (embedding-level
+        benchmark contamination — q03 and q_curate_corpus fillers
+        moved past-cap to make the slots; the join family stays
+        in-cap via q07-q22, curation/dedup via the dedup block).
 
-    Past slot 50: the remaining 42 oracle-bearing queries, ALL
+    Past slot 50: the remaining 43 oracle-bearing queries, ALL
     hash-verified green in CORRECTNESS_r06 (<= 1 round stale, rotating
     back in r8), each with an in-cap family sibling (broadcast star
     joins via q03/q07/q08/q09; scan-filter aggs via q01; text profile
@@ -953,8 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
     q_dedup_embedding_ivf, q_embed_pq_topk, q_embed_ivfpq_topk —
     pinned by pytest recall tests). Union invariant: r6 ∪ r7 driver
-    rows cover all 91 oracle-bearing queries (90 pre-existing + the
-    new in-cap q_bm25_index_search).
+    rows cover all 92 oracle-bearing queries (90 pre-existing + the
+    new in-cap q_bm25_index_search and q_semantic_decontaminate).
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
@@ -1006,18 +1029,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) 10 r6-verified family-representative fillers
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
-        "q03_shipping_priority": _q03_shipping_priority,
         "q_normalize_listings": _q_normalize_listings,
         "q_text_quality": _q_text_quality,
         "q_dedup_exact_docs": _q_dedup_exact_docs,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q_quality_floor": _q_quality_floor,
         "q_stratified_sample": _q_stratified_sample,
-        # (c) NEW in r7 — first-round verification (persisted BM25 index;
-        # the q_curate_corpus filler moved past-cap to make the slot)
+        # (c) NEW in r7 — first-round verification (the q_curate_corpus
+        # and q03 fillers moved past-cap to make the slots)
         "q_bm25_index_search": _q_bm25_index_search,
+        "q_semantic_decontaminate": _q_semantic_decontaminate,
         # ---- slots 51+: past the inferred driver cap ----
-        # 42 oracle-bearing queries, all hash-verified in CORRECTNESS_r06
+        # 43 oracle-bearing queries, all hash-verified in CORRECTNESS_r06
+        "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
         "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q06_forecast_revenue": _q06_forecast_revenue,
@@ -2277,6 +2301,26 @@ def oracle_sql() -> dict[str, str]:
             FROM grams c JOIN bench b ON c.g = b.g
             WHERE c.doc_id % 20 <> 7
             GROUP BY 1
+        """,
+        # semantic contamination: corpus (even vec_id) embeddings within
+        # round-6 cosine 0.4 of any benchmark (odd vec_id) embedding
+        "q_semantic_decontaminate": r"""
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cand AS (
+                SELECT a.vec_id,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))),
+                             6) AS cosine
+                FROM e a JOIN e b
+                  ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+            )
+            SELECT vec_id, count(*)::BIGINT AS n_matches,
+                   max(cosine) AS max_cosine
+            FROM cand
+            WHERE cosine >= 0.4
+            GROUP BY vec_id
         """,
         # span-level decontamination: positional 8-gram strings
         # (parallel-unnest zip of starts and grams), benchmark matches

@@ -36,6 +36,8 @@ __all__ = [
     "contamination_report",
     "decontaminate",
     "redact_contaminated_spans",
+    "semantic_contamination_report",
+    "semantic_decontaminate",
 ]
 
 
@@ -151,3 +153,94 @@ def redact_contaminated_spans(
         .agg(F.collect_set("__start").alias("__starts"))
     )
     return _rewrite_minus_windows(corpus, spans, n, id_col, text_col)
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SEMANTIC complement of :func:`contamination_report`: corpus
+    documents whose EMBEDDING sits within ``threshold`` cosine of any
+    benchmark item's embedding — paraphrased or translated benchmark
+    leakage that shares no long n-gram with the eval set and therefore
+    sails through the lexical check (the published contamination
+    studies run both; each catches what the other misses).
+
+    Output: (``id_col``, n_matches, max_cosine) for every corpus doc
+    with >= 1 benchmark match at round-6 cosine >= threshold. NULL
+    vectors on either side can't be scored and never match.
+
+    Scale posture mirrors the lexical operator's: the benchmark side is
+    tiny by construction (eval suites are a few thousand items) and is
+    BROADCAST with norms precomputed; scoring is a map-side pass fused
+    into the corpus scan — the corpus embeddings never shuffle, and the
+    only aggregate shuffles (id, cosine) rows for MATCHING docs
+    (contamination-rate sized). Nothing is proportional to
+    corpus x benchmark beyond the map-side flops, which is the
+    brute-force-ANN trade every broadcast scorer in this engine makes
+    (``similarity.brute_force_topk``); a benchmark too large to
+    broadcast belongs in ``dedup.cross_corpus_lsh_pairs``' banded
+    regime instead.
+    """
+    from real_estate_bigdata_spark.functions.vectors import (
+        cosine_from_norms,
+        l2_norm,
+    )
+    from real_estate_bigdata_spark.util import ensure_min_parallelism
+
+    if not (-1.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (-1, 1], got {threshold}")
+    bench = (
+        benchmark_emb.select(F.col(vec_col).cast("array<double>").alias("__bv"))
+        .filter(F.col("__bv").isNotNull())
+        .withColumn("__bn", l2_norm(F.col("__bv")))
+    )
+    # the map-side scoring pass runs at the SCAN's partition count until
+    # the aggregate — a single-file corpus would pin |corpus|x|bench|
+    # cosine folds to one core
+    corp = (
+        ensure_min_parallelism(corpus_emb)
+        .select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+        )
+        .filter(F.col("__cv").isNotNull())
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+    )
+    scored = (
+        corp.crossJoin(F.broadcast(bench))
+        .select(
+            F.col(id_col),
+            cosine_from_norms(
+                F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def semantic_decontaminate(
+    corpus_emb: DataFrame,
+    benchmark_emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus rows (full original schema) with no benchmark embedding
+    within ``threshold`` cosine — the semantically-cleaned training
+    set. Same anti-join shape as :func:`decontaminate`; the
+    contaminated-id side is contamination-rate sized and left to AQE."""
+    dirty = semantic_contamination_report(
+        corpus_emb,
+        benchmark_emb,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(id_col)
+    return corpus_emb.join(dirty, id_col, "left_anti")

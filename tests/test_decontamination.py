@@ -130,3 +130,73 @@ def test_redact_spans_dirty_table_broadcasts(spark):
         forbid_python=True,
     )
     assert stats.shuffles <= 3, stats
+
+
+class TestSemanticDecontamination:
+    """Embedding-level contamination (NEW r7): the paraphrase-leakage
+    complement of the lexical n-gram check."""
+
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0, 0.0]),   # exact copy of bench 100
+                (2, [0.9, 0.1, 0.0, 0.0]),   # near bench 100
+                (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to the bench
+                (4, None),                    # unscoreable
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        return corpus, bench
+
+    def test_report_flags_copies_and_near_copies_only(self, spark):
+        corpus, bench = self._frames(spark)
+        got = {
+            r.vec_id: (r.n_matches, r.max_cosine)
+            for r in dc.semantic_contamination_report(
+                corpus, bench, threshold=0.9
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1] == (1, 1.0)
+        assert got[2][0] == 1 and 0.9 <= got[2][1] < 1.0
+
+    def test_decontaminate_removes_exactly_flagged_rows(self, spark):
+        corpus, bench = self._frames(spark)
+        clean = dc.semantic_decontaminate(corpus, bench, threshold=0.9)
+        assert sorted(r.vec_id for r in clean.collect()) == [3, 4]
+        assert clean.columns == corpus.columns  # full schema preserved
+
+    def test_threshold_monotone_and_validated(self, spark):
+        corpus, bench = self._frames(spark)
+        loose = dc.semantic_contamination_report(corpus, bench, threshold=0.5)
+        tight = dc.semantic_contamination_report(corpus, bench, threshold=0.99)
+        ids_loose = {r.vec_id for r in loose.collect()}
+        ids_tight = {r.vec_id for r in tight.collect()}
+        assert ids_tight <= ids_loose
+        with pytest.raises(ValueError):
+            dc.semantic_contamination_report(corpus, bench, threshold=1.5)
+
+    def test_plan_broadcasts_benchmark_corpus_never_shuffles_payload(
+        self, spark
+    ):
+        """The benchmark side must broadcast (a sort-merge would shuffle
+        the full corpus embedding stream at 100 TB); scoring stays pure
+        Column code."""
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        emb = load_table(spark, SF, "embeddings")
+        rep = dc.semantic_contamination_report(
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            threshold=0.4,
+        )
+        assert_plan(
+            rep,
+            min_broadcast_joins=1,
+            max_sortmerge_joins=0,
+            forbid_python=True,
+        )
