@@ -505,6 +505,26 @@ def _q_chunk_documents(spark, sf):
     return ta.chunk_documents(load_table(spark, sf, "documents"))
 
 
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE vocabulary training (NEW r7): the ordered merge
+    list learned from the documents corpus. Rows-only by design — BPE
+    is the textbook iterative algorithm (per-iteration argmax over an
+    aggregate) that ANSI SQL cannot express; the merge SEQUENCE is
+    instead pinned exactly against an independent pure-Python Sennrich
+    mirror in tests/test_bpe.py, on both a handcrafted corpus and this
+    same testdata table."""
+    from real_estate_bigdata_spark.operators.bpe import (
+        bpe_merge_table,
+        train_bpe,
+    )
+
+    # 12 merges: enough to exercise the full loop (several checkpoint
+    # cycles, early-stop guard live) at ~0.2 s/iteration of local-mode
+    # job overhead; the pytest mirror pins 30 merges on this same table
+    merges = train_bpe(load_table(spark, sf, "documents"), n_merges=12)
+    return bpe_merge_table(spark, merges)
+
+
 def _q_cluster_safe_split(spark, sf):
     """Leakage-safe split: near-dup clusters (exact n-gram Jaccard
     pairs, same generator as q_dedup_clusters) assigned wholly to one
@@ -1083,7 +1103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_drift": _q_source_drift,
         "q_novelty_scores": _q_novelty_scores,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # 5 rows-only approximate queries (pytest recall-pinned)
+        # rows-only queries: 5 approximate ANN (pytest recall-pinned) +
+        # the iterative BPE trainer (pytest merge-sequence-pinned)
+        "q_bpe_merges": _q_bpe_merges,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
