@@ -23,6 +23,7 @@ __all__ = [
     "bm25_topk",
     "build_bm25_index",
     "bm25_search",
+    "rrf_fuse",
     "doc_quality_profile",
     "token_accounting",
     "lang_id_report",
@@ -721,6 +722,66 @@ def bm25_search(
         .select("term", "__df")
     )
     return _bm25_rank(posts, df_t, stats, id_col, k, k1, b)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rn",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of any number of ranked candidate lists —
+    ``score(d) = sum_lists 1 / (k_rrf + rank_d)`` — the standard way to
+    combine the lexical (:func:`bm25_topk` / :func:`bm25_search`) and
+    semantic (``similarity.brute_force_topk`` / ``ivf_search``) halves
+    of a hybrid retrieval pipeline without score calibration: only
+    RANKS enter the formula, so BM25 scores and cosines never need to
+    share a scale.
+
+    Inputs: DataFrames each carrying ``id_col`` and a 1-based
+    ``rank_col``; a document missing from a list simply contributes no
+    term (the standard convention). Output: (``id_col``, rrf_score
+    round-6, fused_rank) ordered best-first with the engine-wide
+    (score desc, id asc) deterministic tie-break; ``top_k`` truncates
+    via TakeOrdered.
+
+    Scale shape: ranked lists are top-k-sized BY CONSTRUCTION (they
+    came out of retrieval operators), so everything here is bounded —
+    one union, one sum aggregate on the id, and a final rank over at
+    most sum(|lists|) rows. The unpartitioned rank window is
+    deliberate and safe at that cardinality; this operator must never
+    be handed corpus-sized frames.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    parts = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col).cast("double"))).alias(
+                "__contrib"
+            ),
+        )
+        for df in rankings
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy(id_col).agg(
+        F.round(F.sum("__contrib"), 6).alias("rrf_score")
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out.orderBy("fused_rank")
 
 
 def chunk_documents(

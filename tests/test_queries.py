@@ -101,6 +101,13 @@ def test_every_query_has_oracle_or_is_documented():
         # approximate by construction; pinned in
         # tests/test_dedup_similarity.py::TestIvfPq
         "q_embed_ivfpq_topk",
+        # distributed BPE training (NEW r7): the textbook ITERATIVE
+        # algorithm (per-step argmax over an aggregate) ANSI SQL cannot
+        # express; the merge sequence is instead pinned EXACTLY against
+        # an independent pure-Python Sennrich mirror in
+        # tests/test_bpe.py, on both a handcrafted corpus and the same
+        # testdata table the driver query reads
+        "q_bpe_merges",
     }
     assert set(missing) <= allowed_rows_only
 

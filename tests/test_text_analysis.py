@@ -573,3 +573,55 @@ class TestBm25Index:
             bm25_search(spark, path, "   ")
         with _pytest.raises(ValueError):
             bm25_search(spark, path, "a", k=0)
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion_and_tiebreak(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "doc_id long, rn int"
+        )
+        b = spark.createDataFrame(
+            [(3, 1), (1, 2), (9, 3)], "doc_id long, rn int"
+        )
+        got = {
+            r.doc_id: (r.rrf_score, r.fused_rank)
+            for r in rrf_fuse([a, b], k_rrf=60).collect()
+        }
+        import math
+
+        def rr(*ranks):
+            return round(sum(1.0 / (60 + r) for r in ranks), 6)
+
+        assert got[1] == (rr(1, 2), 1)   # in both lists, best combined
+        assert got[3] == (rr(3, 1), 2)
+        assert got[2][0] == rr(2)        # single-list docs: one term
+        assert got[9][0] == rr(3)
+        # 2 outranks 9 (rank 2 beats rank 3); ties impossible here
+        assert got[2][1] == 3 and got[9][1] == 4
+
+    def test_equal_scores_break_by_id(self, spark):
+        from real_estate_bigdata_spark.operators.text_analysis import rrf_fuse
+
+        a = spark.createDataFrame([(5, 1), (2, 2)], "doc_id long, rn int")
+        b = spark.createDataFrame([(2, 1), (5, 2)], "doc_id long, rn int")
+        out = rrf_fuse([a, b]).collect()
+        # both docs score rr(1)+rr(2): lower id wins rank 1
+        assert [r.doc_id for r in out] == [2, 5]
+
+    def test_top_k_and_validation(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.text_analysis import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(i, i) for i in range(1, 6)], "doc_id long, rn int"
+        )
+        assert rrf_fuse([a], top_k=2).count() == 2
+        with _pytest.raises(ValueError):
+            rrf_fuse([])
+        with _pytest.raises(ValueError):
+            rrf_fuse([a], k_rrf=0)
+        with _pytest.raises(ValueError):
+            rrf_fuse([a], top_k=0)
