@@ -91,9 +91,13 @@ from pyspark.sql import functions as F
 from real_estate_bigdata_spark.operators import dedup as dd
 from real_estate_bigdata_spark.operators import multimodal as mm
 from real_estate_bigdata_spark.operators import text_analysis as ta
+from real_estate_bigdata_spark.operators.bpe import bpe_merge_table, train_bpe
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.curation import curate_corpus
-from real_estate_bigdata_spark.operators.decontamination import decontaminate
+from real_estate_bigdata_spark.operators.decontamination import (
+    decontaminate,
+    semantic_contamination_report as decon_semantic,
+)
 from real_estate_bigdata_spark.operators.similarity import (
     label_agreement,
     label_agreement_ivf,
@@ -138,8 +142,8 @@ QUADRATIC_ALARM = 1.7
 ALARM_EXEMPT = {
     "label_agreement": (
         "O(n^2) GEMM by documented design; input hard-bounded to "
-        "max_rows (LIMIT-probed) with dedup.embedding_neardup_pairs_"
-        "blocked as the corpus-scale twin"
+        "max_rows (LIMIT-probed) with label_agreement_ivf (in this "
+        "battery, exponent 0.65 through x100) as the corpus-scale twin"
     ),
 }
 
@@ -229,6 +233,21 @@ def synthesize(spark, base_dir: str, out_dir: str) -> None:
                 continue
             shutil.rmtree(path, ignore_errors=True)
             builders[t](scale).write.parquet(path)
+
+
+def _bm25_build_and_search(spark, docs, path):
+    """The full build-once + one-search pipeline a fresh index session
+    pays; the build (corpus-sized) dominates, which is the honest
+    number for this battery."""
+    ta.build_bm25_index(docs, path)
+    return ta.bm25_search(spark, path, "join spark window", k=10)
+
+
+def _bpe_train_df(spark, docs):
+    # 10 merges: the iteration count is a CONSTANT of the measurement
+    # (vocab-bounded per-iteration cost is what scales), so the curve
+    # isolates the corpus-sized word-count collapse
+    return bpe_merge_table(spark, train_bpe(docs, n_merges=10))
 
 
 def _union(parts):
@@ -337,6 +356,20 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             ),
             use_pil=False,
         ),
+        # r7 additions: the persisted-BM25 build+search pipeline (the
+        # build is the corpus-sized half; search touches only the
+        # queried terms' partitions), semantic decontamination against
+        # a FIXED benchmark (broadcast map-side scoring — linear by
+        # construction, measured to prove it), and the BPE training
+        # loop (vocab-bounded iterations — the corpus-sized part is
+        # only the word-count collapse)
+        "bm25_index": lambda: _bm25_build_and_search(
+            spark, docs(), f"{sdir}/bm25_idx"
+        ),
+        "semantic_decontaminate": lambda: decon_semantic(
+            emb(), load_table(spark, base_dir, "embeddings").limit(100)
+        ),
+        "bpe_train": lambda: _bpe_train_df(spark, docs()),
         # PQ family over the scaled embedding corpus: train (bounded
         # sample) + encode (linear Arrow pass) + reranked ADC search —
         # the full two-stage pipeline a search session pays

@@ -57,7 +57,11 @@ END_OF_WORD = "</w>"
 
 def _initial_symbols(word: Column) -> Column:
     """word -> array of single-character symbols with END_OF_WORD glued
-    to the final character: "low" -> ["l", "o", "w</w>"]."""
+    to the final character: "low" -> ["l", "o", "w</w>"]. Character =
+    one BMP code point (``split`` by the empty pattern); words carrying
+    astral-plane characters (emoji, rare CJK) split at the UTF-16
+    surrogate boundary — byte-level BPE over a pre-encoded byte-token
+    column is the right representation for those corpora."""
     chars = F.split(word, "")
     n = F.size(chars)
     return F.transform(

@@ -741,8 +741,11 @@ def rrf_fuse(
     share a scale.
 
     Inputs: DataFrames each carrying ``id_col`` and a 1-based
-    ``rank_col``; a document missing from a list simply contributes no
-    term (the standard convention). Output: (``id_col``, rrf_score
+    ``rank_col``, one row per candidate — i.e. the ranked list for ONE
+    query (fusing a multi-query result table requires per-query
+    grouping first; handing it here would sum ranks across queries); a
+    document missing from a list simply contributes no term (the
+    standard convention). Output: (``id_col``, rrf_score
     round-6, fused_rank) ordered best-first with the engine-wide
     (score desc, id asc) deterministic tie-break; ``top_k`` truncates
     via TakeOrdered.
