@@ -76,7 +76,7 @@ def test_merge_sequence_matches_reference_mirror(spark):
 def test_merge_sequence_matches_on_real_testdata(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     texts = [r.text for r in docs.select("text").collect()]
-    got = bpe.train_bpe(df := docs, n_merges=30)
+    got = bpe.train_bpe(docs, n_merges=30)
     want, _ = _py_bpe(texts, 30)
     assert got == want
 
@@ -133,3 +133,16 @@ def test_max_vocab_words_truncation_matches_mirror(spark):
     got = bpe.train_bpe(df, n_merges=5, min_pair_count=1, max_vocab_words=3)
     want, _ = _py_bpe(texts, 5, min_pair_count=1, max_vocab_words=3)
     assert got == want
+
+
+def test_merges_deterministic_under_repartition(spark):
+    """The merge sequence must be a pure function of corpus CONTENT:
+    the pair aggregate is exact and the argmax tie-break total, so no
+    partitioning/row-order change may flip a merge."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    a = bpe.train_bpe(df, n_merges=12)
+    b = bpe.train_bpe(df.repartition(13), n_merges=12)
+    c = bpe.train_bpe(df.coalesce(1), n_merges=12)
+    assert a == b == c
