@@ -1605,22 +1605,15 @@ def compact_ann_index(spark, path: str) -> int:
     before ledger consumption, re-masking the already-clean table is a
     no-op rewrite. Single-writer maintenance op — run with searches
     drained, same contract as the dedup-store compactions."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-
-    def hpath(p: str):
-        return jvm.org.apache.hadoop.fs.Path(p)
-
-    def fs_of(p):
-        return p.getFileSystem(conf)
+    from real_estate_bigdata_spark.util import (
+        delete_dir,
+        finish_pending_dir_swap,
+        swap_in_rewrite,
+    )
 
     # crash recovery first: finish a half-done swap from a prior run
     for sub in ("lists", "codes"):
-        new_p = hpath(f"{path}/_{sub}_new")
-        live_p = hpath(f"{path}/{sub}")
-        fs = fs_of(live_p)
-        if fs.exists(new_p) and not fs.exists(live_p):
-            fs.rename(new_p, live_p)
+        finish_pending_dir_swap(spark, f"{path}/{sub}")
 
     tables = _ann_data_tables(spark, path)
     tombs = _read_ann_tombstones(spark, path, tables[0][2])
@@ -1655,21 +1648,9 @@ def compact_ann_index(spark, path: str) -> int:
             # preserve the partition-pruned layout searches depend on
             writer = writer.partitionBy("__list")
         writer.parquet(f"{path}/_{sub}_new")
-        live_p, new_p, old_p = (
-            hpath(live),
-            hpath(f"{path}/_{sub}_new"),
-            hpath(f"{path}/_{sub}_old"),
-        )
-        fs = fs_of(live_p)
-        if fs.exists(old_p):
-            fs.delete(old_p, True)
-        fs.rename(live_p, old_p)
-        fs.rename(new_p, live_p)
-        fs.delete(old_p, True)
+        swap_in_rewrite(spark, live)
 
     if epochs is not None:
-        edir = hpath(_ivf_epochs_dir(path))
-        fs_of(edir).delete(edir, True)
-    tdir = hpath(_ann_tombstones_dir(path))
-    fs_of(tdir).delete(tdir, True)
+        delete_dir(spark, _ivf_epochs_dir(path))
+    delete_dir(spark, _ann_tombstones_dir(path))
     return n_ids

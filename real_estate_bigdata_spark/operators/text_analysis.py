@@ -23,6 +23,8 @@ __all__ = [
     "bm25_topk",
     "build_bm25_index",
     "bm25_search",
+    "append_bm25_epoch",
+    "compact_bm25_index",
     "rrf_fuse",
     "doc_quality_profile",
     "token_accounting",
@@ -656,9 +658,14 @@ def build_bm25_index(
         .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
     )
+    # __sum_dl rides along so the epoch tier can combine stats EXACTLY:
+    # avgdl re-derives as sum(__sum_dl)/sum(__n) across tiers, and
+    # because document lengths are integer-valued doubles the sums are
+    # exact (and order-independent) below 2^53 total tokens
     base.agg(
         F.count("*").cast("double").alias("__n"),
         F.avg(F.size("__toks")).alias("__avgdl"),
+        F.sum(F.size("__toks")).cast("double").alias("__sum_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     postings = (
         base.select(
@@ -710,18 +717,265 @@ def bm25_search(
     if not q_terms:
         raise ValueError("query has no tokens")
     buckets = sorted({_bm25_term_bucket_py(t) for t in q_terms})
-    stats = spark.read.parquet(f"{path}/stats")
-    posts = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("__tp").isin(buckets) & F.col("term").isin(q_terms))
-        .select(id_col, "__dl", "term", "__tf")
+    epochs = {
+        sub: _bm25_live_epochs(spark, path, sub)
+        for sub in ("stats", "postings", "term_stats")
+    }
+    stats = spark.read.parquet(f"{path}/stats").select("__n", "__sum_dl")
+    if epochs["stats"] is not None:
+        stats = stats.unionByName(epochs["stats"].select("__n", "__sum_dl"))
+    # exact integer-valued sums combine across tiers; avgdl re-derives
+    stats = stats.agg(
+        F.sum("__n").alias("__n"),
+        (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
     )
+    posts = spark.read.parquet(f"{path}/postings").select(
+        id_col, "__dl", "term", "__tf", "__tp"
+    )
+    if epochs["postings"] is not None:
+        posts = posts.unionByName(
+            epochs["postings"].select(id_col, "__dl", "term", "__tf", "__tp")
+        )
+    posts = posts.filter(
+        F.col("__tp").isin(buckets) & F.col("term").isin(q_terms)
+    ).select(id_col, "__dl", "term", "__tf")
+    df_t = spark.read.parquet(f"{path}/term_stats").select(
+        "term", "__df", "__tp"
+    )
+    if epochs["term_stats"] is not None:
+        df_t = df_t.unionByName(
+            epochs["term_stats"].select("term", "__df", "__tp")
+        )
     df_t = (
-        spark.read.parquet(f"{path}/term_stats")
-        .filter(F.col("__tp").isin(buckets) & F.col("term").isin(q_terms))
-        .select("term", "__df")
+        df_t.filter(F.col("__tp").isin(buckets) & F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.sum("__df").alias("__df"))
     )
     return _bm25_rank(posts, df_t, stats, id_col, k, k1, b)
+
+
+def _bm25_epochs_dir(path: str, sub: str) -> str:
+    return f"{path.rstrip('/')}/{sub}_epochs"
+
+
+def _read_bm25_epochs(spark, path: str, sub: str) -> DataFrame | None:
+    """The append tier of a persisted BM25 index (:func:`append_bm25_epoch`),
+    or None when the index was never appended to — the common
+    static-corpus case pays zero extra scans."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    try:
+        return spark.read.parquet(_bm25_epochs_dir(path, sub))
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        return None
+
+
+def append_bm25_epoch(
+    spark,
+    path: str,
+    docs: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append NEW documents to a persisted BM25 index without rewriting
+    it — the lexical twin of ``similarity.append_ivf_epoch``: a corpus
+    under continuous ingest cannot afford a full posting rebuild per
+    micro-batch. The batch's postings, per-term document-frequency
+    partials, and (n, sum_dl) stats partial land under
+    ``<sub>_epochs/ingest_batch=<epoch>/`` with dynamic partition
+    overwrite — a replayed epoch recomputes identically and overwrites
+    exactly its own partitions. :func:`bm25_search` unions the tiers
+    (stats and df combine EXACTLY — integer-valued sums);
+    :func:`compact_bm25_index` folds them back into the base tables.
+
+    CONTRACT: ``docs`` must be documents the index has never seen — an
+    id re-appended would double-count its postings and inflate N.
+    Compose with the dedup ingest family upstream (that is what it is
+    for); this function cannot cheaply verify global novelty.
+    """
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    try:
+        spark.read.parquet(f"{path}/stats").first()
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        raise ValueError(
+            f"append_bm25_epoch: no BM25 index at {path!r} — run "
+            f"build_bm25_index first"
+        ) from exc
+    from real_estate_bigdata_spark.functions.text import portable_hash64
+
+    base = (
+        ensure_min_parallelism(docs)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    )
+    epoch_lit = F.lit(int(epoch))
+    (
+        base.agg(
+            F.count("*").cast("double").alias("__n"),
+            F.avg(F.size("__toks")).alias("__avgdl"),
+            F.sum(F.size("__toks")).cast("double").alias("__sum_dl"),
+        )
+        .withColumn("ingest_batch", epoch_lit)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(_bm25_epochs_dir(path, "stats"))
+    )
+    postings = (
+        base.select(
+            F.col(id_col),
+            F.size("__toks").cast("double").alias("__dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").cast("double").alias("__tf"))
+        .withColumn(
+            "__tp", F.pmod(portable_hash64(F.col("term")), F.lit(_BM25_TERM_BUCKETS))
+        )
+        .withColumn("ingest_batch", epoch_lit)
+    )
+    postings.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("ingest_batch", "__tp").parquet(
+        _bm25_epochs_dir(path, "postings")
+    )
+    (
+        spark.read.parquet(_bm25_epochs_dir(path, "postings"))
+        .filter(F.col("ingest_batch") == epoch_lit)
+        .groupBy("term", "__tp")
+        .agg(F.count("*").cast("double").alias("__df"))
+        .withColumn("ingest_batch", epoch_lit)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch", "__tp")
+        .parquet(_bm25_epochs_dir(path, "term_stats"))
+    )
+
+
+def _bm25_live_epochs(spark, path: str, sub: str) -> DataFrame | None:
+    """The epoch partitions of ``sub`` NOT yet folded into its base
+    table: the append tier filtered by the base's fold fencepost
+    (``util.read_fold_marker``). In the crash window between a
+    compaction swap and the epoch-directory delete, the folded
+    partitions are still on disk but the freshly-swapped base already
+    contains them — the fencepost keeps both search and a compaction
+    re-run from counting them twice."""
+    from real_estate_bigdata_spark.util import read_fold_marker
+
+    tier = _read_bm25_epochs(spark, path, sub)
+    if tier is None:
+        return None
+    marker = read_fold_marker(spark, f"{path}/{sub}")
+    if marker >= 0:
+        tier = tier.filter(F.col("ingest_batch") > marker)
+    return tier
+
+
+def compact_bm25_index(spark, path: str) -> int:
+    """Fold a BM25 index's append tier back into its base tables
+    (stats combined exactly, postings unioned, per-term df partials
+    summed) and drop the epoch directories — returns the number of
+    epoch batches folded (0 = no live tier, true no-op). Same
+    write-new/rename swap protocol as ``similarity.compact_ann_index``
+    (shared ``util`` helpers) and the same single-writer
+    searches-drained contract.
+
+    Double-count safety: summed partials cannot be deduplicated after
+    the fact (unlike the ANN fold's distinct), so each base table
+    carries a fold FENCEPOST (``util.write_fold_marker``, written into
+    the ``_new`` table before its swap): a crash anywhere between the
+    first swap and the epoch-directory deletes leaves some tables
+    folded and the epoch partitions on disk, and both the search path
+    (:func:`_bm25_live_epochs`) and a compaction re-run skip epochs at
+    or below each table's own fencepost — re-running converges without
+    ever re-adding a folded partial."""
+    from real_estate_bigdata_spark.util import (
+        delete_dir,
+        finish_pending_dir_swap,
+        swap_in_rewrite,
+        write_fold_marker,
+    )
+
+    subs = ("stats", "postings", "term_stats")
+    for sub in subs:
+        finish_pending_dir_swap(spark, f"{path}/{sub}")
+    live = {sub: _bm25_live_epochs(spark, path, sub) for sub in subs}
+    raw = {sub: _read_bm25_epochs(spark, path, sub) for sub in subs}
+    if all(v is None for v in raw.values()):
+        return 0
+    fold_through = max(
+        (
+            r[0]
+            for sub in subs
+            if raw[sub] is not None
+            for r in raw[sub].select(F.max("ingest_batch")).collect()
+            if r[0] is not None
+        ),
+        default=-1,
+    )
+    if fold_through < 0:
+        return 0
+    n_epochs = (
+        live["stats"].select("ingest_batch").distinct().count()
+        if live["stats"] is not None
+        else 0
+    )
+
+    # ---- write phase: all three replacement tables to _<sub>_new ----
+    stats = spark.read.parquet(f"{path}/stats").select("__n", "__sum_dl")
+    if live["stats"] is not None:
+        stats = stats.unionByName(live["stats"].select("__n", "__sum_dl"))
+    (
+        stats.agg(
+            F.sum("__n").alias("__n"),
+            (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
+            F.sum("__sum_dl").alias("__sum_dl"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/_stats_new")
+    )
+    posts = spark.read.parquet(f"{path}/postings")
+    posts_cols = list(posts.columns)
+    if live["postings"] is not None:
+        posts = posts.unionByName(live["postings"].select(*posts_cols))
+    posts.write.mode("overwrite").partitionBy("__tp").parquet(
+        f"{path}/_postings_new"
+    )
+    tstats = spark.read.parquet(f"{path}/term_stats").select(
+        "term", "__df", "__tp"
+    )
+    if live["term_stats"] is not None:
+        tstats = tstats.unionByName(
+            live["term_stats"].select("term", "__df", "__tp")
+        )
+    (
+        tstats.groupBy("term", "__tp")
+        .agg(F.sum("__df").alias("__df"))
+        .write.mode("overwrite")
+        .partitionBy("__tp")
+        .parquet(f"{path}/_term_stats_new")
+    )
+    for sub in subs:
+        write_fold_marker(spark, f"{path}/_{sub}_new", fold_through)
+
+    # ---- swap phase, then drop the folded tier ----
+    for sub in subs:
+        swap_in_rewrite(spark, f"{path}/{sub}")
+    for sub in subs:
+        delete_dir(spark, _bm25_epochs_dir(path, sub))
+    return n_epochs
 
 
 def rrf_fuse(

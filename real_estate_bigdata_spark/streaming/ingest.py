@@ -39,6 +39,7 @@ __all__ = [
     "run_neardup_doc_ingest",
     "run_guarded_neardup_ingest",
     "run_embedding_index_ingest",
+    "run_bm25_index_ingest",
 ]
 
 #: explicit store schema — epoch reads never infer (an empty but
@@ -576,6 +577,70 @@ def run_embedding_index_ingest(
         spark,
         src_dir,
         schema=schema or TESTDATA_SCHEMAS["embeddings"],
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_bm25_index_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    schema: StructType | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous maintenance of a persisted BM25 index — the lexical
+    twin of :func:`run_embedding_index_ingest`: each micro-batch of NEW
+    documents appends its posting lists, per-term df partials, and
+    (n, sum_dl) stats partial as an epoch
+    (``text_analysis.append_bm25_epoch``); ``bm25_search`` serves the
+    union of base + epochs immediately, and
+    ``text_analysis.compact_bm25_index`` periodically folds the tier
+    back (fold-fencepost protected — a compaction crash can never
+    double-count a folded partial).
+
+    The index must exist (``build_bm25_index``) before the stream
+    starts. Exactly-once: epoch writes are dynamic-partition-overwrite
+    keyed by the foreachBatch epoch id — a replayed batch overwrites
+    its own partitions with identical content, and an already-FOLDED
+    replayed epoch is excluded by the fencepost everywhere it is read.
+    KEEP the checkpoint directory for the life of the index: epoch ids
+    come from it, and a fresh checkpoint would restart numbering at 0,
+    colliding with epochs a past compaction already folded. The ingest
+    stream must deliver NEW documents only (``append_bm25_epoch``'s
+    contract) — compose with the dedup ingest family upstream.
+    """
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        append_bm25_epoch,
+    )
+    from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        append_bm25_epoch(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            batch_id,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    raw = file_stream_ingest(
+        spark,
+        src_dir,
+        schema=schema or TESTDATA_SCHEMAS["documents"],
         max_files_per_trigger=max_files_per_trigger,
     )
     writer = raw.writeStream.foreachBatch(_process).option(

@@ -5,9 +5,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "delete_dir",
     "ensure_min_parallelism",
+    "finish_pending_dir_swap",
     "is_missing_path_error",
+    "read_fold_marker",
+    "swap_in_rewrite",
     "with_run_metrics",
+    "write_fold_marker",
 ]
 
 
@@ -102,3 +107,91 @@ def with_run_metrics(df, name: str = "run_metrics", count_col: str | None = None
         metrics.append(F.count(count_col).alias(f"n_{count_col}_nonnull"))
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def finish_pending_dir_swap(spark, live: str) -> None:
+    """Crash recovery for the write-new/rename swap protocol shared by
+    the persisted-artifact compactions (ANN lists/codes, BM25 tables):
+    if a prior run wrote ``_<name>_new`` and renamed the live directory
+    away but died before renaming ``_new`` in, finish that rename
+    before anything else reads the artifact."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    import os.path
+
+    parent, name = os.path.dirname(live.rstrip("/")), os.path.basename(
+        live.rstrip("/")
+    )
+    new_p = jvm.org.apache.hadoop.fs.Path(f"{parent}/_{name}_new")
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    fs = live_p.getFileSystem(conf)
+    if fs.exists(new_p) and not fs.exists(live_p):
+        fs.rename(new_p, live_p)
+
+
+def swap_in_rewrite(spark, live: str) -> str:
+    """Second half of the swap protocol: the caller has just written the
+    replacement table to ``_<name>_new`` (the path this function
+    returns for symmetry); rename live aside, rename new in, drop the
+    old. Crash windows re-run to completion via
+    :func:`finish_pending_dir_swap`."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    import os.path
+
+    parent, name = os.path.dirname(live.rstrip("/")), os.path.basename(
+        live.rstrip("/")
+    )
+    live_p = jvm.org.apache.hadoop.fs.Path(live)
+    new_p = jvm.org.apache.hadoop.fs.Path(f"{parent}/_{name}_new")
+    old_p = jvm.org.apache.hadoop.fs.Path(f"{parent}/_{name}_old")
+    fs = live_p.getFileSystem(conf)
+    if fs.exists(old_p):
+        fs.delete(old_p, True)
+    fs.rename(live_p, old_p)
+    fs.rename(new_p, live_p)
+    fs.delete(old_p, True)
+    return f"{parent}/_{name}_new"
+
+
+def delete_dir(spark, path: str) -> None:
+    """Recursive Hadoop-FS delete (no-op when absent) — artifact
+    maintenance helper."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, True)
+
+
+def write_fold_marker(spark, table_dir: str, value: int) -> None:
+    """Record, INSIDE a table directory (underscore-prefixed, so parquet
+    readers ignore it), the highest epoch id already folded into that
+    table — the per-table fencepost that makes epoch-fold compactions
+    re-runnable: a crash between a table's swap and the epoch-directory
+    delete must not re-add (double-count) partials the table already
+    contains. Written into the ``_new`` table BEFORE its swap, so the
+    marker travels with the data it describes."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir.rstrip('/')}/_folded_through")
+    out = p.getFileSystem(conf).create(p, True)
+    out.write(bytearray(str(int(value)).encode("utf-8")))
+    out.close()
+
+
+def read_fold_marker(spark, table_dir: str) -> int:
+    """The table's fold fencepost; -1 when never folded (fresh build)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir.rstrip('/')}/_folded_through")
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return -1
+    stream = fs.open(p)
+    try:
+        txt = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return int(txt.strip() or -1)
