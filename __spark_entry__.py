@@ -495,7 +495,10 @@ def _q_bm25_index_search(spark, sf):
     applies verbatim (bit-parity pytest-pinned)."""
     import os
 
-    path = f"/tmp/spark_graft_bm25/{os.path.basename(sf.rstrip('/'))}"
+    # v2: cache key versioned with the artifact format (r7 added
+    # __sum_dl to stats for the epoch tier; a v1 cache would neither
+    # append nor carry the exact stats)
+    path = f"/tmp/spark_graft_bm25_v2/{os.path.basename(sf.rstrip('/'))}"
     if not os.path.exists(f"{path}/term_stats/_SUCCESS"):
         ta.build_bm25_index(load_table(spark, sf, "documents"), path)
     return ta.bm25_search(spark, path, "join spark window", k=10)

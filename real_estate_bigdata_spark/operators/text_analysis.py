@@ -721,14 +721,29 @@ def bm25_search(
         sub: _bm25_live_epochs(spark, path, sub)
         for sub in ("stats", "postings", "term_stats")
     }
-    stats = spark.read.parquet(f"{path}/stats").select("__n", "__sum_dl")
-    if epochs["stats"] is not None:
-        stats = stats.unionByName(epochs["stats"].select("__n", "__sum_dl"))
-    # exact integer-valued sums combine across tiers; avgdl re-derives
-    stats = stats.agg(
-        F.sum("__n").alias("__n"),
-        (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
-    )
+    base_stats = spark.read.parquet(f"{path}/stats")
+    if "__sum_dl" not in base_stats.columns:
+        # legacy pre-epoch-tier artifact (round-6 format): no exact
+        # sum_dl to combine, so it cannot take appends — but it still
+        # searches as built
+        if any(v is not None for v in epochs.values()):
+            raise ValueError(
+                f"BM25 index at {path!r} predates the epoch-tier format "
+                f"(stats lacks __sum_dl) yet has epoch partitions — "
+                f"rebuild it with build_bm25_index"
+            )
+        stats = base_stats.select("__n", "__avgdl")
+    else:
+        stats = base_stats.select("__n", "__sum_dl")
+        if epochs["stats"] is not None:
+            stats = stats.unionByName(
+                epochs["stats"].select("__n", "__sum_dl")
+            )
+        # exact integer-valued sums combine across tiers; avgdl re-derives
+        stats = stats.agg(
+            F.sum("__n").alias("__n"),
+            (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
+        )
     posts = spark.read.parquet(f"{path}/postings").select(
         id_col, "__dl", "term", "__tf", "__tp"
     )
