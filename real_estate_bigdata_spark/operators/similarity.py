@@ -304,6 +304,15 @@ def label_agreement_ivf(
                 f"(got {dt.simpleString()}); map string ids/labels to "
                 f"integers first"
             )
+    # same non-null contract (and error shape) as the exact path: a NULL
+    # id/label would otherwise survive the vector filter and crash the
+    # pandas kernel's int64 pack with an opaque executor-side error
+    if emb.filter(
+        F.col(id_col).isNull() | F.col(label_col).isNull()
+    ).limit(1).count():
+        raise ValueError(
+            f"label_agreement_ivf requires non-null {id_col!r}/{label_col!r}"
+        )
     if index is None:
         index = build_ivf_index(
             emb, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
@@ -780,7 +789,7 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     lists = spark.read.parquet(f"{path}/lists").select(
         "neighbor_id", "c_vec", "c_nrm", "__list"
     )
-    epochs = _read_ivf_epochs(spark, path)
+    epochs = _ivf_live_epochs(spark, path)
     if epochs is not None:
         lists = lists.unionByName(
             epochs.select("neighbor_id", "c_vec", "c_nrm", "__list")
@@ -814,6 +823,27 @@ def _read_ivf_epochs(spark, path: str) -> DataFrame | None:
         if not is_missing_path_error(exc):
             raise
         return None
+
+
+def _ivf_live_epochs(spark, path: str) -> DataFrame | None:
+    """The epoch partitions NOT yet folded into the base ``lists`` table:
+    the append tier filtered by the base's fold fencepost
+    (``util.read_fold_marker``), mirroring ``text_analysis``'s
+    ``_bm25_live_epochs``. In the crash window between a compaction's
+    lists swap and the epoch-directory delete, the folded partitions are
+    still on disk but the freshly-swapped base already contains them —
+    without the fencepost a load would union them back in and a
+    duplicated row could occupy two top-k slots, displacing a legitimate
+    k-th neighbor until compaction re-ran."""
+    from real_estate_bigdata_spark.util import read_fold_marker
+
+    tier = _read_ivf_epochs(spark, path)
+    if tier is None:
+        return None
+    marker = read_fold_marker(spark, f"{path}/lists")
+    if marker >= 0:
+        tier = tier.filter(F.col("ingest_batch") > marker)
+    return tier
 
 
 def append_ivf_epoch(
@@ -1561,20 +1591,31 @@ def retract_from_ann_index(
             f"on id type ({sorted(id_types)}) — rebuild them from one corpus"
         )
     id_type = id_types.pop()
+    src_type = ids.schema[id_col].dataType.simpleString()
+    # checkpoint FIRST, then validate on the checkpointed frame: the
+    # validation must see the exact rows the ledger write will see — a
+    # non-deterministic ids lineage could otherwise pass a recomputed
+    # check while the written ledger carries bad rows. Two guards: a
+    # NULL __retracted_id (cast produced nothing) and a round-trip
+    # inequality (non-ANSI truncating cast, e.g. double 7.5 -> bigint 7,
+    # produces a NON-null wrong key that would tombstone the wrong row).
     keys = (
         ids.select(F.col(id_col).alias("__raw"))
         .filter(F.col("__raw").isNotNull())
         .distinct()
         .withColumn("__retracted_id", F.col("__raw").cast(id_type))
+        .localCheckpoint(eager=True)
     )
-    bad = keys.filter(F.col("__retracted_id").isNull()).limit(1)
-    out = keys.select("__retracted_id").localCheckpoint(eager=True)
+    bad = keys.filter(
+        F.col("__retracted_id").isNull()
+        | (F.col("__retracted_id").cast(src_type) != F.col("__raw"))
+    ).limit(1)
     if bad.count():
         raise ValueError(
-            f"retract_from_ann_index: ids of type "
-            f"{ids.schema[id_col].dataType.simpleString()!r} do not cast "
+            f"retract_from_ann_index: ids of type {src_type!r} do not cast "
             f"losslessly to the artifact id type {id_type!r}"
         )
+    out = keys.select("__retracted_id")
     n = out.count()
     if n:
         out.write.mode("append").parquet(_ann_tombstones_dir(path))
@@ -1608,7 +1649,9 @@ def compact_ann_index(spark, path: str) -> int:
     from real_estate_bigdata_spark.util import (
         delete_dir,
         finish_pending_dir_swap,
+        read_fold_marker,
         swap_in_rewrite,
+        write_fold_marker,
     )
 
     # crash recovery first: finish a half-done swap from a prior run
@@ -1616,12 +1659,22 @@ def compact_ann_index(spark, path: str) -> int:
         finish_pending_dir_swap(spark, f"{path}/{sub}")
 
     tables = _ann_data_tables(spark, path)
+    has_lists = any(sub == "lists" for sub, _, _ in tables)
     tombs = _read_ann_tombstones(spark, path, tables[0][2])
-    epochs = _read_ivf_epochs(spark, path) if any(
-        sub == "lists" for sub, _, _ in tables
-    ) else None
-    if tombs is None and epochs is None:
+    # raw vs live tier: raw decides whether epoch DIRECTORIES need
+    # dropping; live (fencepost-filtered, mirroring _bm25_live_epochs)
+    # decides what actually folds — a re-run after a crash between the
+    # lists swap and the epoch delete sees raw partitions the swapped
+    # base already contains and must not re-add them
+    raw_epochs = _read_ivf_epochs(spark, path) if has_lists else None
+    epochs = _ivf_live_epochs(spark, path) if raw_epochs is not None else None
+    if tombs is None and raw_epochs is None:
         return 0
+    fold_through = read_fold_marker(spark, f"{path}/lists")
+    if raw_epochs is not None:
+        m = raw_epochs.agg(F.max("ingest_batch")).first()[0]
+        if m is not None:
+            fold_through = max(fold_through, int(m))
     n_ids = (
         tombs.select("__retracted_id").distinct().count()
         if tombs is not None
@@ -1632,25 +1685,27 @@ def compact_ann_index(spark, path: str) -> int:
         live = f"{path}/{sub}"
         rows = spark.read.parquet(live)
         if sub == "lists" and epochs is not None:
-            # fold the append tier (append_ivf_epoch) into the base
-            # table; the epoch dirs are dropped after the swap. distinct
-            # makes the fold crash-idempotent: a prior run that swapped
-            # the base but died before dropping the epoch dirs re-folds
-            # rows the base already holds
             rows = rows.select(
                 "neighbor_id", "c_vec", "c_nrm", "__list"
             ).unionByName(
                 epochs.select("neighbor_id", "c_vec", "c_nrm", "__list")
-            ).distinct()
+            )
         masked = _mask_ann_retracted(rows, tombs, id_field)
         writer = masked.write.mode("overwrite")
         if sub == "lists":
             # preserve the partition-pruned layout searches depend on
             writer = writer.partitionBy("__list")
         writer.parquet(f"{path}/_{sub}_new")
+        if sub == "lists" and fold_through >= 0:
+            # fencepost INSIDE the _new table before its swap, so the
+            # marker travels with the data: the moment the swap lands,
+            # loads filter the still-on-disk epoch tier by it and the
+            # crash window between swap and epoch-delete cannot serve
+            # a folded row twice
+            write_fold_marker(spark, f"{path}/_{sub}_new", fold_through)
         swap_in_rewrite(spark, live)
 
-    if epochs is not None:
+    if raw_epochs is not None:
         delete_dir(spark, _ivf_epochs_dir(path))
     delete_dir(spark, _ann_tombstones_dir(path))
     return n_ids

@@ -756,10 +756,17 @@ def _retract_keys(
         .withColumn("as_of_batch", F.lit(as_of).cast("int"))
         .localCheckpoint(eager=True)  # validate + count + write, one pass
     )
-    if out.filter(F.col(key_col).isNull()).limit(1).count():
+    src_type = keys.schema[key_col].dataType.simpleString()
+    # two lossy-cast guards on the CHECKPOINTED rows: NULL (cast produced
+    # nothing) and round-trip inequality (a non-ANSI truncating cast,
+    # e.g. double 7.5 -> bigint 7, yields a NON-null wrong key that
+    # would tombstone the wrong store row)
+    if out.filter(
+        F.col(key_col).isNull()
+        | (F.col(key_col).cast(src_type) != F.col("__raw"))
+    ).limit(1).count():
         raise ValueError(
-            f"retraction keys of type "
-            f"{keys.schema[key_col].dataType.simpleString()!r} do not cast "
+            f"retraction keys of type {src_type!r} do not cast "
             f"losslessly to the store key type {key_type!r}"
         )
     out = out.select(key_col, "as_of_batch")

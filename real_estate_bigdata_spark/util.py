@@ -126,7 +126,11 @@ def finish_pending_dir_swap(spark, live: str) -> None:
     live_p = jvm.org.apache.hadoop.fs.Path(live)
     fs = live_p.getFileSystem(conf)
     if fs.exists(new_p) and not fs.exists(live_p):
-        fs.rename(new_p, live_p)
+        if not fs.rename(new_p, live_p):
+            raise IOError(
+                f"swap recovery: rename({new_p}, {live_p}) returned false; "
+                f"the pending replacement table is left intact at {new_p}"
+            )
 
 
 def swap_in_rewrite(spark, live: str) -> str:
@@ -148,8 +152,20 @@ def swap_in_rewrite(spark, live: str) -> str:
     fs = live_p.getFileSystem(conf)
     if fs.exists(old_p):
         fs.delete(old_p, True)
-    fs.rename(live_p, old_p)
-    fs.rename(new_p, live_p)
+    # Hadoop FileSystem.rename reports many failures (missing source,
+    # existing destination, permission) as a FALSE return, not an
+    # exception. Check both: a silent rename(new->live) failure after
+    # rename(live->old) succeeded would otherwise be followed by the
+    # unconditional delete(old) — destroying the only remaining copy.
+    if not fs.rename(live_p, old_p):
+        raise IOError(
+            f"swap: rename({live_p}, {old_p}) returned false; live table untouched"
+        )
+    if not fs.rename(new_p, live_p):
+        raise IOError(
+            f"swap: rename({new_p}, {live_p}) returned false; prior live table "
+            f"preserved at {old_p} — restore it by renaming back before retrying"
+        )
     fs.delete(old_p, True)
     return f"{parent}/_{name}_new"
 

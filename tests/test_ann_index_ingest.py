@@ -140,3 +140,58 @@ class TestEmbeddingIndexIngest:
         assert sim.compact_ann_index(spark, path) == 0  # ids applied: none
         assert not os.path.exists(f"{path}/lists_epochs")
         assert len(_loaded_ids(spark, path)) == len(want) + 5
+
+    def test_fold_crash_window_cannot_serve_duplicates(self, spark, tmp_path):
+        """ADVICE r7: crash between the lists swap and the epoch-dir
+        delete — the swapped base already holds the folded rows, and the
+        still-on-disk epoch tier must NOT union back in (a duplicated
+        row would occupy two top-k slots). The fold fencepost written
+        into the swapped base filters the resurfaced tier, mirroring
+        _bm25_live_epochs; a compaction re-run converges without
+        re-adding the folded rows."""
+        import shutil
+
+        path = str(tmp_path / "idx")
+        base_rows = _vecs(0, 30, seed=7)
+        df = _build_base(spark, path, base_rows)
+        new = spark.createDataFrame(
+            _vecs(100, 10, seed=8), "vec_id long, embedding array<float>, label int"
+        )
+        sim.append_ivf_epoch(spark, path, new, epoch=0)
+        assert len(_loaded_ids(spark, path)) == 40
+
+        # compact, then resurrect the epoch tier = the crash window
+        saved = str(tmp_path / "saved_epochs")
+        shutil.copytree(f"{path}/lists_epochs", saved)
+        assert sim.compact_ann_index(spark, path) == 0
+        shutil.copytree(saved, f"{path}/lists_epochs")
+
+        ids = [
+            r.neighbor_id
+            for r in sim.load_ivf_index(spark, path).lists.collect()
+        ]
+        assert sorted(ids) == sorted(set(ids))  # no id served twice
+        assert len(ids) == 40
+
+        # a search in the window returns distinct neighbors
+        q = spark.createDataFrame(
+            [new.collect()[0]], "vec_id long, embedding array<double>, label int"
+        )
+        top = sim.ivf_search(
+            sim.load_ivf_index(spark, path), q, k=5, n_probe=4
+        ).collect()
+        assert len({r.neighbor_id for r in top}) == len(top)
+
+        # re-run converges: base still 40 rows, tier dropped for good
+        assert sim.compact_ann_index(spark, path) == 0
+        import os
+
+        assert not os.path.exists(f"{path}/lists_epochs")
+        assert spark.read.parquet(f"{path}/lists").count() == 40
+
+        # a genuinely NEW epoch above the fencepost still appends
+        newer = spark.createDataFrame(
+            _vecs(200, 5, seed=9), "vec_id long, embedding array<float>, label int"
+        )
+        sim.append_ivf_epoch(spark, path, newer, epoch=1)
+        assert len(_loaded_ids(spark, path)) == 45

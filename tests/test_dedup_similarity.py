@@ -1374,3 +1374,23 @@ class TestLabelAgreementIvf:
         )
         with _pytest.raises(ValueError, match="label_agreement_ivf"):
             sim.label_agreement(emb, max_rows=3)
+
+    def test_validates_null_ids_and_labels(self, spark):
+        """ADVICE r7: a NULL id/label must raise the same clear contract
+        error as the exact path, not crash the pandas kernel's int64
+        pack executor-side."""
+        import pytest as _pytest
+
+        rows = [(i, [float(i), 1.0], 0) for i in range(5)]
+        null_id = spark.createDataFrame(
+            rows + [(None, [0.5, 0.5], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with _pytest.raises(ValueError, match="non-null"):
+            sim.label_agreement_ivf(null_id, n_lists=2, n_probe=2)
+        null_lab = spark.createDataFrame(
+            rows + [(9, [0.5, 0.5], None)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with _pytest.raises(ValueError, match="non-null"):
+            sim.label_agreement_ivf(null_lab, n_lists=2, n_probe=2)

@@ -313,6 +313,49 @@ class TestAnnIndexRetraction:
                 spark.createDataFrame([(1,)], "vec_id long"),
             )
 
+    def test_fractional_id_truncating_cast_fails_fast(self, spark, tmp_path):
+        """VERDICT r7 #5: double 7.5 -> bigint 7 is a NON-null lossy
+        cast (non-ANSI truncation) that would tombstone the WRONG key;
+        the round-trip guard must catch it. Exact-integer-valued
+        doubles still retract."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from real_estate_bigdata_spark.operators import similarity as sim
+
+        emb = self._emb(spark, n=10)
+        path = str(tmp_path / "ann")
+        self._build_artifacts(spark, emb, path)
+        fractional = spark.createDataFrame([(7.5,)], "vec_id double")
+        with _pytest.raises(ValueError, match="losslessly"):
+            sim.retract_from_ann_index(spark, path, fractional)
+        # no ledger row was written by the failed call
+        import os
+
+        assert not os.path.exists(f"{path}/_tombstones")
+        exact = spark.createDataFrame([(3.0,)], "vec_id double")
+        assert sim.retract_from_ann_index(spark, path, exact) == 1
+        idx = sim.load_ivf_index(spark, path)
+        assert idx.lists.filter(F.col("neighbor_id") == 3).count() == 0
+
+    def test_fractional_key_fails_fast_on_store_retraction(
+        self, spark, tmp_path
+    ):
+        """Same truncating-cast guard on the dedup-store ledger path
+        (_retract_keys)."""
+        import pytest as _pytest
+
+        store = tmp_path / "store"
+        spark.createDataFrame(
+            [(10, [1, 2, 3], 0)],
+            "doc_id long, sig array<bigint>, ingest_batch int",
+        ).write.partitionBy("ingest_batch").parquet(str(store))
+        fractional = spark.createDataFrame([(10.5,)], "doc_id double")
+        with _pytest.raises(ValueError, match="losslessly"):
+            ingest.retract_signatures(spark, str(store), fractional)
+        exact = spark.createDataFrame([(10.0,)], "doc_id double")
+        assert ingest.retract_signatures(spark, str(store), exact) == 1
+
 
 class TestSignatureLedgerKeyType:
     def test_ledger_key_type_derives_from_store_not_caller(
