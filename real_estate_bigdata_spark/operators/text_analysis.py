@@ -710,7 +710,14 @@ def bm25_search(
     ``__tp`` filter prunes every other posting directory at the scan,
     and only posting-list-sized (doc, term, tf) rows ever move. The
     per-query cost is proportional to the queried terms' posting lists,
-    not the corpus — the served-search half of the BM25 surface."""
+    not the corpus — the served-search half of the BM25 surface.
+
+    Retraction-aware: a :func:`retract_from_bm25_index` ledger, when
+    present, masks the retracted docs' postings and subtracts their
+    (N, sum_dl, per-term df) contributions, so surviving scores equal a
+    fresh build without those docs bit-for-bit."""
+    from real_estate_bigdata_spark.util import read_fold_marker
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q_terms = sorted(set(str(query).split()))
@@ -721,16 +728,17 @@ def bm25_search(
         sub: _bm25_live_epochs(spark, path, sub)
         for sub in ("stats", "postings", "term_stats")
     }
+    tombs = _read_bm25_tombstones(spark, path)
     base_stats = spark.read.parquet(f"{path}/stats")
     if "__sum_dl" not in base_stats.columns:
         # legacy pre-epoch-tier artifact (round-6 format): no exact
-        # sum_dl to combine, so it cannot take appends — but it still
-        # searches as built
-        if any(v is not None for v in epochs.values()):
+        # sum_dl to combine, so it cannot take appends or retractions —
+        # but it still searches as built
+        if any(v is not None for v in epochs.values()) or tombs is not None:
             raise ValueError(
                 f"BM25 index at {path!r} predates the epoch-tier format "
-                f"(stats lacks __sum_dl) yet has epoch partitions — "
-                f"rebuild it with build_bm25_index"
+                f"(stats lacks __sum_dl) yet has epoch partitions or a "
+                f"retraction ledger — rebuild it with build_bm25_index"
             )
         stats = base_stats.select("__n", "__avgdl")
     else:
@@ -742,7 +750,32 @@ def bm25_search(
         # exact integer-valued sums combine across tiers; avgdl re-derives
         stats = stats.agg(
             F.sum("__n").alias("__n"),
-            (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
+            F.sum("__sum_dl").alias("__sum_dl"),
+        )
+        if tombs is not None:
+            # subtract retracted docs' (1, dl) shares — only ledger rows
+            # ABOVE the stats table's own _retracted_through fencepost
+            # (rows at/below it are already physically applied; the
+            # subtraction, unlike the postings anti-join, is not
+            # idempotent). Exact: integer-valued double sums.
+            smark = read_fold_marker(
+                spark, f"{path}/stats", "_retracted_through"
+            )
+            dec = (
+                tombs.filter(F.col("__rseq") > smark)
+                .select(id_col, "__dl")
+                .distinct()
+                .agg(
+                    F.count("*").cast("double").alias("__n_dec"),
+                    F.coalesce(F.sum("__dl"), F.lit(0.0)).alias("__dl_dec"),
+                )
+            )
+            stats = stats.crossJoin(F.broadcast(dec)).select(
+                (F.col("__n") - F.col("__n_dec")).alias("__n"),
+                (F.col("__sum_dl") - F.col("__dl_dec")).alias("__sum_dl"),
+            )
+        stats = stats.select(
+            "__n", (F.col("__sum_dl") / F.col("__n")).alias("__avgdl")
         )
     posts = spark.read.parquet(f"{path}/postings").select(
         id_col, "__dl", "term", "__tf", "__tp"
@@ -754,6 +787,14 @@ def bm25_search(
     posts = posts.filter(
         F.col("__tp").isin(buckets) & F.col("term").isin(q_terms)
     ).select(id_col, "__dl", "term", "__tf")
+    if tombs is not None:
+        # key mask over the postings: idempotent, so ALL ledger ids
+        # apply regardless of fencepost (re-masking removed rows is a
+        # no-op) — after the bucket/term filter, so it anti-joins only
+        # posting-list-sized rows
+        posts = posts.join(
+            F.broadcast(tombs.select(id_col).distinct()), id_col, "left_anti"
+        )
     df_t = spark.read.parquet(f"{path}/term_stats").select(
         "term", "__df", "__tp"
     )
@@ -766,6 +807,26 @@ def bm25_search(
         .groupBy("term")
         .agg(F.sum("__df").alias("__df"))
     )
+    if tombs is not None:
+        # per-term df decrement: each ledger row is one (doc, term)
+        # posting, so count-per-term IS the df share to remove; again
+        # fenceposted by the term_stats table's own marker
+        tmark = read_fold_marker(
+            spark, f"{path}/term_stats", "_retracted_through"
+        )
+        dec_t = (
+            tombs.filter(
+                (F.col("__rseq") > tmark) & F.col("term").isin(q_terms)
+            )
+            .groupBy("term")
+            .agg(F.count("*").cast("double").alias("__df_dec"))
+        )
+        df_t = df_t.join(F.broadcast(dec_t), "term", "left").select(
+            "term",
+            (
+                F.col("__df") - F.coalesce(F.col("__df_dec"), F.lit(0.0))
+            ).alias("__df"),
+        )
     return _bm25_rank(posts, df_t, stats, id_col, k, k1, b)
 
 
@@ -897,27 +958,182 @@ def _bm25_live_epochs(spark, path: str, sub: str) -> DataFrame | None:
     return tier
 
 
+def _bm25_tombstones_dir(path: str) -> str:
+    # underscore-prefixed: hidden from parquet readers of the artifact
+    return f"{path.rstrip('/')}/_tombstones"
+
+
+def _bm25_index_id_field(spark, path: str) -> tuple[str, str]:
+    """(name, type) of the id column of the BM25 index at ``path``,
+    read from the ARTIFACT's own postings schema (never trusted from a
+    caller frame — same rationale as ``similarity._ann_data_tables``)."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    try:
+        schema = spark.read.parquet(f"{path}/postings").schema
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        raise ValueError(
+            f"no BM25 index at {path!r} — run build_bm25_index first"
+        ) from exc
+    name = next(
+        f.name
+        for f in schema.fields
+        if f.name not in ("__dl", "term", "__tf", "__tp")
+    )
+    return name, schema[name].dataType.simpleString()
+
+
+def _read_bm25_tombstones(spark, path: str) -> DataFrame | None:
+    """The index's retraction ledger (:func:`retract_from_bm25_index`):
+    one row per (retracted doc, indexed term) carrying the doc's length
+    — everything the search and compaction need to subtract the doc's
+    full contribution ((1, dl) from stats, 1 per term from df, its
+    postings by id). None in the common no-retractions case."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    id_field, id_type = _bm25_index_id_field(spark, path)
+    try:
+        return spark.read.schema(
+            f"{id_field} {id_type}, __dl double, term string, __rseq int"
+        ).parquet(_bm25_tombstones_dir(path))
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        return None
+
+
+def retract_from_bm25_index(
+    spark, path: str, ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Retract documents from a persisted BM25 index
+    (:func:`build_bm25_index`) — the takedown path the ANN artifacts got
+    in :func:`similarity.retract_from_ann_index`, but VALUE-aware: a
+    key-only mask is not enough for BM25, because a removed document's
+    (1, dl) share of the corpus stats and its +1 per distinct term of
+    the document frequencies shift every surviving score. The ledger
+    row is therefore derived FROM the doc's own postings at retract
+    time: ``(id, dl, term)`` per indexed term, with a monotonically
+    increasing ``__rseq`` so the non-idempotent stats/df subtraction
+    can be fenceposted (``_retracted_through`` per table) the same way
+    the epoch fold is.
+
+    After this call :func:`bm25_search` (a) anti-joins the doc's
+    postings out and (b) adjusts (N, sum_dl, per-term df) from the
+    broadcast ledger — surviving scores are bit-identical to a fresh
+    build without the doc (integer-valued double sums subtract
+    exactly; pytest-pinned). :func:`compact_bm25_index` later applies
+    the ledger physically and consumes it; after compaction a re-added
+    id is searchable again (the ledger is epoch-less, so re-appending
+    BEFORE compacting would stay masked — same contract as the ANN
+    retraction).
+
+    Derivation reads the LIVE view (base ∪ unfolded epochs, already-
+    retracted ids masked), so retracting an id twice, or an id the
+    index never held, derives zero rows and is a no-op. A document
+    indexed with ZERO tokens has no postings to derive from and cannot
+    be individually retracted — its only index footprint is a (1, 0)
+    stats count; no content remains retrievable. Legacy (pre-
+    ``__sum_dl``) artifacts cannot adjust stats and are rejected. Run
+    with searches drained, single writer — same contract as the other
+    ledgers. Returns the number of documents whose postings were
+    tombstoned."""
+    from real_estate_bigdata_spark.util import read_fold_marker
+
+    id_field, id_type = _bm25_index_id_field(spark, path)
+    if "__sum_dl" not in spark.read.parquet(f"{path}/stats").columns:
+        raise ValueError(
+            f"BM25 index at {path!r} predates the epoch-tier format "
+            f"(stats lacks __sum_dl) — stats cannot be adjusted for "
+            f"retraction; rebuild it with build_bm25_index"
+        )
+    src_type = ids.schema[id_col].dataType.simpleString()
+    keys = (
+        ids.select(F.col(id_col).alias("__raw"))
+        .filter(F.col("__raw").isNotNull())
+        .distinct()
+        .withColumn(id_field, F.col("__raw").cast(id_type))
+        .localCheckpoint(eager=True)
+    )
+    bad = keys.filter(
+        F.col(id_field).isNull()
+        | (F.col(id_field).cast(src_type) != F.col("__raw"))
+    ).limit(1)
+    if bad.count():
+        raise ValueError(
+            f"retract_from_bm25_index: ids of type {src_type!r} do not "
+            f"cast losslessly to the index id type {id_type!r}"
+        )
+
+    posts = spark.read.parquet(f"{path}/postings").select(
+        id_field, "__dl", "term"
+    )
+    live_ep = _bm25_live_epochs(spark, path, "postings")
+    if live_ep is not None:
+        posts = posts.unionByName(live_ep.select(id_field, "__dl", "term"))
+    ledger = _read_bm25_tombstones(spark, path)
+    next_seq = (
+        max(
+            read_fold_marker(spark, f"{path}/{sub}", "_retracted_through")
+            for sub in ("stats", "postings", "term_stats")
+        )
+        + 1
+    )
+    if ledger is not None:
+        m = ledger.agg(F.max("__rseq")).first()[0]
+        if m is not None:
+            next_seq = max(next_seq, int(m) + 1)
+        posts = posts.join(
+            F.broadcast(ledger.select(id_field).distinct()),
+            id_field,
+            "left_anti",
+        )
+    derived = (
+        posts.join(F.broadcast(keys.select(id_field)), id_field, "left_semi")
+        .withColumn("__rseq", F.lit(int(next_seq)))
+        .localCheckpoint(eager=True)
+    )
+    n = derived.select(id_field).distinct().count()
+    if n:
+        derived.select(id_field, "__dl", "term", "__rseq").write.mode(
+            "append"
+        ).parquet(_bm25_tombstones_dir(path))
+    return n
+
+
 def compact_bm25_index(spark, path: str) -> int:
     """Fold a BM25 index's append tier back into its base tables
     (stats combined exactly, postings unioned, per-term df partials
-    summed) and drop the epoch directories — returns the number of
-    epoch batches folded (0 = no live tier, true no-op). Same
-    write-new/rename swap protocol as ``similarity.compact_ann_index``
-    (shared ``util`` helpers) and the same single-writer
-    searches-drained contract.
+    summed), APPLY its retraction ledger physically
+    (:func:`retract_from_bm25_index`: postings anti-joined by id,
+    (N, sum_dl) and per-term df decremented, the ledger consumed), and
+    drop the epoch directories — returns the number of epoch batches
+    folded (0 = no live tier; a retraction-only run also returns 0).
+    Same write-new/rename swap protocol as
+    ``similarity.compact_ann_index`` (shared ``util`` helpers) and the
+    same single-writer searches-drained contract. After compaction a
+    re-added id is searchable again.
 
     Double-count safety: summed partials cannot be deduplicated after
     the fact (unlike the ANN fold's distinct), so each base table
-    carries a fold FENCEPOST (``util.write_fold_marker``, written into
-    the ``_new`` table before its swap): a crash anywhere between the
-    first swap and the epoch-directory deletes leaves some tables
-    folded and the epoch partitions on disk, and both the search path
-    (:func:`_bm25_live_epochs`) and a compaction re-run skip epochs at
-    or below each table's own fencepost — re-running converges without
-    ever re-adding a folded partial."""
+    carries TWO fenceposts written into the ``_new`` table before its
+    swap: ``_folded_through`` (highest epoch folded in) and
+    ``_retracted_through`` (highest ledger ``__rseq`` subtracted out).
+    A crash anywhere between the first swap and the directory deletes
+    leaves some tables folded/decremented with the tier and ledger
+    still on disk; search and a compaction re-run skip epochs and
+    ledger rows at or below each table's own fenceposts — re-running
+    converges without re-adding a folded partial or double-subtracting
+    a retraction."""
     from real_estate_bigdata_spark.util import (
         delete_dir,
         finish_pending_dir_swap,
+        read_fold_marker,
         swap_in_rewrite,
         write_fold_marker,
     )
@@ -927,8 +1143,16 @@ def compact_bm25_index(spark, path: str) -> int:
         finish_pending_dir_swap(spark, f"{path}/{sub}")
     live = {sub: _bm25_live_epochs(spark, path, sub) for sub in subs}
     raw = {sub: _read_bm25_epochs(spark, path, sub) for sub in subs}
-    if all(v is None for v in raw.values()):
-        return 0
+    tombs = _read_bm25_tombstones(spark, path)
+    rmark = {
+        sub: read_fold_marker(spark, f"{path}/{sub}", "_retracted_through")
+        for sub in subs
+    }
+    ledger_max = -1
+    if tombs is not None:
+        m = tombs.agg(F.max("__rseq")).first()[0]
+        ledger_max = -1 if m is None else int(m)
+    pending_retract = any(ledger_max > rmark[sub] for sub in subs)
     fold_through = max(
         (
             r[0]
@@ -939,8 +1163,15 @@ def compact_bm25_index(spark, path: str) -> int:
         ),
         default=-1,
     )
-    if fold_through < 0:
+    if fold_through < 0 and not pending_retract:
+        # nothing to fold, nothing unapplied: at most consume an
+        # already-applied (crash-window) ledger and stray epoch dirs
+        if any(v is not None for v in raw.values()) or tombs is not None:
+            for sub in subs:
+                delete_dir(spark, _bm25_epochs_dir(path, sub))
+            delete_dir(spark, _bm25_tombstones_dir(path))
         return 0
+    id_field, _ = _bm25_index_id_field(spark, path)
     n_epochs = (
         live["stats"].select("ingest_batch").distinct().count()
         if live["stats"] is not None
@@ -951,11 +1182,28 @@ def compact_bm25_index(spark, path: str) -> int:
     stats = spark.read.parquet(f"{path}/stats").select("__n", "__sum_dl")
     if live["stats"] is not None:
         stats = stats.unionByName(live["stats"].select("__n", "__sum_dl"))
+    stats = stats.agg(
+        F.sum("__n").alias("__n"), F.sum("__sum_dl").alias("__sum_dl")
+    )
+    if tombs is not None:
+        dec = (
+            tombs.filter(F.col("__rseq") > rmark["stats"])
+            .select(id_field, "__dl")
+            .distinct()
+            .agg(
+                F.count("*").cast("double").alias("__n_dec"),
+                F.coalesce(F.sum("__dl"), F.lit(0.0)).alias("__dl_dec"),
+            )
+        )
+        stats = stats.crossJoin(F.broadcast(dec)).select(
+            (F.col("__n") - F.col("__n_dec")).alias("__n"),
+            (F.col("__sum_dl") - F.col("__dl_dec")).alias("__sum_dl"),
+        )
     (
-        stats.agg(
-            F.sum("__n").alias("__n"),
-            (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
-            F.sum("__sum_dl").alias("__sum_dl"),
+        stats.select(
+            "__n",
+            (F.col("__sum_dl") / F.col("__n")).alias("__avgdl"),
+            "__sum_dl",
         )
         .coalesce(1)
         .write.mode("overwrite")
@@ -965,6 +1213,13 @@ def compact_bm25_index(spark, path: str) -> int:
     posts_cols = list(posts.columns)
     if live["postings"] is not None:
         posts = posts.unionByName(live["postings"].select(*posts_cols))
+    if tombs is not None:
+        # idempotent key mask: every ledger id, regardless of fencepost
+        posts = posts.join(
+            F.broadcast(tombs.select(id_field).distinct()),
+            id_field,
+            "left_anti",
+        )
     posts.write.mode("overwrite").partitionBy("__tp").parquet(
         f"{path}/_postings_new"
     )
@@ -975,21 +1230,42 @@ def compact_bm25_index(spark, path: str) -> int:
         tstats = tstats.unionByName(
             live["term_stats"].select("term", "__df", "__tp")
         )
-    (
-        tstats.groupBy("term", "__tp")
-        .agg(F.sum("__df").alias("__df"))
-        .write.mode("overwrite")
-        .partitionBy("__tp")
-        .parquet(f"{path}/_term_stats_new")
+    tstats = tstats.groupBy("term", "__tp").agg(F.sum("__df").alias("__df"))
+    if tombs is not None:
+        dec_t = (
+            tombs.filter(F.col("__rseq") > rmark["term_stats"])
+            .groupBy("term")
+            .agg(F.count("*").cast("double").alias("__df_dec"))
+        )
+        tstats = (
+            tstats.join(F.broadcast(dec_t), "term", "left")
+            .select(
+                "term",
+                (
+                    F.col("__df") - F.coalesce(F.col("__df_dec"), F.lit(0.0))
+                ).alias("__df"),
+                "__tp",
+            )
+            .filter(F.col("__df") > 0)
+        )
+    tstats.write.mode("overwrite").partitionBy("__tp").parquet(
+        f"{path}/_term_stats_new"
     )
     for sub in subs:
-        write_fold_marker(spark, f"{path}/_{sub}_new", fold_through)
+        if fold_through >= 0:
+            write_fold_marker(spark, f"{path}/_{sub}_new", fold_through)
+        new_rmark = max(rmark[sub], ledger_max)
+        if new_rmark >= 0:
+            write_fold_marker(
+                spark, f"{path}/_{sub}_new", new_rmark, "_retracted_through"
+            )
 
-    # ---- swap phase, then drop the folded tier ----
+    # ---- swap phase, then drop the folded tier and the ledger ----
     for sub in subs:
         swap_in_rewrite(spark, f"{path}/{sub}")
     for sub in subs:
         delete_dir(spark, _bm25_epochs_dir(path, sub))
+    delete_dir(spark, _bm25_tombstones_dir(path))
     return n_epochs
 
 

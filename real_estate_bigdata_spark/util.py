@@ -179,27 +179,34 @@ def delete_dir(spark, path: str) -> None:
     p.getFileSystem(conf).delete(p, True)
 
 
-def write_fold_marker(spark, table_dir: str, value: int) -> None:
+def write_fold_marker(
+    spark, table_dir: str, value: int, name: str = "_folded_through"
+) -> None:
     """Record, INSIDE a table directory (underscore-prefixed, so parquet
-    readers ignore it), the highest epoch id already folded into that
-    table — the per-table fencepost that makes epoch-fold compactions
-    re-runnable: a crash between a table's swap and the epoch-directory
-    delete must not re-add (double-count) partials the table already
-    contains. Written into the ``_new`` table BEFORE its swap, so the
-    marker travels with the data it describes."""
+    readers ignore it), a high-water fencepost — by default the highest
+    epoch id already folded into that table, which makes epoch-fold
+    compactions re-runnable: a crash between a table's swap and the
+    epoch-directory delete must not re-add (double-count) partials the
+    table already contains. Written into the ``_new`` table BEFORE its
+    swap, so the marker travels with the data it describes. ``name``
+    selects the fencepost: the BM25 retraction ledger uses a second
+    ``_retracted_through`` marker for its (non-idempotent) stats/df
+    decrements."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir.rstrip('/')}/_folded_through")
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir.rstrip('/')}/{name}")
     out = p.getFileSystem(conf).create(p, True)
     out.write(bytearray(str(int(value)).encode("utf-8")))
     out.close()
 
 
-def read_fold_marker(spark, table_dir: str) -> int:
-    """The table's fold fencepost; -1 when never folded (fresh build)."""
+def read_fold_marker(
+    spark, table_dir: str, name: str = "_folded_through"
+) -> int:
+    """The table's fencepost; -1 when never written (fresh build)."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir.rstrip('/')}/_folded_through")
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir.rstrip('/')}/{name}")
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return -1
