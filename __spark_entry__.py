@@ -975,118 +975,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verification at most one round stale (VERDICT r2 task #2; rotation
     map in COVERAGE.md).
 
-    Round-7 rotation (VERDICT r6 task #1). In-cap (slots 1-50):
+    Round-8 rotation (VERDICT r7 task #1). In-cap (slots 1-50):
 
-    (a) the 40 oracle-bearing queries hash-verified green in
-        CORRECTNESS_r05 that sat past the cap through r6 — two rounds
-        stale after r7 otherwise: q07, q08, q09, q15, q16, q18, q19,
-        q21, q22, q_cube_lineitem, q_token_accounting,
-        q_doc_fingerprints, q_interval_signup_errors,
-        q_window_top_customers, q_semi_active_customers,
-        q_anti_customers_no_orders, q_corr_lineitem,
-        q_outer_customer_profile, q_tumbling_events, q_dedup_embedding,
-        q_dedup_ngram_jaccard, q_dedup_simhash, q_cap_per_source_best,
-        q_cap_per_source, q_remove_boilerplate, q_semantic_dedup,
-        q_bigram_logprob, q_pack_sequences, q_redact_spans,
-        q_redact_dup_spans, q_shuffle_shard, q_stats_profile_orders,
-        q_groupingsets_orders, q_rank_dense_ntile, q_sessionize,
-        q_dedup_minhash_lsh, q_dedup_embedding_gemm,
-        q_cluster_safe_split, q_dedup_clusters, q_label_agreement;
-    (b) 7 r6-verified fillers chosen as family representatives for
-        the past-cap block: q01 (scan-filter agg), q02 (reference
-        parity core), q_normalize_listings (normalize core),
-        q_text_quality (text profile), q_dedup_exact_docs (exact
-        dedup), q_quality_floor (quality family),
-        q_stratified_sample (sampling);
-    (c) the 3 NEW r7 queries, verifying on their first round:
-        q_bm25_index_search (persisted BM25 index search, VERDICT r6
-        task #5; same oracle as q_bm25_search by shared-kernel
-        bit-parity), q_semantic_decontaminate (embedding-level
-        benchmark contamination), and q_hybrid_search
-        (reciprocal-rank fusion of BM25 + cosine top-k, which
-        exercises brute_force_topk in-cap). The q03, q_curate_corpus,
-        and q_embed_cosine_topk fillers moved past-cap to make the
-        slots; the join family stays in-cap via q07-q22, curation/
-        dedup via the dedup block, ANN brute force via
-        q_hybrid_search's semantic half.
+    (a) the 43 oracle-bearing queries whose latest green driver row is
+        CORRECTNESS_r06 — two rounds stale after r8 otherwise: q03,
+        q04, q05, q06, q10, q12, q13, q14, q17, q_embed_cosine_topk,
+        q_vocab_top_tokens, q_unigram_logprob, q_tfidf,
+        q_chunk_documents, q_lang_id, q_pivot_status,
+        q_collect_top_keys, q_scalar_gallery, q_set_nation_coverage,
+        q_mixture_balance, q_json_props, q_asof_view_purchase,
+        q_corpus_health, q_hash_split, q_pack_documents,
+        q_decontaminate, q_pii_redaction, q_repetition,
+        q_curate_corpus, q_bm25_search, q_value_histogram,
+        q_weighted_sample, q_topk_orders, q_window_frames,
+        q_rollup_orders, q_corpus_diff, q_linear_quality,
+        q_temperature_mixture, q_perplexity_buckets,
+        q_distribution_drift, q_source_drift, q_novelty_scores,
+        q_cross_corpus_pairs;
+    (b) 7 r7-verified fillers: q01 (scan-filter agg), q02 (reference
+        parity core), q07 (broadcast star join), q_normalize_listings
+        (normalize core), q_dedup_ngram_jaccard (banded-dedup family
+        representative) — plus q_bm25_index_search and q_hybrid_search,
+        which MUST re-verify this round because bm25_search gained the
+        retraction-ledger code path in r8 (retract_from_bm25_index);
+        an index with no ledger takes the no-op branch, but the
+        changed read path re-verifies against the oracle anyway.
 
-    Past slot 50: the remaining 44 oracle-bearing queries, ALL
-    hash-verified green in CORRECTNESS_r06 (<= 1 round stale, rotating
-    back in r8), each with an in-cap family sibling (broadcast star
-    joins via q03/q07/q08/q09; scan-filter aggs via q01; text profile
-    via q_text_quality; grouping analytics via q_cube_lineitem/
-    q_groupingsets_orders; windows via q_window_top_customers/
-    q_rank_dense_ntile; sampling via q_stratified_sample/
-    q_cap_per_source; dedup via the in-cap dedup block; drift/buckets
-    via q_corr_lineitem-family statistical aggs) + the 5 rows-only
-    approximate queries (q_embed_lsh_topk, q_embed_ivf_topk,
-    q_dedup_embedding_ivf, q_embed_pq_topk, q_embed_ivfpq_topk —
-    pinned by pytest recall tests). Union invariant: r6 ∪ r7 driver
-    rows cover all 93 oracle-bearing queries (90 pre-existing + the 3
-    new in-cap r7 queries).
+    Past slot 50: the remaining 43 oracle-bearing queries, ALL
+    hash-verified green in CORRECTNESS_r07 (<= 1 round stale, rotating
+    back in r9), each with an in-cap family sibling (multi-fact joins
+    via q03-q17 + q07; semi/anti via q04; windows via q_window_frames;
+    grouping analytics via q_rollup_orders; statistical aggs via
+    q_value_histogram/q_perplexity_buckets; dedup via
+    q_curate_corpus/q_decontaminate/q_dedup_ngram_jaccard; sampling
+    via q_weighted_sample/q_temperature_mixture; text profile via
+    q_vocab_top_tokens/q_tfidf; retrieval via q_bm25_index_search/
+    q_hybrid_search/q_bm25_search/q_embed_cosine_topk) + the 6
+    rows-only queries (5 approximate ANN, pytest recall-pinned, and
+    q_bpe_merges, merge-sequence-pinned vs the pure-Python mirror).
+    Union invariant: r7 ∪ r8 driver rows cover all 93 oracle-bearing
+    queries — the ≤1-round staleness contract holds a fourth round.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
     (tests/test_queries.py::test_query_matches_oracle), and the whole
     registry runs in bench + pytest."""
     return {
-        # ---- slots 1-50: oracle-bearing (r7 rotation, see docstring) ----
-        # (a) the 40 r5-verified queries returning from past-cap
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q08_market_share": _q08_market_share,
-        "q09_product_profit": _q09_product_profit,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_token_accounting": _q_token_accounting,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_dedup_embedding": _q_dedup_embedding,
-        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "q_dedup_simhash": _q_dedup_simhash,
-        "q_cap_per_source_best": _q_cap_per_source_best,
-        "q_cap_per_source": _q_cap_per_source,
-        "q_remove_boilerplate": _q_remove_boilerplate,
-        "q_semantic_dedup": _q_semantic_dedup,
-        "q_bigram_logprob": _q_bigram_logprob,
-        "q_pack_sequences": _q_pack_sequences,
-        "q_redact_spans": _q_redact_spans,
-        "q_redact_dup_spans": _q_redact_dup_spans,
-        "q_shuffle_shard": _q_shuffle_shard,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_sessionize": _q_sessionize,
-        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
-        "q_cluster_safe_split": _q_cluster_safe_split,
-        "q_dedup_clusters": _q_dedup_clusters,
-        "q_label_agreement": _q_label_agreement,
-        # (b) 10 r6-verified family-representative fillers
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q_normalize_listings": _q_normalize_listings,
-        "q_text_quality": _q_text_quality,
-        "q_dedup_exact_docs": _q_dedup_exact_docs,
-        "q_quality_floor": _q_quality_floor,
-        "q_stratified_sample": _q_stratified_sample,
-        # (c) NEW in r7 — first-round verification (the q_curate_corpus
-        # and q03 fillers moved past-cap to make the slots)
-        "q_bm25_index_search": _q_bm25_index_search,
-        "q_semantic_decontaminate": _q_semantic_decontaminate,
-        "q_hybrid_search": _q_hybrid_search,
-        # ---- slots 51+: past the inferred driver cap ----
-        # 43 oracle-bearing queries, all hash-verified in CORRECTNESS_r06
+        # ---- slots 1-50: oracle-bearing (r8 rotation, see docstring) ----
+        # (a) the 43 r6-verified queries returning from past-cap
         "q03_shipping_priority": _q03_shipping_priority,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q04_order_priority": _q04_order_priority,
@@ -1130,6 +1066,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_drift": _q_source_drift,
         "q_novelty_scores": _q_novelty_scores,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
+        # (b) 7 r7-verified fillers; q_bm25_index_search and
+        # q_hybrid_search re-verify the r8 retraction-aware bm25_search
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q_normalize_listings": _q_normalize_listings,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_bm25_index_search": _q_bm25_index_search,
+        "q_hybrid_search": _q_hybrid_search,
+        # ---- slots 51+: past the inferred driver cap ----
+        # 43 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
+        "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_token_accounting": _q_token_accounting,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_dedup_embedding": _q_dedup_embedding,
+        "q_dedup_simhash": _q_dedup_simhash,
+        "q_cap_per_source_best": _q_cap_per_source_best,
+        "q_cap_per_source": _q_cap_per_source,
+        "q_remove_boilerplate": _q_remove_boilerplate,
+        "q_semantic_dedup": _q_semantic_dedup,
+        "q_bigram_logprob": _q_bigram_logprob,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_redact_spans": _q_redact_spans,
+        "q_redact_dup_spans": _q_redact_dup_spans,
+        "q_shuffle_shard": _q_shuffle_shard,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
+        "q_cluster_safe_split": _q_cluster_safe_split,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_label_agreement": _q_label_agreement,
+        "q_text_quality": _q_text_quality,
+        "q_dedup_exact_docs": _q_dedup_exact_docs,
+        "q_quality_floor": _q_quality_floor,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_semantic_decontaminate": _q_semantic_decontaminate,
         # rows-only queries: 5 approximate ANN (pytest recall-pinned) +
         # the iterative BPE trainer (pytest merge-sequence-pinned)
         "q_bpe_merges": _q_bpe_merges,
