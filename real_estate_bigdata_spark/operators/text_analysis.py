@@ -837,17 +837,16 @@ def _bm25_epochs_dir(path: str, sub: str) -> str:
 def _read_bm25_epochs(spark, path: str, sub: str) -> DataFrame | None:
     """The append tier of a persisted BM25 index (:func:`append_bm25_epoch`),
     or None when the index was never appended to — the common
-    static-corpus case pays zero extra scans."""
-    from pyspark.errors import AnalysisException
-
-    from real_estate_bigdata_spark.util import is_missing_path_error
-
-    try:
-        return spark.read.parquet(_bm25_epochs_dir(path, sub))
-    except AnalysisException as exc:
-        if not is_missing_path_error(exc):
-            raise
+    static-corpus case is decided by one driver-side ``fs.exists``
+    (a per-query search must not pay a caught AnalysisException per
+    sub-table just to learn there is no tier)."""
+    epochs_dir = _bm25_epochs_dir(path, sub)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(epochs_dir)
+    if not p.getFileSystem(conf).exists(p):
         return None
+    return spark.read.parquet(epochs_dir)
 
 
 def append_bm25_epoch(
@@ -992,20 +991,20 @@ def _read_bm25_tombstones(spark, path: str) -> DataFrame | None:
     one row per (retracted doc, indexed term) carrying the doc's length
     — everything the search and compaction need to subtract the doc's
     full contribution ((1, dl) from stats, 1 per term from df, its
-    postings by id). None in the common no-retractions case."""
-    from pyspark.errors import AnalysisException
-
-    from real_estate_bigdata_spark.util import is_missing_path_error
-
-    id_field, id_type = _bm25_index_id_field(spark, path)
-    try:
-        return spark.read.schema(
-            f"{id_field} {id_type}, __dl double, term string, __rseq int"
-        ).parquet(_bm25_tombstones_dir(path))
-    except AnalysisException as exc:
-        if not is_missing_path_error(exc):
-            raise
+    postings by id). None in the common no-retractions case, decided by
+    ONE driver-side ``fs.exists`` — a per-query search must not pay a
+    postings-footer read plus a caught AnalysisException just to learn
+    there is no ledger (measured +0.3 s/query at sf0.1)."""
+    tomb_dir = _bm25_tombstones_dir(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(tomb_dir)
+    if not p.getFileSystem(conf).exists(p):
         return None
+    id_field, id_type = _bm25_index_id_field(spark, path)
+    return spark.read.schema(
+        f"{id_field} {id_type}, __dl double, term string, __rseq int"
+    ).parquet(tomb_dir)
 
 
 def retract_from_bm25_index(
