@@ -91,7 +91,11 @@ from pyspark.sql import functions as F
 from real_estate_bigdata_spark.operators import dedup as dd
 from real_estate_bigdata_spark.operators import multimodal as mm
 from real_estate_bigdata_spark.operators import text_analysis as ta
-from real_estate_bigdata_spark.operators.bpe import bpe_merge_table, train_bpe
+from real_estate_bigdata_spark.operators.bpe import (
+    bpe_merge_table,
+    train_bpe,
+    train_bpe_batched,
+)
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.decontamination import (
@@ -125,6 +129,7 @@ EXTRA_SCALES: dict[str, tuple[int, ...]] = {
     "label_agreement_ivf": (30, 100),
     "pq_search": (30, 100),
     "image_neardup": (30,),
+    "bpe_train_batched": (30,),
 }
 #: tables synthesized for the extra (non-SCALES) points: the x30
 #: battery spans documents + embeddings ops; every x100 op (r7 task #8
@@ -250,6 +255,22 @@ def _bpe_train_df(spark, docs):
     return bpe_merge_table(spark, train_bpe(docs, n_merges=10))
 
 
+#: per-scale {round_trips, merges} from the latest batched-BPE battery
+#: thunk — merged into its BENCH_SCALE record after the runs so the
+#: batching ratio is a recorded measurement (r7 verdict task #5)
+_BPE_BATCH_STATS: dict[str, dict] = {}
+
+
+def _bpe_train_batched_df(spark, docs, scale):
+    stats: dict = {}
+    mt = bpe_merge_table(
+        spark,
+        train_bpe_batched(docs, n_merges=10, batch_size=16, stats=stats),
+    )
+    _BPE_BATCH_STATS[str(scale)] = stats
+    return mt
+
+
 def _union(parts):
     out = parts[0]
     for p in parts[1:]:
@@ -370,6 +391,12 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             emb(), load_table(spark, base_dir, "embeddings").limit(100)
         ),
         "bpe_train": lambda: _bpe_train_df(spark, docs()),
+        # r8: the batched trainer — same 10 merges, round-trips and
+        # merges recorded per scale point (x30 extra point per r7
+        # verdict task #5); bit-identical output is pytest-pinned
+        "bpe_train_batched": lambda: _bpe_train_batched_df(
+            spark, docs(), scale
+        ),
         # PQ family over the scaled embedding corpus: train (bounded
         # sample) + encode (linear Arrow pass) + reranked ADC search —
         # the full two-stage pipeline a search session pays
@@ -446,6 +473,19 @@ def main() -> int:
         scales = list(SCALES) + list(EXTRA_SCALES.get(name, ()))
         secs = [rec["sec"][str(s)] for s in scales]
         rec["exponent"] = round(fit_exponent(scales, secs), 3)
+        # seconds per 1k OUTPUT rows per point (r7 verdict task #4):
+        # separates output growth from compute growth — a climbing
+        # time exponent with a flat-or-falling per-row cost means the
+        # operator is output-bound (the result itself grows), not a
+        # compute blow-up a 100 TB run would hit
+        rec["sec_per_1k_rows"] = {
+            str(s): (
+                round(rec["sec"][str(s)] / rec["rows"][str(s)] * 1000, 5)
+                if rec["rows"][str(s)]
+                else None
+            )
+            for s in scales
+        }
         if rec["exponent"] >= QUADRATIC_ALARM:
             if name in ALARM_EXEMPT:
                 rec["exempt"] = ALARM_EXEMPT[name]
@@ -454,6 +494,9 @@ def main() -> int:
                 rec["alarm"] = (
                     f"exponent >= {QUADRATIC_ALARM}: would not survive 100 TB"
                 )
+
+    if "bpe_train_batched" in results:
+        results["bpe_train_batched"]["bpe_stats"] = dict(_BPE_BATCH_STATS)
 
     here = os.path.dirname(os.path.abspath(__file__))
     doc = {

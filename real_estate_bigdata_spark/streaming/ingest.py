@@ -40,6 +40,7 @@ __all__ = [
     "run_guarded_neardup_ingest",
     "run_embedding_index_ingest",
     "run_bm25_index_ingest",
+    "recover_quarantined_epochs",
 ]
 
 #: explicit store schema — epoch reads never infer (an empty but
@@ -455,10 +456,11 @@ def run_guarded_neardup_ingest(
     corpus". An empty micro-batch PSI-scores maximally (a silent
     upstream is drift) but writes no quarantine rows.
 
-    Recovering a quarantined batch after investigation: read its epoch
-    partition from ``quarantine_dir`` and drop it into a fresh source
-    dir for re-ingest (it will near-dup-dedup against the store as
-    usual); retire handled partitions by deleting them.
+    Recovering a quarantined batch after investigation:
+    :func:`recover_quarantined_epochs` re-drops its epoch partition
+    into the source dir as fresh JSONL (it near-dup-dedups against the
+    store as usual, and re-quarantines if the drift persists) and
+    retires the partition.
 
     ``max_files_per_trigger`` bounds each micro-batch to that many
     source files (availableNow honors it as a read limit) — the
@@ -651,6 +653,91 @@ def run_bm25_index_ingest(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def recover_quarantined_epochs(
+    spark: SparkSession,
+    quarantine_dir: str,
+    src_dir: str,
+    epochs: list[int] | None = None,
+) -> int:
+    """Re-queue quarantined micro-batches for ingest after investigation
+    — the function form of :func:`run_guarded_neardup_ingest`'s
+    documented manual recovery (VERDICT r7 task #8). For each selected
+    ``ingest_batch=<N>`` partition under ``quarantine_dir``: read it,
+    write its rows back as JSONL files into the live drop directory
+    (``recovered-ingest-batch-<N>-*.json`` — names the file source
+    discovers as brand-new input), then RETIRE the partition. The next
+    guarded-ingest run picks the files up and they flow through the
+    normal verdict + store-dedup path: re-ingest is idempotent at the
+    content level because the signature store masks documents it
+    already holds, and the PSI verdict re-evaluates against the
+    CURRENT baseline — if the drift was real and the baseline was
+    since refreshed, the rows ingest; if the upstream is still broken,
+    they re-quarantine under a new epoch.
+
+    Crash-safe and re-runnable per epoch: rows stage under a
+    ``_recover_staging_<N>`` directory (underscore-hidden) inside the
+    quarantine dir, any files from a prior interrupted recovery of the
+    SAME epoch are removed before the staged parts move in, and the
+    epoch partition is deleted only after every part has landed. A
+    crash anywhere re-runs to the same end state; a re-run after a
+    consumed prior recovery at worst re-drops content the store dedup
+    already masks. Single recovery writer per quarantine dir, same as
+    every artifact-maintenance helper here.
+
+    Returns the number of epoch partitions recovered (0 = nothing
+    quarantined / nothing matching ``epochs``)."""
+    from real_estate_bigdata_spark.util import delete_dir
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    qpath = jvm.org.apache.hadoop.fs.Path(quarantine_dir)
+    fs = qpath.getFileSystem(conf)
+    if not fs.exists(qpath):
+        return 0
+    found: list[int] = []
+    for st in fs.listStatus(qpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("ingest_batch="):
+            found.append(int(name.split("=", 1)[1]))
+    wanted = sorted(found if epochs is None else set(found) & set(epochs))
+    if not wanted:
+        return 0
+    src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    src_fs = src_path.getFileSystem(conf)
+    src_fs.mkdirs(src_path)
+    for epoch in wanted:
+        part_dir = f"{quarantine_dir.rstrip('/')}/ingest_batch={epoch}"
+        staging = f"{quarantine_dir.rstrip('/')}/_recover_staging_{epoch}"
+        delete_dir(spark, staging)
+        # partition-dir read: ingest_batch (a partition column) is not
+        # in the files, so the rows come back in source shape
+        spark.read.parquet(part_dir).write.mode("overwrite").json(staging)
+        prefix = f"recovered-ingest-batch-{epoch}-"
+        for st in src_fs.listStatus(src_path):
+            if st.getPath().getName().startswith(prefix):
+                src_fs.delete(st.getPath(), False)
+        i = 0
+        spath = jvm.org.apache.hadoop.fs.Path(staging)
+        for st in sorted(
+            fs.listStatus(spath), key=lambda s: s.getPath().getName()
+        ):
+            name = st.getPath().getName()
+            if not name.endswith(".json") or name.startswith(("_", ".")):
+                continue
+            dest = jvm.org.apache.hadoop.fs.Path(
+                f"{src_dir.rstrip('/')}/{prefix}{i:05d}.json"
+            )
+            if not fs.rename(st.getPath(), dest):
+                raise IOError(
+                    f"quarantine recovery: rename({st.getPath()}, {dest}) "
+                    f"returned false; staging left intact at {staging}"
+                )
+            i += 1
+        delete_dir(spark, staging)
+        delete_dir(spark, part_dir)
+    return len(wanted)
 
 
 def _tombstones_dir(store_dir: str) -> str:

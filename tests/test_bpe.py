@@ -146,3 +146,105 @@ def test_merges_deterministic_under_repartition(spark):
     b = bpe.train_bpe(df.repartition(13), n_merges=12)
     c = bpe.train_bpe(df.coalesce(1), n_merges=12)
     assert a == b == c
+
+
+class TestBatchedTrainer:
+    """train_bpe_batched must be BIT-IDENTICAL to train_bpe (and hence
+    to the mirror) at every batch size — the batching is a round-trip
+    optimization, never a semantics change."""
+
+    def test_equals_sequential_on_corpus(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        seq = bpe.train_bpe(df, n_merges=15)
+        for bs in (1, 2, 4, 16):
+            got = bpe.train_bpe_batched(df, n_merges=15, batch_size=bs)
+            assert got == seq, bs
+
+    def test_equals_mirror_on_real_testdata(self, spark):
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        texts = [r.text for r in docs.select("text").collect()]
+        got = bpe.train_bpe_batched(docs, n_merges=30, batch_size=8)
+        want, _ = _py_bpe(texts, 30)
+        assert got == want
+
+    def test_entangled_rankings_fall_back_to_argmax(self, spark):
+        """Single-letter runs entangle every top pair through shared
+        symbols and self-pairs — the batch degrades to the argmax alone
+        and the result still matches the mirror exactly."""
+        texts = ["aaaa aaaa aaa ab ab ba", "abab abab baba"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        want, _ = _py_bpe(texts, 12, min_pair_count=1)
+        got = bpe.train_bpe_batched(
+            df, n_merges=12, min_pair_count=1, batch_size=8
+        )
+        assert got == want
+
+    def test_self_pair_feeds_itself(self, spark):
+        """Regression pin for the self-pair batch-breaker: merging
+        (a, a) creates (aa, aa) with count n/2 — which can outrank a
+        disjoint pair that was tabulated ABOVE min but below n/2. A
+        naive disjoint-prefix batch would apply the stale (c, d)
+        second; sequential (and the mirror) picks (aa, aa) first."""
+        texts = [" ".join(["aaaaaaaa"] * 40 + ["cd"] * 30)]
+        df = spark.createDataFrame(
+            [(0, texts[0])], "doc_id long, text string"
+        )
+        want, _ = _py_bpe(texts, 4, min_pair_count=1)
+        got = bpe.train_bpe_batched(
+            df, n_merges=4, min_pair_count=1, batch_size=8
+        )
+        assert got == want
+        assert ("aa", "aa") in want  # scenario genuinely exercises it
+
+    def test_boundary_tie_is_not_batched(self, spark):
+        """Two disjoint pairs tied with a CONFLICTING pair's count: the
+        tied selected pair must be truncated (sequential could prefer a
+        newly created pair at equal count), yet the result still equals
+        the mirror step for step."""
+        # (a,b): 6, (c,d): 4, (b,x): 4 -> batch = [(a,b)] only
+        texts = [" ".join(["ab"] * 6 + ["cd"] * 4 + ["bx"] * 4)]
+        df = spark.createDataFrame(
+            [(0, texts[0])], "doc_id long, text string"
+        )
+        want, _ = _py_bpe(texts, 6, min_pair_count=1)
+        got = bpe.train_bpe_batched(
+            df, n_merges=6, min_pair_count=1, batch_size=8
+        )
+        assert got == want
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bpe.train_bpe_batched(df, n_merges=1, batch_size=0)
+        with pytest.raises(ValueError):
+            bpe.train_bpe_batched(df, n_merges=0)
+        assert bpe.train_bpe_batched(df, n_merges=3, min_pair_count=2) == []
+
+    def test_batches_actually_batch(self, spark, monkeypatch):
+        """The optimization claim itself: on a merge-friendly corpus the
+        batched trainer takes strictly fewer aggregate round-trips than
+        merges produced."""
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+        )
+        calls = {"n": 0}
+        orig = bpe._disjoint_prefix_batch
+
+        def counting(rows, mpc, fl):
+            calls["n"] += 1
+            return orig(rows, mpc, fl)
+
+        monkeypatch.setattr(bpe, "_disjoint_prefix_batch", counting)
+        merges = bpe.train_bpe_batched(df, n_merges=15, batch_size=16)
+        assert len(merges) >= 10
+        # Strictly fewer round-trips than merges. The reduction is
+        # corpus-structural: natural-language ranking heads entangle
+        # on shared letters (e·r / o·r / a·r...), so the provably-exact
+        # disjoint prefix is often short — measured ~1.1-1.3x on these
+        # corpora, larger on flatter multi-script distributions. The
+        # hard guarantee under test is EXACTNESS at any batching.
+        assert calls["n"] < len(merges)

@@ -192,3 +192,115 @@ class TestGuardedNeardupIngest:
         assert _ids(spark, dest) == lake1
         assert _ids(spark, store) == store1
         assert _ids(spark, quarantine) == quar1
+
+    def test_recover_quarantined_epochs_reingests_exactly_once(
+        self, spark, tmp_path
+    ):
+        """VERDICT r7 task #8: quarantine -> recover_quarantined_epochs
+        -> the rows flow through the normal store path exactly once
+        (after the baseline is refreshed to make them healthy), the
+        handled partition is retired, and a second recovery — the
+        crash-window replay — cannot double-ingest."""
+        src = tmp_path / "drop"
+        src.mkdir()
+        dest, store, ckpt = (
+            tmp_path / "lake", tmp_path / "store", tmp_path / "ckpt",
+        )
+        baseline, quarantine, reports = (
+            tmp_path / "baseline_hist",
+            tmp_path / "quarantine",
+            tmp_path / "reports",
+        )
+        _write_baseline(spark, baseline)
+        rows1 = _healthy_rows(100)
+        _write_jsonl(src / "b1.jsonl", rows1)
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        # n=50: after the baseline refresh the recovered batch must
+        # score HEALTHY, and a 20-row batch carries ~0.34 PSI of pure
+        # Laplace-smoothing noise against any baseline (same sizing
+        # rationale as _healthy_rows)
+        rows2 = _shifted_rows(300, n=50)
+        _write_jsonl(src / "b2.jsonl", rows2)
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        want_q = sorted(r[0] for r in rows2)
+        assert _ids(spark, quarantine) == want_q
+        lake_before = _ids(spark, dest)
+
+        # investigation verdict: the shift is legitimate — refresh the
+        # baseline so the recovered batch scores healthy
+        shifted_ref = spark.createDataFrame(
+            [(i, f"ref {i}", "en", "s1", 500 + i % 50) for i in range(120)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        dm.write_baseline_histogram(
+            shifted_ref, "n_chars", LO, HI, str(baseline),
+            n_bins=NBINS, group_col=None,
+        )
+
+        assert ingest.recover_quarantined_epochs(
+            spark, str(quarantine), str(src)
+        ) == 1
+        assert _ids(spark, quarantine) == []  # partition retired
+        import os
+
+        dropped = [
+            f for f in os.listdir(src)
+            if f.startswith("recovered-ingest-batch-")
+        ]
+        assert dropped, "recovery must re-drop JSONL into the source dir"
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        assert _ids(spark, dest) == sorted(lake_before + want_q)
+        assert _ids(spark, quarantine) == []
+
+        # nothing left to recover
+        assert ingest.recover_quarantined_epochs(
+            spark, str(quarantine), str(src)
+        ) == 0
+
+        # crash-window replay: the epoch partition resurfaces (delete
+        # crashed after the files moved); a re-recovery re-drops the
+        # same-named files, which the stream's seen-file log and the
+        # signature store both mask — the lake must not gain a row
+        resurfaced = spark.createDataFrame(
+            [(i, t, "en", "s1", n) for i, t, n in rows2],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).withColumn("ingest_batch", F.lit(1))
+        resurfaced.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("ingest_batch").parquet(str(quarantine))
+        assert ingest.recover_quarantined_epochs(
+            spark, str(quarantine), str(src)
+        ) == 1
+        _run(spark, src, dest, store, ckpt, baseline, quarantine, reports)
+        assert _ids(spark, dest) == sorted(lake_before + want_q)
+
+    def test_recover_selected_epochs_only(self, spark, tmp_path):
+        """The epochs filter recovers only the named partitions and
+        leaves the rest quarantined."""
+        quarantine = tmp_path / "quarantine"
+        src = tmp_path / "drop"
+        for ep, start in ((3, 300), (5, 500)):
+            spark.createDataFrame(
+                [(start + i, f"doc {start + i}", "en", "s1", 100)
+                 for i in range(4)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).withColumn("ingest_batch", F.lit(ep)).write.mode(
+                "append"
+            ).partitionBy("ingest_batch").parquet(str(quarantine))
+        assert ingest.recover_quarantined_epochs(
+            spark, str(quarantine), str(src), epochs=[5]
+        ) == 1
+        assert _ids(spark, quarantine) == [300, 301, 302, 303]
+        import os
+
+        # ignore the local ChecksumFileSystem's hidden .crc sidecars
+        # (dotfiles — invisible to the file source anyway)
+        assert all(
+            f.startswith("recovered-ingest-batch-5-")
+            for f in os.listdir(src)
+            if not f.startswith(".")
+        )
+        # absent quarantine dir: clean no-op
+        assert ingest.recover_quarantined_epochs(
+            spark, str(tmp_path / "nope"), str(src)
+        ) == 0
