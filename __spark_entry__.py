@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from real_estate_bigdata_spark.functions.normalize import normalize_listings
 from real_estate_bigdata_spark.operators import aggregates as agg
 from real_estate_bigdata_spark.operators import dedup as dd
+from real_estate_bigdata_spark.operators import dsir as ds
 from real_estate_bigdata_spark.operators import events as ev
 from real_estate_bigdata_spark.operators import joins as jn
 from real_estate_bigdata_spark.operators import scalars as sc
@@ -528,6 +529,29 @@ def _q_hybrid_search(spark, sf):
     return ta.rrf_fuse([lex, sem], k_rrf=60)
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (NEW r8; Xie et al., NeurIPS 2023): per
+    document, the hashed-ngram log importance weight of the documents
+    corpus against a deterministic target slice (doc_id % 7 == 0 — the
+    'target-like' exemplar set). Both multinomial fits are one
+    map-side-combined aggregate into a <= 10k-row broadcast table; the
+    per-doc weight is a broadcast join + one groupBy — the published
+    pretraining data-selection method with zero model passes."""
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return ds.dsir_logweights(docs, target)
+
+
+def _q_dsir_select(spark, sf):
+    """DSIR Gumbel-top-k selection (NEW r8): the 100 most target-like
+    documents sampled without replacement from the importance
+    distribution — the deterministic md5-bucket Gumbel makes the
+    'random' resample replayable and oracle-checkable."""
+    docs = load_table(spark, sf, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return ds.dsir_select(docs, target, k=100)
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE vocabulary training (NEW r7): the ordered merge
     list learned from the documents corpus. Rows-only by design — BPE
@@ -992,16 +1016,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_temperature_mixture, q_perplexity_buckets,
         q_distribution_drift, q_source_drift, q_novelty_scores,
         q_cross_corpus_pairs;
-    (b) 7 r7-verified fillers: q01 (scan-filter agg), q02 (reference
-        parity core), q07 (broadcast star join), q_normalize_listings
-        (normalize core), q_dedup_ngram_jaccard (banded-dedup family
-        representative) — plus q_bm25_index_search and q_hybrid_search,
-        which MUST re-verify this round because bm25_search gained the
-        retraction-ledger code path in r8 (retract_from_bm25_index);
-        an index with no ledger takes the no-op branch, but the
-        changed read path re-verifies against the oracle anyway.
+    (b) the 2 NEW r8 queries, verifying on their first round:
+        q_dsir_weights and q_dsir_select (DSIR importance resampling,
+        Xie et al. 2023 — hashed-ngram importance weights + the
+        deterministic Gumbel-top-k resample; full DuckDB oracles via
+        the portable md5 hash). They took the q01/q02 filler slots —
+        scan-filter agg stays in-cap via q06, group-by count via q13;
+    (c) 5 r7-verified fillers: q07 (broadcast star join),
+        q_normalize_listings (normalize core), q_dedup_ngram_jaccard
+        (banded-dedup family representative) — plus
+        q_bm25_index_search and q_hybrid_search, which MUST re-verify
+        this round because bm25_search gained the retraction-ledger
+        code path in r8 (retract_from_bm25_index); an index with no
+        ledger takes the no-op branch, but the changed read path
+        re-verifies against the oracle anyway.
 
-    Past slot 50: the remaining 43 oracle-bearing queries, ALL
+    Past slot 50: the remaining 45 oracle-bearing queries, ALL
     hash-verified green in CORRECTNESS_r07 (<= 1 round stale, rotating
     back in r9), each with an in-cap family sibling (multi-fact joins
     via q03-q17 + q07; semi/anti via q04; windows via q_window_frames;
@@ -1013,8 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_hybrid_search/q_bm25_search/q_embed_cosine_topk) + the 6
     rows-only queries (5 approximate ANN, pytest recall-pinned, and
     q_bpe_merges, merge-sequence-pinned vs the pure-Python mirror).
-    Union invariant: r7 ∪ r8 driver rows cover all 93 oracle-bearing
-    queries — the ≤1-round staleness contract holds a fourth round.
+    Union invariant: r7 ∪ r8 driver rows cover all 95 oracle-bearing
+    queries (93 pre-existing + the 2 new in-cap DSIR queries) — the
+    ≤1-round staleness contract holds a fourth round.
 
     Every oracle-bearing query, in-cap or not, is additionally
     oracle-compared on every local pytest run
@@ -1066,17 +1097,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_drift": _q_source_drift,
         "q_novelty_scores": _q_novelty_scores,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # (b) 7 r7-verified fillers; q_bm25_index_search and
-        # q_hybrid_search re-verify the r8 retraction-aware bm25_search
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
+        # (b) the 2 NEW r8 DSIR queries (first-round verification; they
+        # took the q01/q02 filler slots — scan-filter agg stays in-cap
+        # via q06, group-by count via q13) + 5 r7-verified fillers;
+        # q_bm25_index_search and q_hybrid_search re-verify the r8
+        # retraction-aware bm25_search
+        "q_dsir_weights": _q_dsir_weights,
+        "q_dsir_select": _q_dsir_select,
         "q07_volume_shipping": _q07_volume_shipping,
         "q_normalize_listings": _q_normalize_listings,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "q_bm25_index_search": _q_bm25_index_search,
         "q_hybrid_search": _q_hybrid_search,
         # ---- slots 51+: past the inferred driver cap ----
-        # 43 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
+        # 45 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
         "q08_market_share": _q08_market_share,
         "q09_product_profit": _q09_product_profit,
         "q15_top_supplier": _q15_top_supplier,
@@ -1386,6 +1422,92 @@ def oracle_sql() -> dict[str, str]:
                              % 10000 < 9000
                         THEN 'train' ELSE 'holdout' END AS split
             FROM keyed
+        """,
+        "q_dsir_weights": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+') END AS w
+                FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+                SELECT doc_id, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])) AS g
+                FROM toks
+            ), occ AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 10000 AS b
+                FROM grams
+            ), qcnt AS (
+                SELECT b, count(*)::DOUBLE AS qc FROM occ GROUP BY b
+            ), pcnt AS (
+                SELECT b, count(*)::DOUBLE AS pc FROM occ
+                WHERE doc_id % 7 = 0 GROUP BY b
+            ), qtot AS (SELECT sum(qc) AS qt FROM qcnt),
+            ptot AS (SELECT coalesce(sum(pc), 0.0) AS pt FROM pcnt),
+            ratio AS (
+                SELECT qcnt.b,
+                       ln((coalesce(pc, 0.0) + 1.0) / (pt + 10000.0))
+                     - ln((qc + 1.0) / (qt + 10000.0)) AS lr
+                FROM qcnt LEFT JOIN pcnt ON qcnt.b = pcnt.b, qtot, ptot
+            ), perdoc AS (
+                SELECT occ.doc_id, round(sum(lr), 6) AS dsir_logweight
+                FROM occ JOIN ratio ON occ.b = ratio.b
+                GROUP BY occ.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(p.dsir_logweight, 0.0)
+                   END AS dsir_logweight
+            FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+        """,
+        "q_dsir_select": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+') END AS w
+                FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+                SELECT doc_id, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i+1])) AS g
+                FROM toks
+            ), occ AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 10000 AS b
+                FROM grams
+            ), qcnt AS (
+                SELECT b, count(*)::DOUBLE AS qc FROM occ GROUP BY b
+            ), pcnt AS (
+                SELECT b, count(*)::DOUBLE AS pc FROM occ
+                WHERE doc_id % 7 = 0 GROUP BY b
+            ), qtot AS (SELECT sum(qc) AS qt FROM qcnt),
+            ptot AS (SELECT coalesce(sum(pc), 0.0) AS pt FROM pcnt),
+            ratio AS (
+                SELECT qcnt.b,
+                       ln((coalesce(pc, 0.0) + 1.0) / (pt + 10000.0))
+                     - ln((qc + 1.0) / (qt + 10000.0)) AS lr
+                FROM qcnt LEFT JOIN pcnt ON qcnt.b = pcnt.b, qtot, ptot
+            ), perdoc AS (
+                SELECT occ.doc_id, round(sum(lr), 6) AS dsir_logweight
+                FROM occ JOIN ratio ON occ.b = ratio.b
+                GROUP BY occ.doc_id
+            ), weights AS (
+                SELECT d.doc_id, coalesce(p.dsir_logweight, 0.0) AS dsir_logweight
+                FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+                WHERE d.text IS NOT NULL
+            )
+            SELECT doc_id, dsir_logweight,
+                   round(dsir_logweight
+                         - ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                                    % 10000) + 0.5) / 10000.0)), 6) AS gumbel_key
+            FROM weights
+            ORDER BY gumbel_key DESC, doc_id
+            LIMIT 100
         """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -97,6 +97,7 @@ from real_estate_bigdata_spark.operators.bpe import (
     train_bpe_batched,
 )
 from real_estate_bigdata_spark.operators.clustering import connected_components
+from real_estate_bigdata_spark.operators.dsir import dsir_select
 from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.decontamination import (
     decontaminate,
@@ -391,6 +392,13 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             emb(), load_table(spark, base_dir, "embeddings").limit(100)
         ),
         "bpe_train": lambda: _bpe_train_df(spark, docs()),
+        # r8: DSIR selection — bounded broadcast fits + one doc-sized
+        # shuffle; linear by construction, measured to prove it (the
+        # target slice grows with the corpus here, which only thickens
+        # the broadcast fit, never the shuffle)
+        "dsir_select": lambda: dsir_select(
+            docs(), docs().filter(F.col("doc_id") % 7 == 0), k=100
+        ),
         # r8: the batched trainer — same 10 merges, round-trips and
         # merges recorded per scale point (x30 extra point per r7
         # verdict task #5); bit-identical output is pytest-pinned
