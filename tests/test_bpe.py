@@ -248,3 +248,75 @@ class TestBatchedTrainer:
         # corpora, larger on flatter multi-script distributions. The
         # hard guarantee under test is EXACTNESS at any batching.
         assert calls["n"] < len(merges)
+
+
+class TestDisjointPrefixProperty:
+    """Hypothesis stress of the batch-safety proof, pure Python (no
+    Spark): on random tiny-alphabet word tables — maximally entangled,
+    tie-heavy — every merge the batch selects must equal the
+    sequential argmax at its own step."""
+
+    @staticmethod
+    def _pair_counts(vocab, wc):
+        pc = Counter()
+        for w, c in wc.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        return pc
+
+    @staticmethod
+    def _apply(vocab, a, b):
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+
+    def test_every_batched_merge_is_the_sequential_argmax(self):
+        import itertools
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        word = st.text(alphabet="ab", min_size=1, max_size=6)
+        table = st.dictionaries(word, st.integers(1, 5), min_size=1, max_size=8)
+
+        @settings(max_examples=300, deadline=None)
+        @given(table, st.integers(1, 6))
+        def run(wc, batch_size):
+            vocab = {
+                w: list(w[:-1]) + [w[-1] + bpe.END_OF_WORD] for w in wc
+            }
+            for _ in range(4):  # several batch rounds per example
+                pc = self._pair_counts(vocab, wc)
+                if not pc:
+                    break
+                ranked = sorted(
+                    pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )
+                rows = [
+                    {"l": a, "r": b, "n": n}
+                    for (a, b), n in ranked[: batch_size + 1]
+                ]
+                batch = bpe._disjoint_prefix_batch(
+                    rows, min_pair_count=1, fetch_limit=batch_size + 1
+                )
+                assert batch, "argmax fallback must guarantee progress"
+                for left, right in batch:
+                    cur = self._pair_counts(vocab, wc)
+                    (ea, eb), _ = min(
+                        cur.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+                    )
+                    assert (left, right) == (ea, eb), (
+                        left, right, ea, eb, dict(wc),
+                    )
+                    self._apply(vocab, left, right)
+
+        run()
