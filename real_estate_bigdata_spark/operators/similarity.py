@@ -37,6 +37,7 @@ __all__ = [
     "build_ivf_index",
     "extend_ivf_index",
     "append_ivf_epoch",
+    "append_pq_epoch",
     "save_ivf_index",
     "load_ivf_index",
     "ivf_search",
@@ -811,18 +812,16 @@ def _ivf_epochs_dir(path: str) -> str:
 def _read_ivf_epochs(spark, path: str) -> DataFrame | None:
     """The append tier of a persisted IVF index: epoch-partitioned list
     rows written by :func:`append_ivf_epoch`, or None when the index
-    has never been appended to (the common static-corpus case — no
-    union, no extra scan)."""
-    from pyspark.errors import AnalysisException
-
-    from real_estate_bigdata_spark.util import is_missing_path_error
-
-    try:
-        return spark.read.parquet(_ivf_epochs_dir(path))
-    except AnalysisException as exc:
-        if not is_missing_path_error(exc):
-            raise
+    has never been appended to — the common static-corpus case decided
+    by one driver-side ``fs.exists`` (r8: a per-session load must not
+    pay a caught AnalysisException to learn there is no tier)."""
+    epochs_dir = _ivf_epochs_dir(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(epochs_dir)
+    if not p.getFileSystem(conf).exists(p):
         return None
+    return spark.read.parquet(epochs_dir)
 
 
 def _ivf_live_epochs(spark, path: str) -> DataFrame | None:
@@ -1394,18 +1393,121 @@ def save_pq(
     )
 
 
+def _load_pq_codebook(spark, path: str) -> PqCodebook:
+    """The (tiny, driver-side) codebook half of a persisted PQ corpus
+    — shared by :func:`load_pq` and :func:`append_pq_epoch` so epoch
+    encodes can never use different centroids than the build."""
+    from pyspark.errors import AnalysisException
+
+    from real_estate_bigdata_spark.util import is_missing_path_error
+
+    try:
+        rows = (
+            spark.read.parquet(f"{path}/codebook")
+            .orderBy("sub_space")
+            .collect()
+        )
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
+        raise ValueError(
+            f"no PQ artifact at {path!r} — run save_pq first"
+        ) from exc
+    return PqCodebook(
+        np.stack([np.asarray(r.flat).reshape(r.ksub, r.dsub) for r in rows])
+    )
+
+
+def _pq_epochs_dir(path: str) -> str:
+    return path.rstrip("/") + "/codes_epochs"
+
+
+def _read_pq_epochs(spark, path: str) -> DataFrame | None:
+    """The append tier of a persisted PQ corpus
+    (:func:`append_pq_epoch`), or None when never appended to — decided
+    by one driver-side ``fs.exists`` (same rationale as the BM25
+    probes: a per-query search must not pay a caught
+    AnalysisException to learn there is no tier)."""
+    epochs_dir = _pq_epochs_dir(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(epochs_dir)
+    if not p.getFileSystem(conf).exists(p):
+        return None
+    return spark.read.parquet(epochs_dir)
+
+
+def _pq_live_epochs(spark, path: str) -> DataFrame | None:
+    """Epoch partitions NOT yet folded into the base ``codes`` table:
+    the append tier filtered by the base's fold fencepost — the same
+    crash-window protection as ``_ivf_live_epochs`` /
+    ``_bm25_live_epochs`` (a compaction crash between the codes swap
+    and the epoch delete must not serve a folded code twice)."""
+    from real_estate_bigdata_spark.util import read_fold_marker
+
+    tier = _read_pq_epochs(spark, path)
+    if tier is None:
+        return None
+    marker = read_fold_marker(spark, f"{path}/codes")
+    if marker >= 0:
+        tier = tier.filter(F.col("ingest_batch") > marker)
+    return tier
+
+
+def append_pq_epoch(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a PERSISTED PQ corpus without re-encoding
+    it — the codes twin of :func:`append_ivf_epoch`, closing the last
+    index-lifecycle asymmetry: a continuously-ingested IVF-PQ
+    deployment appends the batch to BOTH artifacts (lists for probing,
+    codes for the ADC scan); re-running ``pq_encode``+``save_pq`` over
+    a 10^9-vector corpus per micro-batch is not an option.
+
+    The batch encodes against the artifact's own persisted codebook
+    (:func:`_load_pq_codebook` — the frozen-quantizer contract every
+    production PQ system uses; new vectors never re-train centroids)
+    and lands under ``codes_epochs/ingest_batch=<epoch>/`` with dynamic
+    partition overwrite — a replayed epoch re-encodes identically
+    (deterministic argmin) and overwrites exactly its own partition.
+    :func:`load_pq` unions the tier in automatically;
+    :func:`compact_ann_index` folds it back into the base ``codes``
+    table behind the same fold fencepost as the lists tier.
+
+    Same exclusion contract as :func:`pq_encode` (NULL/ragged vectors
+    and NULL ids dropped; integral ids required) and the same
+    never-seen-ids contract as every epoch append — dedup upstream."""
+    codebook = _load_pq_codebook(spark, path)
+    (
+        pq_encode(new_corpus, codebook, id_col, vec_col)
+        .select(F.col(id_col), "code")
+        .withColumn("ingest_batch", F.lit(int(epoch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(_pq_epochs_dir(path))
+    )
+
+
 def load_pq(spark, path: str) -> tuple[PqCodebook, DataFrame]:
     """Load a persisted PQ corpus -> (codebook, codes). The codebook
-    (tiny) collects to the driver; codes stay a lazy scan, masked
+    (tiny) collects to the driver; codes stay a lazy scan — base table
+    unioned with any live :func:`append_pq_epoch` tier, then masked
     against the artifact's retraction ledger
     (:func:`retract_from_ann_index`) so ``pq_topk`` / ``ivfpq_topk``
     over loaded codes can never return a retracted id."""
-    rows = spark.read.parquet(f"{path}/codebook").orderBy("sub_space").collect()
-    cents = np.stack(
-        [np.asarray(r.flat).reshape(r.ksub, r.dsub) for r in rows]
-    )
+    codebook = _load_pq_codebook(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     id_field = next(f.name for f in codes.schema.fields if f.name != "code")
+    codes = codes.select(id_field, "code")
+    epochs = _pq_live_epochs(spark, path)
+    if epochs is not None:
+        codes = codes.unionByName(epochs.select(id_field, "code"))
     codes = _mask_ann_retracted(
         codes,
         _read_ann_tombstones(
@@ -1413,7 +1515,7 @@ def load_pq(spark, path: str) -> tuple[PqCodebook, DataFrame]:
         ),
         id_field,
     )
-    return PqCodebook(cents), codes
+    return codebook, codes
 
 
 def ivfpq_topk(
@@ -1626,10 +1728,12 @@ def compact_ann_index(spark, path: str) -> int:
     """Apply a persisted ANN artifact's tombstone ledger physically —
     rewrite the ``lists`` / ``codes`` tables without the retracted rows
     — and CONSUME the ledger, returning the number of ids applied.
-    Also FOLDS the IVF append tier (:func:`append_ivf_epoch`'s
-    ``lists_epochs`` partitions) into the base ``lists`` table and
-    drops the epoch directories — the steady-state maintenance pass, so
-    a continuously-appended index periodically collapses back to one
+    Also FOLDS the append tiers — :func:`append_ivf_epoch`'s
+    ``lists_epochs`` into the base ``lists`` table and
+    :func:`append_pq_epoch`'s ``codes_epochs`` into the base ``codes``
+    table, each behind its own fold fencepost — and drops the epoch
+    directories: the steady-state maintenance pass, so a
+    continuously-appended index periodically collapses back to one
     partition-pruned tier. A fold-only run (append tier present, no
     ledger) still rewrites and returns 0; with neither present it is a
     true no-op. After compaction a re-added id is searchable again (the
@@ -1660,21 +1764,27 @@ def compact_ann_index(spark, path: str) -> int:
 
     tables = _ann_data_tables(spark, path)
     has_lists = any(sub == "lists" for sub, _, _ in tables)
+    has_codes = any(sub == "codes" for sub, _, _ in tables)
     tombs = _read_ann_tombstones(spark, path, tables[0][2])
-    # raw vs live tier: raw decides whether epoch DIRECTORIES need
-    # dropping; live (fencepost-filtered, mirroring _bm25_live_epochs)
-    # decides what actually folds — a re-run after a crash between the
-    # lists swap and the epoch delete sees raw partitions the swapped
-    # base already contains and must not re-add them
+    # raw vs live tier, per table family: raw decides whether epoch
+    # DIRECTORIES need dropping; live (fencepost-filtered, mirroring
+    # _bm25_live_epochs) decides what actually folds — a re-run after a
+    # crash between a table's swap and its epoch delete sees raw
+    # partitions the swapped base already contains and must not re-add
     raw_epochs = _read_ivf_epochs(spark, path) if has_lists else None
     epochs = _ivf_live_epochs(spark, path) if raw_epochs is not None else None
-    if tombs is None and raw_epochs is None:
+    raw_pq = _read_pq_epochs(spark, path) if has_codes else None
+    pq_epochs = _pq_live_epochs(spark, path) if raw_pq is not None else None
+    if tombs is None and raw_epochs is None and raw_pq is None:
         return 0
-    fold_through = read_fold_marker(spark, f"{path}/lists")
-    if raw_epochs is not None:
-        m = raw_epochs.agg(F.max("ingest_batch")).first()[0]
-        if m is not None:
-            fold_through = max(fold_through, int(m))
+    fold_marks: dict[str, int] = {}
+    for sub, raw in (("lists", raw_epochs), ("codes", raw_pq)):
+        mark = read_fold_marker(spark, f"{path}/{sub}")
+        if raw is not None:
+            m = raw.agg(F.max("ingest_batch")).first()[0]
+            if m is not None:
+                mark = max(mark, int(m))
+        fold_marks[sub] = mark
     n_ids = (
         tombs.select("__retracted_id").distinct().count()
         if tombs is not None
@@ -1684,28 +1794,34 @@ def compact_ann_index(spark, path: str) -> int:
     for sub, id_field, _ in tables:
         live = f"{path}/{sub}"
         rows = spark.read.parquet(live)
-        if sub == "lists" and epochs is not None:
-            rows = rows.select(
-                "neighbor_id", "c_vec", "c_nrm", "__list"
-            ).unionByName(
-                epochs.select("neighbor_id", "c_vec", "c_nrm", "__list")
-            )
+        if sub == "lists":
+            rows = rows.select("neighbor_id", "c_vec", "c_nrm", "__list")
+            if epochs is not None:
+                rows = rows.unionByName(
+                    epochs.select("neighbor_id", "c_vec", "c_nrm", "__list")
+                )
+        else:
+            rows = rows.select(id_field, "code")
+            if pq_epochs is not None:
+                rows = rows.unionByName(pq_epochs.select(id_field, "code"))
         masked = _mask_ann_retracted(rows, tombs, id_field)
         writer = masked.write.mode("overwrite")
         if sub == "lists":
             # preserve the partition-pruned layout searches depend on
             writer = writer.partitionBy("__list")
         writer.parquet(f"{path}/_{sub}_new")
-        if sub == "lists" and fold_through >= 0:
+        if fold_marks[sub] >= 0:
             # fencepost INSIDE the _new table before its swap, so the
             # marker travels with the data: the moment the swap lands,
             # loads filter the still-on-disk epoch tier by it and the
             # crash window between swap and epoch-delete cannot serve
             # a folded row twice
-            write_fold_marker(spark, f"{path}/_{sub}_new", fold_through)
+            write_fold_marker(spark, f"{path}/_{sub}_new", fold_marks[sub])
         swap_in_rewrite(spark, live)
 
     if raw_epochs is not None:
         delete_dir(spark, _ivf_epochs_dir(path))
+    if raw_pq is not None:
+        delete_dir(spark, _pq_epochs_dir(path))
     delete_dir(spark, _ann_tombstones_dir(path))
     return n_ids

@@ -542,6 +542,7 @@ def run_embedding_index_ingest(
     available_now: bool = True,
     processing_time: str = "60 seconds",
     max_files_per_trigger: int | None = None,
+    append_codes: bool = False,
 ) -> StreamingQuery:
     """Continuous maintenance of a persisted IVF index: each micro-batch
     of newly-embedded vectors is assigned to the index's immutable
@@ -552,20 +553,33 @@ def run_embedding_index_ingest(
     retract (``retract_from_ann_index``), compact (``compact_ann_index``
     folds epochs + applies tombstones).
 
-    Exactly-once by the same construction as the stores: the epoch
-    write is dynamic-partition-overwrite keyed by the foreachBatch
+    ``append_codes=True`` (r8) additionally encodes each batch against
+    the co-located persisted PQ codebook and appends the codes epoch
+    (``similarity.append_pq_epoch``) — the full IVF-PQ serving pair
+    (lists for probing, codes for the ADC scan) maintained by ONE
+    stream. Requires ``save_pq`` to have written ``codebook``/``codes``
+    at the same ``index_path``.
+
+    Exactly-once by the same construction as the stores: both epoch
+    writes are dynamic-partition-overwrite keyed by the foreachBatch
     epoch id, so a replayed batch recomputes the identical assignment
-    and overwrites exactly its own partitions. The index must exist
-    (``build_ivf_index`` + ``save_ivf_index``) before the stream
-    starts; centroids are immutable here by design — distribution
-    shift is a REBUILD decision, monitored by
-    ``quality.distribution_drift`` over an embedding projection, not
-    an append decision.
+    and encoding and overwrites exactly its own partitions (the two
+    appends are each idempotent, so a crash between them replays
+    cleanly). The index must exist (``build_ivf_index`` +
+    ``save_ivf_index``) before the stream starts; centroids and
+    codebook are immutable here by design — distribution shift is a
+    REBUILD decision, monitored by ``quality.distribution_drift`` over
+    an embedding projection, not an append decision.
     """
-    from real_estate_bigdata_spark.operators.similarity import append_ivf_epoch
+    from real_estate_bigdata_spark.operators.similarity import (
+        append_ivf_epoch,
+        append_pq_epoch,
+    )
     from real_estate_bigdata_spark.schema import TESTDATA_SCHEMAS
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if append_codes:  # two consumers — don't recompute the batch
+            batch_df = batch_df.localCheckpoint(eager=True)
         append_ivf_epoch(
             batch_df.sparkSession,
             index_path,
@@ -574,6 +588,15 @@ def run_embedding_index_ingest(
             id_col=id_col,
             vec_col=vec_col,
         )
+        if append_codes:
+            append_pq_epoch(
+                batch_df.sparkSession,
+                index_path,
+                batch_df,
+                batch_id,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
 
     raw = file_stream_ingest(
         spark,

@@ -195,3 +195,174 @@ class TestEmbeddingIndexIngest:
         )
         sim.append_ivf_epoch(spark, path, newer, epoch=1)
         assert len(_loaded_ids(spark, path)) == 45
+
+
+class TestPqEpochAppend:
+    """append_pq_epoch (round 8): the codes twin of the IVF epoch tier
+    — encode new vectors against the FROZEN persisted codebook, serve
+    base + epochs through load_pq, retract across tiers, compact folds
+    both artifact families behind their own fenceposts."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+
+    def _build(self, spark, path, rows):
+        df = self._df(spark, rows)
+        cb = sim.train_pq(df, m=4, ksub=8)
+        sim.save_pq(cb, sim.pq_encode(df, cb), path)
+        return df, cb
+
+    def _search_ids(self, spark, path, queries):
+        cb, codes = sim.load_pq(spark, path)
+        return [
+            (r.query_id, r.neighbor_id, r.rn)
+            for r in sim.pq_topk(codes, cb, queries, k=5)
+            .orderBy("query_id", "rn")
+            .collect()
+        ]
+
+    def test_append_equals_full_reencode(self, spark, tmp_path):
+        path = str(tmp_path / "pq")
+        base_rows = _vecs(0, 40, seed=10)
+        df, cb = self._build(spark, path, base_rows)
+        new_rows = _vecs(100, 15, seed=11)
+        sim.append_pq_epoch(spark, path, self._df(spark, new_rows), epoch=0)
+
+        q = self._df(spark, base_rows[:3])
+        got = self._search_ids(spark, path, q)
+        # full re-encode of the union with the SAME codebook
+        full = str(tmp_path / "pq_full")
+        union = self._df(spark, base_rows + new_rows)
+        sim.save_pq(cb, sim.pq_encode(union, cb), full)
+        assert got == self._search_ids(spark, full, q)
+        _, codes = sim.load_pq(spark, path)
+        assert sorted(r.vec_id for r in codes.select("vec_id").collect()) \
+            == sorted(r[0] for r in base_rows + new_rows)
+
+    def test_replayed_epoch_idempotent_and_retract_across_tiers(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "pq")
+        base_rows = _vecs(0, 30, seed=12)
+        self._build(spark, path, base_rows)
+        new_rows = _vecs(100, 10, seed=13)
+        newdf = self._df(spark, new_rows)
+        sim.append_pq_epoch(spark, path, newdf, epoch=3)
+        before = sorted(
+            r.vec_id for r in sim.load_pq(spark, path)[1].collect()
+        )
+        sim.append_pq_epoch(spark, path, newdf, epoch=3)  # replay
+        assert sorted(
+            r.vec_id for r in sim.load_pq(spark, path)[1].collect()
+        ) == before
+
+        # retract one base id and one appended id: masked in BOTH tiers
+        sim.retract_from_ann_index(
+            spark, path, spark.createDataFrame([(0,), (105,)], "vec_id long")
+        )
+        ids = {r.vec_id for r in sim.load_pq(spark, path)[1].collect()}
+        assert 0 not in ids and 105 not in ids
+
+        # compact: folds the tier, applies the ledger, consumes both
+        assert sim.compact_ann_index(spark, path) == 2
+        import os
+
+        assert not os.path.exists(f"{path}/codes_epochs")
+        assert not os.path.exists(f"{path}/_tombstones")
+        ids2 = sorted(
+            r.vec_id for r in sim.load_pq(spark, path)[1].collect()
+        )
+        assert ids2 == sorted(i for i in before if i not in (0, 105))
+        # re-added after compaction: searchable again
+        sim.append_pq_epoch(
+            spark, path, self._df(spark, [new_rows[5]]), epoch=4
+        )
+        assert 105 in {
+            r.vec_id for r in sim.load_pq(spark, path)[1].collect()
+        }
+
+    def test_fold_crash_window_cannot_serve_duplicate_codes(
+        self, spark, tmp_path
+    ):
+        """Resurfaced codes_epochs after the codes swap (fencepost set):
+        load_pq must not union the folded partitions back in."""
+        import shutil
+
+        path = str(tmp_path / "pq")
+        base_rows = _vecs(0, 20, seed=14)
+        self._build(spark, path, base_rows)
+        new_rows = _vecs(100, 8, seed=15)
+        sim.append_pq_epoch(spark, path, self._df(spark, new_rows), epoch=0)
+        saved = str(tmp_path / "saved_epochs")
+        shutil.copytree(f"{path}/codes_epochs", saved)
+        assert sim.compact_ann_index(spark, path) == 0  # fold-only
+        shutil.copytree(saved, f"{path}/codes_epochs")  # crash window
+        ids = [r.vec_id for r in sim.load_pq(spark, path)[1].collect()]
+        assert len(ids) == len(set(ids)), "duplicate codes served"
+        assert sorted(ids) == sorted(r[0] for r in base_rows + new_rows)
+        # compaction re-run converges (epoch at/below fencepost skipped)
+        assert sim.compact_ann_index(spark, path) == 0
+        ids2 = [r.vec_id for r in sim.load_pq(spark, path)[1].collect()]
+        assert sorted(ids2) == sorted(ids)
+
+    def test_append_requires_artifact(self, spark, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="save_pq first"):
+            sim.append_pq_epoch(
+                spark,
+                str(tmp_path / "nope"),
+                self._df(spark, _vecs(0, 3, seed=1)),
+                epoch=0,
+            )
+
+
+class TestIvfPqCombinedIngest:
+    def test_one_stream_maintains_both_tiers(self, spark, tmp_path):
+        """append_codes=True: one stream appends lists AND codes epochs;
+        both serve; fresh-checkpoint replay adds nothing."""
+        path = str(tmp_path / "idx")
+        base_rows = _vecs(0, 30, seed=20)
+        df = _build_base(spark, path, base_rows)
+        cb = sim.train_pq(df, m=4, ksub=8)
+        sim.save_pq(cb, sim.pq_encode(df, cb), path)
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        b1 = _vecs(100, 10, seed=21)
+        _write_jsonl(src / "b1.jsonl", b1)
+        q = ingest.run_embedding_index_ingest(
+            spark, str(src), path, str(tmp_path / "ck1"),
+            max_files_per_trigger=1, append_codes=True,
+        )
+        q.awaitTermination(120)
+
+        want = sorted(r[0] for r in base_rows + b1)
+        assert _loaded_ids(spark, path) == want
+        _, codes = sim.load_pq(spark, path)
+        assert sorted(r.vec_id for r in codes.collect()) == want
+
+        # replay under a fresh checkpoint: both tiers unchanged
+        q = ingest.run_embedding_index_ingest(
+            spark, str(src), path, str(tmp_path / "ck2"),
+            max_files_per_trigger=1, append_codes=True,
+        )
+        q.awaitTermination(120)
+        assert _loaded_ids(spark, path) == want
+        _, codes = sim.load_pq(spark, path)
+        assert sorted(r.vec_id for r in codes.collect()) == want
+
+        # the composed IVF-PQ search sees an appended vector: query
+        # with an appended id's own direction, expect itself top-1
+        # excluded (self-match removed) but its near-twin findable
+        index = sim.load_ivf_index(spark, path)
+        cb2, codes2 = sim.load_pq(spark, path)
+        queries = spark.createDataFrame(
+            [b1[0]], "vec_id long, embedding array<float>, label int"
+        )
+        res = sim.ivfpq_topk(
+            index, cb2, codes2, queries, k=3, n_probe=4
+        ).collect()
+        assert res and all(r.neighbor_id != b1[0][0] for r in res)
