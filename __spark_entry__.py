@@ -529,6 +529,27 @@ def _q_hybrid_search(spark, sf):
     return ta.rrf_fuse([lex, sem], k_rrf=60)
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher rule-battery quality filter (NEW r8; Rae et al. 2021
+    A1.1): per-document rule measurements + pass verdict in ONE
+    map-only pass of pure Column expressions. Thresholds retuned from
+    the paper's web-English defaults to the synthetic testdata's
+    short-document regime so both verdicts occur (382/118 split at
+    sf0.01) — the operator's defaults are the published values."""
+    from real_estate_bigdata_spark.operators.quality import (
+        gopher_quality_filter,
+    )
+
+    return gopher_quality_filter(
+        load_table(spark, sf, "documents"),
+        min_words=5,
+        min_mean_word_len=2.0,
+        max_mean_word_len=12.0,
+        min_alpha_word_ratio=0.5,
+        min_required_stopwords=1,
+    )
+
+
 def _q_dsir_weights(spark, sf):
     """DSIR importance weights (NEW r8; Xie et al., NeurIPS 2023): per
     document, the hashed-ngram log importance weight of the documents
@@ -1016,22 +1037,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_temperature_mixture, q_perplexity_buckets,
         q_distribution_drift, q_source_drift, q_novelty_scores,
         q_cross_corpus_pairs;
-    (b) the 2 NEW r8 queries, verifying on their first round:
+    (b) the 3 NEW r8 queries, verifying on their first round:
         q_dsir_weights and q_dsir_select (DSIR importance resampling,
         Xie et al. 2023 — hashed-ngram importance weights + the
         deterministic Gumbel-top-k resample; full DuckDB oracles via
-        the portable md5 hash). They took the q01/q02 filler slots —
-        scan-filter agg stays in-cap via q06, group-by count via q13;
-    (c) 5 r7-verified fillers: q07 (broadcast star join),
-        q_normalize_listings (normalize core), q_dedup_ngram_jaccard
-        (banded-dedup family representative) — plus
-        q_bm25_index_search and q_hybrid_search, which MUST re-verify
-        this round because bm25_search gained the retraction-ledger
-        code path in r8 (retract_from_bm25_index); an index with no
-        ledger takes the no-op branch, but the changed read path
-        re-verifies against the oracle anyway.
+        the portable md5 hash) and q_gopher_quality (the Gopher rule
+        battery, Rae et al. 2021, as one map-only Column pass). They
+        took the q01/q02/q07 filler slots — scan-filter agg stays
+        in-cap via q06, group-by count via q13, the join family via
+        the q03-q17 block;
+    (c) 4 r7-verified fillers: q_normalize_listings (normalize core),
+        q_dedup_ngram_jaccard (banded-dedup family representative) —
+        plus q_bm25_index_search and q_hybrid_search, which MUST
+        re-verify this round because bm25_search gained the
+        retraction-ledger code path in r8 (retract_from_bm25_index);
+        an index with no ledger takes the no-op branch, but the
+        changed read path re-verifies against the oracle anyway.
 
-    Past slot 50: the remaining 45 oracle-bearing queries, ALL
+    Past slot 50: the remaining 46 oracle-bearing queries, ALL
     hash-verified green in CORRECTNESS_r07 (<= 1 round stale, rotating
     back in r9), each with an in-cap family sibling (multi-fact joins
     via q03-q17 + q07; semi/anti via q04; windows via q_window_frames;
@@ -1043,8 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_hybrid_search/q_bm25_search/q_embed_cosine_topk) + the 6
     rows-only queries (5 approximate ANN, pytest recall-pinned, and
     q_bpe_merges, merge-sequence-pinned vs the pure-Python mirror).
-    Union invariant: r7 ∪ r8 driver rows cover all 95 oracle-bearing
-    queries (93 pre-existing + the 2 new in-cap DSIR queries) — the
+    Union invariant: r7 ∪ r8 driver rows cover all 96 oracle-bearing
+    queries (93 pre-existing + the 3 new in-cap r8 queries) — the
     ≤1-round staleness contract holds a fourth round.
 
     Every oracle-bearing query, in-cap or not, is additionally
@@ -1104,15 +1127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retraction-aware bm25_search
         "q_dsir_weights": _q_dsir_weights,
         "q_dsir_select": _q_dsir_select,
-        "q07_volume_shipping": _q07_volume_shipping,
+        "q_gopher_quality": _q_gopher_quality,
         "q_normalize_listings": _q_normalize_listings,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "q_bm25_index_search": _q_bm25_index_search,
         "q_hybrid_search": _q_hybrid_search,
         # ---- slots 51+: past the inferred driver cap ----
-        # 45 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
+        # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
+        "q07_volume_shipping": _q07_volume_shipping,
         "q08_market_share": _q08_market_share,
         "q09_product_profit": _q09_product_profit,
         "q15_top_supplier": _q15_top_supplier,
@@ -1422,6 +1446,62 @@ def oracle_sql() -> dict[str, str]:
                              % 10000 < 9000
                         THEN 'train' ELSE 'holdout' END AS split
             FROM keyed
+        """,
+        "q_gopher_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\\s+') END AS w,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id, text,
+                       len(w) AS n_words,
+                       CASE WHEN len(w) > 0 THEN
+                           list_sum(list_transform(w, x -> len(x)))::DOUBLE / len(w)
+                       END AS mean_wl,
+                       CASE WHEN len(w) > 0 THEN
+                           ((len(text) - len(replace(text, '#', '')))
+                            + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                           / len(w)
+                       END AS symbol_ratio,
+                       len(list_filter(lines,
+                           ln -> regexp_matches(ltrim(ln), '^[•\\-\\*]')))::DOUBLE
+                           / len(lines) AS bullet_ratio,
+                       len(list_filter(lines,
+                           ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$')))::DOUBLE
+                           / len(lines) AS ellipsis_ratio,
+                       CASE WHEN len(w) > 0 THEN
+                           len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                           / len(w)
+                       END AS alpha_ratio,
+                       len(list_intersect(list_transform(w, x -> lower(x)),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS n_stop
+                FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL ELSE n_words END AS n_words,
+                   round(mean_wl, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_word_ratio,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE round(bullet_ratio, 6) END AS bullet_line_ratio,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE round(ellipsis_ratio, 6) END AS ellipsis_line_ratio,
+                   round(alpha_ratio, 6) AS alpha_word_ratio,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE n_stop END AS n_required_stopwords,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE coalesce(
+                            n_words BETWEEN 5 AND 100000
+                            AND mean_wl BETWEEN 2.0 AND 12.0
+                            AND symbol_ratio <= 0.1
+                            AND bullet_ratio <= 0.9
+                            AND ellipsis_ratio <= 0.3
+                            AND alpha_ratio >= 0.5
+                            AND n_stop >= 1, false)
+                   END AS gopher_pass
+            FROM m
         """,
         "q_dsir_weights": """
             WITH toks AS (

@@ -30,11 +30,143 @@ __all__ = [
     "corpus_health_report",
     "distribution_drift",
     "drift_from_histograms",
+    "gopher_quality_filter",
     "linear_quality_scores",
     "metric_buckets",
     "metric_histogram",
     "quantile_floor",
 ]
+
+#: the Gopher rule battery's required-stopword list (Rae et al. 2021,
+#: Appendix A1.1) — a document must contain at least 2 of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1) — the published heuristic filter set most English
+    web-scale pretraining pipelines start from, as ONE map-only pass of
+    pure Column expressions (no shuffle, no Python; the filter pushes
+    into whole-stage codegen over the scan).
+
+    Per document: word count bounds, mean word length bounds,
+    symbol-to-word ratio ('#' characters + non-overlapping '...'
+    occurrences), bullet-started and ellipsis-ended line ratios,
+    fraction of words containing an [A-Za-z] character, and presence of
+    at least ``min_required_stopwords`` of the 8 required stop words —
+    plus ``gopher_pass``, the conjunction. Defaults are the paper's
+    thresholds; every one is a parameter because non-web corpora
+    retune them (and the driver query does, to exercise both verdicts
+    on the synthetic testdata).
+
+    Emits the measured ratios (round-6) alongside the verdict so the
+    filter doubles as a quality profile; NULL text yields NULL metrics
+    and a NULL verdict (the engine-wide NULL-document contract —
+    ``filter(gopher_pass)`` drops them, as a filter must). Empty/blank
+    text has zero words: the word-count rule fails it deterministically
+    (ratios over zero words emit NULL, the verdict is still false)."""
+    from real_estate_bigdata_spark.functions.text import tokenize
+
+    # staged projection: tokens and lines computed ONCE as real columns.
+    # In a single select, every output column embeds its own copy of
+    # the tokenize/split subtree INSIDE a higher-order-function lambda,
+    # where codegen's subexpression elimination cannot reach — measured
+    # ~6x the single-pass cost at sf0.1. CollapseProject keeps the
+    # stage (it declines to inline a non-cheap alias used more than
+    # once), the same idiom as text_analysis.lang_id_report.
+    staged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokenize(F.col(text_col)).alias("__toks"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    text = F.col(text_col)
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda a, w: a + F.length(w)
+        ) / n_words,
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
+    lines = F.col("__lines")
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.ltrim(ln).rlike(r"^[•\-\*]"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
+            )
+        )
+        / n_lines
+    )
+    alpha_ratio = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    )
+    low_toks = F.transform(toks, F.lower)
+    n_stop = F.size(
+        F.array_intersect(
+            low_toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    gopher_pass = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_ratio <= max_bullet_line_ratio)
+        & (ellipsis_ratio <= max_ellipsis_line_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+        & (n_stop >= min_required_stopwords)
+    )
+    null = F.lit(None)
+    return staged.select(
+        F.col(id_col),
+        F.when(text.isNull(), null).otherwise(n_words).alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.when(text.isNull(), null)
+        .otherwise(F.round(bullet_ratio, 6))
+        .alias("bullet_line_ratio"),
+        F.when(text.isNull(), null)
+        .otherwise(F.round(ellipsis_ratio, 6))
+        .alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        F.when(text.isNull(), null.cast("int"))
+        .otherwise(n_stop)
+        .alias("n_required_stopwords"),
+        F.when(text.isNull(), null.cast("boolean"))
+        .otherwise(F.coalesce(gopher_pass, F.lit(False)))
+        .alias("gopher_pass"),
+    )
 
 
 def linear_quality_scores(

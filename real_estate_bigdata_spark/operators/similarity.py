@@ -1635,18 +1635,16 @@ def _ann_data_tables(spark, path: str) -> list[tuple[str, str, str]]:
 
 
 def _read_ann_tombstones(spark, path: str, id_type: str) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
-
-    from real_estate_bigdata_spark.util import is_missing_path_error
-
-    try:
-        return spark.read.schema(f"__retracted_id {id_type}").parquet(
-            _ann_tombstones_dir(path)
-        )
-    except AnalysisException as exc:
-        if not is_missing_path_error(exc):
-            raise
+    """The artifact's retraction ledger, or None (the common case,
+    decided by one driver-side ``fs.exists`` — every index load pays
+    this probe, so it must not cost a caught AnalysisException)."""
+    tomb_dir = _ann_tombstones_dir(path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(tomb_dir)
+    if not p.getFileSystem(conf).exists(p):
         return None
+    return spark.read.schema(f"__retracted_id {id_type}").parquet(tomb_dir)
 
 
 def _mask_ann_retracted(

@@ -447,3 +447,93 @@ def test_grouped_drift_validates_and_metricless_group_absent(spark):
         for r in distribution_drift(df, df, "m", 0, 100, group_col="src").collect()
     }
     assert srcs == {"a"}
+
+
+class TestGopherQualityFilter:
+    """Gopher rule battery (Rae et al. 2021 A1.1) — hand-pinned rule
+    arithmetic, each rule's rejection path, NULL/empty contract, and a
+    map-only plan (the filter must push into codegen over the scan)."""
+
+    GOOD = (
+        "The quick brown fox likes to be of service and that is known "
+        "to have been said with confidence by many observers over the "
+        "years in numerous long reports about animal behavior and "
+        "related topics of study that we all know and enjoy reading "
+        "during quiet evenings at home with family members and friends "
+        "who visit often"
+    )
+
+    def _run(self, spark, rows, **kw):
+        from real_estate_bigdata_spark.operators.quality import (
+            gopher_quality_filter,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: r for r in gopher_quality_filter(df, **kw).collect()
+        }
+
+    def test_rule_arithmetic_and_verdicts(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, self.GOOD),
+                (2, "# # # ..."),
+                (3, None),
+                (4, ""),
+                (5, "• one\n• two\n• three"),
+                (6, "alpha beta. the gamma...\nends here too...\nplain"),
+            ],
+        )
+        r1 = out[1]
+        assert r1.n_words == 57 and r1.gopher_pass is True
+        assert r1.n_required_stopwords == 8
+        assert r1.symbol_word_ratio == 0.0 and r1.alpha_word_ratio == 1.0
+        r2 = out[2]
+        # 3 '#' + 1 '...' over 4 words; the single line ends with ...
+        assert r2.symbol_word_ratio == 1.0
+        assert r2.ellipsis_line_ratio == 1.0
+        assert r2.alpha_word_ratio == 0.0 and r2.gopher_pass is False
+        r3 = out[3]
+        assert all(
+            getattr(r3, f) is None
+            for f in (
+                "n_words", "mean_word_len", "symbol_word_ratio",
+                "bullet_line_ratio", "ellipsis_line_ratio",
+                "alpha_word_ratio", "n_required_stopwords", "gopher_pass",
+            )
+        )
+        r4 = out[4]
+        assert r4.n_words == 0 and r4.gopher_pass is False
+        assert out[5].bullet_line_ratio == 1.0
+        assert out[6].ellipsis_line_ratio == round(2 / 3, 6)
+
+    def test_each_threshold_rejects(self, spark):
+        base = dict(
+            min_words=5, max_words=1000, min_mean_word_len=1.0,
+            max_mean_word_len=20.0, max_symbol_word_ratio=1.0,
+            max_bullet_line_ratio=1.0, max_ellipsis_line_ratio=1.0,
+            min_alpha_word_ratio=0.0, min_required_stopwords=0,
+        )
+        rows = [(1, self.GOOD)]
+        assert self._run(spark, rows, **base)[1].gopher_pass is True
+        for knock in (
+            dict(min_words=100), dict(max_words=10),
+            dict(min_mean_word_len=9.0), dict(max_mean_word_len=2.0),
+            dict(min_alpha_word_ratio=1.01), dict(min_required_stopwords=9),
+        ):
+            kw = {**base, **knock}
+            assert self._run(spark, rows, **kw)[1].gopher_pass is False, knock
+
+    def test_map_only_plan(self, spark):
+        from real_estate_bigdata_spark.operators.quality import (
+            gopher_quality_filter,
+        )
+        from real_estate_bigdata_spark.plans.audit import plan_stats
+
+        docs = spark.createDataFrame(
+            [(1, self.GOOD)], "doc_id long, text string"
+        )
+        stats = plan_stats(gopher_quality_filter(docs))
+        assert stats.shuffles == 0
+        assert stats.python_stages == 0
