@@ -1462,7 +1462,8 @@ def oracle_sql() -> dict[str, str]:
                        END AS mean_wl,
                        CASE WHEN len(w) > 0 THEN
                            ((len(text) - len(replace(text, '#', '')))
-                            + (len(text) - len(replace(text, '...', ''))) / 3.0)
+                            + (len(text) - len(replace(text, '...', ''))) / 3.0
+                            + (len(text) - len(replace(text, '…', ''))))
                            / len(w)
                        END AS symbol_ratio,
                        len(list_filter(lines,
@@ -1508,7 +1509,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                             ELSE string_split_regex(trim(text), '\\s+') END AS w
-                FROM documents WHERE text IS NOT NULL
+                FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
             ), grams AS (
                 SELECT doc_id, unnest(w) AS g FROM toks
                 UNION ALL
@@ -1542,13 +1543,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(p.dsir_logweight, 0.0)
                    END AS dsir_logweight
             FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+            WHERE d.doc_id IS NOT NULL
         """,
         "q_dsir_select": """
             WITH toks AS (
                 SELECT doc_id,
                        CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                             ELSE string_split_regex(trim(text), '\\s+') END AS w
-                FROM documents WHERE text IS NOT NULL
+                FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
             ), grams AS (
                 SELECT doc_id, unnest(w) AS g FROM toks
                 UNION ALL
@@ -1579,7 +1581,7 @@ def oracle_sql() -> dict[str, str]:
             ), weights AS (
                 SELECT d.doc_id, coalesce(p.dsir_logweight, 0.0) AS dsir_logweight
                 FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
-                WHERE d.text IS NOT NULL
+                WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
             )
             SELECT doc_id, dsir_logweight,
                    round(dsir_logweight

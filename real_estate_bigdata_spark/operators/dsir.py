@@ -71,7 +71,7 @@ def _gram_buckets(docs: DataFrame, id_col: str, text_col: str, n_buckets: int):
     grams = F.concat(toks, bigrams)
     return (
         ensure_min_parallelism(docs)
-        .filter(F.col(text_col).isNotNull())
+        .filter(F.col(text_col).isNotNull() & F.col(id_col).isNotNull())
         .select(F.col(id_col), F.explode(grams).alias("__gram"))
         .select(
             id_col,
@@ -100,7 +100,12 @@ def dsir_logweights(
     target still scores (as strongly negative), never -inf. Documents
     with NULL text carry NULL weight (the engine-wide NULL-document
     contract); tokenless documents sum zero grams and weigh exactly
-    0.0 — log-neutral, as the method defines.
+    0.0 — log-neutral, as the method defines. Rows with NULL ``id_col``
+    are EXCLUDED from the output entirely (r8 review: a weight keyed by
+    NULL is unattributable, the per-doc join cannot carry it, and the
+    deterministic Gumbel key downstream would diverge from the oracle's
+    NULL hash — same exclusion contract as NULL/ragged vectors in the
+    ANN builds).
 
     Both bucket tables are <= ``n_buckets`` rows and BROADCAST; the
     only doc-sized shuffle is the per-id weight sum."""
@@ -167,7 +172,9 @@ def dsir_logweights(
             )
         )
     )
-    shell = raw.select(F.col(id_col), F.col(text_col).alias("__t"))
+    shell = raw.select(F.col(id_col), F.col(text_col).alias("__t")).filter(
+        F.col(id_col).isNotNull()
+    )
     return shell.join(per_doc, id_col, "left").select(
         id_col,
         F.when(F.col("__t").isNull(), F.lit(None).cast("double"))
@@ -198,7 +205,8 @@ def dsir_select(
     portable seeded-uniform construction (``sampling.bucket_of``), so
     the selection replays identically across runs, partitionings, and
     engines (DuckDB-oracle-checkable); vary ``salt`` for an
-    independent redraw. NULL-text documents are never selected.
+    independent redraw. NULL-text and NULL-id documents are never
+    selected (they carry no weight — see :func:`dsir_logweights`).
 
     Output: (``id_col``, dsir_logweight, gumbel_key round-6) ordered
     best-first, TakeOrdered top-k — never a global sort."""

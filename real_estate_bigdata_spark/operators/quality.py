@@ -65,7 +65,8 @@ def gopher_quality_filter(
 
     Per document: word count bounds, mean word length bounds,
     symbol-to-word ratio ('#' characters + non-overlapping '...'
-    occurrences), bullet-started and ellipsis-ended line ratios,
+    occurrences + '…' characters), bullet-started and ellipsis-ended
+    line ratios,
     fraction of words containing an [A-Za-z] character, and presence of
     at least ``min_required_stopwords`` of the 8 required stop words —
     plus ``gopher_pass``, the conjunction. Defaults are the paper's
@@ -104,9 +105,16 @@ def gopher_quality_filter(
         ) / n_words,
     )
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    # both ellipsis forms count (r8 review): non-overlapping ASCII '...'
+    # (length delta / 3) plus single-char U+2026 '…' — the common form
+    # on real web text, and the form the ellipsis-LINE rule below
+    # already recognized; counting only ASCII let '…'-heavy docs evade
+    # the symbol rule entirely
     n_ellipsis = (
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
+    ) / F.lit(3) + (
+        F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    )
     symbol_ratio = F.when(n_words > 0, (n_hash + n_ellipsis) / n_words)
     lines = F.col("__lines")
     n_lines = F.size(lines)

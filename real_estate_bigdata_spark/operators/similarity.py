@@ -1481,11 +1481,23 @@ def append_pq_epoch(
 
     Same exclusion contract as :func:`pq_encode` (NULL/ragged vectors
     and NULL ids dropped; integral ids required) and the same
-    never-seen-ids contract as every epoch append — dedup upstream."""
+    never-seen-ids contract as every epoch append — dedup upstream.
+
+    ``id_col`` names the column in ``new_corpus`` ONLY; the epoch
+    tier's physical id column is read from the artifact's own ``codes``
+    schema (r8 review: the module-wide "artifact decides, never the
+    caller" rule — a mismatched caller default would otherwise write a
+    malformed tier that every later ``load_pq`` rejects at serve time,
+    possibly many epochs deep)."""
     codebook = _load_pq_codebook(spark, path)
+    id_field = next(
+        f.name
+        for f in spark.read.parquet(f"{path}/codes").schema.fields
+        if f.name != "code"
+    )
     (
         pq_encode(new_corpus, codebook, id_col, vec_col)
-        .select(F.col(id_col), "code")
+        .select(F.col(id_col).alias(id_field), "code")
         .withColumn("ingest_batch", F.lit(int(epoch)))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1776,8 +1788,10 @@ def compact_ann_index(spark, path: str) -> int:
     if tombs is None and raw_epochs is None and raw_pq is None:
         return 0
     fold_marks: dict[str, int] = {}
+    pre_marks: dict[str, int] = {}
     for sub, raw in (("lists", raw_epochs), ("codes", raw_pq)):
         mark = read_fold_marker(spark, f"{path}/{sub}")
+        pre_marks[sub] = mark
         if raw is not None:
             m = raw.agg(F.max("ingest_batch")).first()[0]
             if m is not None:
@@ -1792,6 +1806,7 @@ def compact_ann_index(spark, path: str) -> int:
     for sub, id_field, _ in tables:
         live = f"{path}/{sub}"
         rows = spark.read.parquet(live)
+        folded_tier = epochs if sub == "lists" else pq_epochs
         if sub == "lists":
             rows = rows.select("neighbor_id", "c_vec", "c_nrm", "__list")
             if epochs is not None:
@@ -1802,6 +1817,16 @@ def compact_ann_index(spark, path: str) -> int:
             rows = rows.select(id_field, "code")
             if pq_epochs is not None:
                 rows = rows.unionByName(pq_epochs.select(id_field, "code"))
+        if folded_tier is not None and pre_marks[sub] < 0:
+            # LEGACY posture: an epoch tier with no fold fencepost on the
+            # base table. A pre-fencepost compaction that crashed between
+            # the swap and the epoch-directory delete left the folded
+            # rows BOTH in the base and on disk as epochs — the old code
+            # relied on this distinct for exactly that window, and
+            # without a marker the live-tier filter cannot tell. One-time
+            # cost: this run writes the marker, so the distinct never
+            # runs again on this artifact.
+            rows = rows.distinct()
         masked = _mask_ann_retracted(rows, tombs, id_field)
         writer = masked.write.mode("overwrite")
         if sub == "lists":

@@ -196,6 +196,51 @@ class TestEmbeddingIndexIngest:
         sim.append_ivf_epoch(spark, path, newer, epoch=1)
         assert len(_loaded_ids(spark, path)) == 45
 
+    def test_legacy_crash_state_without_marker_compacts_clean(
+        self, spark, tmp_path
+    ):
+        """r8 review finding: a PRE-fencepost artifact whose compaction
+        crashed between the lists swap and the epoch-dir delete has the
+        folded rows BOTH in the base and on disk as epochs, with no
+        ``_folded_through`` marker — the old code's ``.distinct()``
+        covered that window, so the new fencepost path must fall back to
+        distinct when an epoch tier exists but the base has no marker,
+        or the re-run bakes permanent duplicates into the base."""
+        import os
+        import shutil
+
+        path = str(tmp_path / "idx")
+        _build_base(spark, path, _vecs(0, 30, seed=10))
+        new = spark.createDataFrame(
+            _vecs(100, 10, seed=11),
+            "vec_id long, embedding array<float>, label int",
+        )
+        sim.append_ivf_epoch(spark, path, new, epoch=0)
+
+        # reproduce the legacy crash state: fold (which writes the r8
+        # marker), resurrect the epoch tier, then strip the marker —
+        # base holds the folded rows, epochs on disk, no fencepost
+        saved = str(tmp_path / "saved_epochs")
+        shutil.copytree(f"{path}/lists_epochs", saved)
+        assert sim.compact_ann_index(spark, path) == 0
+        shutil.copytree(saved, f"{path}/lists_epochs")
+        os.remove(f"{path}/lists/_folded_through")
+
+        # the re-run must converge to 40 DISTINCT rows, not 50
+        assert sim.compact_ann_index(spark, path) == 0
+        base = [
+            r.neighbor_id
+            for r in spark.read.parquet(f"{path}/lists").collect()
+        ]
+        assert sorted(base) == sorted(set(base))
+        assert len(base) == 40
+        assert not os.path.exists(f"{path}/lists_epochs")
+        # and the artifact is now marker-bearing: the distinct fallback
+        # was a one-time migration cost
+        from real_estate_bigdata_spark.util import read_fold_marker
+
+        assert read_fold_marker(spark, f"{path}/lists") >= 0
+
 
 class TestPqEpochAppend:
     """append_pq_epoch (round 8): the codes twin of the IVF epoch tier
@@ -317,6 +362,40 @@ class TestPqEpochAppend:
                 self._df(spark, _vecs(0, 3, seed=1)),
                 epoch=0,
             )
+
+    def test_epoch_id_column_comes_from_artifact_not_caller(
+        self, spark, tmp_path
+    ):
+        """r8 review: the artifact was saved with id column 'emb_id';
+        an append whose input frame names its id 'vec_id' (the default)
+        must still land the epoch tier under the ARTIFACT's id column —
+        the caller's id_col names the input column only. Before the
+        fix the tier was durably written with the caller's name and
+        every later load_pq failed at serve time."""
+        path = str(tmp_path / "pq")
+        rows = _vecs(0, 30, seed=16)
+        df = spark.createDataFrame(
+            [(i, v) for i, v, _ in rows],
+            "emb_id long, embedding array<float>",
+        )
+        cb = sim.train_pq(df, m=4, ksub=8, id_col="emb_id")
+        sim.save_pq(
+            cb, sim.pq_encode(df, cb, id_col="emb_id"), path, id_col="emb_id"
+        )
+
+        new_rows = _vecs(100, 8, seed=17)
+        sim.append_pq_epoch(
+            spark, path, self._df(spark, new_rows), epoch=0
+        )  # default id_col='vec_id' — input column name, nothing more
+        _, codes = sim.load_pq(spark, path)
+        assert codes.columns[0] == "emb_id"
+        assert sorted(r.emb_id for r in codes.collect()) == sorted(
+            r[0] for r in rows + new_rows
+        )
+        # and the fold keeps the artifact's id column
+        assert sim.compact_ann_index(spark, path) == 0
+        base = spark.read.parquet(f"{path}/codes")
+        assert "emb_id" in base.columns and "vec_id" not in base.columns
 
 
 class TestIvfPqCombinedIngest:

@@ -149,6 +149,36 @@ def test_validation(spark):
         dsir.dsir_select(raw, tgt, k=0)
 
 
+def test_null_id_rows_are_excluded(spark):
+    """r8 review: a NULL-id doc used to surface with a fabricated
+    0.0 (log-neutral) weight — its real grams landed under a NULL join
+    key the shell's equality join can never match — and dsir_select's
+    md5-of-concat_ws Gumbel key gave the NULL row a real (selectable)
+    key the oracle's md5(NULL) cannot reproduce. Contract now: NULL-id
+    rows are excluded entirely, and every OTHER doc's weight is
+    unchanged by their presence (their grams stay out of the q fit on
+    both sides)."""
+    noisy = RAW + [(None, "totally off-target junk text junk junk")]
+    got = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir.dsir_logweights(
+            _df(spark, noisy), _df(spark, TARGET), n_buckets=64
+        ).collect()
+    }
+    assert None not in got
+    want = _py_dsir(RAW, TARGET, n_buckets=64)
+    assert set(got) == set(want)
+    for i in want:
+        if want[i] is None:
+            assert got[i] is None, i
+        else:
+            assert got[i] == pytest.approx(want[i], abs=2e-6), i
+    sel = dsir.dsir_select(
+        _df(spark, noisy), _df(spark, TARGET), k=len(RAW) + 1, n_buckets=64
+    ).collect()
+    assert all(r.doc_id is not None for r in sel)
+
+
 def test_empty_target_is_uniformly_negative(spark):
     """A target with no tokens fits the all-smoothing multinomial: every
     weight is finite (never -inf/NaN) and tokened docs score below 0

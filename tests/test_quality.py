@@ -508,6 +508,20 @@ class TestGopherQualityFilter:
         assert out[5].bullet_line_ratio == 1.0
         assert out[6].ellipsis_line_ratio == round(2 / 3, 6)
 
+    def test_unicode_ellipsis_counts_in_symbol_ratio(self, spark):
+        """r8 review: '…' (U+2026) must count toward the symbol-to-word
+        ratio exactly like its ASCII spelling — a byte-identical doc
+        must not evade the rule by using the Unicode form (which the
+        ellipsis-LINE rule already recognized)."""
+        out = self._run(
+            spark,
+            [(1, "alpha… beta… gamma… delta…"), (2, "alpha... beta... gamma... delta...")],
+        )
+        assert out[1].symbol_word_ratio == 1.0
+        assert out[1].symbol_word_ratio == out[2].symbol_word_ratio
+        # the line rule still sees both forms
+        assert out[1].ellipsis_line_ratio == 1.0
+
     def test_each_threshold_rejects(self, spark):
         base = dict(
             min_words=5, max_words=1000, min_mean_word_len=1.0,
