@@ -22,11 +22,14 @@ integer metric sitting on the boundary.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "baseline_histogram",
+    "c4_quality_filter",
     "corpus_health_report",
     "distribution_drift",
     "drift_from_histograms",
@@ -174,6 +177,145 @@ def gopher_quality_filter(
         F.when(text.isNull(), null.cast("boolean"))
         .otherwise(F.coalesce(gopher_pass, F.lit(False)))
         .alias("gopher_pass"),
+    )
+
+
+def c4_quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """The C4 cleaning battery (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2) — the second canonical published web-filter
+    set alongside :func:`gopher_quality_filter`, and the LINE-granular
+    one: where Gopher scores whole documents, C4 first REWRITES the
+    document by dropping boilerplate lines, then gates the page.
+
+    Line rules (a line survives only if all hold):
+      * ends in terminal punctuation (``. ! ? "`` or ``'`` after
+        right-trim — the paper's "terminal punctuation mark" rule);
+      * has at least ``min_words_per_line`` whitespace words (paper: 5);
+      * does not contain the word "javascript" (case-insensitive) —
+        the paper's warning-banner heuristic.
+
+    Page rules over the ORIGINAL text (the paper drops the whole page):
+      * fewer than ``min_sentences`` sentences in the CLEANED text
+        (paper: 3) — sentences via the same lookbehind-free
+        ``[^.!?]+[.!?]*`` runs as :func:`text_analysis.chunk_documents`
+        so the DuckDB oracle is bit-exact;
+      * contains ``{`` (code page) or the phrase "lorem ipsum"
+        (placeholder page), both per the paper;
+      * contains any ``blocklist`` phrase (case-insensitive) — the
+        paper's bad-words list, parameterized because the published
+        list is corpus-specific (empty default = rule off).
+
+    Every threshold is a parameter with the paper's value as default;
+    non-web corpora retune them (``require_terminal_punct=False``
+    disables the punctuation line rule for corpora without sentence
+    punctuation — the driver query does, to exercise both verdicts on
+    the synthetic testdata, exactly as the Gopher query retunes its
+    thresholds).
+
+    ONE map-only pass of pure Column expressions (no shuffle, no
+    Python; pushes into whole-stage codegen over the scan), with lines
+    and the kept-line array STAGED as real columns — the same
+    CollapseProject idiom as :func:`gopher_quality_filter`, since every
+    downstream metric would otherwise re-embed the line filter inside
+    HOF lambdas where codegen CSE cannot reach.
+
+    Emits per-doc telemetry (line/sentence counts, page flags), the
+    cleaned text (kept lines rejoined with ``\\n``; empty string when
+    nothing survives), and ``c4_pass``. NULL text -> NULL metrics and a
+    NULL verdict (the engine-wide NULL-document contract)."""
+    text = F.col(text_col)
+
+    def _line_words(ln: Column) -> Column:
+        return F.when(F.trim(ln) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(ln), r"\s+"))
+        )
+
+    def keep(ln: Column) -> Column:
+        ok = (_line_words(ln) >= min_words_per_line) & ~F.contains(
+            F.lower(ln), F.lit("javascript")
+        )
+        if require_terminal_punct:
+            ok = F.rtrim(ln).rlike("[.!?\"']$") & ok
+        return ok
+    staged = docs.select(
+        F.col(id_col),
+        text,
+        F.split(text, "\n").alias("__lines"),
+    ).select(
+        F.col(id_col),
+        text,
+        F.col("__lines"),
+        F.filter(F.col("__lines"), keep).alias("__kept"),
+    )
+    clean = F.array_join(F.col("__kept"), "\n")
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(clean, F.lit(r"[^.!?]+[.!?]*"), 0),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    staged = staged.select(
+        F.col(id_col),
+        text,
+        F.size("__lines").alias("__n_lines"),
+        F.size("__kept").alias("__n_kept"),
+        clean.alias("__clean"),
+        F.size(sents).alias("__n_sents"),
+    )
+    low = F.lower(text)
+    has_brace = F.contains(text, F.lit("{"))
+    has_lorem = F.contains(low, F.lit("lorem ipsum"))
+    has_block = (
+        functools.reduce(
+            lambda a, b: a | b,
+            [F.contains(low, F.lit(p.lower())) for p in blocklist],
+        )
+        if blocklist
+        else F.lit(False)
+    )
+    c4_pass = (
+        (F.col("__n_sents") >= min_sentences)
+        & ~has_brace
+        & ~has_lorem
+        & ~has_block
+    )
+    null = F.lit(None)
+    return staged.select(
+        F.col(id_col),
+        F.when(text.isNull(), null.cast("int"))
+        .otherwise(F.col("__n_lines"))
+        .alias("n_lines"),
+        F.when(text.isNull(), null.cast("int"))
+        .otherwise(F.col("__n_kept"))
+        .alias("n_kept_lines"),
+        F.when(text.isNull(), null.cast("int"))
+        .otherwise(F.col("__n_sents"))
+        .alias("n_sentences"),
+        F.when(text.isNull(), null.cast("boolean"))
+        .otherwise(has_brace)
+        .alias("has_curly_brace"),
+        F.when(text.isNull(), null.cast("boolean"))
+        .otherwise(has_lorem)
+        .alias("has_lorem_ipsum"),
+        F.when(text.isNull(), null.cast("boolean"))
+        .otherwise(has_block)
+        .alias("has_blocklisted"),
+        F.when(text.isNull(), null.cast("string"))
+        .otherwise(F.col("__clean"))
+        .alias("clean_text"),
+        F.when(text.isNull(), null.cast("boolean"))
+        .otherwise(c4_pass)
+        .alias("c4_pass"),
     )
 
 

@@ -551,3 +551,101 @@ class TestGopherQualityFilter:
         stats = plan_stats(gopher_quality_filter(docs))
         assert stats.shuffles == 0
         assert stats.python_stages == 0
+
+
+class TestC4QualityFilter:
+    """C4 cleaning battery (Raffel et al. 2020 §2.2) — hand-pinned line
+    keep/drop arithmetic, each page rule's rejection path, the cleaned
+    text rewrite, NULL/empty contract, and a map-only plan."""
+
+    GOOD = (
+        "The first sentence here is long enough to keep easily today.\n"
+        "Another good sentence with plenty of words stands right here.\n"
+        "A third full sentence closes out the page quite nicely now."
+    )
+
+    def _run(self, spark, rows, **kw):
+        from real_estate_bigdata_spark.operators.quality import (
+            c4_quality_filter,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in c4_quality_filter(df, **kw).collect()}
+
+    def test_line_rules_and_clean_text(self, spark):
+        out = self._run(
+            spark,
+            [
+                (1, self.GOOD),
+                # no terminal punct -> dropped; short -> dropped;
+                # javascript -> dropped; survivor kept verbatim
+                (2, "no terminal punctuation on this line\n"
+                    "Too short.\n"
+                    "Please enable JavaScript to view this content today.\n"
+                    "Only this surviving line has words and ends with it."),
+                (3, None),
+                (4, ""),
+            ],
+        )
+        r1 = out[1]
+        assert r1.n_lines == 3 and r1.n_kept_lines == 3
+        assert r1.n_sentences == 3 and r1.c4_pass is True
+        assert r1.clean_text == self.GOOD
+        r2 = out[2]
+        assert r2.n_lines == 4 and r2.n_kept_lines == 1
+        assert r2.clean_text == (
+            "Only this surviving line has words and ends with it."
+        )
+        assert r2.n_sentences == 1 and r2.c4_pass is False
+        r3 = out[3]
+        assert all(
+            getattr(r3, f) is None
+            for f in (
+                "n_lines", "n_kept_lines", "n_sentences",
+                "has_curly_brace", "has_lorem_ipsum", "has_blocklisted",
+                "clean_text", "c4_pass",
+            )
+        )
+        r4 = out[4]
+        assert r4.n_kept_lines == 0 and r4.c4_pass is False
+        assert r4.clean_text == ""
+
+    def test_each_page_rule_rejects(self, spark):
+        rows = [
+            (1, self.GOOD),
+            (2, self.GOOD + "\nvar x = { 'code': 1 };"),
+            (3, self.GOOD + "\nLorem Ipsum dolor sit amet."),
+            (4, self.GOOD + "\nbuy cheap widgets now please."),
+        ]
+        out = self._run(spark, rows, blocklist=("CHEAP widgets",))
+        assert out[1].c4_pass is True
+        assert out[2].has_curly_brace is True and out[2].c4_pass is False
+        assert out[3].has_lorem_ipsum is True and out[3].c4_pass is False
+        assert out[4].has_blocklisted is True and out[4].c4_pass is False
+        # min_sentences gate
+        strict = self._run(spark, [(1, self.GOOD)], min_sentences=4)
+        assert strict[1].c4_pass is False
+
+    def test_terminal_punct_relaxation(self, spark):
+        rows = [(1, "five plain words sit here\nshort one")]
+        out = self._run(spark, rows)
+        assert out[1].n_kept_lines == 0
+        relaxed = self._run(
+            spark, rows, require_terminal_punct=False, min_sentences=1
+        )
+        assert relaxed[1].n_kept_lines == 1
+        assert relaxed[1].clean_text == "five plain words sit here"
+        assert relaxed[1].c4_pass is True
+
+    def test_map_only_plan(self, spark):
+        from real_estate_bigdata_spark.operators.quality import (
+            c4_quality_filter,
+        )
+        from real_estate_bigdata_spark.plans.audit import plan_stats
+
+        docs = spark.createDataFrame(
+            [(1, self.GOOD)], "doc_id long, text string"
+        )
+        stats = plan_stats(c4_quality_filter(docs, blocklist=("x",)))
+        assert stats.shuffles == 0
+        assert stats.python_stages == 0
