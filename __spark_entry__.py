@@ -421,6 +421,25 @@ def _q_embed_ivfpq_topk(spark, sf):
     )
 
 
+def _q_linear_probe(spark, sf):
+    """Closed-form linear probe (NEW r8; the FineWeb-Edu pattern,
+    Penedo et al. 2024) — rows-only: the one-pass ridge fit is a d x d
+    linear solve ANSI SQL cannot express (same class as the BPE argmax
+    loop); the fit is instead pinned against an independent numpy
+    closed-form mirror in tests/test_linear_probe.py. Fit on the
+    binary is-low-class indicator over the labeled rows, score the
+    whole corpus with a map-only Column dot against the plan-literal
+    weights."""
+    from real_estate_bigdata_spark.operators.linear_probe import (
+        linear_probe_scores,
+    )
+
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "__target", (F.col("label") <= 4).cast("double")
+    )
+    return linear_probe_scores(emb, target_col="__target")
+
+
 def _q_dedup_embedding_ivf(spark, sf):
     """IVF-blocked near-dup pair generation (NEW r4) — rows-only like
     the other ANN queries: approximate by construction (pairs found iff
@@ -1245,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding_ivf": _q_dedup_embedding_ivf,
         "q_embed_pq_topk": _q_embed_pq_topk,
         "q_embed_ivfpq_topk": _q_embed_ivfpq_topk,
+        "q_linear_probe": _q_linear_probe,
     }
 
 

@@ -111,7 +111,11 @@ from real_estate_bigdata_spark.operators.similarity import (
     train_pq,
 )
 from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
-from real_estate_bigdata_spark.operators.quality import metric_histogram
+from real_estate_bigdata_spark.operators.pruning import prototype_prune
+from real_estate_bigdata_spark.operators.quality import (
+    c4_quality_filter,
+    metric_histogram,
+)
 from real_estate_bigdata_spark.operators.sampling import cap_per_group, shuffle_shard
 from real_estate_bigdata_spark.operators.versioning import corpus_diff
 from real_estate_bigdata_spark.schema import load_table
@@ -404,6 +408,18 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         # verdict task #5); bit-identical output is pytest-pinned
         "bpe_train_batched": lambda: _bpe_train_batched_df(
             spark, docs(), scale
+        ),
+        # late-r8: the C4 cleaning battery (map-only Column pass —
+        # linear by construction, measured to prove it) and prototype
+        # pruning on the sort-free approx path (broadcast centroid
+        # aggregate + per-class percentile cutoff — the 100 TB
+        # formulation; the exact window variant is the oracle twin)
+        "c4_filter": lambda: c4_quality_filter(
+            docs(), min_words_per_line=30, min_sentences=1,
+            require_terminal_punct=False,
+        ),
+        "prototype_prune": lambda: prototype_prune(
+            emb(), keep_frac=0.4, keep="hard", approx=True
         ),
         # PQ family over the scaled embedding corpus: train (bounded
         # sample) + encode (linear Arrow pass) + reranked ADC search —

@@ -1,0 +1,131 @@
+"""Closed-form linear probe (FineWeb-Edu pattern): the distributed
+one-pass ridge fit must agree with an independent single-pass numpy
+mirror, recover a planted linear signal, score unlabeled rows without
+letting them vote, and keep the scoring plan map-only/JVM-only."""
+
+import numpy as np
+import pytest
+
+
+def _corpus(spark, n=200, d=8, seed=7, unlabeled_every=5):
+    """Deterministic synthetic corpus with a planted linear target:
+    y = X @ w* + 0.25 (exactly linear — recoverable)."""
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d))
+    w_true = rng.standard_normal(d)
+    y = X @ w_true + 0.25
+    rows = []
+    for i in range(n):
+        lab = None if i % unlabeled_every == 0 else float(y[i])
+        rows.append((i, [float(v) for v in X[i]], lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label double"
+    ).repartition(4)
+    return df, X, y, w_true
+
+
+def _numpy_ridge(X, y, l2, intercept=True):
+    if intercept:
+        X = np.hstack([X, np.ones((X.shape[0], 1))])
+    G = X.T @ X
+    reg = np.eye(X.shape[1]) * l2
+    if intercept:
+        reg[-1, -1] = 0.0
+    return np.linalg.solve(G + reg, X.T @ y)
+
+
+class TestFit:
+    def test_matches_numpy_mirror_and_recovers_signal(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            fit_linear_probe,
+        )
+
+        df, X, y, w_true = _corpus(spark)
+        mask = np.array([i % 5 != 0 for i in range(len(y))])
+        w = fit_linear_probe(df, l2=1e-6)
+        w_np = _numpy_ridge(X[mask], y[mask], 1e-6)
+        assert np.allclose(w, w_np, atol=1e-8)
+        # the planted signal is exactly linear: near-exact recovery
+        assert np.allclose(w[:-1], w_true, atol=1e-6)
+        assert abs(w[-1] - 0.25) < 1e-6
+
+    def test_no_intercept_and_l2_shrinks(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            fit_linear_probe,
+        )
+
+        df, X, y, _ = _corpus(spark)
+        mask = np.array([i % 5 != 0 for i in range(len(y))])
+        w0 = fit_linear_probe(df, l2=0.0, intercept=False)
+        assert np.allclose(
+            w0, _numpy_ridge(X[mask], y[mask], 0.0, intercept=False),
+            atol=1e-8,
+        )
+        w_reg = fit_linear_probe(df, l2=100.0, intercept=False)
+        assert np.linalg.norm(w_reg) < np.linalg.norm(w0)
+
+    def test_validation(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            fit_linear_probe,
+        )
+
+        empty = spark.createDataFrame(
+            [(1, [1.0, 2.0], None)],
+            "vec_id long, embedding array<double>, label double",
+        )
+        with pytest.raises(ValueError, match="no training rows"):
+            fit_linear_probe(empty)
+        ragged = spark.createDataFrame(
+            [(1, [1.0, 2.0], 1.0), (2, [1.0, 2.0, 3.0], 0.0)],
+            "vec_id long, embedding array<double>, label double",
+        ).repartition(2)
+        with pytest.raises(ValueError):
+            fit_linear_probe(ragged)
+        with pytest.raises(ValueError, match="l2"):
+            fit_linear_probe(empty, l2=-1.0)
+
+
+class TestScores:
+    def test_scores_everyone_fit_on_labeled_only(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            linear_probe_scores,
+        )
+
+        df, X, y, _ = _corpus(spark)
+        out = {r.vec_id: r.probe_score for r in linear_probe_scores(
+            df, l2=1e-6
+        ).collect()}
+        assert len(out) == len(y)
+        # unlabeled rows (every 5th) are scored too, and the exactly
+        # linear target makes every score ~the true y
+        for i in (0, 5, 10, 3, 7):
+            assert out[i] == pytest.approx(y[i], abs=1e-4)
+
+    def test_null_vector_scores_null(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            probe_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r.vec_id: r.probe_score
+            for r in probe_scores(df, np.array([2.0, 0.0, 0.5])).collect()
+        }
+        assert out[1] == 2.5
+        assert out[2] is None
+
+    def test_scoring_plan_map_only_jvm_only(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            probe_scores,
+        )
+        from real_estate_bigdata_spark.plans.audit import plan_stats
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        stats = plan_stats(probe_scores(df, np.array([1.0, 1.0, 0.0])))
+        assert stats.shuffles == 0
+        assert stats.python_stages == 0
