@@ -67,8 +67,13 @@ def fit_linear_probe(
     not silently produce garbage weights)."""
     if l2 < 0:
         raise ValueError(f"l2 must be >= 0, got {l2}")
+    # a vector CONTAINING a NULL element is unusable for the fit the
+    # same way a NULL vector is: exclude it here (it still gets a NULL
+    # score downstream — the Column dot propagates element NULLs)
     train = emb.filter(
-        F.col(target_col).isNotNull() & F.col(vec_col).isNotNull()
+        F.col(target_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & F.forall(F.col(vec_col), lambda x: x.isNotNull())
     ).select(
         F.col(vec_col).cast("array<double>").alias("__x"),
         F.col(target_col).cast("double").alias("__y"),
@@ -80,7 +85,16 @@ def fit_linear_probe(
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack(pdf["__x"].to_numpy())
+            try:
+                X = np.stack(pdf["__x"].to_numpy())
+            except ValueError as exc:
+                # ragged dims inside one Arrow batch — raise the same
+                # contract message the cross-batch check gives instead
+                # of numpy's opaque stack error
+                raise ValueError(
+                    "fit_linear_probe: inconsistent embedding dims "
+                    f"within a batch: {sorted({len(v) for v in pdf['__x']})}"
+                ) from exc
             y = pdf["__y"].to_numpy(dtype=np.float64)
             if intercept:
                 X = np.hstack([X, np.ones((X.shape[0], 1))])

@@ -129,3 +129,46 @@ class TestScores:
         stats = plan_stats(probe_scores(df, np.array([1.0, 1.0, 0.0])))
         assert stats.shuffles == 0
         assert stats.python_stages == 0
+
+
+class TestElementNulls:
+    def test_null_element_excluded_from_fit_scored_null(self, spark):
+        """A vector containing a NULL element must not poison the Gram
+        accumulation (excluded from training like a NULL vector) and
+        must score NULL (the Column dot propagates element NULLs)."""
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            fit_linear_probe,
+            linear_probe_scores,
+        )
+
+        # second feature varies (a constant one would be collinear
+        # with the intercept and singular at l2=0)
+        clean = [
+            (i, [float(i), float(i % 3)], float(2 * i + 0.5 * (i % 3) + 3))
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(
+            clean + [(99, [1.0, None], 100.0)],
+            "vec_id long, embedding array<double>, label double",
+        )
+        w = fit_linear_probe(df, l2=0.0)
+        # fit on the clean rows only: y = 2*x0 + 0.5*x1 + 3 exactly
+        assert w == pytest.approx([2.0, 0.5, 3.0], abs=1e-8)
+        out = {
+            r.vec_id: r.probe_score
+            for r in linear_probe_scores(df, l2=0.0).collect()
+        }
+        assert out[99] is None
+        assert out[4] == pytest.approx(2 * 4 + 0.5 * 1 + 3, abs=1e-6)
+
+    def test_within_batch_ragged_dims_clear_error(self, spark):
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            fit_linear_probe,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], 1.0), (2, [1.0, 2.0, 3.0], 0.0)],
+            "vec_id long, embedding array<double>, label double",
+        ).coalesce(1)
+        with pytest.raises(Exception, match="inconsistent embedding dims"):
+            fit_linear_probe(df)
