@@ -440,6 +440,95 @@ def _q_linear_probe(spark, sf):
     return linear_probe_scores(emb, target_col="__target")
 
 
+# Deterministic evaluation weight vector (dim 64, mixed signs) — a
+# plan-literal score both engines can compute bit-equally, so the
+# evaluation statistics themselves (not a model fit) are what the
+# oracle checks.
+_EVAL_W = [((j * 37) % 19 - 9) / 10.0 for j in range(64)]
+
+
+def _eval_scored(spark, sf):
+    """(vec_id, score, y): fixed-weight dot score over the embeddings
+    plus the is-low-class indicator — the shared input of the four
+    evaluation queries."""
+    from real_estate_bigdata_spark.functions.vectors import dot
+
+    w = F.array(*[F.lit(v) for v in _EVAL_W])
+    return load_table(spark, sf, "embeddings").select(
+        F.col("vec_id"),
+        F.round(dot(F.col("embedding"), w), 6).alias("score"),
+        (F.col("label") <= 4).cast("int").alias("y"),
+    )
+
+
+def _q_auc_fixed(spark, sf):
+    """Exact ROC-AUC (NEW r8; Mann-Whitney rank form with the Hanley &
+    McNeil tie correction) of the fixed-weight score against the
+    is-low-class indicator — the measure-before-you-curate step every
+    quality signal needs. Distributed shape: the corpus collapses to
+    its distinct-score histogram map-side; the ordered window runs over
+    that bounded frame, never rows."""
+    from real_estate_bigdata_spark.operators.evaluation import auc_score
+
+    return auc_score(_eval_scored(spark, sf), "score", "y")
+
+
+def _q_calibration_bins(spark, sf):
+    """Reliability-diagram bins (NEW r8): mean score vs empirical
+    positive rate per fixed-width bin over [-2, 2), out-of-range
+    scores clamped into the edge bins. One groupBy, 8-row output."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    return calibration_bins(
+        _eval_scored(spark, sf), "score", "y", lo=-2.0, hi=2.0, bins=8
+    )
+
+
+def _q_confusion_probe(spark, sf):
+    """Confusion counts + accuracy/precision/recall/F1 at score >= 0
+    (NEW r8) in ONE map-side-combined aggregate; rates NULL — never
+    0 — on a zero denominator."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        confusion_at_threshold,
+    )
+
+    return confusion_at_threshold(_eval_scored(spark, sf), "score", "y", 0.0)
+
+
+def _q_precision_at_k(spark, sf):
+    """Precision among the global top-100 by score (NEW r8) with the
+    deterministic vec_id tiebreak — TakeOrderedAndProject plan
+    (per-partition heaps), never a global sort."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        precision_at_k,
+    )
+
+    return precision_at_k(_eval_scored(spark, sf), "score", "y", "vec_id", 100)
+
+
+def _q_probe_auc(spark, sf):
+    """The served composition (NEW r8; rows-only — the probe fit is the
+    same non-SQL d x d solve as q_linear_probe): fit the closed-form
+    linear probe, evaluate it with the distributed AUC. The AUC algebra
+    itself is oracle-checked by q_auc_fixed; this query pins the
+    fit->score->measure pipeline end-to-end (agreement with the
+    rank-sum mirror is pinned in tests/test_evaluation.py)."""
+    from real_estate_bigdata_spark.operators.evaluation import auc_score
+    from real_estate_bigdata_spark.operators.linear_probe import (
+        linear_probe_scores,
+    )
+
+    emb = load_table(spark, sf, "embeddings").withColumn(
+        "__target", (F.col("label") <= 4).cast("double")
+    )
+    scores = linear_probe_scores(emb, target_col="__target").join(
+        emb.select("vec_id", "__target"), "vec_id"
+    )
+    return auc_score(scores, "probe_score", "__target")
+
+
 def _q_dedup_embedding_ivf(spark, sf):
     """IVF-blocked near-dup pair generation (NEW r4) — rows-only like
     the other ANN queries: approximate by construction (pairs found iff
@@ -1209,6 +1298,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_normalize_listings": _q_normalize_listings,
         "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "q_hybrid_search": _q_hybrid_search,
+        # 4 NEW r8-late evaluation queries: past-cap because every
+        # in-cap slot is owned by the rotation contract this round (43
+        # r6-verified + 6 new-r8 + q_bm25_index_search re-verifying the
+        # r8 bm25_search change); each is DuckDB-checked on every
+        # pytest run (test_queries) and rotates in-cap in r9
+        "q_auc_fixed": _q_auc_fixed,
+        "q_calibration_bins": _q_calibration_bins,
+        "q_confusion_probe": _q_confusion_probe,
+        "q_precision_at_k": _q_precision_at_k,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -1265,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_pq_topk": _q_embed_pq_topk,
         "q_embed_ivfpq_topk": _q_embed_ivfpq_topk,
         "q_linear_probe": _q_linear_probe,
+        "q_probe_auc": _q_probe_auc,
     }
 
 
@@ -3385,4 +3484,85 @@ def oracle_sql() -> dict[str, str]:
     # path by construction (shared _bm25_rank kernel, pytest-pinned), so
     # the same oracle applies verbatim
     oracles["q_bm25_index_search"] = oracles["q_bm25_search"]
+
+    # Evaluation queries share one scored CTE: the fixed-weight dot
+    # score (bit-equal to Spark's sequential-fold `dot` after round-6,
+    # same parity q_embed_cosine_topk pins) + the 0/1 indicator.
+    w_lit = "[" + ", ".join(repr(v) for v in _EVAL_W) + "]"
+    scored_cte = f"""
+        WITH scored AS (
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[],
+                                          {w_lit}::DOUBLE[]), 6) AS score,
+                   CASE WHEN label <= 4 THEN 1 ELSE 0 END AS y
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL
+        ), valid AS (SELECT * FROM scored WHERE score IS NOT NULL)
+    """
+    oracles["q_auc_fixed"] = scored_cte + """
+        , h AS (
+            SELECT score, sum(y)::DOUBLE AS pos,
+                   sum(1 - y)::DOUBLE AS neg
+            FROM valid GROUP BY score
+        ), c AS (
+            SELECT pos, neg,
+                   pos * (coalesce(sum(neg) OVER (
+                              ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                          + neg / 2) AS contrib
+            FROM h
+        )
+        SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                    THEN round(sum(contrib) / (sum(pos) * sum(neg)), 6)
+               END AS auc,
+               sum(pos)::BIGINT AS n_pos,
+               sum(neg)::BIGINT AS n_neg
+        FROM c
+    """
+    oracles["q_calibration_bins"] = scored_cte + """
+        SELECT CAST(least(7, greatest(0,
+                   floor((score - (-2.0)) / 4.0 * 8))) AS INT) AS bin,
+               count(*) AS n,
+               round(avg(score), 6) AS mean_score,
+               round(avg(y::DOUBLE), 6) AS frac_pos
+        FROM valid
+        GROUP BY 1
+    """
+    oracles["q_confusion_probe"] = scored_cte + """
+        , base AS (
+            SELECT CASE WHEN score >= 0.0 THEN 1 ELSE 0 END AS p, y
+            FROM valid
+        ), cm AS (
+            SELECT sum(p * y)::BIGINT AS tp,
+                   sum(p * (1 - y))::BIGINT AS fp,
+                   sum((1 - p) * (1 - y))::BIGINT AS tn,
+                   sum((1 - p) * y)::BIGINT AS fn
+            FROM base
+        )
+        SELECT tp, fp, tn, fn,
+               round((tp + tn)::DOUBLE / nullif(tp + fp + tn + fn, 0), 6)
+                   AS accuracy,
+               round(tp::DOUBLE / nullif(tp + fp, 0), 6) AS "precision",
+               round(tp::DOUBLE / nullif(tp + fn, 0), 6) AS recall,
+               round(CASE WHEN tp::DOUBLE / nullif(tp + fp, 0)
+                             + tp::DOUBLE / nullif(tp + fn, 0) > 0
+                          THEN 2 * (tp::DOUBLE / nullif(tp + fp, 0))
+                                 * (tp::DOUBLE / nullif(tp + fn, 0))
+                               / (tp::DOUBLE / nullif(tp + fp, 0)
+                                  + tp::DOUBLE / nullif(tp + fn, 0))
+                     END, 6) AS f1
+        FROM cm
+    """
+    oracles["q_precision_at_k"] = scored_cte + """
+        , top AS (
+            SELECT y FROM valid
+            ORDER BY score DESC, vec_id ASC
+            LIMIT 100
+        )
+        SELECT 100::INT AS k,
+               sum(y)::BIGINT AS n_pos,
+               round(sum(y)::DOUBLE / count(*), 6) AS precision_at_k
+        FROM top
+    """
     return oracles

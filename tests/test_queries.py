@@ -108,6 +108,15 @@ def test_every_query_has_oracle_or_is_documented():
         # tests/test_bpe.py, on both a handcrafted corpus and the same
         # testdata table the driver query reads
         "q_bpe_merges",
+        # closed-form linear probe (NEW r8): the one-pass ridge fit is
+        # a d x d linear solve ANSI SQL cannot express; pinned against
+        # an independent numpy closed-form mirror in
+        # tests/test_linear_probe.py
+        "q_linear_probe",
+        # probe AUC (NEW r8): same non-SQL fit; the AUC algebra itself
+        # is oracle-checked via q_auc_fixed, and the composition is
+        # pinned against the rank-sum mirror in tests/test_evaluation.py
+        "q_probe_auc",
     }
     assert set(missing) <= allowed_rows_only
 
