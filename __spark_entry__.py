@@ -508,6 +508,82 @@ def _q_precision_at_k(spark, sf):
     return precision_at_k(_eval_scored(spark, sf), "score", "y", "vec_id", 100)
 
 
+def _q_auc_by_slice(spark, sf):
+    """Per-slice ROC-AUC (NEW r8) — the sliced form of q_auc_fixed
+    over 4 deterministic vec_id shards: a strong aggregate AUC must
+    not hide a slice where the signal is noise. One (slice, score)
+    histogram shuffle; the window partitions BY slice (parallel,
+    never single-partition)."""
+    from real_estate_bigdata_spark.operators.evaluation import auc_by_slice
+
+    scored = _eval_scored(spark, sf).withColumn(
+        "slice_id", F.pmod(F.col("vec_id"), F.lit(4)).cast("int")
+    )
+    return auc_by_slice(scored, "slice_id", "score", "y").orderBy("slice_id")
+
+
+def _ranking_inputs(spark, sf):
+    """Deterministic ranked lists + graded judgments from the
+    embeddings table: 5 query pools (vec_id mod 5), ranked = per-pool
+    top-10 by the fixed-weight score with vec_id tiebreak, relevance
+    grade = greatest(0, 5 - label) (graded 1..5 for the low classes).
+    The per-pool row_number here is the demo harness — production
+    callers feed bm25_search/ivf_search outputs, top-k-sized by
+    construction."""
+    from pyspark.sql import Window
+    from real_estate_bigdata_spark.functions.vectors import dot
+
+    w = F.array(*[F.lit(v) for v in _EVAL_W])
+    scored = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .select(
+            F.pmod(F.col("vec_id"), F.lit(5)).cast("int").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot(F.col("embedding"), w), 6).alias("score"),
+            F.col("label"),
+        )
+        .filter(F.col("score").isNotNull())
+    )
+    rnk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(rnk)).filter(
+        F.col("rank") <= 10
+    )
+    rel = scored.select(
+        "query_id",
+        "doc_id",
+        F.greatest(F.lit(0), 5 - F.col("label")).cast("double").alias("grade"),
+    ).filter(F.col("grade") > 0)
+    return ranked, rel
+
+
+def _q_ranking_eval(spark, sf):
+    """Per-query retrieval metrics (NEW r8): MRR, precision@10,
+    recall@10, graded nDCG@10 of the fixed-score ranked pools against
+    the label-derived judgments — the measure for the BM25/ANN/hybrid
+    retrieval stack. Every aggregate is keyed by query over top-k- or
+    judgment-bounded rows."""
+    from real_estate_bigdata_spark.operators.evaluation import ranking_metrics
+
+    ranked, rel = _ranking_inputs(spark, sf)
+    return ranking_metrics(ranked, rel, k=10).orderBy("query_id")
+
+
+def _q_ranking_summary(spark, sf):
+    """Macro-averaged retrieval summary (NEW r8; TREC convention:
+    per-query mean so a high-traffic query cannot drown the tail;
+    unmeasurable queries counted, never zero-filled)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        ranking_metrics,
+        ranking_summary,
+    )
+
+    ranked, rel = _ranking_inputs(spark, sf)
+    return ranking_summary(ranking_metrics(ranked, rel, k=10))
+
+
 def _q_probe_auc(spark, sf):
     """The served composition (NEW r8; rows-only — the probe fit is the
     same non-SQL d x d solve as q_linear_probe): fit the closed-form
@@ -1307,6 +1383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration_bins": _q_calibration_bins,
         "q_confusion_probe": _q_confusion_probe,
         "q_precision_at_k": _q_precision_at_k,
+        "q_auc_by_slice": _q_auc_by_slice,
+        "q_ranking_eval": _q_ranking_eval,
+        "q_ranking_summary": _q_ranking_summary,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3564,5 +3643,109 @@ def oracle_sql() -> dict[str, str]:
                sum(y)::BIGINT AS n_pos,
                round(sum(y)::DOUBLE / count(*), 6) AS precision_at_k
         FROM top
+    """
+    # valid carries vec_id (the scored CTE selects it), so the sliced
+    # AUC reuses it with a mod-4 shard key and a partitioned window
+    oracles["q_auc_by_slice"] = scored_cte + """
+        , sl AS (
+            SELECT CAST(vec_id % 4 AS INT) AS slice_id, score, y
+            FROM valid
+        ), h AS (
+            SELECT slice_id, score, sum(y)::DOUBLE AS pos,
+                   sum(1 - y)::DOUBLE AS neg
+            FROM sl GROUP BY slice_id, score
+        ), c AS (
+            SELECT slice_id, pos, neg,
+                   pos * (coalesce(sum(neg) OVER (
+                              PARTITION BY slice_id ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                          + neg / 2) AS contrib
+            FROM h
+        )
+        SELECT slice_id,
+               CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                    THEN round(sum(contrib) / (sum(pos) * sum(neg)), 6)
+               END AS auc,
+               sum(pos)::BIGINT AS n_pos,
+               sum(neg)::BIGINT AS n_neg
+        FROM c GROUP BY slice_id ORDER BY slice_id
+    """
+    # Ranking-metrics oracles: 5 query pools (vec_id mod 5), per-pool
+    # top-10 by the fixed score, judgments graded greatest(0, 5-label);
+    # shared by the per-query and macro-summary queries.
+    ranking_cte = f"""
+        WITH scored AS (
+            SELECT CAST(vec_id % 5 AS INT) AS query_id,
+                   vec_id AS doc_id,
+                   round(list_dot_product(embedding::DOUBLE[],
+                                          {w_lit}::DOUBLE[]), 6) AS score,
+                   label
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL
+        ), valid AS (SELECT * FROM scored WHERE score IS NOT NULL),
+        ranked AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC)
+                       AS rnk
+            FROM valid
+        ), topk AS (SELECT * FROM ranked WHERE rnk <= 10),
+        rel AS (
+            SELECT query_id, doc_id,
+                   greatest(0, 5 - label)::DOUBLE AS grade
+            FROM valid WHERE greatest(0, 5 - label) > 0
+        ),
+        hits AS (
+            SELECT t.query_id, t.rnk, coalesce(r.grade, 0.0) AS grade
+            FROM topk t LEFT JOIN rel r
+              ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+        ),
+        pq AS (
+            SELECT query_id, count(*) AS n_retrieved,
+                   sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS rel_ret,
+                   min(CASE WHEN grade > 0 THEN rnk END) AS first_rel,
+                   sum((pow(2, grade) - 1) / log2(rnk + 1)) AS dcg
+            FROM hits GROUP BY query_id
+        ),
+        ideal AS (
+            SELECT query_id, count(*) AS n_relevant,
+                   sum(CASE WHEN ir <= 10
+                            THEN (pow(2, grade) - 1) / log2(ir + 1) END)
+                       AS idcg
+            FROM (SELECT query_id, grade,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY grade DESC,
+                                                     doc_id ASC) AS ir
+                  FROM rel)
+            GROUP BY query_id
+        ),
+        metrics AS (
+            SELECT p.query_id, p.n_retrieved,
+                   coalesce(i.n_relevant, 0) AS n_relevant,
+                   round(CASE WHEN i.n_relevant IS NOT NULL
+                              THEN coalesce(1.0 / first_rel, 0.0) END, 6)
+                       AS mrr,
+                   round(rel_ret::DOUBLE / p.n_retrieved, 6)
+                       AS precision_at_k,
+                   round(CASE WHEN i.n_relevant IS NOT NULL
+                              THEN rel_ret::DOUBLE / i.n_relevant END, 6)
+                       AS recall_at_k,
+                   round(CASE WHEN i.n_relevant IS NOT NULL
+                              THEN dcg / idcg END, 6) AS ndcg_at_k
+            FROM pq p LEFT JOIN ideal i ON p.query_id = i.query_id
+        )
+    """
+    oracles["q_ranking_eval"] = ranking_cte + """
+        SELECT * FROM metrics ORDER BY query_id
+    """
+    oracles["q_ranking_summary"] = ranking_cte + """
+        SELECT count(*)::BIGINT AS n_queries,
+               count(ndcg_at_k)::BIGINT AS n_measurable,
+               round(avg(mrr), 6) AS mean_mrr,
+               round(avg(precision_at_k), 6) AS mean_precision_at_k,
+               round(avg(recall_at_k), 6) AS mean_recall_at_k,
+               round(avg(ndcg_at_k), 6) AS mean_ndcg_at_k
+        FROM metrics
     """
     return oracles

@@ -42,9 +42,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_score",
+    "auc_by_slice",
     "calibration_bins",
     "confusion_at_threshold",
     "precision_at_k",
+    "ranking_metrics",
+    "ranking_summary",
 ]
 
 
@@ -111,6 +114,81 @@ def auc_score(
         ).alias("auc"),
         "n_pos",
         "n_neg",
+    )
+
+
+def auc_by_slice(
+    df: DataFrame,
+    slice_col: str,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-slice exact ROC-AUC -> ``(<slice_col>, auc, n_pos, n_neg)``.
+
+    The sliced form of :func:`auc_score` — the question a corpus-wide
+    AUC cannot answer: does the quality signal hold on EVERY source /
+    language / shard, or does a strong aggregate hide a slice where the
+    classifier is noise (the failure mode that silently drops one
+    domain from a 100 TB corpus)? Same Mann-Whitney algebra and NULL
+    contracts per slice; rows with a NULL slice form their own slice
+    (an unattributed row is still a slice to audit).
+
+    Distributed shape: ONE ``groupBy(slice, score)`` histogram shuffle;
+    the ordered window is PARTITIONED by slice (parallel across slices,
+    never single-partition) and runs over each slice's distinct scores;
+    the finishing aggregate is bounded by slice cardinality.
+    """
+    hist = (
+        df.filter(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .select(
+            F.col(slice_col).alias("__g"),
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("__g", "__s")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(1 - F.col("__y")).alias("neg"),
+        )
+    )
+    below = (
+        Window.partitionBy("__g")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hist.select(
+        "__g",
+        "pos",
+        "neg",
+        (
+            F.col("pos")
+            * (
+                F.coalesce(F.sum("neg").over(below), F.lit(0.0))
+                + F.col("neg") / 2.0
+            )
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("__g")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.sum("c").alias("__num"),
+        )
+        .select(
+            F.col("__g").alias(slice_col),
+            F.round(
+                F.when(
+                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                    F.col("__num") / (F.col("n_pos") * F.col("n_neg")),
+                ),
+                6,
+            ).alias("auc"),
+            "n_pos",
+            "n_neg",
+        )
     )
 
 
@@ -226,4 +304,142 @@ def precision_at_k(
         F.lit(k).alias("k"),
         F.sum("__y").cast("long").alias("n_pos"),
         F.round(F.sum("__y") / F.count(F.lit(1)), 6).alias("precision_at_k"),
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    rel: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked result list against
+    graded relevance judgments -> one row per ``ranked`` query:
+    ``(<query_col>, n_retrieved, n_relevant, mrr, precision_at_k,
+    recall_at_k, ndcg_at_k)``.
+
+    The measure for the retrieval stack (``bm25_search`` /
+    ``ivf_search`` / ``rrf_fuse``): before a 100 TB RAG corpus trusts
+    an index, its rankings need scoring against a judgment set.
+    Standard definitions:
+
+    * ``mrr`` — 1 / rank of the first relevant (``grade > 0``) result
+      within the top-k; 0.0 when no relevant result was retrieved.
+    * ``precision_at_k`` / ``recall_at_k`` — relevant-retrieved over
+      rows actually retrieved (<= k) / over the query's total relevant
+      judgments.
+    * ``ndcg_at_k`` — DCG with the graded ``2^grade - 1`` gain and
+      ``log2(rank + 1)`` discount (Järvelin & Kekäläinen 2002),
+      normalized by the ideal DCG of the query's top-k judgments by
+      grade.
+
+    Contracts: ``ranked`` carries a 1-based ``rank_col`` unique within
+    its query (search outputs are top-k-sized BY CONSTRUCTION — this
+    operator must never receive a corpus-sized frame per query; ranks
+    past ``k`` are ignored). ``rel`` holds one grade per (query, doc)
+    — duplicates resolve to the max grade; NULL grades are unjudged
+    and excluded. A query with ZERO relevant judgments is unmeasurable,
+    not perfect or wrong: its ``mrr``/``recall_at_k``/``ndcg_at_k``
+    are NULL (``n_relevant = 0`` makes the reason visible);
+    ``precision_at_k`` is always defined. Rounded to 6 decimals.
+
+    Distributed shape: every aggregate/window is keyed by query over
+    top-k- or judgment-bounded rows — one (query, doc) equi-join, one
+    per-query window over judgments for the ideal ranking, groupBy
+    finishes. Nothing corpus-sized moves.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    judgments = (
+        rel.filter(
+            F.col(query_col).isNotNull()
+            & F.col(doc_col).isNotNull()
+            & F.col(grade_col).isNotNull()
+        )
+        .groupBy(
+            F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+        )
+        .agg(F.max(F.col(grade_col).cast("double")).alias("__g"))
+    )
+    gain = lambda g: F.pow(F.lit(2.0), g) - 1.0  # noqa: E731
+    disc = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+
+    hits = (
+        ranked.filter(F.col(rank_col) <= k)
+        .select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(rank_col).cast("long").alias("__r"),
+        )
+        .join(judgments, ["__q", "__d"], "left")
+        .withColumn("__g", F.coalesce(F.col("__g"), F.lit(0.0)))
+    )
+    per_query = hits.groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum((F.col("__g") > 0).cast("long")).alias("__rel_ret"),
+        F.min(F.when(F.col("__g") > 0, F.col("__r"))).alias("__first"),
+        F.sum(gain(F.col("__g")) / disc(F.col("__r"))).alias("__dcg"),
+    )
+    ideal_rank = Window.partitionBy("__q").orderBy(
+        F.col("__g").desc(), F.col("__d").asc()
+    )
+    ideal = (
+        judgments.filter(F.col("__g") > 0)
+        .withColumn("__ir", F.row_number().over(ideal_rank))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("__ir") <= k,
+                    gain(F.col("__g")) / disc(F.col("__ir")),
+                )
+            ).alias("__idcg"),
+        )
+    )
+    out = per_query.join(ideal, "__q", "left")
+    measurable = F.col("n_relevant").isNotNull()
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_retrieved",
+        F.coalesce(F.col("n_relevant"), F.lit(0)).alias("n_relevant"),
+        F.round(
+            F.when(
+                measurable,
+                F.coalesce(1.0 / F.col("__first"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(F.col("__rel_ret") / F.col("n_retrieved"), 6).alias(
+            "precision_at_k"
+        ),
+        F.round(
+            F.when(measurable, F.col("__rel_ret") / F.col("n_relevant")), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.when(measurable, F.col("__dcg") / F.col("__idcg")), 6
+        ).alias("ndcg_at_k"),
+    )
+
+
+def ranking_summary(metrics: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """Macro-average of :func:`ranking_metrics` -> one row
+    ``(n_queries, n_measurable, mean_mrr, mean_precision_at_k,
+    mean_recall_at_k, mean_ndcg_at_k)``.
+
+    Macro (per-query mean, the TREC convention) so a high-traffic query
+    cannot drown the tail; NULL (unmeasurable) queries are excluded by
+    ``avg`` per metric and counted in ``n_queries - n_measurable``.
+    One bounded aggregate over the per-query frame.
+    """
+    return metrics.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count("ndcg_at_k").alias("n_measurable"),
+        F.round(F.avg("mrr"), 6).alias("mean_mrr"),
+        F.round(F.avg("precision_at_k"), 6).alias("mean_precision_at_k"),
+        F.round(F.avg("recall_at_k"), 6).alias("mean_recall_at_k"),
+        F.round(F.avg("ndcg_at_k"), 6).alias("mean_ndcg_at_k"),
     )

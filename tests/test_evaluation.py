@@ -13,10 +13,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.operators.evaluation import (
+    auc_by_slice,
     auc_score,
     calibration_bins,
     confusion_at_threshold,
     precision_at_k,
+    ranking_metrics,
+    ranking_summary,
 )
 from real_estate_bigdata_spark.operators.linear_probe import (
     linear_probe_scores,
@@ -183,6 +186,182 @@ def test_probe_auc_end_to_end(spark, sf_dir):
     ]
     assert got["auc"] == pytest.approx(mirror_auc(pairs), abs=1e-6)
     assert got["auc"] > 0.55  # probe beats chance on its training set
+
+
+def test_auc_by_slice_matches_per_slice_mirror(scored):
+    sliced = scored.withColumn("slc", F.pmod(F.col("id"), F.lit(3)))
+    got = {
+        r["slc"]: r
+        for r in auc_by_slice(sliced, "slc", "score", "label").collect()
+    }
+    rows = [
+        r
+        for r in sliced.collect()
+        if r["score"] is not None and r["label"] is not None
+    ]
+    for g in {r["slc"] for r in rows}:
+        pairs = [(r["score"], r["label"]) for r in rows if r["slc"] == g]
+        assert got[g]["auc"] == pytest.approx(mirror_auc(pairs), abs=1e-6)
+        assert got[g]["n_pos"] == sum(1 for _, y in pairs if y == 1)
+
+
+def test_auc_by_slice_degenerate_and_null_slice(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 1), ("b", 2.0, 0),
+         (None, 0.0, 0), (None, 3.0, 1)],
+        "slc string, score double, label int",
+    )
+    rows = {r["slc"]: r for r in auc_by_slice(df, "slc", "score", "label").collect()}
+    assert rows["a"]["auc"] is None  # single-class slice is unmeasurable
+    assert rows["b"]["auc"] == 0.0
+    assert rows[None]["auc"] == 1.0  # NULL slice is still a slice
+
+
+def mirror_ranking(ranked, rel, k):
+    """(q, d, rank) rows + {(q, d): grade} -> {q: metrics dict}."""
+    import math
+
+    byq: dict = {}
+    for q, d, r in ranked:
+        if r <= k:
+            byq.setdefault(q, []).append((r, d))
+    relq: dict = {}
+    for (q, d), g in rel.items():
+        if g > 0:
+            relq.setdefault(q, []).append((g, d))
+    out = {}
+    for q, rows in byq.items():
+        rows.sort()
+        grades = [rel.get((q, d), 0.0) for _, d in rows]
+        judged = sorted(relq.get(q, []), key=lambda t: (-t[0], t[1]))
+        rel_ret = sum(1 for g in grades if g > 0)
+        first = next((r for (r, d), g in zip(rows, grades) if g > 0), None)
+        dcg = sum(
+            (2**g - 1) / math.log2(r + 1)
+            for (r, _), g in zip(rows, grades)
+        )
+        idcg = sum(
+            (2**g - 1) / math.log2(i + 2)
+            for i, (g, _) in enumerate(judged[:k])
+        )
+        measurable = bool(judged)
+        out[q] = {
+            "n_retrieved": len(rows),
+            "n_relevant": len(judged),
+            "mrr": ((1.0 / first if first else 0.0) if measurable else None),
+            "precision_at_k": rel_ret / len(rows),
+            "recall_at_k": rel_ret / len(judged) if measurable else None,
+            "ndcg_at_k": dcg / idcg if measurable else None,
+        }
+    return out
+
+
+@pytest.fixture(scope="module")
+def judged_ranking(spark):
+    rng = random.Random(88)
+    ranked_rows, rel_rows = [], []
+    for q in range(12):
+        docs = rng.sample(range(1000), 20)
+        for i, d in enumerate(docs):
+            ranked_rows.append((q, d, i + 1))
+        # grade a random subset 1-3: some retrieved, some not
+        for d in rng.sample(range(1000), 30):
+            rel_rows.append((q, d, float(rng.randint(1, 3))))
+    # query 99: retrieved but zero judgments (unmeasurable)
+    ranked_rows += [(99, d, r + 1) for r, d in enumerate(range(5))]
+    ranked = spark.createDataFrame(
+        ranked_rows, "query_id int, doc_id long, rank int"
+    )
+    rel = spark.createDataFrame(
+        rel_rows, "query_id int, doc_id long, grade double"
+    )
+    return ranked, rel
+
+
+def test_ranking_metrics_match_mirror(judged_ranking):
+    ranked, rel = judged_ranking
+    got = {
+        r["query_id"]: r for r in ranking_metrics(ranked, rel, k=10).collect()
+    }
+    want = mirror_ranking(
+        [(r["query_id"], r["doc_id"], r["rank"]) for r in ranked.collect()],
+        {
+            (r["query_id"], r["doc_id"]): r["grade"]
+            for r in rel.collect()
+        },
+        k=10,
+    )
+    assert set(got) == set(want)
+    for q, w in want.items():
+        g = got[q]
+        for key in ("n_retrieved", "n_relevant"):
+            assert g[key] == w[key], (q, key)
+        for key in ("mrr", "precision_at_k", "recall_at_k", "ndcg_at_k"):
+            if w[key] is None:
+                assert g[key] is None, (q, key)
+            else:
+                assert g[key] == pytest.approx(w[key], abs=1e-6), (q, key)
+
+
+def test_ranking_metrics_contracts(spark):
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 99)],
+        "query_id int, doc_id int, rank int",
+    )
+    rel = spark.createDataFrame(
+        # duplicate judgment resolves to max grade; rank-99 doc judged
+        # but past k so it counts only as unretrieved-relevant
+        [(1, 11, 1.0), (1, 11, 3.0), (1, 13, 2.0), (1, 999, 1.0)],
+        "query_id int, doc_id int, grade double",
+    )
+    got = ranking_metrics(ranked, rel, k=3).collect()[0]
+    assert got["n_retrieved"] == 3 and got["n_relevant"] == 3
+    assert got["mrr"] == 0.5  # first relevant at rank 2
+    assert got["precision_at_k"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["recall_at_k"] == pytest.approx(1 / 3, abs=1e-6)
+    # dcg uses the max grade (3) at rank 2; ideal = grades 3,2,1
+    import math
+
+    dcg = (2**3 - 1) / math.log2(3)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert got["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+    with pytest.raises(ValueError):
+        ranking_metrics(ranked, rel, k=0)
+
+
+def test_ranking_summary_excludes_unmeasurable(judged_ranking):
+    ranked, rel = judged_ranking
+    m = ranking_metrics(ranked, rel, k=10)
+    s = ranking_summary(m).collect()[0]
+    rows = m.collect()
+    measurable = [r for r in rows if r["ndcg_at_k"] is not None]
+    assert s["n_queries"] == len(rows)
+    assert s["n_measurable"] == len(measurable)
+    assert s["mean_ndcg_at_k"] == pytest.approx(
+        sum(r["ndcg_at_k"] for r in measurable) / len(measurable), abs=1e-6
+    )
+    # mrr mean also excludes the judgment-less query, not zero-fills it
+    assert s["mean_mrr"] == pytest.approx(
+        sum(r["mrr"] for r in measurable) / len(measurable), abs=1e-6
+    )
+
+
+def test_ranking_plans_stay_jvm_side(judged_ranking):
+    ranked, rel = judged_ranking
+    assert_plan(ranking_metrics(ranked, rel, k=10), forbid_python=True)
+    assert_plan(
+        auc_by_slice(
+            ranked.withColumn("label", (F.col("doc_id") % 2).cast("int")),
+            "query_id",
+            "rank",
+            "label",
+        ),
+        forbid_python=True,
+    )
 
 
 def test_evaluation_plans_stay_jvm_side(scored):
