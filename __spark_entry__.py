@@ -508,6 +508,42 @@ def _q_precision_at_k(spark, sf):
     return precision_at_k(_eval_scored(spark, sf), "score", "y", "vec_id", 100)
 
 
+def _q_calibration_ece(spark, sf):
+    """Expected/maximum calibration error (NEW r8) of the fixed-weight
+    score squashed to a [0,1] confidence by a pure-arithmetic linear
+    rescale (no transcendentals — bit-exact across engines): the
+    scalar miscalibration readout on top of q_calibration_bins. One
+    corpus groupBy, then an aggregate over <= 10 bin rows."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    prob = _eval_scored(spark, sf).withColumn(
+        "p",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(F.lit(0.0), (F.col("score") + 2.0) / 4.0),
+            ),
+            6,
+        ),
+    )
+    return expected_calibration_error(prob, "p", "y", lo=0.0, hi=1.0, bins=10)
+
+
+def _q_cohens_kappa(spark, sf):
+    """Cohen's kappa (NEW r8) between the threshold classifier's
+    verdict (score >= 0) and the gold indicator — chance-corrected
+    agreement, the label-QA statistic. ONE contingency shuffle; the
+    marginals join over the bounded cell frame."""
+    from real_estate_bigdata_spark.operators.evaluation import cohens_kappa
+
+    scored = _eval_scored(spark, sf).withColumn(
+        "pred", (F.col("score") >= 0).cast("int")
+    )
+    return cohens_kappa(scored, "y", "pred")
+
+
 def _q_auc_by_slice(spark, sf):
     """Per-slice ROC-AUC (NEW r8) — the sliced form of q_auc_fixed
     over 4 deterministic vec_id shards: a strong aggregate AUC must
@@ -1386,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_by_slice": _q_auc_by_slice,
         "q_ranking_eval": _q_ranking_eval,
         "q_ranking_summary": _q_ranking_summary,
+        "q_calibration_ece": _q_calibration_ece,
+        "q_cohens_kappa": _q_cohens_kappa,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3670,6 +3708,51 @@ def oracle_sql() -> dict[str, str]:
                sum(pos)::BIGINT AS n_pos,
                sum(neg)::BIGINT AS n_neg
         FROM c GROUP BY slice_id ORDER BY slice_id
+    """
+    oracles["q_calibration_ece"] = scored_cte + """
+        , prob AS (
+            SELECT round(least(1.0, greatest(0.0, (score + 2.0) / 4.0)),
+                         6) AS p,
+                   y
+            FROM valid
+        ), b AS (
+            SELECT CAST(least(9, greatest(0, floor(p * 10))) AS INT)
+                       AS bin,
+                   count(*) AS n,
+                   round(avg(p), 6) AS ms,
+                   round(avg(y::DOUBLE), 6) AS fp
+            FROM prob GROUP BY 1
+        )
+        SELECT round(sum(n * abs(fp - ms)) / sum(n), 6) AS ece,
+               round(max(abs(fp - ms)), 6) AS mce,
+               sum(n)::BIGINT AS n
+        FROM b
+    """
+    oracles["q_cohens_kappa"] = scored_cte + """
+        , base AS (
+            SELECT y AS a,
+                   CASE WHEN score >= 0 THEN 1 ELSE 0 END AS b
+            FROM valid
+        ), cont AS (
+            SELECT a, b, count(*)::DOUBLE AS c FROM base GROUP BY a, b
+        ), tot AS (
+            SELECT sum(c) AS n,
+                   coalesce(sum(CASE WHEN a = b THEN c END), 0) / sum(c)
+                       AS po
+            FROM cont
+        ), am AS (SELECT a AS k, sum(c) AS ka FROM cont GROUP BY a),
+        bm AS (SELECT b AS k, sum(c) AS kb FROM cont GROUP BY b),
+        ped AS (
+            SELECT coalesce(sum(ka * kb), 0) AS dot
+            FROM am JOIN bm USING (k)
+        )
+        SELECT round(CASE WHEN dot / (n * n) < 1
+                          THEN (po - dot / (n * n))
+                               / (1 - dot / (n * n)) END, 6) AS kappa,
+               round(po, 6) AS po,
+               round(dot / (n * n), 6) AS pe,
+               n::BIGINT AS n
+        FROM tot, ped
     """
     # Ranking-metrics oracles: 5 query pools (vec_id mod 5), per-pool
     # top-10 by the fixed score, judgments graded greatest(0, 5-label);

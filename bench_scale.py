@@ -98,6 +98,10 @@ from real_estate_bigdata_spark.operators.bpe import (
 )
 from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.dsir import dsir_select
+from real_estate_bigdata_spark.operators.evaluation import (
+    auc_by_slice,
+    ranking_metrics,
+)
 from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.decontamination import (
     decontaminate,
@@ -276,6 +280,35 @@ def _bpe_train_batched_df(spark, docs, scale):
     return mt
 
 
+def _ranking_eval_df(emb, scale):
+    """Retrieval metrics with the query count GROWING with the corpus
+    (vec_id mod 50*scale pools stay ~100 docs each) — the realistic
+    shape: bigger corpora mean more queries, never bigger per-query
+    candidate lists; per-query work is bounded by construction."""
+    from pyspark.sql import Window
+
+    scored = emb.filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select(
+        F.pmod(F.col("vec_id"), F.lit(50 * scale)).alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("s"),
+        F.col("label"),
+    )
+    rnk = Window.partitionBy("query_id").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(rnk)).filter(
+        F.col("rank") <= 10
+    )
+    rel = scored.select(
+        "query_id",
+        "doc_id",
+        F.greatest(F.lit(0), 5 - F.col("label")).cast("double").alias("grade"),
+    ).filter(F.col("grade") > 0)
+    return ranking_metrics(ranked, rel, k=10)
+
+
 def _union(parts):
     out = parts[0]
     for p in parts[1:]:
@@ -418,6 +451,25 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             docs(), min_words_per_line=30, min_sentences=1,
             require_terminal_punct=False,
         ),
+        # late-r8: evaluation statistics — sliced AUC (one
+        # (slice, score) histogram shuffle + a slice-PARTITIONED
+        # ordered window, parallel across the 64 slices; linear by
+        # construction, measured to prove it) and retrieval metrics
+        # whose query count grows with the corpus (see
+        # _ranking_eval_df)
+        "auc_by_slice": lambda: auc_by_slice(
+            emb().select(
+                F.pmod(F.col("vec_id"), F.lit(64)).alias("slice_id"),
+                F.round(
+                    F.element_at("embedding", 1).cast("double"), 4
+                ).alias("s"),
+                (F.col("label") <= 4).cast("int").alias("y"),
+            ),
+            "slice_id",
+            "s",
+            "y",
+        ),
+        "ranking_metrics": lambda: _ranking_eval_df(emb(), scale),
         "prototype_prune": lambda: prototype_prune(
             emb(), keep_frac=0.4, keep="hard", approx=True
         ),

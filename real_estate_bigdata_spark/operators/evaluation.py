@@ -44,7 +44,9 @@ __all__ = [
     "auc_score",
     "auc_by_slice",
     "calibration_bins",
+    "cohens_kappa",
     "confusion_at_threshold",
+    "expected_calibration_error",
     "precision_at_k",
     "ranking_metrics",
     "ranking_summary",
@@ -223,6 +225,109 @@ def calibration_bins(
             F.round(F.avg("__s"), 6).alias("mean_score"),
             F.round(F.avg("__y"), 6).alias("frac_pos"),
         )
+    )
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 10,
+) -> DataFrame:
+    """Expected / maximum calibration error -> one row
+    ``(ece, mce, n)``.
+
+    The scalar form of :func:`calibration_bins` (Naeini et al. 2015):
+    ``ece`` is the bin-mass-weighted mean of |empirical positive rate -
+    mean score| per bin, ``mce`` the worst bin's gap. Scores must be
+    probability-LIKE (confidences in ``[lo, hi)``, same clamping as the
+    bins) for the gap to mean miscalibration. Built ON the bins frame —
+    one corpus groupBy, then an aggregate over <= ``bins`` rows.
+    Rounded to 6 decimals; NULL when no rows survive the null filter.
+    """
+    b = calibration_bins(df, score_col, label_col, lo=lo, hi=hi, bins=bins)
+    return b.agg(
+        F.round(
+            F.sum(
+                F.col("n") * F.abs(F.col("frac_pos") - F.col("mean_score"))
+            )
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.round(
+            F.max(F.abs(F.col("frac_pos") - F.col("mean_score"))), 6
+        ).alias("mce"),
+        F.sum("n").cast("long").alias("n"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame, rater_a: str, rater_b: str
+) -> DataFrame:
+    """Cohen's kappa (chance-corrected agreement, Cohen 1960) between
+    two categorical rating columns -> one row ``(kappa, po, pe, n)``.
+
+    The label-QA statistic: agreement between two annotators — or
+    between a classifier's verdicts and gold labels — corrected for
+    the agreement two raters reach by guessing each other's marginal
+    distribution. ``po`` is the observed agreement rate, ``pe`` the
+    chance rate from the marginals; ``kappa = (po - pe) / (1 - pe)``,
+    NULL when ``pe = 1`` (both raters constant — agreement carries no
+    information, and 1.0 or 0.0 would both be lies). Rows where either
+    rating is NULL are unjudged and excluded.
+
+    Distributed shape: ONE ``groupBy(a, b)`` contingency shuffle
+    (output bounded by category-pair cardinality — ratings are labels,
+    never free text); ``po``, the marginals, and the ``pe`` dot product
+    (``sum_c ra(c) * rb(c) / n^2``, an inner join of the two marginal
+    frames on the category value) all derive from that bounded frame,
+    so the corpus is touched exactly once.
+    """
+    cont = (
+        df.filter(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
+        .groupBy(
+            F.col(rater_a).alias("__a"), F.col(rater_b).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    tot = cont.agg(
+        F.sum("__c").alias("n"),
+        (
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c")))
+            / F.sum("__c")
+        ).alias("po"),
+    )
+    a_side = cont.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__c").alias("__ka")
+    )
+    b_side = cont.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__c").alias("__kb")
+    )
+    pe_df = (
+        a_side.join(b_side, "__k", "inner")
+        .agg(F.sum(F.col("__ka") * F.col("__kb")).alias("__dot"))
+    )
+    out = tot.crossJoin(pe_df).select(
+        "n",
+        # no diagonal cell means zero observed agreement, not unknown
+        F.coalesce(F.col("po"), F.lit(0.0)).alias("po"),
+        (F.coalesce(F.col("__dot"), F.lit(0.0)) / (F.col("n") * F.col("n"))).alias(
+            "pe"
+        ),
+    )
+    return out.select(
+        F.round(
+            F.when(
+                F.col("pe") < 1.0,
+                (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")),
+            ),
+            6,
+        ).alias("kappa"),
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.col("n").cast("long").alias("n"),
     )
 
 

@@ -16,7 +16,9 @@ from real_estate_bigdata_spark.operators.evaluation import (
     auc_by_slice,
     auc_score,
     calibration_bins,
+    cohens_kappa,
     confusion_at_threshold,
+    expected_calibration_error,
     precision_at_k,
     ranking_metrics,
     ranking_summary,
@@ -348,6 +350,119 @@ def test_ranking_summary_excludes_unmeasurable(judged_ranking):
     assert s["mean_mrr"] == pytest.approx(
         sum(r["mrr"] for r in measurable) / len(measurable), abs=1e-6
     )
+
+
+def test_ece_matches_bin_mirror(scored):
+    # squash scores into [0,1] so the gap reads as miscalibration
+    prob = scored.withColumn("p", 1.0 / (1.0 + F.exp(-F.col("score"))))
+    got = expected_calibration_error(prob, "p", "label", bins=5).collect()[0]
+    rows = [
+        r
+        for r in prob.collect()
+        if r["p"] is not None and r["label"] is not None
+    ]
+    bins: dict = {}
+    for r in rows:
+        b = min(4, max(0, int((r["p"] - 0.0) / 1.0 * 5)))
+        bins.setdefault(b, []).append(r)
+    gaps = {
+        b: abs(
+            sum(x["label"] for x in xs) / len(xs)
+            - sum(x["p"] for x in xs) / len(xs)
+        )
+        for b, xs in bins.items()
+    }
+    want_ece = sum(len(bins[b]) * g for b, g in gaps.items()) / len(rows)
+    assert got["n"] == len(rows)
+    assert got["ece"] == pytest.approx(want_ece, abs=2e-6)
+    assert got["mce"] == pytest.approx(max(gaps.values()), abs=2e-6)
+    assert got["mce"] >= got["ece"]
+
+
+def test_ece_perfectly_calibrated_is_zero(spark):
+    # bins where mean score == positive rate exactly: p=0.25 bin with
+    # 1/4 positives, p=0.75 bin with 3/4 positives
+    rows = [(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)]
+    df = spark.createDataFrame(rows, "p double, label int")
+    got = expected_calibration_error(df, "p", "label", bins=2).collect()[0]
+    assert got["ece"] == 0.0 and got["mce"] == 0.0
+
+
+def mirror_kappa(pairs):
+    n = len(pairs)
+    if n == 0:
+        return None, None, None
+    po = sum(1 for a, b in pairs if a == b) / n
+    cats = {c for p in pairs for c in p}
+    pe = sum(
+        (sum(1 for a, _ in pairs if a == c) / n)
+        * (sum(1 for _, b in pairs if b == c) / n)
+        for c in cats
+    )
+    kappa = (po - pe) / (1 - pe) if pe < 1.0 else None
+    return kappa, po, pe
+
+
+def test_cohens_kappa_matches_mirror(spark):
+    rng = random.Random(7)
+    cats = ["spam", "ham", "unsure"]
+    # correlated raters: b agrees with a 70% of the time
+    pairs = []
+    for _ in range(500):
+        a = rng.choice(cats)
+        b = a if rng.random() < 0.7 else rng.choice(cats)
+        pairs.append((a, b))
+    df = spark.createDataFrame(
+        pairs + [(None, "spam"), ("ham", None)], "a string, b string"
+    )
+    got = cohens_kappa(df, "a", "b").collect()[0]
+    kappa, po, pe = mirror_kappa(pairs)
+    assert got["n"] == len(pairs)
+    assert got["kappa"] == pytest.approx(kappa, abs=1e-6)
+    assert got["po"] == pytest.approx(po, abs=1e-6)
+    assert got["pe"] == pytest.approx(pe, abs=1e-6)
+    assert 0 < got["kappa"] < 1  # better than chance, not perfect
+
+
+def test_cohens_kappa_edges(spark):
+    perfect = spark.createDataFrame(
+        [(c, c) for c in "abcab"], "a string, b string"
+    )
+    assert cohens_kappa(perfect, "a", "b").collect()[0]["kappa"] == 1.0
+    # disjoint label sets: po = 0, pe = 0 -> kappa = 0 (not NULL)
+    disjoint = spark.createDataFrame(
+        [("x", "y"), ("x", "z")], "a string, b string"
+    )
+    row = cohens_kappa(disjoint, "a", "b").collect()[0]
+    assert row["kappa"] == 0.0 and row["po"] == 0.0 and row["pe"] == 0.0
+    # both raters constant: pe = 1 -> kappa NULL (uninformative)
+    const = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_kappa_ece_plans_stay_jvm_side(spark, scored):
+    df = spark.createDataFrame([("x", "y")], "a string, b string")
+    assert_plan(cohens_kappa(df, "a", "b"), forbid_python=True)
+    assert_plan(
+        expected_calibration_error(scored, "score", "label"),
+        forbid_python=True,
+    )
+    # the contingency exchange must be REUSED, not recomputed per
+    # marginal — the corpus is touched once. AQE performs exchange
+    # reuse at RUNTIME, so assert on the final adaptive plan after
+    # execution (executed_plan_str is pre-AQE by design): both
+    # marginal branches must read a ReusedExchange of the main
+    # contingency shuffle.
+    big = spark.createDataFrame(
+        [("x", "y"), ("x", "x"), ("y", "y")] * 50, "a string, b string"
+    )
+    out = cohens_kappa(big, "a", "b")
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 2
 
 
 def test_ranking_plans_stay_jvm_side(judged_ranking):
