@@ -508,6 +508,21 @@ def _q_precision_at_k(spark, sf):
     return precision_at_k(_eval_scored(spark, sf), "score", "y", "vec_id", 100)
 
 
+def _q_auc_bootstrap(spark, sf):
+    """Poisson-bootstrap 95% CI for the fixed-weight AUC (NEW r8;
+    Chamandy et al. 2012) — deterministic md5-ladder Poisson(1)
+    weights, 16 replicates generated map-side and collapsed into ONE
+    (replicate, score) histogram shuffle; the error bar a sampled
+    evaluation set owes its reader."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        auc_bootstrap_ci,
+    )
+
+    return auc_bootstrap_ci(
+        _eval_scored(spark, sf), "vec_id", "score", "y", n_boot=16
+    )
+
+
 def _q_calibration_ece(spark, sf):
     """Expected/maximum calibration error (NEW r8) of the fixed-weight
     score squashed to a [0,1] confidence by a pure-arithmetic linear
@@ -1424,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ranking_summary": _q_ranking_summary,
         "q_calibration_ece": _q_calibration_ece,
         "q_cohens_kappa": _q_cohens_kappa,
+        "q_auc_bootstrap": _q_auc_bootstrap,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3708,6 +3724,65 @@ def oracle_sql() -> dict[str, str]:
                sum(pos)::BIGINT AS n_pos,
                sum(neg)::BIGINT AS n_neg
         FROM c GROUP BY slice_id ORDER BY slice_id
+    """
+    oracles["q_auc_bootstrap"] = scored_cte + """
+        , grid AS (
+            SELECT g.b AS rep, v.score, v.y,
+                   ('0x' || substr(md5(v.vec_id::VARCHAR
+                                        || '|boot' || g.b::VARCHAR),
+                                   1, 15))::BIGINT % 10000 AS u
+            FROM valid v
+            CROSS JOIN (SELECT unnest(range(16)) AS b) g
+        ), wts AS (
+            SELECT rep, score, y,
+                   (CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+                         WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+                         WHEN u < 9963 THEN 4 ELSE 5 END)::DOUBLE AS w
+            FROM grid
+        ), hb AS (
+            SELECT rep, score, sum(w * y) AS pos,
+                   sum(w * (1 - y)) AS neg
+            FROM wts WHERE w > 0 GROUP BY rep, score
+        ), cb AS (
+            SELECT rep, pos, neg,
+                   pos * (coalesce(sum(neg) OVER (
+                              PARTITION BY rep ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                          + neg / 2) AS contrib
+            FROM hb
+        ), reps AS (
+            SELECT rep,
+                   CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                        THEN round(sum(contrib)
+                                   / (sum(pos) * sum(neg)), 6) END AS auc
+            FROM cb GROUP BY rep
+        ), ci AS (
+            SELECT round(quantile_cont(auc, 0.025), 6) AS ci_lo,
+                   round(quantile_cont(auc, 0.975), 6) AS ci_hi,
+                   count(auc)::INT AS n_boot_valid
+            FROM reps
+        ), hp AS (
+            SELECT score, sum(y)::DOUBLE AS pos,
+                   sum(1 - y)::DOUBLE AS neg
+            FROM valid GROUP BY score
+        ), cp AS (
+            SELECT pos, neg,
+                   pos * (coalesce(sum(neg) OVER (
+                              ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                          + neg / 2) AS contrib
+            FROM hp
+        ), pt AS (
+            SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                        THEN round(sum(contrib)
+                                   / (sum(pos) * sum(neg)), 6) END AS auc
+            FROM cp
+        )
+        SELECT pt.auc, ci.ci_lo, ci.ci_hi, 16::INT AS n_boot,
+               ci.n_boot_valid
+        FROM pt, ci
     """
     oracles["q_calibration_ece"] = scored_cte + """
         , prob AS (

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_score",
+    "auc_bootstrap_ci",
     "auc_by_slice",
     "calibration_bins",
     "cohens_kappa",
@@ -119,6 +120,51 @@ def auc_score(
     )
 
 
+def _grouped_auc(hist: DataFrame, out_group: str) -> DataFrame:
+    """Mann-Whitney AUC per group from a ``(__g, __s, pos, neg)``
+    histogram frame -> ``(<out_group>, auc, n_pos, n_neg)``. The
+    window partitions BY group (parallel across groups) over each
+    group's distinct scores; the finishing aggregate is bounded by
+    group cardinality."""
+    below = (
+        Window.partitionBy("__g")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hist.select(
+        "__g",
+        "pos",
+        "neg",
+        (
+            F.col("pos")
+            * (
+                F.coalesce(F.sum("neg").over(below), F.lit(0.0))
+                + F.col("neg") / 2.0
+            )
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("__g")
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.sum("c").alias("__num"),
+        )
+        .select(
+            F.col("__g").alias(out_group),
+            F.round(
+                F.when(
+                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                    F.col("__num") / (F.col("n_pos") * F.col("n_neg")),
+                ),
+                6,
+            ).alias("auc"),
+            "n_pos",
+            "n_neg",
+        )
+    )
+
+
 def auc_by_slice(
     df: DataFrame,
     slice_col: str,
@@ -155,42 +201,102 @@ def auc_by_slice(
             F.sum(1 - F.col("__y")).alias("neg"),
         )
     )
-    below = (
-        Window.partitionBy("__g")
-        .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return _grouped_auc(hist, slice_col)
+
+
+#: cumulative CDF of Poisson(mean 1) scaled to the 10k md5-bucket
+#: space, truncated at weight 5 (tail mass 0.37% lands on 5 — the
+#: same integer thresholds in both engines, so oracle parity is exact
+#: and the truncation bias is identical, not just similar)
+_POISSON1_CUM_10K = (3679, 7358, 9197, 9810, 9963)
+
+
+def auc_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_boot: int = 32,
+    salt: str = "",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the ROC-AUC -> one row
+    ``(auc, ci_lo, ci_hi, n_boot, n_boot_valid)``.
+
+    A point AUC on a sampled evaluation set is a measurement without an
+    error bar; the standard massive-data resample is the POISSON
+    bootstrap (Chamandy et al., Google 2012): replicate ``b`` counts
+    each row ``w ~ Poisson(1)`` times, which converges to the classical
+    bootstrap without ever materializing a resample. Weights are
+    DETERMINISTIC — the md5-bucket of ``(id, replicate, salt)`` pushed
+    through the fixed Poisson(1) inverse-CDF ladder — so the interval
+    replays identically across runs, partitionings, and engines.
+
+    ``ci_lo``/``ci_hi`` are the ``alpha/2`` / ``1 - alpha/2``
+    percentiles (linear interpolation) of the replicate AUCs;
+    replicates that lose an entire class (possible on tiny or
+    one-sided sets) are NULL and excluded, with ``n_boot_valid``
+    making the exclusion visible. ``auc`` is the unresampled point
+    estimate. Rounded to 6 decimals.
+
+    Distributed shape: the ``n_boot`` weights per row are generated
+    MAP-SIDE (a posexploded literal-size array — CPU, not shuffle) and
+    immediately collapse into the ``groupBy(replicate, score)``
+    histogram, so the one shuffle carries at most ``n_boot x
+    distinct-scores`` rows; the per-replicate window and the final
+    percentile run over bounded frames. The point estimate is a second
+    corpus pass (:func:`auc_score`).
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from real_estate_bigdata_spark.operators.sampling import bucket_of
+
+    valid = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("double").alias("__y"),
     )
-    contrib = hist.select(
-        "__g",
-        "pos",
-        "neg",
-        (
-            F.col("pos")
-            * (
-                F.coalesce(F.sum("neg").over(below), F.lit(0.0))
-                + F.col("neg") / 2.0
-            )
-        ).alias("c"),
+
+    def ladder(u):
+        w = F.when(u < _POISSON1_CUM_10K[0], 0)
+        for i, cum in enumerate(_POISSON1_CUM_10K[1:], start=1):
+            w = w.when(u < cum, i)
+        return w.otherwise(len(_POISSON1_CUM_10K)).cast("double")
+
+    weights = F.array(
+        *[
+            ladder(bucket_of(F.col("__id"), salt=f"{salt}|boot{b}"))
+            for b in range(n_boot)
+        ]
     )
-    return (
-        contrib.groupBy("__g")
+    hist = (
+        valid.select("__s", "__y", F.posexplode(weights).alias("__g", "__w"))
+        .filter(F.col("__w") > 0)
+        .groupBy("__g", "__s")
         .agg(
-            F.sum("pos").cast("long").alias("n_pos"),
-            F.sum("neg").cast("long").alias("n_neg"),
-            F.sum("c").alias("__num"),
+            F.sum(F.col("__w") * F.col("__y")).alias("pos"),
+            F.sum(F.col("__w") * (1 - F.col("__y"))).alias("neg"),
         )
-        .select(
-            F.col("__g").alias(slice_col),
-            F.round(
-                F.when(
-                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                    F.col("__num") / (F.col("n_pos") * F.col("n_neg")),
-                ),
-                6,
-            ).alias("auc"),
-            "n_pos",
-            "n_neg",
-        )
+    )
+    reps = _grouped_auc(hist, "__b")
+    ci = reps.agg(
+        F.round(F.percentile("auc", F.lit(alpha / 2)), 6).alias("ci_lo"),
+        F.round(F.percentile("auc", F.lit(1 - alpha / 2)), 6).alias("ci_hi"),
+        F.count("auc").cast("int").alias("n_boot_valid"),
+    )
+    point = auc_score(valid, "__s", "__y").select("auc")
+    return point.crossJoin(ci).select(
+        "auc",
+        "ci_lo",
+        "ci_hi",
+        F.lit(n_boot).alias("n_boot"),
+        "n_boot_valid",
     )
 
 

@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.operators.evaluation import (
+    auc_bootstrap_ci,
     auc_by_slice,
     auc_score,
     calibration_bins,
@@ -349,6 +350,85 @@ def test_ranking_summary_excludes_unmeasurable(judged_ranking):
     # mrr mean also excludes the judgment-less query, not zero-fills it
     assert s["mean_mrr"] == pytest.approx(
         sum(r["mrr"] for r in measurable) / len(measurable), abs=1e-6
+    )
+
+
+def mirror_poisson_weight(key, b, salt=""):
+    """The operator's deterministic ladder, independently: md5-prefix
+    bucket of str(key) + '<salt>|boot<b>' through the Poisson(1)
+    inverse CDF truncated at 5."""
+    import hashlib
+
+    u = (
+        int(
+            hashlib.md5(f"{key}{salt}|boot{b}".encode()).hexdigest()[:15], 16
+        )
+        % 10_000
+    )
+    for w, cum in enumerate((3679, 7358, 9197, 9810, 9963)):
+        if u < cum:
+            return w
+    return 5
+
+
+def test_auc_bootstrap_matches_mirror(scored):
+    import numpy as np
+
+    n_boot = 16
+    got = auc_bootstrap_ci(
+        scored, "id", "score", "label", n_boot=n_boot, alpha=0.1
+    ).collect()[0]
+    rows = [
+        r
+        for r in scored.collect()
+        if r["score"] is not None and r["label"] is not None
+    ]
+    aucs = []
+    for b in range(n_boot):
+        pairs = []
+        for r in rows:
+            w = mirror_poisson_weight(r["id"], b)
+            pairs.extend([(r["score"], r["label"])] * w)
+        a = mirror_auc(pairs)
+        if a is not None:
+            aucs.append(round(a, 6))
+    assert got["n_boot"] == n_boot and got["n_boot_valid"] == len(aucs)
+    assert got["ci_lo"] == pytest.approx(
+        float(np.percentile(aucs, 5)), abs=1e-6
+    )
+    assert got["ci_hi"] == pytest.approx(
+        float(np.percentile(aucs, 95)), abs=1e-6
+    )
+    assert got["auc"] == pytest.approx(
+        mirror_auc([(r["score"], r["label"]) for r in rows]), abs=1e-6
+    )
+    assert got["ci_lo"] <= got["auc"] <= got["ci_hi"]
+
+
+def test_auc_bootstrap_deterministic_under_repartition(scored):
+    a = auc_bootstrap_ci(scored, "id", n_boot=8, score_col="score").collect()
+    b = auc_bootstrap_ci(
+        scored.repartition(13), "id", n_boot=8, score_col="score"
+    ).collect()
+    assert a == b
+
+
+def test_auc_bootstrap_separable_and_validation(spark):
+    sep = spark.createDataFrame(
+        [(i, float(i), int(i >= 50)) for i in range(100)],
+        "id long, score double, label int",
+    )
+    got = auc_bootstrap_ci(sep, "id", n_boot=8).collect()[0]
+    assert got["auc"] == 1.0 and got["ci_lo"] == 1.0 and got["ci_hi"] == 1.0
+    with pytest.raises(ValueError):
+        auc_bootstrap_ci(sep, "id", n_boot=1)
+    with pytest.raises(ValueError):
+        auc_bootstrap_ci(sep, "id", alpha=0.0)
+
+
+def test_auc_bootstrap_plan_stays_jvm_side(scored):
+    assert_plan(
+        auc_bootstrap_ci(scored, "id", n_boot=4), forbid_python=True
     )
 
 
