@@ -573,18 +573,24 @@ def _q_auc_by_slice(spark, sf):
     return auc_by_slice(scored, "slice_id", "score", "y").orderBy("slice_id")
 
 
-def _ranking_inputs(spark, sf):
+#: head-truncated weights (first 16 dims, rest zero) — the DEGRADED
+#: system q_ranking_compare measures against the full-weight ranking
+_EVAL_W_HEAD = [v if j < 16 else 0.0 for j, v in enumerate(_EVAL_W)]
+
+
+def _ranking_inputs(spark, sf, weights=None):
     """Deterministic ranked lists + graded judgments from the
     embeddings table: 5 query pools (vec_id mod 5), ranked = per-pool
     top-10 by the fixed-weight score with vec_id tiebreak, relevance
     grade = greatest(0, 5 - label) (graded 1..5 for the low classes).
+    ``weights`` picks the scoring system (default the full _EVAL_W).
     The per-pool row_number here is the demo harness — production
     callers feed bm25_search/ivf_search outputs, top-k-sized by
     construction."""
     from pyspark.sql import Window
     from real_estate_bigdata_spark.functions.vectors import dot
 
-    w = F.array(*[F.lit(v) for v in _EVAL_W])
+    w = F.array(*[F.lit(v) for v in (weights or _EVAL_W)])
     scored = (
         load_table(spark, sf, "embeddings")
         .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
@@ -633,6 +639,25 @@ def _q_ranking_summary(spark, sf):
 
     ranked, rel = _ranking_inputs(spark, sf)
     return ranking_summary(ranking_metrics(ranked, rel, k=10))
+
+
+def _q_ranking_compare(spark, sf):
+    """Paired significance comparison (NEW r8; Smucker et al. 2007) of
+    the full-weight ranking vs the head-truncated (16-dim) variant
+    over the SAME judgments: per-query nDCG@10 deltas, paired t
+    statistic — the readout an index migration needs before flipping
+    traffic (and at this pool count the honest answer is "not
+    significant", which is exactly the point of carrying the t)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        ranking_compare,
+        ranking_metrics,
+    )
+
+    ra, rel = _ranking_inputs(spark, sf)
+    rb, _ = _ranking_inputs(spark, sf, weights=_EVAL_W_HEAD)
+    return ranking_compare(
+        ranking_metrics(ra, rel, k=10), ranking_metrics(rb, rel, k=10)
+    )
 
 
 def _q_probe_auc(spark, sf):
@@ -1440,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_calibration_ece": _q_calibration_ece,
         "q_cohens_kappa": _q_cohens_kappa,
         "q_auc_bootstrap": _q_auc_bootstrap,
+        "q_ranking_compare": _q_ranking_compare,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3831,13 +3857,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # Ranking-metrics oracles: 5 query pools (vec_id mod 5), per-pool
     # top-10 by the fixed score, judgments graded greatest(0, 5-label);
-    # shared by the per-query and macro-summary queries.
-    ranking_cte = f"""
+    # the weight-parameterized builder is shared by the per-query,
+    # macro-summary, and paired-comparison queries.
+    def _ranking_sql(weights_lit):
+        return f"""
         WITH scored AS (
             SELECT CAST(vec_id % 5 AS INT) AS query_id,
                    vec_id AS doc_id,
                    round(list_dot_product(embedding::DOUBLE[],
-                                          {w_lit}::DOUBLE[]), 6) AS score,
+                                          {weights_lit}::DOUBLE[]), 6)
+                       AS score,
                    label
             FROM embeddings
             WHERE embedding IS NOT NULL AND label IS NOT NULL
@@ -3893,17 +3922,42 @@ def oracle_sql() -> dict[str, str]:
                               THEN dcg / idcg END, 6) AS ndcg_at_k
             FROM pq p LEFT JOIN ideal i ON p.query_id = i.query_id
         )
+        SELECT * FROM metrics
     """
-    oracles["q_ranking_eval"] = ranking_cte + """
-        SELECT * FROM metrics ORDER BY query_id
-    """
-    oracles["q_ranking_summary"] = ranking_cte + """
+
+    oracles["q_ranking_eval"] = (
+        _ranking_sql(w_lit) + " ORDER BY query_id"
+    )
+    oracles["q_ranking_summary"] = f"""
         SELECT count(*)::BIGINT AS n_queries,
                count(ndcg_at_k)::BIGINT AS n_measurable,
                round(avg(mrr), 6) AS mean_mrr,
                round(avg(precision_at_k), 6) AS mean_precision_at_k,
                round(avg(recall_at_k), 6) AS mean_recall_at_k,
                round(avg(ndcg_at_k), 6) AS mean_ndcg_at_k
-        FROM metrics
+        FROM ({_ranking_sql(w_lit)})
+    """
+    # paired comparison: full weights vs head-truncated weights over
+    # the same judgments; paired t on per-query nDCG@10 deltas
+    w2_lit = "[" + ", ".join(repr(v) for v in _EVAL_W_HEAD) + "]"
+    oracles["q_ranking_compare"] = f"""
+        WITH ma AS ({_ranking_sql(w_lit)}),
+        mb AS ({_ranking_sql(w2_lit)}),
+        paired AS (
+            SELECT ma.ndcg_at_k AS xa, mb.ndcg_at_k AS xb
+            FROM ma JOIN mb ON ma.query_id = mb.query_id
+            WHERE ma.ndcg_at_k IS NOT NULL AND mb.ndcg_at_k IS NOT NULL
+        )
+        SELECT count(*)::BIGINT AS n,
+               round(avg(xa), 6) AS mean_a,
+               round(avg(xb), 6) AS mean_b,
+               round(avg(xb - xa), 6) AS mean_delta,
+               round(stddev_samp(xb - xa), 6) AS sd_delta,
+               round(CASE WHEN count(*) >= 2
+                               AND stddev_samp(xb - xa) > 0
+                          THEN avg(xb - xa)
+                               / (stddev_samp(xb - xa) / sqrt(count(*)))
+                     END, 6) AS t_stat
+        FROM paired
     """
     return oracles

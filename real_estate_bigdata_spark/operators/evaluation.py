@@ -49,6 +49,7 @@ __all__ = [
     "confusion_at_threshold",
     "expected_calibration_error",
     "precision_at_k",
+    "ranking_compare",
     "ranking_metrics",
     "ranking_summary",
 ]
@@ -633,6 +634,64 @@ def ranking_metrics(
         F.round(
             F.when(measurable, F.col("__dcg") / F.col("__idcg")), 6
         ).alias("ndcg_at_k"),
+    )
+
+
+def ranking_compare(
+    metrics_a: DataFrame,
+    metrics_b: DataFrame,
+    query_col: str = "query_id",
+    metric: str = "ndcg_at_k",
+) -> DataFrame:
+    """Paired comparison of two retrieval systems' per-query metrics
+    (two :func:`ranking_metrics` frames over the SAME judgment set) ->
+    one row ``(n, mean_a, mean_b, mean_delta, sd_delta, t_stat)``.
+
+    The question "is system B actually better, or did it win on three
+    lucky queries?" needs the PAIRED test (Smucker et al., CIKM 2007 —
+    the standard IR methodology): per-query deltas ``b - a`` over the
+    queries both systems were measured on, ``t_stat = mean(d) /
+    (sd(d) / sqrt(n))`` with ``n - 1`` degrees of freedom (the caller
+    compares against their t table; ~2.0 is the 95% two-sided level
+    for n >= 30). ``t_stat`` is NULL when ``n < 2`` or the deltas are
+    constant-zero (sd 0 — identical systems, nothing to test; a
+    nonzero constant delta with sd 0 is reported as NULL too rather
+    than an infinite t). Queries unmeasurable in EITHER system (NULL
+    metric) are excluded from the pairing — both systems must be
+    scored on the same evidence. Rounded to 6 decimals.
+
+    One inner join on the query key (both frames are
+    queries-per-corpus sized, never corpus sized) + one aggregate.
+    """
+    a = metrics_a.select(
+        F.col(query_col).alias("__q"), F.col(metric).alias("__ma")
+    ).filter(F.col("__ma").isNotNull())
+    b = metrics_b.select(
+        F.col(query_col).alias("__q"), F.col(metric).alias("__mb")
+    ).filter(F.col("__mb").isNotNull())
+    paired = a.join(b, "__q", "inner").select(
+        "__ma", "__mb", (F.col("__mb") - F.col("__ma")).alias("__d")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__ma").alias("__avg_a"),
+        F.avg("__mb").alias("__avg_b"),
+        F.avg("__d").alias("__avg_d"),
+        F.stddev_samp("__d").alias("__sd"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("__avg_a", 6).alias("mean_a"),
+        F.round("__avg_b", 6).alias("mean_b"),
+        F.round("__avg_d", 6).alias("mean_delta"),
+        F.round("__sd", 6).alias("sd_delta"),
+        F.round(
+            F.when(
+                (F.col("n") >= 2) & (F.col("__sd") > 0),
+                F.col("__avg_d") / (F.col("__sd") / F.sqrt(F.col("n"))),
+            ),
+            6,
+        ).alias("t_stat"),
     )
 
 

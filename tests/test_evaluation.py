@@ -21,6 +21,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     confusion_at_threshold,
     expected_calibration_error,
     precision_at_k,
+    ranking_compare,
     ranking_metrics,
     ranking_summary,
 )
@@ -543,6 +544,71 @@ def test_kappa_ece_plans_stay_jvm_side(spark, scored):
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 2
+
+
+def test_ranking_compare_matches_paired_t_mirror(judged_ranking):
+    import math
+
+    ranked, rel = judged_ranking
+    # system B: the same candidates served in REVERSED rank order —
+    # a genuinely different ranking over identical judgments
+    n_per_q = ranked.groupBy("query_id").count()
+    rev = (
+        ranked.join(n_per_q, "query_id")
+        .withColumn("rank", (F.col("count") - F.col("rank") + 1).cast("int"))
+        .drop("count")
+    )
+    ma = ranking_metrics(ranked, rel, k=10)
+    mb = ranking_metrics(rev, rel, k=10)
+    got = ranking_compare(ma, mb, metric="ndcg_at_k").collect()[0]
+
+    da = {r["query_id"]: r["ndcg_at_k"] for r in ma.collect()}
+    db = {r["query_id"]: r["ndcg_at_k"] for r in mb.collect()}
+    pairs = [
+        (da[q], db[q])
+        for q in set(da) & set(db)
+        if da[q] is not None and db[q] is not None
+    ]
+    deltas = [b - a for a, b in pairs]
+    n = len(deltas)
+    mean_d = sum(deltas) / n
+    sd = math.sqrt(sum((d - mean_d) ** 2 for d in deltas) / (n - 1))
+    assert got["n"] == n
+    assert got["mean_a"] == pytest.approx(
+        sum(a for a, _ in pairs) / n, abs=1e-6
+    )
+    assert got["mean_delta"] == pytest.approx(mean_d, abs=1e-6)
+    assert got["t_stat"] == pytest.approx(
+        mean_d / (sd / math.sqrt(n)), abs=1e-4
+    )
+    # reversing the ranking hurts on average (the fixture's judgments
+    # are random over a 1000-doc space with 20 retrieved, so the
+    # per-query deltas are noisy — direction, not significance, is
+    # the stable property here)
+    assert got["mean_delta"] < 0 and got["t_stat"] < 0
+
+
+def test_ranking_compare_edges(spark, judged_ranking):
+    ranked, rel = judged_ranking
+    m = ranking_metrics(ranked, rel, k=10)
+    # identical systems: zero delta, sd 0 -> t NULL (nothing to test)
+    same = ranking_compare(m, m).collect()[0]
+    assert same["mean_delta"] == 0.0 and same["t_stat"] is None
+    # unmeasurable-in-one-system queries drop out of the pairing
+    mb = m.withColumn(
+        "ndcg_at_k",
+        F.when(F.col("query_id") == 0, F.lit(None)).otherwise(
+            F.col("ndcg_at_k")
+        ),
+    )
+    n_all = same["n"]
+    assert ranking_compare(m, mb).collect()[0]["n"] == n_all - 1
+    # a single pair cannot carry a t statistic
+    one = ranking_compare(
+        m.filter(F.col("query_id") == 1), m.filter(F.col("query_id") == 1)
+    ).collect()[0]
+    assert one["n"] == 1 and one["t_stat"] is None
+    assert_plan(ranking_compare(m, mb), forbid_python=True)
 
 
 def test_ranking_plans_stay_jvm_side(judged_ranking):
