@@ -641,6 +641,23 @@ def _q_ranking_summary(spark, sf):
     return ranking_summary(ranking_metrics(ranked, rel, k=10))
 
 
+def _q_pair_set_quality(spark, sf):
+    """Dedup-config QA (NEW r8): precision/recall of the portable
+    SimHash pair generator against the exact n-gram Jaccard pair set
+    on the same corpus — the numbers that decide whether a banding
+    config ships. Both generators are themselves oracle-verified
+    queries (q_dedup_simhash, q_dedup_ngram_jaccard); this measures
+    their DISAGREEMENT, which is the interesting part."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        pair_set_metrics,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    pred = dd.simhash_pairs(docs, max_hamming=7, bands=8, portable=True)
+    truth = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return pair_set_metrics(pred, truth)
+
+
 def _q_ranking_compare(spark, sf):
     """Paired significance comparison (NEW r8; Smucker et al. 2007) of
     the full-weight ranking vs the head-truncated (16-dim) variant
@@ -1466,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohens_kappa": _q_cohens_kappa,
         "q_auc_bootstrap": _q_auc_bootstrap,
         "q_ranking_compare": _q_ranking_compare,
+        "q_pair_set_quality": _q_pair_set_quality,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3959,5 +3977,39 @@ def oracle_sql() -> dict[str, str]:
                                / (stddev_samp(xb - xa) / sqrt(count(*)))
                      END, 6) AS t_stat
         FROM paired
+    """
+    # dedup-config QA: composes the two pair oracles that already
+    # verify the generators individually
+    oracles["q_pair_set_quality"] = f"""
+        WITH pred0 AS ({_simhash_sql()}),
+        truth0 AS ({_jaccard_pairs_sql()}),
+        p AS (
+            SELECT DISTINCT least(id_a, id_b) AS a,
+                            greatest(id_a, id_b) AS b
+            FROM pred0 WHERE id_a IS NOT NULL AND id_b IS NOT NULL
+        ), t AS (
+            SELECT DISTINCT least(id_a, id_b) AS a,
+                            greatest(id_a, id_b) AS b
+            FROM truth0 WHERE id_a IS NOT NULL AND id_b IS NOT NULL
+        ), np AS (SELECT count(*)::BIGINT AS n_pred FROM p),
+        nt AS (SELECT count(*)::BIGINT AS n_true FROM t),
+        nc AS (
+            SELECT count(*)::BIGINT AS n_common
+            FROM p JOIN t ON p.a = t.a AND p.b = t.b
+        )
+        SELECT n_pred, n_true, n_common,
+               round(CASE WHEN n_pred > 0
+                          THEN n_common::DOUBLE / n_pred END, 6)
+                   AS "precision",
+               round(CASE WHEN n_true > 0
+                          THEN n_common::DOUBLE / n_true END, 6) AS recall,
+               round(CASE WHEN n_common > 0
+                          THEN 2.0 * n_common / (n_pred + n_true) END, 6)
+                   AS f1,
+               round(CASE WHEN n_pred + n_true - n_common > 0
+                          THEN n_common::DOUBLE
+                               / (n_pred + n_true - n_common) END, 6)
+                   AS jaccard
+        FROM np, nt, nc
     """
     return oracles

@@ -20,6 +20,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     cohens_kappa,
     confusion_at_threshold,
     expected_calibration_error,
+    pair_set_metrics,
     precision_at_k,
     ranking_compare,
     ranking_metrics,
@@ -544,6 +545,43 @@ def test_kappa_ece_plans_stay_jvm_side(spark, scored):
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 2
+
+
+def test_pair_set_metrics_hand_pinned(spark):
+    # pred: (1,2), (1,3), and the SAME pair twice in both orientations
+    # (4,5)/(5,4) -> canonicalizes to 3 pairs; truth: (2,1), (3,4)
+    pred = spark.createDataFrame(
+        [(1, 2), (1, 3), (5, 4), (4, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (3, 4)], "id_a long, id_b long"
+    )
+    got = pair_set_metrics(pred, truth).collect()[0]
+    assert (got["n_pred"], got["n_true"], got["n_common"]) == (3, 2, 1)
+    assert got["precision"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got["recall"] == 0.5
+    assert got["f1"] == pytest.approx(2 * 1 / (3 + 2), abs=1e-6)
+    assert got["jaccard"] == 0.25
+
+
+def test_pair_set_metrics_edges(spark):
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    empty = pairs.filter(F.lit(False))
+    nullish = spark.createDataFrame(
+        [(1, None), (None, 2)], "id_a long, id_b long"
+    )
+    # identical sets: everything 1.0
+    same = pair_set_metrics(pairs, pairs).collect()[0]
+    assert (same["precision"], same["recall"], same["f1"], same["jaccard"]) \
+        == (1.0, 1.0, 1.0, 1.0)
+    # empty prediction: precision NULL (undefined), recall 0 (defined)
+    row = pair_set_metrics(empty, pairs).collect()[0]
+    assert row["precision"] is None and row["recall"] == 0.0
+    assert row["f1"] is None
+    # NULL ids are dropped, not fabricated into pairs
+    row = pair_set_metrics(nullish, pairs).collect()[0]
+    assert row["n_pred"] == 0
+    assert_plan(pair_set_metrics(pairs, pairs), forbid_python=True)
 
 
 def test_ranking_compare_matches_paired_t_mirror(judged_ranking):
