@@ -641,6 +641,27 @@ def _q_ranking_summary(spark, sf):
     return ranking_summary(ranking_metrics(ranked, rel, k=10))
 
 
+def _q_fleiss_kappa(spark, sf):
+    """Fleiss' kappa (NEW r8; Fleiss 1971) across THREE deterministic
+    raters — the threshold classifiers at -0.2 / 0.0 / 0.2 over the
+    fixed-weight score: the multi-annotator agreement statistic a
+    fan-out labeling pass reports. One (item, category) cell shuffle;
+    near-threshold rows are exactly where the raters dissent."""
+    from real_estate_bigdata_spark.operators.evaluation import fleiss_kappa
+
+    ratings = _eval_scored(spark, sf).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                (F.col("score") >= -0.2).cast("int"),
+                (F.col("score") >= 0.0).cast("int"),
+                (F.col("score") >= 0.2).cast("int"),
+            )
+        ).alias("rating"),
+    )
+    return fleiss_kappa(ratings, "vec_id", "rating")
+
+
 def _q_pair_set_quality(spark, sf):
     """Dedup-config QA (NEW r8): precision/recall of the portable
     SimHash pair generator against the exact n-gram Jaccard pair set
@@ -1484,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_bootstrap": _q_auc_bootstrap,
         "q_ranking_compare": _q_ranking_compare,
         "q_pair_set_quality": _q_pair_set_quality,
+        "q_fleiss_kappa": _q_fleiss_kappa,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3977,6 +3999,36 @@ def oracle_sql() -> dict[str, str]:
                                / (stddev_samp(xb - xa) / sqrt(count(*)))
                      END, 6) AS t_stat
         FROM paired
+    """
+    oracles["q_fleiss_kappa"] = scored_cte + """
+        , ratings AS (
+            SELECT vec_id,
+                   unnest([CASE WHEN score >= -0.2 THEN 1 ELSE 0 END,
+                           CASE WHEN score >= 0.0 THEN 1 ELSE 0 END,
+                           CASE WHEN score >= 0.2 THEN 1 ELSE 0 END])
+                       AS rating
+            FROM valid
+        ), cells AS (
+            SELECT vec_id AS i, rating AS k, count(*)::DOUBLE AS c
+            FROM ratings GROUP BY 1, 2
+        ), per AS (
+            SELECT i, sum(c) AS n, sum(c * (c - 1)) AS agree
+            FROM cells GROUP BY i
+        ), pb AS (
+            SELECT count(*)::BIGINT AS n_items,
+                   sum(n)::BIGINT AS n_ratings,
+                   avg(agree / (n * (n - 1))) AS pbar
+            FROM per WHERE n >= 2
+        ), marg AS (
+            SELECT sum(nk * nk) / (sum(nk) * sum(nk)) AS pe
+            FROM (SELECT k, sum(c) AS nk FROM cells GROUP BY k)
+        )
+        SELECT round(CASE WHEN pe < 1
+                          THEN (pbar - pe) / (1 - pe) END, 6) AS kappa,
+               round(pbar, 6) AS p_bar,
+               round(pe, 6) AS p_e,
+               n_items, n_ratings
+        FROM pb, marg
     """
     # dedup-config QA: composes the two pair oracles that already
     # verify the generators individually

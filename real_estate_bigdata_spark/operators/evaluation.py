@@ -48,6 +48,7 @@ __all__ = [
     "cohens_kappa",
     "confusion_at_threshold",
     "expected_calibration_error",
+    "fleiss_kappa",
     "pair_set_metrics",
     "precision_at_k",
     "ranking_compare",
@@ -436,6 +437,92 @@ def cohens_kappa(
         F.round("po", 6).alias("po"),
         F.round("pe", 6).alias("pe"),
         F.col("n").cast("long").alias("n"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, category_col: str
+) -> DataFrame:
+    """Fleiss' kappa (multi-rater chance-corrected agreement, Fleiss
+    1971) over ``(item, rating)`` rows — one row per individual rating
+    -> one row ``(kappa, p_bar, p_e, n_items, n_ratings)``.
+
+    The many-annotator generalization of :func:`cohens_kappa`: when a
+    labeling pass fans each document out to 3+ raters (or 3+ classifier
+    variants vote), this is the statistic that says whether they agree
+    beyond chance. Per-item agreement uses the unequal-raters extension
+    ``P_i = sum_k n_ik (n_ik - 1) / (n_i (n_i - 1))`` — identical to
+    classic Fleiss when every item has the same rating count; chance
+    agreement ``P_e = sum_k p_k^2`` from the pooled category
+    proportions. Items with fewer than 2 ratings carry no agreement
+    evidence and are EXCLUDED (visible via ``n_items``); NULL
+    items/categories are unjudged and excluded. ``kappa`` is NULL when
+    ``P_e = 1`` (every rating in one category — agreement carries no
+    information). Rounded to 6 decimals.
+
+    Distributed shape: ONE ``groupBy(item, category)`` cell shuffle
+    (bounded by items x categories), a per-item aggregate over that
+    frame, and a category-marginal aggregate over the SAME frame — the
+    exchange is reused at runtime, so the corpus of ratings is touched
+    once.
+    """
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(category_col).alias("__k")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    # items with >= 2 ratings; both P-bar AND the pooled category
+    # proportions must come from the SAME kept-item population, or a
+    # flood of single-rating items would skew P_e against P-bar
+    item_n = cells.groupBy("__i").agg(F.sum("__c").alias("__n"))
+    kept = cells.join(
+        item_n.filter(F.col("__n") >= 2).select("__i"), "__i", "inner"
+    )
+    per_item = (
+        kept.groupBy("__i")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__agree"),
+        )
+        .select(
+            "__n",
+            (F.col("__agree") / (F.col("__n") * (F.col("__n") - 1))).alias(
+                "__pi"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("__n").cast("long").alias("n_ratings"),
+            F.avg("__pi").alias("__pbar"),
+        )
+    )
+    marginals = (
+        kept.groupBy("__k")
+        .agg(F.sum("__c").alias("__nk"))
+        .agg(
+            (
+                F.sum(F.col("__nk") * F.col("__nk"))
+                / (F.sum("__nk") * F.sum("__nk"))
+            ).alias("__pe")
+        )
+    )
+    out = per_item.crossJoin(marginals)
+    return out.select(
+        F.round(
+            F.when(
+                F.col("__pe") < 1.0,
+                (F.col("__pbar") - F.col("__pe")) / (1.0 - F.col("__pe")),
+            ),
+            6,
+        ).alias("kappa"),
+        F.round("__pbar", 6).alias("p_bar"),
+        F.round("__pe", 6).alias("p_e"),
+        "n_items",
+        "n_ratings",
     )
 
 

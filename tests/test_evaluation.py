@@ -20,6 +20,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     cohens_kappa,
     confusion_at_threshold,
     expected_calibration_error,
+    fleiss_kappa,
     pair_set_metrics,
     precision_at_k,
     ranking_compare,
@@ -545,6 +546,71 @@ def test_kappa_ece_plans_stay_jvm_side(spark, scored):
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 2
+
+
+def mirror_fleiss(ratings):
+    """(item, category) rows -> (kappa, p_bar, p_e) — independent of
+    the Spark cell/marginal formulation."""
+    from collections import Counter, defaultdict
+
+    per: dict = defaultdict(Counter)
+    for i, k in ratings:
+        per[i][k] += 1
+    kept = {i: c for i, c in per.items() if sum(c.values()) >= 2}
+    if not kept:
+        return None, None, None
+    pis, cat, total = [], Counter(), 0
+    for c in kept.values():
+        n = sum(c.values())
+        pis.append(sum(v * (v - 1) for v in c.values()) / (n * (n - 1)))
+        cat.update(c)
+        total += n
+    pbar = sum(pis) / len(pis)
+    pe = sum((v / total) ** 2 for v in cat.values())
+    kappa = (pbar - pe) / (1 - pe) if pe < 1.0 else None
+    return kappa, pbar, pe
+
+
+def test_fleiss_kappa_matches_mirror(spark):
+    rng = random.Random(17)
+    cats = ["keep", "drop", "unsure"]
+    ratings = []
+    for item in range(80):
+        # majority category per item + dissent; varying rater counts
+        maj = rng.choice(cats)
+        for _ in range(rng.choice([3, 4, 5])):
+            ratings.append(
+                (item, maj if rng.random() < 0.7 else rng.choice(cats))
+            )
+    # single-rating item and NULL rows must be excluded
+    ratings.append((9001, "keep"))
+    df = spark.createDataFrame(
+        ratings + [(None, "keep"), (5, None)], "item long, cat string"
+    )
+    got = fleiss_kappa(df, "item", "cat").collect()[0]
+    kappa, pbar, pe = mirror_fleiss(ratings)  # mirror excludes 9001 itself
+    assert got["n_items"] == 80
+    assert got["kappa"] == pytest.approx(kappa, abs=1e-6)
+    assert got["p_bar"] == pytest.approx(pbar, abs=1e-6)
+    assert got["p_e"] == pytest.approx(pe, abs=1e-6)
+    assert 0 < got["kappa"] < 1
+
+
+def test_fleiss_kappa_edges(spark):
+    # perfect multi-category agreement -> kappa 1
+    perfect = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10) for _ in range(3)],
+        "item long, cat string",
+    )
+    assert fleiss_kappa(perfect, "item", "cat").collect()[0]["kappa"] == 1.0
+    # every rating one category -> p_e = 1 -> NULL (uninformative)
+    const = spark.createDataFrame(
+        [(i, "x") for i in range(5) for _ in range(3)],
+        "item long, cat string",
+    )
+    row = fleiss_kappa(const, "item", "cat").collect()[0]
+    assert row["kappa"] is None and row["p_e"] == 1.0
+    assert_plan(fleiss_kappa(const, "item", "cat"), forbid_python=True)
 
 
 def test_pair_set_metrics_hand_pinned(spark):
