@@ -611,6 +611,14 @@ def test_fleiss_kappa_edges(spark):
     row = fleiss_kappa(const, "item", "cat").collect()[0]
     assert row["kappa"] is None and row["p_e"] == 1.0
     assert_plan(fleiss_kappa(const, "item", "cat"), forbid_python=True)
+    # the (item, category) cell exchange feeds three consumers
+    # (item-count filter, per-item agreement, category marginals) —
+    # it must be REUSED at runtime, not recomputed per consumer
+    out = fleiss_kappa(perfect, "item", "cat")
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final
 
 
 def test_pair_set_metrics_hand_pinned(spark):
