@@ -698,6 +698,28 @@ def _q_ranking_compare(spark, sf):
     )
 
 
+def _q_ann_recall(spark, sf):
+    """ANN serving recall (NEW r8) — rows-only like the rest of the
+    ANN family (the IVF k-means fit is not SQL-expressible): macro
+    recall of ivf_search at n_probe=4/16 against brute force over an
+    8-query sample — the pytest-only recall checks promoted to a
+    queryable production number. The operator arithmetic itself is
+    hand-pinned and full-probe==exact-pinned in
+    tests/test_evaluation.py."""
+    from real_estate_bigdata_spark.operators.evaluation import topk_recall
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = sim.brute_force_topk(emb, queries, k=10)
+    index = sim.build_ivf_index(emb, n_lists=16, seed=42)
+    approx = sim.ivf_search(index, queries, k=10, n_probe=4)
+    return topk_recall(approx, exact).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.min("recall"), 6).alias("min_recall"),
+    )
+
+
 def _q_probe_auc(spark, sf):
     """The served composition (NEW r8; rows-only — the probe fit is the
     same non-SQL d x d solve as q_linear_probe): fit the closed-form
@@ -1563,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_ivfpq_topk": _q_embed_ivfpq_topk,
         "q_linear_probe": _q_linear_probe,
         "q_probe_auc": _q_probe_auc,
+        "q_ann_recall": _q_ann_recall,
     }
 
 

@@ -54,6 +54,7 @@ __all__ = [
     "ranking_compare",
     "ranking_metrics",
     "ranking_summary",
+    "topk_recall",
 ]
 
 
@@ -791,6 +792,55 @@ def pair_set_metrics(
         F.round(
             F.when(np_ + nt - nc > 0, nc / (np_ + nt - nc)), 6
         ).alias("jaccard"),
+    )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result set against the
+    exact one -> ``(<query_col>, n_exact, n_hit, recall)``.
+
+    The serving-quality number every ANN deployment watches: feed
+    ``ivf_search``/``lsh_topk``/``pq_topk`` output as ``approx`` and
+    ``brute_force_topk`` output as ``exact`` (over a SAMPLED query set
+    — the exact side is the expensive one) and read how much of the
+    true neighborhood the index returns. Promoted to an operator from
+    the pytest-only recall checks so the number is queryable in
+    production, not just assertable in CI.
+
+    Ids are deduplicated per query on both sides; a query present only
+    in ``approx`` has no truth to score against and is excluded (the
+    exact side DEFINES the query set). ``recall`` is per query;
+    macro-average downstream (``F.avg``) — the frames are
+    top-k-per-query sized by construction, so every step is bounded.
+    """
+    ex = exact.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__id")
+    ).distinct()
+    ap = (
+        approx.select(
+            F.col(query_col).alias("__q"), F.col(id_col).alias("__id")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ex.join(ap, ["__q", "__id"], "left")
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("__hit").cast("long").alias("n_hit"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+                "recall"
+            ),
+        )
+        .select(
+            F.col("__q").alias(query_col), "n_exact", "n_hit", "recall"
+        )
     )
 
 

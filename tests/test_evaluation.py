@@ -26,6 +26,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     ranking_compare,
     ranking_metrics,
     ranking_summary,
+    topk_recall,
 )
 from real_estate_bigdata_spark.operators.linear_probe import (
     linear_probe_scores,
@@ -656,6 +657,48 @@ def test_pair_set_metrics_edges(spark):
     row = pair_set_metrics(nullish, pairs).collect()[0]
     assert row["n_pred"] == 0
     assert_plan(pair_set_metrics(pairs, pairs), forbid_python=True)
+
+
+def test_topk_recall_hand_pinned(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: 2/3 found (one wrong extra); q2: full; q3: approx-only
+        # query with no exact truth -> excluded
+        [(1, 10), (1, 11), (1, 99), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {r["query_id"]: r for r in topk_recall(approx, exact).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_exact"] == 3 and rows[1]["n_hit"] == 2
+    assert rows[1]["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[2]["recall"] == 1.0
+    assert_plan(topk_recall(approx, exact), forbid_python=True)
+
+
+def test_topk_recall_against_real_searches(spark, sf_dir):
+    from real_estate_bigdata_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(6)
+    exact = brute_force_topk(emb, queries, k=10)
+    index = build_ivf_index(emb, n_lists=8, seed=42)
+    # full probe == exact candidate set -> recall exactly 1 per query
+    full = ivf_search(index, queries, k=10, n_probe=8)
+    rows = topk_recall(full, exact).collect()
+    assert len(rows) == 6
+    assert all(r["recall"] == 1.0 for r in rows)
+    # pruned probe: recall in (0, 1], macro-average within the pinned
+    # floor the dedicated recall tests enforce
+    pruned = ivf_search(index, queries, k=10, n_probe=2)
+    got = topk_recall(pruned, exact).agg(F.avg("recall")).collect()[0][0]
+    assert 0.3 <= got <= 1.0
 
 
 def test_ranking_compare_matches_paired_t_mirror(judged_ranking):

@@ -117,6 +117,11 @@ def test_every_query_has_oracle_or_is_documented():
         # is oracle-checked via q_auc_fixed, and the composition is
         # pinned against the rank-sum mirror in tests/test_evaluation.py
         "q_probe_auc",
+        # ANN serving recall (NEW r8): the IVF k-means fit is not
+        # SQL-expressible (same class as the other ANN rows-only
+        # queries); the recall arithmetic is hand-pinned and
+        # full-probe==brute-force-pinned in tests/test_evaluation.py
+        "q_ann_recall",
     }
     assert set(missing) <= allowed_rows_only
 
