@@ -473,6 +473,20 @@ def _q_auc_fixed(spark, sf):
     return auc_score(_eval_scored(spark, sf), "score", "y")
 
 
+def _q_auc_weighted(spark, sf):
+    """Importance-weighted AUC (NEW r8): each row counts its inverse
+    sampling propensity (here the deterministic 1 + vec_id mod 3)
+    instead of 1 — the estimator a stratified/sampled evaluation set
+    needs to speak for the full corpus. Same histogram plan; the
+    weighting is free."""
+    from real_estate_bigdata_spark.operators.evaluation import auc_score
+
+    scored = _eval_scored(spark, sf).withColumn(
+        "w", (1 + F.pmod(F.col("vec_id"), F.lit(3))).cast("double")
+    )
+    return auc_score(scored, "score", "y", weight_col="w")
+
+
 def _q_calibration_bins(spark, sf):
     """Reliability-diagram bins (NEW r8): mean score vs empirical
     positive rate per fixed-width bin over [-2, 2), out-of-range
@@ -1528,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ranking_compare": _q_ranking_compare,
         "q_pair_set_quality": _q_pair_set_quality,
         "q_fleiss_kappa": _q_fleiss_kappa,
+        "q_auc_weighted": _q_auc_weighted,
         # 46 oracle-bearing queries, all hash-verified in CORRECTNESS_r07
         "q01_pricing_summary": _q01_pricing_summary,
         "q02_count_by_event_type": _q02_count_by_event_type,
@@ -3740,6 +3755,28 @@ def oracle_sql() -> dict[str, str]:
                END AS auc,
                sum(pos)::BIGINT AS n_pos,
                sum(neg)::BIGINT AS n_neg
+        FROM c
+    """
+    oracles["q_auc_weighted"] = scored_cte + """
+        , wv AS (
+            SELECT score, y, (1 + vec_id % 3)::DOUBLE AS w FROM valid
+        ), h AS (
+            SELECT score, sum(w * y) AS pos, sum(w * (1 - y)) AS neg
+            FROM wv GROUP BY score
+        ), c AS (
+            SELECT pos, neg,
+                   pos * (coalesce(sum(neg) OVER (
+                              ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                          + neg / 2) AS contrib
+            FROM h
+        )
+        SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                    THEN round(sum(contrib) / (sum(pos) * sum(neg)), 6)
+               END AS auc,
+               round(sum(pos), 6) AS n_pos,
+               round(sum(neg), 6) AS n_neg
         FROM c
     """
     oracles["q_calibration_bins"] = scored_cte + """

@@ -58,18 +58,31 @@ __all__ = [
 ]
 
 
-def _scored(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
-    """Non-null (score, label) rows with the label as a 0/1 double."""
-    return df.filter(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    ).select(
+def _scored(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Non-null (score, label[, weight]) rows with the label as a 0/1
+    double and the weight — 1.0 when no ``weight_col`` — as ``__w``.
+    NULL weights are unweighable and excluded like NULL labels."""
+    cond = F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    if weight_col is not None:
+        cond = cond & F.col(weight_col).isNotNull()
+    return df.filter(cond).select(
         F.col(score_col).cast("double").alias("__s"),
         F.col(label_col).cast("double").alias("__y"),
+        w.alias("__w"),
     )
 
 
 def auc_score(
-    df: DataFrame, score_col: str = "score", label_col: str = "label"
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact ROC-AUC -> one row ``(auc, n_pos, n_neg)``.
 
@@ -83,13 +96,21 @@ def auc_score(
     ``auc`` is NULL when either class is empty (undefined, not 0.5 —
     the caller must see a degenerate evaluation set, not a plausible
     number). Rounded to 6 decimals.
+
+    ``weight_col`` makes it the IMPORTANCE-WEIGHTED AUC — each row
+    counts its weight (inverse sampling propensity) instead of 1, the
+    estimator a stratified/sampled evaluation set needs to speak for
+    the full corpus; ``n_pos``/``n_neg`` become weighted masses
+    (DOUBLE, rounded to 6) instead of counts, and NULL-weight rows
+    are excluded like NULL labels. The plan is unchanged — weighting
+    is free.
     """
     hist = (
-        _scored(df, score_col, label_col)
+        _scored(df, score_col, label_col, weight_col)
         .groupBy("__s")
         .agg(
-            F.sum("__y").alias("pos"),
-            F.sum(1 - F.col("__y")).alias("neg"),
+            F.sum(F.col("__w") * F.col("__y")).alias("pos"),
+            F.sum(F.col("__w") * (1 - F.col("__y"))).alias("neg"),
         )
     )
     below = (
@@ -107,20 +128,28 @@ def auc_score(
             )
         ).alias("c"),
     )
+    # unweighted masses are integral counts (long); weighted masses
+    # are real-valued and must not truncate. The AUC ratio divides the
+    # RAW sums either way — masses are rounded only on output.
+    mass = (
+        (lambda c: c.cast("long"))
+        if weight_col is None
+        else (lambda c: F.round(c, 6))
+    )
     return contrib.agg(
-        F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum("pos").alias("__p"),
+        F.sum("neg").alias("__n"),
         F.sum("c").alias("__num"),
     ).select(
         F.round(
             F.when(
-                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-                F.col("__num") / (F.col("n_pos") * F.col("n_neg")),
+                (F.col("__p") > 0) & (F.col("__n") > 0),
+                F.col("__num") / (F.col("__p") * F.col("__n")),
             ),
             6,
         ).alias("auc"),
-        "n_pos",
-        "n_neg",
+        mass(F.col("__p")).alias("n_pos"),
+        mass(F.col("__n")).alias("n_neg"),
     )
 
 
@@ -532,6 +561,7 @@ def confusion_at_threshold(
     score_col: str = "score",
     label_col: str = "label",
     threshold: float = 0.5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Confusion counts and derived rates at ``score >= threshold`` ->
     one row ``(tp, fp, tn, fn, accuracy, precision, recall, f1)``.
@@ -539,18 +569,30 @@ def confusion_at_threshold(
     One full-corpus aggregate (conditional sums combine map-side); the
     derived rates are NULL — never 0 — when their denominator is zero,
     so a degenerate split is visible. Rounded to 6 decimals.
+
+    ``weight_col`` makes the cells IMPORTANCE-WEIGHTED masses (DOUBLE,
+    rounded to 6) instead of counts — the corrected estimate a
+    stratified/sampled evaluation set owes the full corpus; NULL
+    weights are excluded like NULL labels. The rates divide the raw
+    weighted sums; the plan is unchanged.
     """
     pred = (F.col("__s") >= F.lit(threshold)).cast("double")
     y = F.col("__y")
+    w = F.col("__w")
+    cell = (
+        (lambda c: c.cast("long"))
+        if weight_col is None
+        else (lambda c: F.round(c, 6))
+    )
 
     def _rate(num, den):
         return F.round(F.when(den > 0, num / den), 6)
 
-    base = _scored(df, score_col, label_col).agg(
-        F.sum(pred * y).cast("long").alias("tp"),
-        F.sum(pred * (1 - y)).cast("long").alias("fp"),
-        F.sum((1 - pred) * (1 - y)).cast("long").alias("tn"),
-        F.sum((1 - pred) * y).cast("long").alias("fn"),
+    base = _scored(df, score_col, label_col, weight_col).agg(
+        cell(F.sum(w * pred * y)).alias("tp"),
+        cell(F.sum(w * pred * (1 - y))).alias("fp"),
+        cell(F.sum(w * (1 - pred) * (1 - y))).alias("tn"),
+        cell(F.sum(w * (1 - pred) * y)).alias("fn"),
     )
     tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
     prec = F.when(tp + fp > 0, tp / (tp + fp))

@@ -91,6 +91,57 @@ def test_auc_extremes(spark):
     assert auc_score(flat, "score", "label").collect()[0]["auc"] == 0.5
 
 
+def test_weighted_auc_equals_expanded_rows(scored):
+    # integer weights: the weighted AUC must equal the plain AUC of
+    # the row-expanded multiset — the definition of importance weights
+    wdf = scored.withColumn(
+        "w", (1 + F.pmod(F.col("id"), F.lit(3))).cast("double")
+    )
+    got = auc_score(wdf, "score", "label", weight_col="w").collect()[0]
+    pairs = []
+    for r in wdf.collect():
+        if r["score"] is None or r["label"] is None:
+            continue
+        pairs.extend([(r["score"], r["label"])] * int(r["w"]))
+    assert got["auc"] == pytest.approx(mirror_auc(pairs), abs=1e-6)
+    assert got["n_pos"] == pytest.approx(
+        sum(1 for _, y in pairs if y == 1), abs=1e-6
+    )
+    # weight 1 everywhere == the unweighted path (values; types differ
+    # by documented contract: weighted masses are DOUBLE)
+    ones = scored.withColumn("w", F.lit(1.0))
+    a = auc_score(ones, "score", "label", weight_col="w").collect()[0]
+    b = auc_score(scored, "score", "label").collect()[0]
+    assert a["auc"] == b["auc"] and a["n_pos"] == float(b["n_pos"])
+    # NULL weights are excluded like NULL labels
+    holed = scored.withColumn(
+        "w", F.when(F.col("id") % 2 == 0, 1.0)
+    )
+    h = auc_score(holed, "score", "label", weight_col="w").collect()[0]
+    assert h["n_pos"] + h["n_neg"] < b["n_pos"] + b["n_neg"]
+
+
+def test_weighted_confusion_matches_manual(scored):
+    wdf = scored.withColumn(
+        "w", (1 + F.pmod(F.col("id"), F.lit(3))).cast("double")
+    )
+    got = confusion_at_threshold(
+        wdf, "score", "label", 0.5, weight_col="w"
+    ).collect()[0]
+    rows = [
+        r
+        for r in wdf.collect()
+        if r["score"] is not None and r["label"] is not None
+    ]
+    tp = sum(r["w"] for r in rows if r["score"] >= 0.5 and r["label"] == 1)
+    fp = sum(r["w"] for r in rows if r["score"] >= 0.5 and r["label"] == 0)
+    fn = sum(r["w"] for r in rows if r["score"] < 0.5 and r["label"] == 1)
+    assert got["tp"] == pytest.approx(tp, abs=1e-6)
+    assert got["fp"] == pytest.approx(fp, abs=1e-6)
+    assert got["precision"] == pytest.approx(tp / (tp + fp), abs=1e-5)
+    assert got["recall"] == pytest.approx(tp / (tp + fn), abs=1e-5)
+
+
 def test_auc_degenerate_class_is_null(spark):
     onecls = spark.createDataFrame(
         [(float(i), 1) for i in range(5)], "score double, label int"
