@@ -340,6 +340,7 @@ def calibration_bins(
     lo: float = 0.0,
     hi: float = 1.0,
     bins: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Reliability-diagram bins -> ``(bin, n, mean_score, frac_pos)``.
 
@@ -349,6 +350,11 @@ def calibration_bins(
     literals, not a data pass — the bin edges of an evaluation are part
     of its definition and must not drift with the corpus. One groupBy,
     output bounded by ``bins``.
+
+    With ``weight_col`` (inverse sampling propensities — same contract
+    as :func:`auc_score`), ``n`` becomes the bin's weighted mass
+    (DOUBLE, rounded to 6) and ``mean_score``/``frac_pos`` are
+    weighted means; NULL weights are excluded like NULL labels.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
@@ -356,13 +362,23 @@ def calibration_bins(
         raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
     raw = F.floor((F.col("__s") - F.lit(lo)) / F.lit(hi - lo) * F.lit(bins))
     clamped = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+    w = F.col("__w")
+    mass = (
+        (lambda c: c.cast("long"))
+        if weight_col is None
+        else (lambda c: F.round(c, 6))
+    )
     return (
-        _scored(df, score_col, label_col)
+        _scored(df, score_col, label_col, weight_col)
         .groupBy(clamped.cast("int").alias("bin"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("__s"), 6).alias("mean_score"),
-            F.round(F.avg("__y"), 6).alias("frac_pos"),
+            mass(F.sum(w)).alias("n"),
+            F.round(F.sum(w * F.col("__s")) / F.sum(w), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.sum(w * F.col("__y")) / F.sum(w), 6).alias(
+                "frac_pos"
+            ),
         )
     )
 
@@ -374,6 +390,7 @@ def expected_calibration_error(
     lo: float = 0.0,
     hi: float = 1.0,
     bins: int = 10,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Expected / maximum calibration error -> one row
     ``(ece, mce, n)``.
@@ -385,8 +402,19 @@ def expected_calibration_error(
     bins) for the gap to mean miscalibration. Built ON the bins frame —
     one corpus groupBy, then an aggregate over <= ``bins`` rows.
     Rounded to 6 decimals; NULL when no rows survive the null filter.
+    With ``weight_col``, the bins (and therefore the bin masses that
+    weight the gaps) are importance-weighted and ``n`` is the total
+    weighted mass (DOUBLE) — same contract as :func:`auc_score`.
     """
-    b = calibration_bins(df, score_col, label_col, lo=lo, hi=hi, bins=bins)
+    b = calibration_bins(
+        df, score_col, label_col, lo=lo, hi=hi, bins=bins,
+        weight_col=weight_col,
+    )
+    total = (
+        (lambda c: c.cast("long"))
+        if weight_col is None
+        else (lambda c: F.round(c, 6))
+    )
     return b.agg(
         F.round(
             F.sum(
@@ -398,7 +426,7 @@ def expected_calibration_error(
         F.round(
             F.max(F.abs(F.col("frac_pos") - F.col("mean_score"))), 6
         ).alias("mce"),
-        F.sum("n").cast("long").alias("n"),
+        total(F.sum("n")).alias("n"),
     )
 
 

@@ -514,6 +514,52 @@ def test_ece_matches_bin_mirror(scored):
     assert got["mce"] >= got["ece"]
 
 
+def test_weighted_calibration_equals_expanded_rows(scored):
+    # integer weights: weighted bins == plain bins of the expanded
+    # multiset (same definitional identity as the weighted AUC)
+    wdf = scored.withColumn(
+        "w", (1 + F.pmod(F.col("id"), F.lit(3))).cast("double")
+    )
+    got = {
+        r["bin"]: r
+        for r in calibration_bins(
+            wdf, "score", "label", lo=-2, hi=2, bins=4, weight_col="w"
+        ).collect()
+    }
+    rows = [
+        r
+        for r in wdf.collect()
+        if r["score"] is not None and r["label"] is not None
+    ]
+    bins: dict = {}
+    for r in rows:
+        b = min(3, max(0, int((r["score"] + 2) / 4 * 4)))
+        bins.setdefault(b, []).append(r)
+    for b, xs in bins.items():
+        mass = sum(x["w"] for x in xs)
+        assert got[b]["n"] == pytest.approx(mass, abs=1e-6)
+        assert got[b]["mean_score"] == pytest.approx(
+            sum(x["w"] * x["score"] for x in xs) / mass, abs=1e-6
+        )
+        assert got[b]["frac_pos"] == pytest.approx(
+            sum(x["w"] * x["label"] for x in xs) / mass, abs=1e-6
+        )
+    # the weighted ECE composes the weighted bins
+    e = expected_calibration_error(
+        wdf, "score", "label", lo=-2, hi=2, bins=4, weight_col="w"
+    ).collect()[0]
+    want = sum(
+        sum(x["w"] for x in xs)
+        * abs(
+            sum(x["w"] * x["label"] for x in xs) / sum(x["w"] for x in xs)
+            - sum(x["w"] * x["score"] for x in xs) / sum(x["w"] for x in xs)
+        )
+        for xs in bins.values()
+    ) / sum(r["w"] for r in rows)
+    assert e["ece"] == pytest.approx(want, abs=2e-6)
+    assert e["n"] == pytest.approx(sum(r["w"] for r in rows), abs=1e-6)
+
+
 def test_ece_perfectly_calibrated_is_zero(spark):
     # bins where mean score == positive rate exactly: p=0.25 bin with
     # 1/4 positives, p=0.75 bin with 3/4 positives
