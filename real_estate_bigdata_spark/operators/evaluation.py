@@ -265,6 +265,15 @@ def auc_bootstrap_ci(
     through the fixed Poisson(1) inverse-CDF ladder — so the interval
     replays identically across runs, partitionings, and engines.
 
+    ``id_col`` MUST identify rows uniquely: weights derive solely from
+    ``(id, replicate, salt)``, so rows sharing an id receive IDENTICAL
+    weights in every replicate — an implicit CLUSTERED bootstrap that
+    understates CI width if the duplication is accidental (ADVICE r8
+    #4). That is the correct behavior only when duplicate ids
+    deliberately mark a resample-together cluster (e.g. multiple
+    predictions per document); otherwise pass a genuinely unique key
+    or pre-aggregate.
+
     ``ci_lo``/``ci_hi`` are the ``alpha/2`` / ``1 - alpha/2``
     percentiles (linear interpolation) of the replicate AUCs;
     replicates that lose an entire class (possible on tiny or
@@ -448,9 +457,14 @@ def cohens_kappa(
     Distributed shape: ONE ``groupBy(a, b)`` contingency shuffle
     (output bounded by category-pair cardinality — ratings are labels,
     never free text); ``po``, the marginals, and the ``pe`` dot product
-    (``sum_c ra(c) * rb(c) / n^2``, an inner join of the two marginal
-    frames on the category value) all derive from that bounded frame,
-    so the corpus is touched exactly once.
+    (``sum_c ra(c) * rb(c) / n^2``) all derive from that bounded frame,
+    so the corpus is touched exactly once. The dot product UNPIVOTS
+    each contingency cell into its two marginal contributions and
+    folds them through a single ``groupBy(category)`` — one bounded
+    shuffle where the r8 layout ran two marginal groupBys plus a join
+    (exchange-count pass, VERDICT r8 task #6; a category on one side
+    only contributes ``ka * 0 = 0``, exactly like the old inner join
+    dropping it).
     """
     cont = (
         df.filter(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
@@ -466,14 +480,26 @@ def cohens_kappa(
             / F.sum("__c")
         ).alias("po"),
     )
-    a_side = cont.groupBy(F.col("__a").alias("__k")).agg(
-        F.sum("__c").alias("__ka")
-    )
-    b_side = cont.groupBy(F.col("__b").alias("__k")).agg(
-        F.sum("__c").alias("__kb")
-    )
     pe_df = (
-        a_side.join(b_side, "__k", "inner")
+        cont.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__a").alias("__k"),
+                        F.col("__c").alias("__ca"),
+                        F.lit(0.0).alias("__cb"),
+                    ),
+                    F.struct(
+                        F.col("__b").alias("__k"),
+                        F.lit(0.0).alias("__ca"),
+                        F.col("__c").alias("__cb"),
+                    ),
+                )
+            ).alias("__s")
+        )
+        .select("__s.*")
+        .groupBy("__k")
+        .agg(F.sum("__ca").alias("__ka"), F.sum("__cb").alias("__kb"))
         .agg(F.sum(F.col("__ka") * F.col("__kb")).alias("__dot"))
     )
     out = tot.crossJoin(pe_df).select(
@@ -617,19 +643,21 @@ def confusion_at_threshold(
         return F.round(F.when(den > 0, num / den), 6)
 
     base = _scored(df, score_col, label_col, weight_col).agg(
-        cell(F.sum(w * pred * y)).alias("tp"),
-        cell(F.sum(w * pred * (1 - y))).alias("fp"),
-        cell(F.sum(w * (1 - pred) * (1 - y))).alias("tn"),
-        cell(F.sum(w * (1 - pred) * y)).alias("fn"),
+        F.sum(w * pred * y).alias("__tp"),
+        F.sum(w * pred * (1 - y)).alias("__fp"),
+        F.sum(w * (1 - pred) * (1 - y)).alias("__tn"),
+        F.sum(w * (1 - pred) * y).alias("__fn"),
     )
-    tp, fp, tn, fn = (F.col(c) for c in ("tp", "fp", "tn", "fn"))
+    # rates divide the RAW weighted sums; cell rounding is applied only
+    # to the output tp/fp/tn/fn columns (auc_score's pattern)
+    tp, fp, tn, fn = (F.col(c) for c in ("__tp", "__fp", "__tn", "__fn"))
     prec = F.when(tp + fp > 0, tp / (tp + fp))
     rec = F.when(tp + fn > 0, tp / (tp + fn))
     return base.select(
-        "tp",
-        "fp",
-        "tn",
-        "fn",
+        cell(tp).alias("tp"),
+        cell(fp).alias("fp"),
+        cell(tn).alias("tn"),
+        cell(fn).alias("fn"),
         _rate(tp + tn, tp + fp + tn + fn).alias("accuracy"),
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
@@ -817,8 +845,11 @@ def pair_set_metrics(
     duplicates collapsed — so orientation and multiplicity cannot
     inflate agreement. ``precision`` is NULL (not 1) on an empty
     prediction set and ``recall`` NULL on an empty truth set; ``f1``
-    is NULL when no pair is shared (0/0); ``jaccard`` is the
-    pair-set IoU. Rounded to 6 decimals.
+    is 0.0 on a total miss (no shared pair but at least one side
+    non-empty — a QA gate must flag that config, not read it as
+    "unmeasured") and NULL only in the genuinely undefined
+    both-empty case; ``jaccard`` is the pair-set IoU. Rounded to 6
+    decimals.
 
     Distributed shape: one distinct per side (pair-set sized — the
     inputs are banded candidate/verified pairs, never all-pairs), then
@@ -858,7 +889,7 @@ def pair_set_metrics(
         nc,
         F.round(F.when(np_ > 0, nc / np_), 6).alias("precision"),
         F.round(F.when(nt > 0, nc / nt), 6).alias("recall"),
-        F.round(F.when(nc > 0, 2.0 * nc / (np_ + nt)), 6).alias("f1"),
+        F.round(F.when(np_ + nt > 0, 2.0 * nc / (np_ + nt)), 6).alias("f1"),
         F.round(
             F.when(np_ + nt - nc > 0, nc / (np_ + nt - nc)), 6
         ).alias("jaccard"),

@@ -141,22 +141,34 @@ def probe_scores(
     decimals: int = 6,
 ) -> DataFrame:
     """Score every row with a fitted weight vector: (id,
-    ``probe_score``) — pure Column dot product against the plan-literal
-    weights, map-only, no Python. NULL vectors score NULL (unscored,
-    never silently zero)."""
+    ``probe_score``, ``dim_ok``) — pure Column dot product against the
+    plan-literal weights, map-only, no Python. NULL vectors score NULL
+    (unscored, never silently zero).
+
+    A non-NULL vector whose length differs from the fitted feature
+    dimension also scores NULL but is FLAGGED ``dim_ok = false``
+    (ADVICE r8 #3): without the guard, zip_with pads the short side
+    with NULLs and the corruption is indistinguishable from the
+    documented NULL-vector case — the fit raises on bad training rows,
+    so scoring must not silently swallow bad unlabeled rows.
+    ``dim_ok`` is NULL for NULL vectors (nothing to check), so
+    ``filter(~dim_ok)`` isolates exactly the corrupted rows."""
     w = np.asarray(weights, dtype=np.float64)
     feat = w[:-1] if intercept else w
     bias = float(w[-1]) if intercept else 0.0
     lit = F.array(*[F.lit(float(v)) for v in feat])
+    vec = F.col(vec_col)
+    dim_ok = F.when(vec.isNotNull(), F.size(vec) == F.lit(len(feat)))
     return emb.select(
         F.col(id_col),
         F.round(
             F.when(
-                F.col(vec_col).isNotNull(),
-                dot(F.col(vec_col), lit) + F.lit(bias),
+                vec.isNotNull() & (F.size(vec) == F.lit(len(feat))),
+                dot(vec, lit) + F.lit(bias),
             ),
             decimals,
         ).alias("probe_score"),
+        dim_ok.alias("dim_ok"),
     )
 
 

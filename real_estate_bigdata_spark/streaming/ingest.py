@@ -730,6 +730,10 @@ def recover_quarantined_epochs(
     src_path = jvm.org.apache.hadoop.fs.Path(src_dir)
     src_fs = src_path.getFileSystem(conf)
     src_fs.mkdirs(src_path)
+    # a rename is only legal within ONE filesystem; when quarantine and
+    # src resolve to different ones (e.g. file:// staging vs hdfs://
+    # drop dir) fall back to copy+delete (ADVICE r8 #5)
+    same_fs = fs.getUri().toString() == src_fs.getUri().toString()
     for epoch in wanted:
         part_dir = f"{quarantine_dir.rstrip('/')}/ingest_batch={epoch}"
         staging = f"{quarantine_dir.rstrip('/')}/_recover_staging_{epoch}"
@@ -752,9 +756,15 @@ def recover_quarantined_epochs(
             dest = jvm.org.apache.hadoop.fs.Path(
                 f"{src_dir.rstrip('/')}/{prefix}{i:05d}.json"
             )
-            if not fs.rename(st.getPath(), dest):
+            if same_fs:
+                moved = fs.rename(st.getPath(), dest)
+            else:
+                moved = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    fs, st.getPath(), src_fs, dest, True, True, conf
+                )
+            if not moved:
                 raise IOError(
-                    f"quarantine recovery: rename({st.getPath()}, {dest}) "
+                    f"quarantine recovery: move({st.getPath()}, {dest}) "
                     f"returned false; staging left intact at {staging}"
                 )
             i += 1

@@ -631,11 +631,14 @@ def test_kappa_ece_plans_stay_jvm_side(spark, scored):
         forbid_python=True,
     )
     # the contingency exchange must be REUSED, not recomputed per
-    # marginal — the corpus is touched once. AQE performs exchange
+    # consumer — the corpus is touched once. AQE performs exchange
     # reuse at RUNTIME, so assert on the final adaptive plan after
-    # execution (executed_plan_str is pre-AQE by design): both
-    # marginal branches must read a ReusedExchange of the main
-    # contingency shuffle.
+    # execution (executed_plan_str is pre-AQE by design). Since the r9
+    # exchange-count pass (VERDICT r8 task #6) the marginal dot product
+    # is ONE unpivoted groupBy over the contingency frame instead of
+    # two marginal groupBys + a join, so exactly one consumer branch
+    # reuses the contingency shuffle and the whole plan carries at
+    # most 5 exchanges (was 7).
     big = spark.createDataFrame(
         [("x", "y"), ("x", "x"), ("y", "y")] * 50, "a string, b string"
     )
@@ -643,7 +646,8 @@ def test_kappa_ece_plans_stay_jvm_side(spark, scored):
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final
-    assert final.count("ReusedExchange") >= 2
+    assert final.count("ReusedExchange") >= 1
+    assert_plan(cohens_kappa(big, "a", "b"), max_shuffles=5)
 
 
 def mirror_fleiss(ratings):
@@ -746,10 +750,19 @@ def test_pair_set_metrics_edges(spark):
     same = pair_set_metrics(pairs, pairs).collect()[0]
     assert (same["precision"], same["recall"], same["f1"], same["jaccard"]) \
         == (1.0, 1.0, 1.0, 1.0)
-    # empty prediction: precision NULL (undefined), recall 0 (defined)
+    # empty prediction: precision NULL (undefined), recall 0 (defined),
+    # f1 0.0 — a total miss against a non-empty truth set is a
+    # measured failure, not "unmeasured" (ADVICE r8 #2)
     row = pair_set_metrics(empty, pairs).collect()[0]
     assert row["precision"] is None and row["recall"] == 0.0
-    assert row["f1"] is None
+    assert row["f1"] == 0.0
+    # disjoint non-empty sets: same rule — f1 is 0.0, not NULL
+    other = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    row = pair_set_metrics(other, pairs).collect()[0]
+    assert row["n_common"] == 0 and row["f1"] == 0.0
+    # both sides empty: the genuinely undefined 0/0 case stays NULL
+    row = pair_set_metrics(empty, empty).collect()[0]
+    assert row["f1"] is None and row["jaccard"] is None
     # NULL ids are dropped, not fabricated into pairs
     row = pair_set_metrics(nullish, pairs).collect()[0]
     assert row["n_pred"] == 0

@@ -117,6 +117,27 @@ class TestScores:
         assert out[1] == 2.5
         assert out[2] is None
 
+    def test_dim_mismatch_flagged_not_silent(self, spark):
+        """A non-NULL vector of the WRONG length scores NULL and is
+        flagged dim_ok=false — distinguishable from the NULL-vector
+        case (dim_ok NULL), so corpus dim corruption on unlabeled rows
+        is visible at scoring time (ADVICE r8 #3)."""
+        from real_estate_bigdata_spark.operators.linear_probe import (
+            probe_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0, 9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.vec_id: r
+            for r in probe_scores(df, np.array([2.0, 0.0, 0.5])).collect()
+        }
+        assert rows[1].probe_score == 2.5 and rows[1].dim_ok is True
+        assert rows[2].probe_score is None and rows[2].dim_ok is None
+        assert rows[3].probe_score is None and rows[3].dim_ok is False
+
     def test_scoring_plan_map_only_jvm_only(self, spark):
         from real_estate_bigdata_spark.operators.linear_probe import (
             probe_scores,
