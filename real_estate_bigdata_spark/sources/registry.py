@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -21,7 +21,7 @@ from real_estate_bigdata_spark.functions.normalize import normalize_listings
 from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA
 from real_estate_bigdata_spark.streaming.ingest import file_stream_ingest
 
-__all__ = ["SourceSpec", "SourceRegistry"]
+__all__ = ["SourceSpec", "SourceRegistry", "kafka_connector_available"]
 
 
 @dataclass(frozen=True)
@@ -30,8 +30,9 @@ class SourceSpec:
 
     ``kind='file'`` reads a JSONL drop directory (the testable stand-in
     for a live scraper, SURVEY S1); ``kind='kafka'`` subscribes to
-    ``topic`` via ``sources.kafka`` (requires a broker — builder only in
-    this environment).
+    ``topic`` via ``sources.kafka`` (requires a broker AND the
+    spark-sql-kafka connector on the classpath — probed before any
+    query starts, see :meth:`SourceRegistry.start_all`).
     """
 
     name: str
@@ -39,6 +40,23 @@ class SourceSpec:
     kind: str = "file"
     topic: str | None = None
     schema: StructType = field(default_factory=lambda: RAW_LISTING_SCHEMA)
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the JVM classpath.
+
+    A kafka-kind spec without the connector would otherwise die inside
+    ``readStream.load()`` with an opaque "Failed to find data source:
+    kafka" AFTER sibling queries already started — the registry probes
+    this up front so the fan-out is all-or-nothing (X3 validation
+    before any side effect)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
 
 
 class SourceRegistry:
@@ -51,11 +69,39 @@ class SourceRegistry:
     def register(self, spec: SourceSpec) -> "SourceRegistry":
         if spec.name in self._specs:
             raise ValueError(f"source {spec.name!r} already registered")
+        if spec.kind not in ("file", "kafka"):
+            raise ValueError(
+                f"source {spec.name!r}: unknown kind {spec.kind!r} "
+                "(expected 'file' or 'kafka')"
+            )
+        if spec.kind == "kafka" and not spec.topic:
+            raise ValueError(f"kafka source {spec.name!r} needs a topic")
         self._specs[spec.name] = spec
         return self
 
     def specs(self) -> list[SourceSpec]:
         return list(self._specs.values())
+
+    def _raw_stream(self, spark: SparkSession, spec: SourceSpec) -> DataFrame:
+        """The typed raw-record stream for one spec — the only
+        kind-dependent hop; everything downstream (normalize ->
+        partitioned lake append) is shared."""
+        if spec.kind == "kafka":
+            from real_estate_bigdata_spark.sources.kafka import (
+                decode_kafka_records,
+                kafka_stream_source,
+            )
+
+            envelopes = kafka_stream_source(
+                spark, bootstrap=spec.src, topic=spec.topic
+            )
+            # the consumer's blind JSON deserialize under an explicit
+            # schema (kafka_to_hdfs_consumer.py:63); drop the transport
+            # timestamp — the lake schema is source-kind-agnostic
+            return decode_kafka_records(envelopes, spec.schema).drop(
+                "kafka_ts"
+            )
+        return file_stream_ingest(spark, spec.src, schema=spec.schema)
 
     def start_all(
         self,
@@ -72,18 +118,25 @@ class SourceRegistry:
         source INTO its partition directory keeps one lake layout
         (`source` comes back as a partition column on a root read) while
         giving every query exclusive sink ownership. Provenance is the
-        registry name, never the payload's claimed source."""
-        # validate EVERY spec before starting ANY query — failing midway
-        # would orphan already-started queries with no handle returned
-        unsupported = [s.name for s in self.specs() if s.kind != "file"]
-        if unsupported:
-            raise NotImplementedError(
-                f"source kind(s) for {unsupported} need a live broker; "
-                "use sources.kafka builders directly"
+        registry name, never the payload's claimed source.
+
+        Kafka-kind specs run through the exact same normalize -> lake
+        path as file-kind ones (reference consumer parity,
+        `kafka_to_hdfs_consumer.py:49-151`); they require the
+        spark-sql-kafka connector, which is PROBED before any query
+        starts — failing midway would orphan already-started queries
+        with no handle returned, so validation is all-or-nothing."""
+        kafka_specs = [s.name for s in self.specs() if s.kind == "kafka"]
+        if kafka_specs and not kafka_connector_available(spark):
+            raise RuntimeError(
+                f"kafka source(s) {kafka_specs} need the spark-sql-kafka "
+                "connector on the classpath (and a reachable broker); "
+                "add org.apache.spark:spark-sql-kafka-0-10 via "
+                "spark.jars.packages, or use file-kind drop-dir sources"
             )
         queries = []
         for spec in self.specs():
-            raw = file_stream_ingest(spark, spec.src, schema=spec.schema)
+            raw = self._raw_stream(spark, spec)
             normalized = normalize_listings(raw).drop("source")
             writer = (
                 normalized.writeStream.format("parquet")
