@@ -42,6 +42,7 @@ __all__ = [
     "load_ivf_index",
     "ivf_search",
     "ivf_topk",
+    "tune_n_probe",
     "cluster_balanced_sample",
     "PqCodebook",
     "train_pq",
@@ -934,9 +935,11 @@ def ivf_search(
     n_lists — a handful of ints) filters the lists scan, which on a
     :func:`save_ivf_index`-persisted index becomes STATIC partition
     pruning — unprobed list directories are never read. Recall < 1 by
-    construction; raise n_probe toward n_lists to trade speed for
-    recall. At 10^9 vectors n_lists grows ~sqrt(N) and the per-list
-    scan stays bounded.
+    construction; pick ``n_probe`` with :func:`tune_n_probe` (sweep a
+    sampled query set to the cheapest setting meeting a recall target)
+    rather than trusting any fixed default — measured here, n_probe=4
+    over 16 lists served 0.40 worst-case recall. At 10^9 vectors
+    n_lists grows ~sqrt(N) and the per-list scan stays bounded.
     """
     n_probe = min(n_probe, index.n_lists)
     dim = index.dim
@@ -1018,6 +1021,107 @@ def ivf_topk(
         # to skip — the prune's collect job would be pure overhead here
         prune_lists=False,
     )
+
+
+def tune_n_probe(
+    index: IvfIndex,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    target_recall: float = 0.9,
+    recall_stat: str = "min",
+    candidates: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    search=None,
+    exact: DataFrame | None = None,
+) -> dict:
+    """Recall-targeted ``n_probe`` selection (VERDICT r8 task #3): sweep
+    a doubling ladder of probe counts on a SAMPLED query set, measure
+    each against brute force with :func:`evaluation.topk_recall`, and
+    return the CHEAPEST setting whose macro recall meets
+    ``target_recall`` — the knee a serving deployment should run at,
+    instead of a hand-picked default that silently ships 40% worst-case
+    recall (the r8 q_ann_recall readout at n_probe=4).
+
+    ``recall_stat`` picks the gate: ``"min"`` (worst query — the SLO
+    framing, default) or ``"mean"``. ``candidates`` defaults to
+    ``[1, 2, 4, ... , n_lists]``; ``n_lists`` is always appended, and at
+    full probe IVF search equals brute force (pytest-pinned), so the
+    sweep ALWAYS terminates at a setting meeting any target <= 1.0.
+    ``search`` overrides the probed searcher — ``lambda np_:
+    ivfpq_topk(index, codebook, codes, queries, k, n_probe=np_)`` tunes
+    the IVF-PQ composition with the same ladder; the default probes
+    :func:`ivf_search` on ``index``. ``exact`` lets a caller who
+    already materialized the brute-force frame (to report recall at
+    the tuned point afterwards) reuse it instead of paying a second
+    corpus pass.
+
+    Driver-side shape: this is a TUNING pass, run once per index build
+    over a bounded query sample (tens of queries), not per request —
+    the exact side is computed once and localCheckpointed; each ladder
+    step is one bounded Spark job collecting a single stats row, and
+    early-stop means ~log2(n_lists) steps worst case.
+
+    Returns ``{"n_probe", "target_recall", "recall_stat", "swept":
+    [{"n_probe", "n_queries", "mean_recall", "min_recall"}, ...]}`` —
+    the swept trail makes the knee auditable, not just the answer.
+    """
+    from real_estate_bigdata_spark.operators.evaluation import topk_recall
+
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1], got {target_recall}"
+        )
+    if recall_stat not in ("min", "mean"):
+        raise ValueError(f"recall_stat must be min|mean, got {recall_stat}")
+    if candidates is None:
+        candidates = []
+        c = 1
+        while c < index.n_lists:
+            candidates.append(c)
+            c *= 2
+    ladder = sorted({min(c, index.n_lists) for c in candidates} | {index.n_lists})
+    if exact is None:
+        exact = brute_force_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
+    if search is None:
+        def search(np_: int) -> DataFrame:
+            return ivf_search(
+                index, queries, k=k, n_probe=np_,
+                id_col=id_col, vec_col=vec_col, prune_lists=False,
+            )
+    swept: list[dict] = []
+    best = ladder[-1]
+    for c in ladder:
+        row = (
+            topk_recall(search(c), exact)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(F.avg("recall"), 6).alias("mean_recall"),
+                F.round(F.min("recall"), 6).alias("min_recall"),
+            )
+            .collect()[0]
+        )
+        swept.append(
+            {
+                "n_probe": c,
+                "n_queries": row["n_queries"],
+                "mean_recall": row["mean_recall"],
+                "min_recall": row["min_recall"],
+            }
+        )
+        stat = row["min_recall"] if recall_stat == "min" else row["mean_recall"]
+        if stat is not None and stat >= target_recall:
+            best = c
+            break
+    return {
+        "n_probe": best,
+        "target_recall": target_recall,
+        "recall_stat": recall_stat,
+        "swept": swept,
+    }
 
 
 def cluster_balanced_sample(
@@ -1557,6 +1661,9 @@ def ivfpq_topk(
     The union-of-probes candidate set can only ADD candidates for any
     single query versus per-query pruning — recall is monotonically
     better at the cost of scoring a few extra codes per batch.
+    Pick ``n_probe`` with :func:`tune_n_probe` (pass ``search=lambda
+    np_: ivfpq_topk(..., n_probe=np_)``) — the coarse-quantizer recall
+    ceiling applies here exactly as in :func:`ivf_search`.
     """
     _require_integral_id(queries, id_col, "ivfpq_topk")
     if codebook.dim != index.dim:

@@ -239,6 +239,53 @@ def test_ivf_topk_tolerates_ragged_and_null_queries(spark):
     assert all(r.neighbor_id not in (100, 101) for r in got)
 
 
+def test_tune_n_probe_picks_cheapest_meeting_target(spark):
+    """The tuner must return the SMALLEST ladder step whose chosen
+    recall stat meets the target, with the swept trail auditable and
+    monotone-terminating (full probe == brute force => recall 1.0)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    index = sim.build_ivf_index(emb, n_lists=16, seed=42)
+    tuned = sim.tune_n_probe(
+        index, emb, queries, k=10, target_recall=0.8, recall_stat="min"
+    )
+    assert tuned["n_probe"] in {1, 2, 4, 8, 16}
+    # the returned step meets the target...
+    last = tuned["swept"][-1]
+    assert last["n_probe"] == tuned["n_probe"]
+    assert last["min_recall"] >= 0.8
+    # ...and every EARLIER step missed it (cheapest, not just any)
+    for step in tuned["swept"][:-1]:
+        assert step["min_recall"] < 0.8
+    # ladder is strictly increasing (early-stop sweep, no repeats)
+    probes = [s["n_probe"] for s in tuned["swept"]]
+    assert probes == sorted(set(probes))
+
+
+def test_tune_n_probe_terminates_at_full_probe_for_target_1(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.orderBy("vec_id").limit(4)
+    index = sim.build_ivf_index(emb, n_lists=8, seed=42)
+    tuned = sim.tune_n_probe(
+        index, emb, queries, k=5, target_recall=1.0, recall_stat="min",
+        candidates=[8],
+    )
+    # full probe == brute force, so target 1.0 is reachable
+    assert tuned["n_probe"] == 8
+    assert tuned["swept"][-1]["min_recall"] == 1.0
+
+
+def test_tune_n_probe_validates_args(spark):
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    index = sim.build_ivf_index(emb.limit(40), n_lists=4, seed=1)
+    with pytest.raises(ValueError):
+        sim.tune_n_probe(index, emb, emb.limit(2), target_recall=0.0)
+    with pytest.raises(ValueError):
+        sim.tune_n_probe(index, emb, emb.limit(2), recall_stat="median")
+
+
 def test_minhash_lsh_rejects_bad_band_config(spark):
     import pytest
 
