@@ -676,6 +676,67 @@ def _q_fleiss_kappa(spark, sf):
     return fleiss_kappa(ratings, "vec_id", "rating")
 
 
+def _q_label_alpha(spark, sf):
+    """Krippendorff's alpha (NEW r9; nominal metric) over a ratings
+    table with DELIBERATE missingness — rater 1 judges every scored
+    item, rater 2 only even vec_ids, rater 3 only multiples of 3 — the
+    fan-out labeling reality where annotators skip items, which
+    fleiss_kappa can only handle by discarding; alpha's
+    coincidence-matrix treatment keeps every pairable item. Items with
+    a single rating (odd, non-multiple-of-3 ids) are excluded and
+    visible via n_items."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+
+    scored = _eval_scored(spark, sf)
+
+    def rater(df, thr):
+        return df.select(
+            "vec_id", (F.col("score") >= thr).cast("int").alias("rating")
+        )
+
+    ratings = (
+        rater(scored, -0.2)
+        .unionByName(
+            rater(scored.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0), 0.0)
+        )
+        .unionByName(
+            rater(scored.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0), 0.2)
+        )
+    )
+    return krippendorff_alpha(ratings, "vec_id", "rating")
+
+
+def _q_ranking_rbo(spark, sf):
+    """Prefix rank-biased overlap (NEW r9; Webber et al. 2010) between
+    the full-weight and head-truncated (16-dim) ranked pools — the
+    judgment-free half of the migration readout next to
+    q_ranking_compare's judged half: how much the served top-10
+    actually changed, weighted toward rank 1. One inner join on
+    (query, doc) + one groupBy(query); the depth weights are a plan
+    literal."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        rank_biased_overlap,
+    )
+
+    ra, _ = _ranking_inputs(spark, sf)
+    rb, _ = _ranking_inputs(spark, sf, weights=_EVAL_W_HEAD)
+    return rank_biased_overlap(ra, rb, p=0.9, k=10)
+
+
+def _q_dedup_containment(spark, sf):
+    """Exact n-gram containment pairs (NEW r9; Broder 1997's asymmetric
+    companion to resemblance): pairs where the SMALLER document's
+    shingles are >= 90% inside the larger — quotation/subset
+    duplication that Jaccard structurally under-scores (a doc embedded
+    in one 3x its size caps at jaccard ~0.33). Same posting-list plan
+    as q_dedup_ngram_jaccard; only the scoring expression differs."""
+    return dd.ngram_containment_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.9
+    )
+
+
 def _q_pair_set_quality(spark, sf):
     """Dedup-config QA (NEW r8): precision/recall of the portable
     SimHash pair generator against the exact n-gram Jaccard pair set
@@ -1610,6 +1671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prototype_scores": _q_prototype_scores,
         "q_prototype_prune": _q_prototype_prune,
         "q_bm25_index_search": _q_bm25_index_search,
+        # 3 NEW r9-late queries: past-cap because every in-cap slot is
+        # owned by the r9 rotation contract above; each DuckDB-checked
+        # on every pytest run (test_queries) and scheduled in-cap for
+        # r10 first driver verification (COVERAGE.md r10 slot map)
+        "q_label_alpha": _q_label_alpha,
+        "q_ranking_rbo": _q_ranking_rbo,
+        "q_dedup_containment": _q_dedup_containment,
     }
 
 
@@ -1650,6 +1718,39 @@ _JACCARD_PAIRS_TEMPLATE = r"""
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+"""
+
+#: q_dedup_containment oracle — the jaccard template's shingle/posting
+#: CTEs with Broder-containment scoring: directional |A∩B|/|A| and
+#: |A∩B|/|B| plus the overlap coefficient |A∩B|/min(|A|,|B|) the
+#: threshold gates on (the asymmetric quotation/subset signal).
+_CONTAINMENT_PAIRS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        FROM toks
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter::DOUBLE / sa.n_sh, 6) AS containment_a,
+           round(n_inter::DOUBLE / sb.n_sh, 6) AS containment_b,
+           round(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh), 6) AS "overlap"
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_inter::DOUBLE / least(sa.n_sh, sb.n_sh), 6) >= 0.9
 """
 
 #: exact all-pairs embedding cosine >= threshold — shared by the
@@ -2613,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "q_dedup_ngram_jaccard": _jaccard_pairs_sql(),
+        "q_dedup_containment": _CONTAINMENT_PAIRS_SQL,
         "q_dedup_minhash_lsh": _jaccard_pairs_sql(),
         "q_dedup_embedding": _EMB_NEARDUP_SQL,
         # SemDeDup: recursive-CTE transitive closure over the exact
@@ -4069,6 +4171,54 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS t_stat
         FROM paired
     """
+
+    # prefix RBO: the SAME tail-sum weight table the operator bakes
+    # into its plan (weights[m] = sum_{d=m..k} p^(d-1)/d, 1-based), and
+    # the SAME python-computed (1-p) literal, so both engines multiply
+    # identical doubles
+    def _rbo_tails(p: float, k: int) -> list[float]:
+        tails = [0.0] * (k + 1)
+        for d in range(k, 0, -1):
+            tails[d - 1] = tails[d] + p ** (d - 1) / d
+        return tails[:k]
+
+    _rbo_w = "[" + ", ".join(repr(t) for t in _rbo_tails(0.9, 10)) + "]"
+
+    def _prefix_sql(weights_lit: str, k: int = 10) -> str:
+        return f"""
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT CAST(vec_id % 5 AS INT) AS query_id,
+                   vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY CAST(vec_id % 5 AS INT)
+                       ORDER BY round(list_dot_product(embedding::DOUBLE[],
+                                      {weights_lit}::DOUBLE[]), 6) DESC,
+                                vec_id ASC) AS rnk
+            FROM embeddings
+            WHERE embedding IS NOT NULL AND label IS NOT NULL
+              AND round(list_dot_product(embedding::DOUBLE[],
+                        {weights_lit}::DOUBLE[]), 6) IS NOT NULL
+        ) WHERE rnk <= {k}
+        """
+
+    oracles["q_ranking_rbo"] = f"""
+        WITH ta AS ({_prefix_sql(w_lit)}),
+        tb AS ({_prefix_sql(w2_lit)}),
+        common AS (
+            SELECT ta.query_id, greatest(ta.rnk, tb.rnk) AS m
+            FROM ta JOIN tb
+              ON ta.query_id = tb.query_id AND ta.doc_id = tb.doc_id
+        ), qs AS (
+            SELECT DISTINCT query_id FROM ta
+            UNION SELECT DISTINCT query_id FROM tb
+        ), s AS (
+            SELECT query_id, sum({_rbo_w}[m]) AS ssum
+            FROM common GROUP BY query_id
+        )
+        SELECT qs.query_id,
+               round({1.0 - 0.9!r} * coalesce(s.ssum, 0.0), 6) AS rbo
+        FROM qs LEFT JOIN s ON qs.query_id = s.query_id
+    """
     oracles["q_fleiss_kappa"] = scored_cte + """
         , ratings AS (
             SELECT vec_id,
@@ -4098,6 +4248,47 @@ def oracle_sql() -> dict[str, str]:
                round(pe, 6) AS p_e,
                n_items, n_ratings
         FROM pb, marg
+    """
+    # Krippendorff alpha: three raters with deliberate missingness
+    # (rater 2 judges only even ids, rater 3 only multiples of 3);
+    # pairable units (>= 2 ratings) drive BOTH the observed
+    # disagreement and the pooled marginals, matching the operator
+    oracles["q_label_alpha"] = scored_cte + """
+        , ratings AS (
+            SELECT vec_id,
+                   CASE WHEN score >= -0.2 THEN 1 ELSE 0 END AS rating
+            FROM valid
+            UNION ALL
+            SELECT vec_id, CASE WHEN score >= 0.0 THEN 1 ELSE 0 END
+            FROM valid WHERE vec_id % 2 = 0
+            UNION ALL
+            SELECT vec_id, CASE WHEN score >= 0.2 THEN 1 ELSE 0 END
+            FROM valid WHERE vec_id % 3 = 0
+        ), cells AS (
+            SELECT vec_id AS i, rating AS k, count(*)::DOUBLE AS c
+            FROM ratings GROUP BY 1, 2
+        ), units AS (
+            SELECT i, sum(c) AS nu, sum(c * c) AS ss
+            FROM cells GROUP BY i HAVING sum(c) >= 2
+        ), tot AS (
+            SELECT sum(nu) AS n,
+                   sum((nu * nu - ss) / (nu - 1)) AS do_num,
+                   count(*)::BIGINT AS n_items
+            FROM units
+        ), marg AS (
+            SELECT coalesce(sum(nk * nk), 0) AS sk
+            FROM (SELECT c.k, sum(c.c) AS nk
+                  FROM cells c JOIN units u ON c.i = u.i GROUP BY c.k)
+        )
+        SELECT round(CASE WHEN (n * n - sk) / (n * (n - 1)) > 0
+                          THEN 1 - (do_num / n)
+                               / ((n * n - sk) / (n * (n - 1))) END,
+                     6) AS alpha,
+               round(do_num / n, 6) AS d_o,
+               round((n * n - sk) / (n * (n - 1)), 6) AS d_e,
+               n_items,
+               n::BIGINT AS n_ratings
+        FROM tot, marg
     """
     # dedup-config QA: composes the two pair oracles that already
     # verify the generators individually

@@ -42,6 +42,7 @@ __all__ = [
     "exact_dup_groups",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_signatures",
@@ -344,6 +345,60 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting_len: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT near-dup pairs — the asymmetric
+    relationship Jaccard structurally misses: a short document quoted
+    wholesale inside a long one shares ~all of ITS shingles but a tiny
+    fraction of the union, so ``jaccard`` stays far below any sane
+    threshold while the duplication is total. Containment scores each
+    direction separately (Broder 1997's "containment" companion to
+    resemblance): ``containment_a = |A∩B| / |A|`` (share of A inside
+    B), ``containment_b = |A∩B| / |B|``, and pairs pass when the
+    OVERLAP COEFFICIENT ``max(containment_a, containment_b) =
+    |A∩B| / min(|A|,|B|)`` meets ``threshold`` — i.e. the smaller
+    document is mostly inside the larger. The training-data use is
+    quote/subset dedup and contamination sweeps where benchmark items
+    embed verbatim in long pages.
+
+    Plan: identical posting-list shape to :func:`ngram_jaccard_pairs`
+    (hashed distinct shingles -> explode -> postings -> upper-triangle
+    pair expansion -> intersection counts -> broadcast size join); only
+    the final scoring expression differs, so the 100 TB posture —
+    shuffle on shingle then on pair, ``max_posting_len`` stop-shingle
+    cap against viral postings — is inherited unchanged. Divisions are
+    exact int/int in double: bit-identical across engines.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    hsh = _hashed_shingles(docs, n, id_col, text_col)
+    sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
+    exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
+    inter = _posting_pairs(exploded, id_col, max_posting_len)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b"),
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
     )
 
 

@@ -49,8 +49,10 @@ __all__ = [
     "confusion_at_threshold",
     "expected_calibration_error",
     "fleiss_kappa",
+    "krippendorff_alpha",
     "pair_set_metrics",
     "precision_at_k",
+    "rank_biased_overlap",
     "ranking_compare",
     "ranking_metrics",
     "ranking_summary",
@@ -607,6 +609,167 @@ def fleiss_kappa(
         F.round("__pe", 6).alias("p_e"),
         "n_items",
         "n_ratings",
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str, category_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric, Krippendorff 2004) over
+    ``(item, rating)`` rows -> one row ``(alpha, d_o, d_e, n_items,
+    n_ratings)``.
+
+    The agreement statistic built for the MESSY labeling reality
+    :func:`fleiss_kappa` assumes away: raters may skip items, rating
+    counts may differ per item, and missing data is handled by design —
+    alpha compares observed pairwise disagreement within items against
+    the disagreement expected from the pooled category distribution.
+    ``alpha = 1 - d_o / d_e`` with the nominal (identity) difference
+    function: ``d_o`` derives from each pairable item's within-item
+    rating pairs (``(n_u^2 - sum_c n_uc^2) / (n_u - 1)`` summed, over
+    ``n``), ``d_e = (n^2 - sum_c n_c^2) / (n (n - 1))`` from the
+    pooled totals across pairable items. Items with fewer than 2
+    ratings carry no pairable evidence and are EXCLUDED everywhere
+    (including the pooled marginals — the standard coincidence-matrix
+    treatment); NULL items/categories are unjudged and excluded.
+    ``alpha`` is NULL when ``d_e = 0`` (every rating in one category).
+    Rounded to 6 decimals.
+
+    Distributed shape: ONE ``groupBy(item, category)`` cell shuffle
+    (bounded by items x categories); the per-item aggregate, the
+    pairable-item filter, and the pooled category marginals all derive
+    from that frame (exchange reused at runtime), so the corpus of
+    ratings is touched exactly once — the same posture as
+    :func:`fleiss_kappa`/:func:`cohens_kappa`.
+    """
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(category_col).alias("__k")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    units = (
+        cells.groupBy("__i")
+        .agg(
+            F.sum("__c").alias("__nu"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        )
+        .filter(F.col("__nu") >= 2)
+    )
+    tot = units.agg(
+        F.sum("__nu").alias("n"),
+        F.sum(
+            (F.col("__nu") * F.col("__nu") - F.col("__ss"))
+            / (F.col("__nu") - 1)
+        ).alias("__do_num"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    cat_tot = (
+        cells.join(units.select("__i"), "__i")
+        .groupBy("__k")
+        .agg(F.sum("__c").alias("__nk"))
+        .agg(F.coalesce(F.sum(F.col("__nk") * F.col("__nk")), F.lit(0.0)).alias("__sk"))
+    )
+    out = tot.crossJoin(cat_tot).select(
+        (F.col("__do_num") / F.col("n")).alias("__do"),
+        (
+            (F.col("n") * F.col("n") - F.col("__sk"))
+            / (F.col("n") * (F.col("n") - 1))
+        ).alias("__de"),
+        "n_items",
+        F.col("n").cast("long").alias("n_ratings"),
+    )
+    return out.select(
+        F.round(
+            F.when(F.col("__de") > 0, 1.0 - F.col("__do") / F.col("__de")),
+            6,
+        ).alias("alpha"),
+        F.round("__do", 6).alias("d_o"),
+        F.round("__de", 6).alias("d_e"),
+        "n_items",
+        "n_ratings",
+    )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    p: float = 0.9,
+    k: int = 10,
+) -> DataFrame:
+    """Prefix rank-biased overlap (Webber et al. 2010) between two
+    ranked lists per query -> ``(<query_col>, rbo)``.
+
+    The top-weighted similarity between two RANKINGS — what
+    :func:`ranking_compare` cannot see when no relevance judgments
+    exist: an index migration or re-ranker rollout wants "how much did
+    the served top-k actually change, weighted toward rank 1" before
+    any judgment pool is assembled. ``rbo = (1-p) * sum_{d=1..k}
+    p^(d-1) * |A_:d ∩ B_:d| / d`` — the finite-prefix (depth-``k``)
+    lower bound with NO extrapolated residual, so two identical
+    prefixes score ``(1-p) * sum p^(d-1)`` (< 1; 1.0 only as k -> inf),
+    and disjoint prefixes score 0. ``p`` is the persistence: ~0.9
+    puts ~86% of the weight in the top 10.
+
+    Shape: each per-doc overlap contribution telescopes to a WEIGHT
+    LOOKUP — a doc first present in both prefixes at depth ``m =
+    max(rank_a, rank_b)`` contributes ``sum_{d=m..k} p^(d-1)/d``, a
+    k-entry literal array baked into the plan — so the whole metric is
+    one inner join on (query, doc) plus one groupBy(query): no
+    per-depth loop, no Python. Ranks beyond ``k`` are filtered at the
+    scan; a query present in only ONE input has overlap 0 by
+    definition and is emitted with ``rbo = 0.0`` (the migration case
+    where the new index drops a query entirely must be visible, not
+    absent). Rounded to 6 decimals.
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # tail-sum weight table: weights[m-1] = sum_{d=m..k} p^(d-1)/d
+    tails: list[float] = [0.0] * (k + 1)
+    for d in range(k, 0, -1):
+        tails[d - 1] = tails[d] + p ** (d - 1) / d
+    w_lit = F.array(*[F.lit(float(tails[m])) for m in range(k)])
+
+    def side(df: DataFrame, alias: str) -> DataFrame:
+        return df.filter(
+            F.col(query_col).isNotNull()
+            & F.col(doc_col).isNotNull()
+            & F.col(rank_col).isNotNull()
+            & (F.col(rank_col) <= k)
+            & (F.col(rank_col) >= 1)
+        ).select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(rank_col).cast("int").alias(alias),
+        )
+
+    a = side(ranked_a, "__ra")
+    b = side(ranked_b, "__rb")
+    overlap = (
+        a.join(b, ["__q", "__d"])
+        .select(
+            "__q",
+            F.element_at(
+                w_lit, F.greatest(F.col("__ra"), F.col("__rb"))
+            ).alias("__w"),
+        )
+        .groupBy("__q")
+        .agg(F.sum("__w").alias("__s"))
+    )
+    qs = a.select("__q").union(b.select("__q")).distinct()
+    return qs.join(overlap, "__q", "left").select(
+        F.col("__q").alias(query_col),
+        F.round(
+            (1.0 - p) * F.coalesce(F.col("__s"), F.lit(0.0)), 6
+        ).alias("rbo"),
     )
 
 

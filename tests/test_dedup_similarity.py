@@ -1441,3 +1441,30 @@ class TestLabelAgreementIvf:
         )
         with _pytest.raises(ValueError, match="non-null"):
             sim.label_agreement_ivf(null_lab, n_lists=2, n_probe=2)
+
+
+def test_ngram_containment_pairs_catches_subset_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a long one: containment of
+    the short side is 1.0 while jaccard stays below any sane threshold
+    — the asymmetric relationship the operator exists for."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),                    # 3 distinct 3-grams
+            (2, "a b c d e f g h i j k l"),      # 10, superset of doc 1's
+            (3, "z y x w v u"),                  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dd.ngram_containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a == 1.0
+    assert r.containment_b == pytest.approx(3 / 10, abs=1e-6)
+    assert r.overlap == 1.0
+    # jaccard on the same corpus: 3/10 = 0.3, invisible at 0.8
+    assert dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8).count() == 0
+    with pytest.raises(ValueError):
+        dd.ngram_containment_pairs(docs, threshold=0.0)

@@ -21,8 +21,10 @@ from real_estate_bigdata_spark.operators.evaluation import (
     confusion_at_threshold,
     expected_calibration_error,
     fleiss_kappa,
+    krippendorff_alpha,
     pair_set_metrics,
     precision_at_k,
+    rank_biased_overlap,
     ranking_compare,
     ranking_metrics,
     ranking_summary,
@@ -913,3 +915,122 @@ def test_evaluation_plans_stay_jvm_side(scored):
         precision_at_k(scored, "score", "label", "id", 5)
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def mirror_krippendorff(ratings):
+    """(item, category) rows -> nominal alpha, independent of the Spark
+    coincidence-matrix formulation (direct per-unit pair counting)."""
+    from collections import Counter, defaultdict
+
+    by_item: dict = defaultdict(Counter)
+    for i, c in ratings:
+        by_item[i][c] += 1
+    pairable = {
+        i: cnt for i, cnt in by_item.items() if sum(cnt.values()) >= 2
+    }
+    n = sum(sum(cnt.values()) for cnt in pairable.values())
+    if n < 2:
+        return None
+    do_num = 0.0
+    for cnt in pairable.values():
+        nu = sum(cnt.values())
+        do_num += (nu * nu - sum(v * v for v in cnt.values())) / (nu - 1)
+    pooled: Counter = Counter()
+    for cnt in pairable.values():
+        pooled.update(cnt)
+    de = (n * n - sum(v * v for v in pooled.values())) / (n * (n - 1))
+    if de == 0:
+        return None
+    return 1.0 - (do_num / n) / de
+
+
+def test_krippendorff_alpha_matches_mirror(spark):
+    rng = random.Random(7)
+    # 40 items, ragged rater coverage (1-4 ratings each) and 3 categories
+    rows = []
+    for i in range(40):
+        for _ in range(rng.randint(1, 4)):
+            rows.append((i, rng.choice(["a", "b", "c"])))
+    df = spark.createDataFrame(rows, "item long, cat string")
+    got = krippendorff_alpha(df, "item", "cat").collect()[0]
+    want = mirror_krippendorff(rows)
+    assert got["alpha"] == pytest.approx(want, abs=1e-6)
+    # single-rating items excluded from n_items
+    n_pairable = len(
+        {i for i, _ in rows}
+        - {i for i in range(40) if sum(1 for j, _ in rows if j == i) < 2}
+    )
+    assert got["n_items"] == n_pairable
+
+
+def test_krippendorff_alpha_edges(spark):
+    # perfect agreement -> 1.0
+    perfect = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(10) for _ in range(3)],
+        "item long, cat string",
+    )
+    assert krippendorff_alpha(perfect, "item", "cat").collect()[0][
+        "alpha"
+    ] == 1.0
+    # one category everywhere -> d_e = 0 -> NULL (not 1.0)
+    const = spark.createDataFrame(
+        [(i, "x") for i in range(5) for _ in range(2)],
+        "item long, cat string",
+    )
+    row = krippendorff_alpha(const, "item", "cat").collect()[0]
+    assert row["alpha"] is None and row["d_e"] == 0.0
+    # items with one rating contribute nothing; NULLs excluded
+    sparse = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (None, "x"), (3, None)],
+        "item long, cat string",
+    )
+    row = krippendorff_alpha(sparse, "item", "cat").collect()[0]
+    assert row["n_items"] == 1 and row["n_ratings"] == 2
+    assert_plan(krippendorff_alpha(sparse, "item", "cat"), forbid_python=True)
+
+
+def mirror_rbo(a, b, p, k):
+    """Prefix RBO from the definition (per-depth set intersections)."""
+    s = 0.0
+    for d in range(1, k + 1):
+        s += p ** (d - 1) * len(set(a[:d]) & set(b[:d])) / d
+    return (1 - p) * s
+
+
+def _ranked(spark, qid, docs):
+    return spark.createDataFrame(
+        [(qid, doc, r + 1) for r, doc in enumerate(docs)],
+        "query_id long, doc_id long, rank int",
+    )
+
+
+def test_rbo_matches_mirror_and_edges(spark):
+    p, k = 0.9, 10
+    a_docs = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    b_docs = [2, 1, 3, 11, 5, 12, 7, 13, 9, 14]
+    a = _ranked(spark, 0, a_docs).union(_ranked(spark, 1, a_docs))
+    b = _ranked(spark, 0, b_docs).union(_ranked(spark, 1, a_docs))
+    out = {
+        r["query_id"]: r["rbo"]
+        for r in rank_biased_overlap(a, b, p=p, k=k).collect()
+    }
+    assert out[0] == pytest.approx(mirror_rbo(a_docs, b_docs, p, k), abs=1e-6)
+    # identical prefixes: (1-p) * sum p^(d-1) — NOT 1.0 (no residual)
+    ident = (1 - p) * sum(p ** (d - 1) for d in range(1, k + 1))
+    assert out[1] == pytest.approx(ident, abs=1e-6)
+    # disjoint prefixes -> 0; one-sided query -> 0 (emitted, not absent)
+    c = _ranked(spark, 0, [100, 101, 102]).union(_ranked(spark, 9, [1, 2]))
+    out = {
+        r["query_id"]: r["rbo"]
+        for r in rank_biased_overlap(a, c, p=p, k=k).collect()
+    }
+    assert out[0] == 0.0 and out[9] == 0.0 and out[1] == 0.0
+    assert_plan(rank_biased_overlap(a, b), forbid_python=True)
+
+
+def test_rbo_validates_args(spark):
+    a = _ranked(spark, 0, [1, 2])
+    with pytest.raises(ValueError):
+        rank_biased_overlap(a, a, p=1.0)
+    with pytest.raises(ValueError):
+        rank_biased_overlap(a, a, k=0)
