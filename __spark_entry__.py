@@ -1180,6 +1180,52 @@ def _q_decontaminate(spark, sf):
     return contamination_report(corpus, bench, n=8)
 
 
+def _q_bloom_contamination(spark, sf):
+    """Bloom-screen contamination report (NEW r9): the memory-bounded
+    twin of q_decontaminate — the benchmark's 8-gram shingles collapse
+    into a fixed 32 KB bloom (2^18 bits, k=6, portable md5 probes) and
+    the corpus pass is a MAP-ONLY Column test against the plan-literal
+    word table: no join, no explode, zero shuffles (plan-pinned). Zero
+    false negatives by construction; the (rare) false positive is the
+    price of the fixed footprint. Portable probes make the filter
+    bit-reproducible in DuckDB, so this sketch query has a FULL
+    oracle — unlike anything built on engine-private hashing."""
+    from real_estate_bigdata_spark.operators.decontamination import (
+        bloom_contamination_report,
+        build_shingle_bloom,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    bloom = build_shingle_bloom(bench, n=8, portable=True)
+    return bloom_contamination_report(corpus, bloom, n=8, portable=True)
+
+
+def _q_token_budget(spark, sf):
+    """Token-budget mixture plan (NEW r9): exact water-filling of a
+    200k-char budget over the 20 sources under a 2-epoch repeat
+    ceiling (Muennighoff et al. 2022 data-constrained regime), desired
+    mixture weights 1..5 by source index. Fully declarative — the
+    waterline comes from the sorted-prefix closed form on the
+    per-stratum totals frame (single-partition window over ~20 rows,
+    bounded by construction), no driver loop."""
+    from real_estate_bigdata_spark.operators.sampling import (
+        allocate_token_budget,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    mixture = {f"src{i}": float(1 + i % 5) for i in range(20)}
+    return allocate_token_budget(
+        docs,
+        budget=200_000.0,
+        weight_col="n_chars",
+        strata_col="source",
+        mixture=mixture,
+        max_epochs=2.0,
+    )
+
+
 def _q_semantic_decontaminate(spark, sf):
     """Semantic contamination report (NEW r7): corpus docs whose
     EMBEDDING is within cosine 0.4 of any benchmark embedding
@@ -1671,13 +1717,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_prototype_scores": _q_prototype_scores,
         "q_prototype_prune": _q_prototype_prune,
         "q_bm25_index_search": _q_bm25_index_search,
-        # 3 NEW r9-late queries: past-cap because every in-cap slot is
+        # 5 NEW r9-late queries: past-cap because every in-cap slot is
         # owned by the r9 rotation contract above; each DuckDB-checked
         # on every pytest run (test_queries) and scheduled in-cap for
         # r10 first driver verification (COVERAGE.md r10 slot map)
         "q_label_alpha": _q_label_alpha,
         "q_ranking_rbo": _q_ranking_rbo,
         "q_dedup_containment": _q_dedup_containment,
+        "q_bloom_contamination": _q_bloom_contamination,
+        "q_token_budget": _q_token_budget,
     }
 
 
@@ -3175,6 +3223,99 @@ def oracle_sql() -> dict[str, str]:
             FROM grams c JOIN bench b ON c.g = b.g
             WHERE c.doc_id % 20 <> 7
             GROUP BY 1
+        """,
+        # bloom screen: rebuild the IDENTICAL 2^18-bit filter (portable
+        # md5 probes, 32-bit words — DuckDB raises on 1::BIGINT << 63)
+        # and count each corpus doc's all-6-probes-set distinct shingles
+        "q_bloom_contamination": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+') END AS w
+                FROM documents WHERE text IS NOT NULL
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(w) - 6),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                                w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                                w[i+6] || ' ' || w[i+7]))) AS g
+                FROM toks
+            ), hashed AS (
+                SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                FROM grams
+            ), benchh AS (
+                SELECT DISTINCT h FROM hashed WHERE doc_id % 20 = 7
+            ), ks AS (SELECT unnest(range(0, 6)) AS i),
+            wordtab AS (
+                SELECT p >> 5 AS w,
+                       bit_or(1::BIGINT << CAST(p & 31 AS INT)) AS bits
+                FROM (
+                    SELECT (h % 262144
+                            + i * (((h >> 18) % 262144) | 1)) % 262144 AS p
+                    FROM benchh, ks
+                ) GROUP BY 1
+            ), probed AS (
+                SELECT c.doc_id, c.h,
+                       (c.h % 262144
+                        + ks.i * (((c.h >> 18) % 262144) | 1)) % 262144 AS p
+                FROM hashed c, ks
+                WHERE c.doc_id % 20 <> 7
+            ), pos AS (
+                SELECT doc_id, h
+                FROM probed pr JOIN wordtab wt ON wt.w = pr.p >> 5
+                WHERE (wt.bits & (1::BIGINT << CAST(pr.p & 31 AS INT))) != 0
+                GROUP BY doc_id, h
+                HAVING count(*) = 6
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM pos GROUP BY 1
+        """,
+        # token-budget water-filling: identical sorted-prefix closed
+        # form, weights 1..5 from the source index, 2-epoch ceiling
+        "q_token_budget": r"""
+            WITH totals AS (
+                SELECT source, sum(n_chars)::DOUBLE AS available
+                FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY source HAVING sum(n_chars) > 0
+            ), live AS (
+                SELECT source, available,
+                       (1 + CAST(substr(source, 4) AS INT) % 5)::DOUBLE
+                           AS weight,
+                       2.0 * available AS cap
+                FROM totals
+            ), staged AS (
+                SELECT source, available, weight, cap,
+                       cap / weight AS r,
+                       coalesce(sum(cap) OVER win, 0) AS ccp,
+                       coalesce(sum(weight) OVER win, 0) AS cwp
+                FROM live
+                WINDOW win AS (ORDER BY cap / weight ASC, source ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+            ), tot AS (SELECT sum(weight) AS wt FROM staged),
+            sat AS (
+                SELECT s.*, t.wt,
+                       (200000.0 - ccp) >= r * (t.wt - cwp) AS saturated
+                FROM staged s, tot t
+            ), lam AS (
+                SELECT (200000.0 - ccp) / (wt - cwp) AS lam
+                FROM (SELECT *, row_number() OVER (
+                          ORDER BY r ASC, source ASC) AS rn
+                      FROM sat WHERE NOT saturated)
+                WHERE rn = 1
+            )
+            SELECT source,
+                   round(available, 6) AS available,
+                   round(weight, 6) AS weight,
+                   round(CASE WHEN saturated THEN cap
+                              ELSE l.lam * weight END, 6) AS allocated,
+                   round(CASE WHEN saturated THEN cap
+                              ELSE l.lam * weight END / available, 6)
+                       AS epochs,
+                   saturated
+            FROM sat LEFT JOIN lam l ON TRUE
         """,
         # hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25
         # top-10 (same pipeline as the q_bm25_search oracle) with the

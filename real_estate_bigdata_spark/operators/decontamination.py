@@ -33,6 +33,9 @@ from .dedup import _hashed_shingles, _rewrite_minus_windows
 
 __all__ = [
     "benchmark_shingles",
+    "bloom_contamination_report",
+    "bloom_decontaminate",
+    "build_shingle_bloom",
     "contamination_report",
     "decontaminate",
     "redact_contaminated_spans",
@@ -99,6 +102,197 @@ def decontaminate(
         raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
     dirty = (
         contamination_report(corpus, benchmark, n=n, id_col=id_col, text_col=text_col)
+        .filter(F.col("n_hits") >= min_overlap)
+        .select(id_col)
+    )
+    return corpus.join(dirty, id_col, "left_anti")
+
+
+#: bits per bloom word — 32 (not 64) so the mask `1 << (pos & 31)`
+#: never touches a BIGINT's sign bit: DuckDB raises on `1::BIGINT <<
+#: 63`, and the oracle must build the identical bit pattern
+_BLOOM_WORD_BITS = 32
+
+#: literal mask table (1 << b for b in 0..31) — Spark's shiftleft only
+#: takes a CONSTANT shift, so the per-row bit mask is an element_at
+#: against this 32-entry literal instead
+def _bloom_mask(bit_col) -> F.Column:
+    return F.element_at(
+        F.lit([1 << b for b in range(_BLOOM_WORD_BITS)]),
+        (bit_col + F.lit(1)).cast("int"),
+    )
+
+
+def _bloom_probe_positions(h, m_bits: int, k: int) -> list:
+    """The k probe positions of a 64-bit shingle hash ``h`` in an
+    ``m_bits``-bit filter: classic double hashing ``(h1 + i*h2) % m``
+    with ``h1 = h % m`` and ``h2 = ((h >> log2(m)) % m) | 1`` (odd, so
+    the probe stride is coprime with the power-of-two ``m``). Every
+    operation is overflow-free (both operands < 2^constant) and has an
+    identical DuckDB spelling, so a portable-hash bloom is
+    bit-reproducible by the oracle."""
+    shift = m_bits.bit_length() - 1
+    m = F.lit(m_bits)
+    h1 = F.pmod(h, m)
+    h2 = F.pmod(F.shiftright(h, shift), m).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, m) for i in range(k)]
+
+
+def _validate_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits < _BLOOM_WORD_BITS or m_bits & (m_bits - 1):
+        raise ValueError(
+            f"m_bits must be a power of two >= {_BLOOM_WORD_BITS}, "
+            f"got {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+
+def build_shingle_bloom(
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k: int = 6,
+    text_col: str = "text",
+    portable: bool = False,
+) -> list[int]:
+    """Bloom filter over the benchmark's distinct n-gram shingles, as a
+    dense ``m_bits / 32`` list of word values — the MEMORY-BOUNDED
+    build side for :func:`bloom_contamination_report`.
+
+    Why a bloom when :func:`contamination_report` already broadcasts
+    the exact shingle set: the exact set grows with the benchmark
+    (8-gram ids × suite size — a large eval battery plus its
+    paraphrase expansions reaches GBs), while the bloom is a FIXED
+    ``m_bits / 8`` bytes regardless (2^18 bits = 32 KB) at a
+    controlled false-positive rate ``(1 - e^(-k·n/m))^k``. The filter
+    guarantees ZERO false negatives — no contaminated document
+    escapes — so it is the screen stage; route its (tiny) positive set
+    through the exact join when false-positive losses matter.
+
+    Build is distributed: shingles explode to k probe positions, one
+    bounded ``groupBy(word)`` OR-reduces the masks (bit-OR is
+    order-independent, so the filter is deterministic across
+    partitionings), and only ``m_bits / 32`` words come back to the
+    driver (the bounded-snapshot shape centroids use).
+    ``portable=True`` derives probes from the md5-prefix shingle hash
+    so DuckDB reproduces the filter bit-for-bit — FULL-oracle
+    verifiable, unlike any sketch built on engine-private hashing.
+    """
+    _validate_bloom_params(m_bits, k)
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench = _hashed_shingles(
+        benchmark, n, id_col=text_col, text_col=text_col, portable=portable
+    )
+    pos = bench.select(F.explode("hs").alias("g")).distinct().select(
+        F.explode(
+            F.array(*_bloom_probe_positions(F.col("g"), m_bits, k))
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("p"), 5).alias("w"),
+            _bloom_mask(F.col("p").bitwiseAND(F.lit(31))).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // _BLOOM_WORD_BITS)
+    for r in words:
+        arr[r["w"]] = r["bits"]
+    return arr
+
+
+def bloom_contamination_report(
+    corpus: DataFrame,
+    bloom: list[int],
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, n_hits) for every corpus doc with >= 1 BLOOM-POSITIVE
+    distinct shingle — the map-only screen twin of
+    :func:`contamination_report`: the whole test is a Column
+    expression over the shingle array against the plan-literal word
+    table, so the corpus pass has NO join, NO explode, NO shuffle
+    (``.explain`` shows one scan + one project + the final doc-id
+    aggregate is not even needed — hits are counted inside the row).
+
+    Superset contract: ``n_hits`` here >= the exact report's for every
+    doc (no false negatives, by bloom construction); the overcount is
+    the false-positive rate. ``m_bits``/``k``/``portable`` MUST match
+    the build call."""
+    _validate_bloom_params(m_bits, k)
+    if len(bloom) != m_bits // _BLOOM_WORD_BITS:
+        raise ValueError(
+            f"bloom has {len(bloom)} words, expected "
+            f"{m_bits // _BLOOM_WORD_BITS} for m_bits={m_bits}"
+        )
+    # bind the word table ONCE as a broadcast single-row attribute —
+    # inlining it as a literal puts k copies of an m/32-element
+    # CreateArray in the row expression, which measured ~10x slower
+    # (the giant array was rebuilt per row instead of referenced)
+    words_df = corpus.sparkSession.createDataFrame(
+        [(bloom,)], "__bloom array<bigint>"
+    )
+    words = F.col("__bloom")
+
+    def positive(g):
+        cond = None
+        for p in _bloom_probe_positions(g, m_bits, k):
+            bit = F.element_at(
+                words, (F.shiftright(p, 5) + F.lit(1)).cast("int")
+            ).bitwiseAND(_bloom_mask(p.bitwiseAND(F.lit(31)))) != F.lit(0)
+            cond = bit if cond is None else (cond & bit)
+        return cond
+
+    corp = _hashed_shingles(
+        corpus, n, id_col=id_col, text_col=text_col, portable=portable
+    )
+    return (
+        corp.crossJoin(F.broadcast(words_df))
+        .select(
+            F.col(id_col),
+            F.size(F.filter("hs", positive)).cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    m_bits: int = 1 << 18,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus rows whose BLOOM overlap with the benchmark is below
+    ``min_overlap`` — the conservative screen: everything the exact
+    :func:`decontaminate` would drop is dropped (zero false
+    negatives), plus a controlled false-positive sliver. Use when the
+    benchmark's exact shingle set is too large to broadcast; when the
+    sliver matters, verify only the flagged docs with the exact join
+    (they are contamination-sized, not corpus-sized)."""
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    bloom = build_shingle_bloom(
+        benchmark, n=n, m_bits=m_bits, k=k, text_col=text_col,
+        portable=portable,
+    )
+    dirty = (
+        bloom_contamination_report(
+            corpus, bloom, n=n, m_bits=m_bits, k=k, id_col=id_col,
+            text_col=text_col, portable=portable,
+        )
         .filter(F.col("n_hits") >= min_overlap)
         .select(id_col)
     )

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "allocate_token_budget",
     "bucket_of",
     "cap_per_group",
     "hash_sample",
@@ -153,6 +154,121 @@ def stratified_hash_sample(
         ).otherwise(thresh)
     bucketed = df.withColumn("__bucket", bucket_of(F.col(key_col), salt))
     return bucketed.filter(F.col("__bucket") < thresh).drop("__bucket")
+
+
+def allocate_token_budget(
+    df: DataFrame,
+    budget: float,
+    weight_col: str = "n_tokens",
+    strata_col: str = "source",
+    mixture: dict | None = None,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Plan a training mixture under a token budget: how many tokens to
+    draw from each stratum (domain/source/language) when the DESIRED
+    mixture and the AVAILABLE data disagree -> one row per stratum
+    ``(<strata_col>, available, weight, allocated, epochs, saturated)``.
+
+    The allocation is exact water-filling: stratum ``s`` gets
+    ``t_s = min(cap_s, lam * w_s)`` with ``cap_s = max_epochs * T_s``
+    (the repeat ceiling — data-constrained regimes reuse data a bounded
+    number of times, Muennighoff et al. 2023) and one global waterline
+    ``lam`` chosen so the allocations spend ``budget`` (or everything,
+    when the budget exceeds total capacity). ``mixture`` maps stratum ->
+    desired proportion ``w_s`` (any positive scale; strata missing from
+    an explicit mixture get 0 — excluded by intent, visible in the
+    plan); ``None`` uses natural proportions (``w_s = T_s``).
+    ``epochs = allocated / available`` is the number a sampler or
+    repeat-loader executes per stratum; ``saturated`` marks strata at
+    their repeat ceiling — the ones a data-acquisition effort should
+    target.
+
+    Fully declarative (no driver loop): the waterline is found by the
+    sorted-prefix closed form — order strata by ``cap_s / w_s``
+    ascending; a stratum saturates iff the budget left after fully
+    funding every EARLIER (cheaper) stratum still covers its rate for
+    all remaining weight (``budget - cum_cap_prev >= r_s * (W -
+    cum_w_prev)``, a condition that is provably monotone along the
+    sort), and the first non-saturated row's remaining-budget ratio IS
+    ``lam``. Everything runs on the per-stratum totals frame — strata
+    are domains (thousands at most, NEVER corpus-sized), so the
+    single-partition window is bounded by construction. Cross-engine
+    exact: cumulative sums run in the same deterministic (ratio,
+    stratum) order on both engines. Rounded to 6 decimals.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    totals = (
+        df.filter(
+            F.col(strata_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("available"))
+        .filter(F.col("available") > 0)
+    )
+    if mixture is not None:
+        if any(v < 0 for v in mixture.values()):
+            raise ValueError("mixture proportions must be >= 0")
+        wmap = F.create_map(
+            *[F.lit(x) for kv in mixture.items() for x in kv]
+        )
+        totals = totals.withColumn(
+            "weight",
+            F.coalesce(wmap[F.col(strata_col)].cast("double"), F.lit(0.0)),
+        )
+    else:
+        totals = totals.withColumn("weight", F.col("available"))
+    live = totals.filter(F.col("weight") > 0).select(
+        strata_col,
+        "available",
+        "weight",
+        (F.lit(float(max_epochs)) * F.col("available")).alias("__cap"),
+    )
+    win = (
+        Window.orderBy((F.col("__cap") / F.col("weight")).asc(),
+                       F.col(strata_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        live.withColumn("__r", F.col("__cap") / F.col("weight"))
+        .withColumn("__ccp", F.coalesce(F.sum("__cap").over(win), F.lit(0.0)))
+        .withColumn("__cwp", F.coalesce(F.sum("weight").over(win), F.lit(0.0)))
+    )
+    wt = staged.agg(F.sum("weight").alias("__wt"))
+    staged = staged.crossJoin(F.broadcast(wt)).withColumn(
+        "saturated",
+        (F.lit(float(budget)) - F.col("__ccp"))
+        >= F.col("__r") * (F.col("__wt") - F.col("__cwp")),
+    )
+    lam = staged.filter(~F.col("saturated")).agg(
+        F.min_by(
+            (F.lit(float(budget)) - F.col("__ccp"))
+            / (F.col("__wt") - F.col("__cwp")),
+            F.struct(F.col("__r"), F.col(strata_col)),
+        ).alias("__lam")
+    )
+    allocated = F.when(F.col("saturated"), F.col("__cap")).otherwise(
+        F.col("__lam") * F.col("weight")
+    )
+    planned = staged.crossJoin(F.broadcast(lam)).select(
+        strata_col,
+        F.round("available", 6).alias("available"),
+        F.round("weight", 6).alias("weight"),
+        F.round(allocated, 6).alias("allocated"),
+        F.round(allocated / F.col("available"), 6).alias("epochs"),
+        "saturated",
+    )
+    excluded = totals.filter(F.col("weight") <= 0).select(
+        strata_col,
+        F.round("available", 6).alias("available"),
+        F.lit(0.0).alias("weight"),
+        F.lit(0.0).alias("allocated"),
+        F.lit(0.0).alias("epochs"),
+        F.lit(False).alias("saturated"),
+    )
+    return planned.unionByName(excluded)
 
 
 def mixture_balance(

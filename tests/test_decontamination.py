@@ -200,3 +200,69 @@ class TestSemanticDecontamination:
             max_sortmerge_joins=0,
             forbid_python=True,
         )
+
+
+class TestBloomScreen:
+    def test_superset_of_exact_no_false_negatives(self, spark):
+        """Bloom screen contract: every doc (and every hit) the exact
+        report finds must appear with >= the exact count — zero false
+        negatives by construction; both hash modes."""
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.filter(F.col("doc_id") % 20 == 7)
+        corpus = docs.filter(F.col("doc_id") % 20 != 7)
+        exact = {
+            r["doc_id"]: r["n_hits"]
+            for r in dc.contamination_report(corpus, bench, n=8).collect()
+        }
+        for portable in (False, True):
+            bloom = dc.build_shingle_bloom(bench, n=8, portable=portable)
+            got = {
+                r["doc_id"]: r["n_hits"]
+                for r in dc.bloom_contamination_report(
+                    corpus, bloom, n=8, portable=portable
+                ).collect()
+            }
+            for d, n in exact.items():
+                assert got.get(d, 0) >= n, (portable, d)
+
+    def test_decontaminate_drops_everything_exact_drops(self, spark):
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bench = docs.filter(F.col("doc_id") % 20 == 7)
+        corpus = docs.filter(F.col("doc_id") % 20 != 7)
+        exact_kept = {
+            r["doc_id"] for r in dc.decontaminate(corpus, bench, n=8).collect()
+        }
+        bloom_kept = {
+            r["doc_id"]
+            for r in dc.bloom_decontaminate(corpus, bench, n=8).collect()
+        }
+        # conservative screen: bloom keeps a subset of the exact keep set
+        assert bloom_kept <= exact_kept
+
+    def test_corpus_pass_is_map_only(self, spark):
+        """The whole screen is one scan + project + the single-row
+        broadcast bind of the word table: zero shuffles, no sort-merge,
+        no per-shingle join or explode — the reason the operator
+        exists. (The bind is a broadcast of ONE row; inlining the word
+        table as a literal instead measured ~10x slower because the
+        m/32-element array was rebuilt per row.)"""
+        from real_estate_bigdata_spark.plans.audit import plan_stats
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        bloom = dc.build_shingle_bloom(docs.limit(5), n=8)
+        stats = plan_stats(dc.bloom_contamination_report(docs, bloom, n=8))
+        assert stats.shuffles == 0
+        assert stats.broadcast_joins == 1 and stats.sortmerge_joins == 0
+        assert stats.python_stages == 0
+
+    def test_validates_params(self, spark):
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        with pytest.raises(ValueError, match="power of two"):
+            dc.build_shingle_bloom(docs.limit(2), m_bits=1000)
+        with pytest.raises(ValueError, match="k must be"):
+            dc.build_shingle_bloom(docs.limit(2), k=0)
+        bloom = dc.build_shingle_bloom(docs.limit(2), m_bits=1 << 12)
+        with pytest.raises(ValueError, match="words"):
+            dc.bloom_contamination_report(docs, bloom, m_bits=1 << 13)
+        with pytest.raises(ValueError, match="min_overlap"):
+            dc.bloom_decontaminate(docs, docs.limit(2), min_overlap=0)

@@ -436,3 +436,93 @@ def test_temperature_mixture_deterministic_and_validates(spark):
         sp.temperature_mixture(df, alpha=1.5)
     empty = spark.createDataFrame([], "doc_id long, source string, n_tokens long")
     assert sp.temperature_mixture(empty, alpha=0.5).count() == 0
+
+
+def mirror_waterfill(avail, weights, budget, max_epochs):
+    """Iterative water-filling, independent of the sorted-prefix
+    closed form the operator uses."""
+    caps = {s: max_epochs * t for s, t in avail.items()}
+    live = {s for s in avail if weights.get(s, 0) > 0}
+    alloc = {s: 0.0 for s in avail}
+    remaining = budget
+    while live and remaining > 1e-12:
+        wsum = sum(weights[s] for s in live)
+        lam = remaining / wsum
+        sat = [s for s in live if caps[s] <= lam * weights[s] + 1e-12]
+        if not sat:
+            for s in live:
+                alloc[s] = lam * weights[s]
+            remaining = 0.0
+            break
+        for s in sat:
+            alloc[s] = caps[s]
+            remaining -= caps[s]
+            live.discard(s)
+    return alloc
+
+
+def test_allocate_token_budget_matches_iterative_mirror(spark):
+    rows = []
+    avail = {"a": 100, "b": 400, "c": 1000, "d": 50}
+    did = 0
+    for s, t in avail.items():
+        # split each stratum's mass over a few rows
+        for part in (t // 2, t - t // 2):
+            rows.append((did, s, part))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    weights = {"a": 3.0, "b": 1.0, "c": 1.0, "d": 5.0}
+    budget, epochs = 900.0, 2.0
+    got = {
+        r["source"]: r
+        for r in sp.allocate_token_budget(
+            df, budget, strata_col="source", mixture=weights,
+            max_epochs=epochs,
+        ).collect()
+    }
+    want = mirror_waterfill(avail, weights, budget, epochs)
+    for s in avail:
+        assert got[s]["allocated"] == pytest.approx(want[s], abs=1e-5), s
+        assert got[s]["epochs"] == pytest.approx(
+            want[s] / avail[s], abs=1e-5
+        )
+    # budget fully spent (capacity exceeds it)
+    assert sum(r["allocated"] for r in got.values()) == pytest.approx(
+        budget, abs=1e-4
+    )
+    # 'a' and 'd' are heavily weighted but tiny -> at their repeat cap
+    assert got["a"]["saturated"] and got["d"]["saturated"]
+    assert got["a"]["epochs"] == pytest.approx(epochs, abs=1e-6)
+
+
+def test_allocate_token_budget_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 100), (2, "y", 300), (3, None, 50), (4, "z", None)],
+        "doc_id long, source string, n_tokens long",
+    )
+    # budget above total capacity: everything saturates at max_epochs
+    got = {
+        r["source"]: r
+        for r in sp.allocate_token_budget(df, 10_000.0, max_epochs=3.0).collect()
+    }
+    assert set(got) == {"x", "y"}  # NULL stratum/weight rows drop
+    for s in ("x", "y"):
+        assert got[s]["saturated"] and got[s]["epochs"] == 3.0
+    # zero budget: plan exists, nothing allocated
+    got0 = sp.allocate_token_budget(df, 0.0).collect()
+    assert all(r["allocated"] == 0.0 and not r["saturated"] for r in got0)
+    # stratum missing from an explicit mixture is excluded visibly
+    gotm = {
+        r["source"]: r
+        for r in sp.allocate_token_budget(
+            df, 100.0, mixture={"x": 1.0}
+        ).collect()
+    }
+    assert gotm["y"]["weight"] == 0.0 and gotm["y"]["allocated"] == 0.0
+    assert gotm["x"]["allocated"] == pytest.approx(100.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        sp.allocate_token_budget(df, -1.0)
+    with pytest.raises(ValueError):
+        sp.allocate_token_budget(df, 1.0, max_epochs=0.0)
+    with pytest.raises(ValueError):
+        sp.allocate_token_budget(df, 1.0, mixture={"x": -2.0})
