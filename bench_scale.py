@@ -104,6 +104,8 @@ from real_estate_bigdata_spark.operators.evaluation import (
 )
 from real_estate_bigdata_spark.operators.curation import curate_corpus
 from real_estate_bigdata_spark.operators.decontamination import (
+    bloom_contamination_report,
+    build_shingle_bloom,
     decontaminate,
     semantic_contamination_report as decon_semantic,
 )
@@ -472,6 +474,19 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         "ranking_metrics": lambda: _ranking_eval_df(emb(), scale),
         "prototype_prune": lambda: prototype_prune(
             emb(), keep_frac=0.4, keep="hard", approx=True
+        ),
+        # r9: the bloom screen against a FIXED benchmark — the filter
+        # build is benchmark-sized (constant here), the corpus pass is
+        # one map-only scan; linear by construction, measured to prove
+        # it (the thunk pays the full build+screen a session pays)
+        "bloom_screen": lambda: bloom_contamination_report(
+            docs(), build_shingle_bloom(bench_docs(), n=8), n=8
+        ),
+        # r9: Broder containment — identical posting-list plan to
+        # ngram_jaccard_pairs, its own curve recorded anyway (the
+        # scoring tail differs and the pair count grows with copies)
+        "containment_pairs": lambda: dd.ngram_containment_pairs(
+            docs(), n=3, threshold=0.9
         ),
         # PQ family over the scaled embedding corpus: train (bounded
         # sample) + encode (linear Arrow pass) + reranked ADC search —
