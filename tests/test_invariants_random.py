@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_estate_bigdata_spark.operators.quality import (
@@ -424,3 +425,159 @@ def test_novelty_scores_matches_python_reference_random(spark):
         gs = grams(docs[i])
         want = (len(gs), sum(1 for g in gs if first[g] == i))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_allocate_token_budget_invariants_random(spark):
+    """Randomized strata/weights/budgets: the closed-form allocation
+    must conserve the budget, respect every repeat cap, keep the
+    allocated/weight ratio constant across unsaturated strata (one
+    waterline), and never allocate to zero-weight strata."""
+    from real_estate_bigdata_spark.operators.sampling import (
+        allocate_token_budget,
+    )
+
+    rng = random.Random(20260815)
+    for trial in range(4):
+        strata = [f"s{i}" for i in range(rng.randrange(2, 9))]
+        rows, avail = [], {}
+        did = 0
+        for s in strata:
+            t = rng.randrange(10, 2000)
+            avail[s] = t
+            for part in (t // 2, t - t // 2):
+                rows.append((did, s, part))
+                did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+        weights = {s: float(rng.randrange(0, 6)) for s in strata}
+        budget = float(rng.randrange(0, 3 * sum(avail.values())))
+        epochs = rng.choice([0.5, 1.0, 2.0, 3.0])
+        out = {
+            r["source"]: r
+            for r in allocate_token_budget(
+                df, budget, strata_col="source", mixture=weights,
+                max_epochs=epochs,
+            ).collect()
+        }
+        assert set(out) == set(strata)
+        total_alloc = sum(r["allocated"] for r in out.values())
+        cap_total = sum(
+            epochs * avail[s] for s in strata if weights[s] > 0
+        )
+        assert total_alloc <= min(budget, cap_total) + 1e-3, (
+            trial, total_alloc, budget, cap_total
+        )
+        # budget spent exactly unless capacity ran out first
+        assert total_alloc == min(budget, cap_total) or abs(
+            total_alloc - min(budget, cap_total)
+        ) < 1e-3
+        lam = None
+        for s, r in out.items():
+            if weights[s] <= 0:
+                assert r["allocated"] == 0.0 and not r["saturated"]
+                continue
+            assert r["allocated"] <= epochs * avail[s] + 1e-3
+            if r["saturated"]:
+                assert r["allocated"] == pytest.approx(
+                    epochs * avail[s], abs=1e-3
+                )
+            else:
+                ratio = r["allocated"] / weights[s]
+                if lam is None:
+                    lam = ratio
+                assert ratio == pytest.approx(lam, rel=1e-4), (trial, s)
+
+
+def test_rbo_matches_definition_random(spark):
+    """Random rankings: the join+weight-lookup formulation must equal
+    the per-depth set-intersection definition for every query."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        rank_biased_overlap,
+    )
+
+    rng = random.Random(99)
+    p, k = 0.85, 8
+    rows_a, rows_b, truth = [], [], {}
+    for q in range(6):
+        pool = list(range(100))
+        rng.shuffle(pool)
+        a = pool[: rng.randrange(1, k + 1)]
+        rng.shuffle(pool)
+        b = pool[: rng.randrange(1, k + 1)]
+        rows_a += [(q, d, r + 1) for r, d in enumerate(a)]
+        rows_b += [(q, d, r + 1) for r, d in enumerate(b)]
+        s = 0.0
+        for d in range(1, k + 1):
+            s += p ** (d - 1) * len(set(a[:d]) & set(b[:d])) / d
+        truth[q] = (1 - p) * s
+    da = spark.createDataFrame(rows_a, "query_id long, doc_id long, rank int")
+    db = spark.createDataFrame(rows_b, "query_id long, doc_id long, rank int")
+    got = {
+        r["query_id"]: r["rbo"]
+        for r in rank_biased_overlap(da, db, p=p, k=k).collect()
+    }
+    for q, want in truth.items():
+        assert got[q] == pytest.approx(want, abs=1e-6), q
+
+
+def test_containment_pairs_invariants_random(spark):
+    """Random corpora: directional containments must satisfy
+    containment_a * |A| == containment_b * |B| (both count the same
+    intersection), overlap == max of the two, and jaccard <= overlap
+    for every pair both generators emit."""
+    from real_estate_bigdata_spark.operators import dedup as dd
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        length = rng.randrange(0, 25)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingles = {
+        i: {
+            " ".join(t[j : j + 3])
+            for j in range(len(t) - 2)
+        }
+        for i, txt in rows
+        for t in [txt.split()]
+        if len(t) >= 3
+    }
+    out = dd.ngram_containment_pairs(docs, n=3, threshold=0.5).collect()
+    assert out, "random corpus produced no containment pairs to check"
+    for r in out:
+        A, B = shingles[r.id_a], shingles[r.id_b]
+        inter = len(A & B)
+        assert r.containment_a == pytest.approx(inter / len(A), abs=1e-6)
+        assert r.containment_b == pytest.approx(inter / len(B), abs=1e-6)
+        assert r.overlap == pytest.approx(
+            max(r.containment_a, r.containment_b), abs=1e-6
+        )
+        jac = inter / len(A | B)
+        assert jac <= r.overlap + 1e-9
+
+
+def test_krippendorff_vs_fleiss_on_complete_data_random(spark):
+    """On COMPLETE equal-rater data with many items, alpha and Fleiss'
+    kappa estimate the same quantity up to the small-sample (n-1)
+    correction: alpha = 1 - (1 - kappa_like) * n/(n-1) relates them;
+    assert they agree within a loose band AND alpha matches its own
+    mirror exactly."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        fleiss_kappa,
+        krippendorff_alpha,
+    )
+    from tests.test_evaluation import mirror_krippendorff
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(80):
+        bias = rng.random()
+        for _ in range(3):
+            rows.append((i, "x" if rng.random() < bias else "y"))
+    df = spark.createDataFrame(rows, "item long, cat string")
+    alpha = krippendorff_alpha(df, "item", "cat").collect()[0]["alpha"]
+    kappa = fleiss_kappa(df, "item", "cat").collect()[0]["kappa"]
+    assert alpha == pytest.approx(mirror_krippendorff(rows), abs=1e-6)
+    assert abs(alpha - kappa) < 0.05, (alpha, kappa)
