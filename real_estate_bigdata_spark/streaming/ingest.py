@@ -31,9 +31,11 @@ __all__ = [
     "compact_fingerprint_store",
     "compact_signature_store",
     "file_stream_ingest",
+    "finalize_composite_flush",
     "retract_fingerprints",
     "retract_signatures",
     "windowed_event_counts",
+    "run_composite_flush_ingest",
     "run_file_ingest",
     "run_deduped_doc_ingest",
     "run_neardup_doc_ingest",
@@ -102,6 +104,134 @@ def run_file_ingest(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def _staged_epoch_dirs(spark: SparkSession, staging_root: str) -> list[str]:
+    """Sorted ``ingest_batch=<N>`` epoch directories under the flush
+    staging root (empty list when nothing is staged)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(staging_root)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    return sorted(
+        str(st.getPath())
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("ingest_batch=")
+    )
+
+
+def _flush_staged(spark: SparkSession, staging_root: str, dest_dir: str) -> int:
+    """Move every staged epoch into the partitioned lake (append), then
+    retire the staged directories. Returns rows flushed."""
+    from real_estate_bigdata_spark.util import delete_dir
+
+    dirs = _staged_epoch_dirs(spark, staging_root)
+    if not dirs:
+        return 0
+    staged = spark.read.parquet(*dirs)
+    n = staged.count()
+    (
+        staged.write.mode("append")
+        .partitionBy("ingest_date", "source")
+        .parquet(dest_dir)
+    )
+    for d in dirs:
+        delete_dir(spark, d)
+    return n
+
+
+def run_composite_flush_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    checkpoint_dir: str,
+    flush_rows: int = 100,
+    flush_seconds: float = 60.0,
+    available_now: bool = True,
+    processing_time: str = "5 seconds",
+    max_files_per_trigger: int | None = 1,
+) -> StreamingQuery:
+    """Reference-EXACT ST1 composite flush: normalized rows accumulate
+    in a staging tier and move to the partitioned lake only when the
+    staged backlog reaches ``flush_rows`` OR ``flush_seconds`` has
+    elapsed since the last flush — the consumer's 100-row/60-s hybrid
+    buffer (`kafka_to_hdfs_consumer.py:24-25,133,142`) reproduced at
+    batch granularity, opt-in (VERDICT r8 task #8; the default
+    :func:`run_file_ingest` path keeps its stronger per-batch
+    exactly-once sink and the documented processingTime +
+    maxOffsetsPerTrigger approximation).
+
+    Mechanics: each micro-batch normalizes in-flight and stages under
+    ``<dest>/_flush_staging/ingest_batch=<epoch>`` (underscore-hidden —
+    lake reads never see staged rows; the per-epoch OVERWRITE makes a
+    replayed batch idempotent). The flush decision counts the staged
+    backlog (bounded by ``flush_rows`` plus one batch — never
+    corpus-sized) and checks driver wall-clock age; the flush itself
+    appends every staged epoch to the lake and retires the staging
+    dirs. Leftovers from a previous run are picked up by the
+    enumeration, so a restart drains them once thresholds trip again
+    (or immediately via :func:`finalize_composite_flush`).
+
+    Delivery: the staged tier is exactly-once, but the flush's
+    append-then-delete pair is not atomic — a crash BETWEEN them
+    re-flushes those epochs on recovery. That is AT-LEAST-ONCE,
+    precisely the reference consumer's guarantee (its buffer flushes
+    before the Kafka offset commit); callers needing exactly-once use
+    the default sink, which exists for exactly that reason. The time
+    half is evaluated when a batch fires (like the reference's poll
+    loop, which also checks the clock per iteration); an idle source
+    holds sub-threshold rows staged until the next batch or an
+    explicit finalize.
+    """
+    import time as _time
+
+    if flush_rows < 1:
+        raise ValueError(f"flush_rows must be >= 1, got {flush_rows}")
+    if flush_seconds < 0:
+        raise ValueError(f"flush_seconds must be >= 0, got {flush_seconds}")
+    staging_root = dest_dir.rstrip("/") + "/_flush_staging"
+    state: dict = {"last_flush": None}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        now = _time.monotonic()
+        if state["last_flush"] is None:
+            state["last_flush"] = now
+        normalize_listings(batch_df).write.mode("overwrite").parquet(
+            f"{staging_root}/ingest_batch={batch_id}"
+        )
+        dirs = _staged_epoch_dirs(sp, staging_root)
+        pending = sp.read.parquet(*dirs).count() if dirs else 0
+        if pending >= flush_rows or (
+            now - state["last_flush"]
+        ) >= flush_seconds:
+            _flush_staged(sp, staging_root, dest_dir)
+            state["last_flush"] = _time.monotonic()
+
+    raw = file_stream_ingest(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def finalize_composite_flush(spark: SparkSession, dest_dir: str) -> int:
+    """Drain rows still staged below the composite thresholds into the
+    lake — the shutdown hook's buffer flush in the reference consumer.
+    Safe to call any time the ingest query is stopped; returns the
+    number of rows flushed (0 = staging empty)."""
+    return _flush_staged(
+        spark, dest_dir.rstrip("/") + "/_flush_staging", dest_dir
+    )
 
 
 def run_deduped_doc_ingest(

@@ -281,3 +281,103 @@ class TestKafkaCodec:
         k1 = kf.encode_kafka_records(df).first().key
         k2 = kf.encode_kafka_records(df).first().key
         assert k1 == k2
+
+
+class TestCompositeFlushIngest:
+    """ST1 reference-exact 100-row/60-s composite flush (opt-in twin of
+    run_file_ingest; VERDICT r8 task #8)."""
+
+    def test_count_half_flushes_at_threshold(self, spark, tmp_path):
+        # 3 files x 40 rows, one file per micro-batch: the backlog
+        # crosses flush_rows=100 on the third batch -> everything lands
+        src = tmp_path / "drop"
+        src.mkdir()
+        for f in range(3):
+            _write_jsonl(
+                src / f"f{f}.jsonl",
+                [_mk({"quan_huyen": f"Quận {f}-{i}"}) for i in range(40)],
+            )
+        dest = str(tmp_path / "lake")
+        q = ingest.run_composite_flush_ingest(
+            spark, str(src), dest, str(tmp_path / "ck"),
+            flush_rows=100, flush_seconds=1e9, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(dest).count() == 120
+        # staging fully drained by the threshold flush
+        assert ingest.finalize_composite_flush(spark, dest) == 0
+
+    def test_below_threshold_stays_staged_until_finalize(self, spark, tmp_path):
+        src = tmp_path / "drop2"
+        src.mkdir()
+        _write_jsonl(src / "f.jsonl", [_mk({}) for _ in range(5)])
+        dest = str(tmp_path / "lake2")
+        q = ingest.run_composite_flush_ingest(
+            spark, str(src), dest, str(tmp_path / "ck2"),
+            flush_rows=100, flush_seconds=1e9,
+        )
+        q.awaitTermination(120)
+        # sub-threshold rows are staged, invisible to a lake read, and
+        # drained exactly once by the shutdown-hook twin
+        assert ingest.finalize_composite_flush(spark, dest) == 5
+        assert spark.read.parquet(dest).count() == 5
+        assert ingest.finalize_composite_flush(spark, dest) == 0
+
+    def test_time_half_flushes_every_batch_at_zero(self, spark, tmp_path):
+        src = tmp_path / "drop3"
+        src.mkdir()
+        _write_jsonl(src / "f.jsonl", [_mk({}) for _ in range(5)])
+        dest = str(tmp_path / "lake3")
+        q = ingest.run_composite_flush_ingest(
+            spark, str(src), dest, str(tmp_path / "ck3"),
+            flush_rows=10_000, flush_seconds=0.0,
+        )
+        q.awaitTermination(120)
+        assert spark.read.parquet(dest).count() == 5
+        assert ingest.finalize_composite_flush(spark, dest) == 0
+
+    def test_restart_drains_leftovers_no_clean_path_duplicates(
+        self, spark, tmp_path
+    ):
+        src = tmp_path / "drop4"
+        src.mkdir()
+        dest = str(tmp_path / "lake4")
+        ckpt = str(tmp_path / "ck4")
+        _write_jsonl(
+            src / "a.jsonl",
+            [_mk({"quan_huyen": f"A{i}"}) for i in range(60)],
+        )
+        q = ingest.run_composite_flush_ingest(
+            spark, str(src), dest, ckpt,
+            flush_rows=100, flush_seconds=1e9,
+        )
+        q.awaitTermination(120)
+        # 60 staged, below threshold. Restart with one new 60-row file:
+        # backlog 120 crosses the threshold -> both epochs flush, the
+        # already-processed file is NOT re-read (checkpoint), and the
+        # clean path emits no duplicates
+        _write_jsonl(
+            src / "b.jsonl",
+            [_mk({"quan_huyen": f"B{i}"}) for i in range(60)],
+        )
+        q2 = ingest.run_composite_flush_ingest(
+            spark, str(src), dest, ckpt,
+            flush_rows=100, flush_seconds=1e9,
+        )
+        q2.awaitTermination(120)
+        out = spark.read.parquet(dest)
+        assert out.count() == 120
+        assert out.select("quan_huyen").distinct().count() == 120
+        assert ingest.finalize_composite_flush(spark, dest) == 0
+
+    def test_validates_thresholds(self, spark, tmp_path):
+        with pytest.raises(ValueError):
+            ingest.run_composite_flush_ingest(
+                spark, str(tmp_path), str(tmp_path / "l"),
+                str(tmp_path / "c"), flush_rows=0,
+            )
+        with pytest.raises(ValueError):
+            ingest.run_composite_flush_ingest(
+                spark, str(tmp_path), str(tmp_path / "l"),
+                str(tmp_path / "c"), flush_seconds=-1.0,
+            )
