@@ -721,12 +721,15 @@ def rank_biased_overlap(
     LOOKUP — a doc first present in both prefixes at depth ``m =
     max(rank_a, rank_b)`` contributes ``sum_{d=m..k} p^(d-1)/d``, a
     k-entry literal array baked into the plan — so the whole metric is
-    one inner join on (query, doc) plus one groupBy(query): no
-    per-depth loop, no Python. Ranks beyond ``k`` are filtered at the
-    scan; a query present in only ONE input has overlap 0 by
-    definition and is emitted with ``rbo = 0.0`` (the migration case
-    where the new index drops a query entirely must be visible, not
-    absent). Rounded to 6 decimals.
+    one inner join on (query, doc) plus one groupBy(query) over
+    top-k-sized frames: no per-depth loop, no Python. Ranks beyond
+    ``k`` are filtered at the scan; a doc listed MORE THAN ONCE on a
+    side keeps its best (minimum) rank — the set-semantics reading of
+    the definition, instead of silently double-counting the join — and
+    a query present in only ONE input has overlap 0 by definition and
+    is emitted with ``rbo = 0.0`` (the migration case where the new
+    index drops a query entirely must be visible, not absent).
+    Rounded to 6 decimals.
     """
     if not 0.0 < p < 1.0:
         raise ValueError(f"p must be in (0, 1), got {p}")
@@ -739,16 +742,18 @@ def rank_biased_overlap(
     w_lit = F.array(*[F.lit(float(tails[m])) for m in range(k)])
 
     def side(df: DataFrame, alias: str) -> DataFrame:
-        return df.filter(
-            F.col(query_col).isNotNull()
-            & F.col(doc_col).isNotNull()
-            & F.col(rank_col).isNotNull()
-            & (F.col(rank_col) <= k)
-            & (F.col(rank_col) >= 1)
-        ).select(
-            F.col(query_col).alias("__q"),
-            F.col(doc_col).alias("__d"),
-            F.col(rank_col).cast("int").alias(alias),
+        return (
+            df.filter(
+                F.col(query_col).isNotNull()
+                & F.col(doc_col).isNotNull()
+                & F.col(rank_col).isNotNull()
+                & (F.col(rank_col) <= k)
+                & (F.col(rank_col) >= 1)
+            )
+            .groupBy(
+                F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+            )
+            .agg(F.min(F.col(rank_col).cast("int")).alias(alias))
         )
 
     a = side(ranked_a, "__ra")

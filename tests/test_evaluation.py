@@ -1034,3 +1034,17 @@ def test_rbo_validates_args(spark):
         rank_biased_overlap(a, a, p=1.0)
     with pytest.raises(ValueError):
         rank_biased_overlap(a, a, k=0)
+
+
+def test_rbo_duplicate_doc_keeps_best_rank(spark):
+    """A doc listed twice on one side must count ONCE at its best rank
+    (set semantics), never double through the join."""
+    a = spark.createDataFrame(
+        [(0, 7, 1), (0, 7, 3), (0, 8, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = _ranked(spark, 0, [7, 8])
+    got = rank_biased_overlap(a, b, p=0.9, k=10).collect()[0]["rbo"]
+    clean = _ranked(spark, 0, [7, 8])
+    want = rank_biased_overlap(clean, b, p=0.9, k=10).collect()[0]["rbo"]
+    assert got == want
