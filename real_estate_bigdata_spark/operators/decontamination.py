@@ -218,10 +218,12 @@ def bloom_contamination_report(
     """(id, n_hits) for every corpus doc with >= 1 BLOOM-POSITIVE
     distinct shingle — the map-only screen twin of
     :func:`contamination_report`: the whole test is a Column
-    expression over the shingle array against the plan-literal word
-    table, so the corpus pass has NO join, NO explode, NO shuffle
-    (``.explain`` shows one scan + one project + the final doc-id
-    aggregate is not even needed — hits are counted inside the row).
+    expression over the shingle array against the bloom word table
+    bound as a SINGLE broadcast row, so the corpus pass has NO shuffle
+    join — the only join in the plan is the one-row broadcast bind of
+    the word table (``tests/test_decontamination.py`` pins exactly one
+    broadcast join and ZERO shuffles) — NO explode, and no doc-id
+    aggregate (hits are counted inside the row).
 
     Superset contract: ``n_hits`` here >= the exact report's for every
     doc (no false negatives, by bloom construction); the overcount is

@@ -123,12 +123,62 @@ def _staged_epoch_dirs(spark: SparkSession, staging_root: str) -> list[str]:
     )
 
 
-def _flush_staged(spark: SparkSession, staging_root: str, dest_dir: str) -> int:
-    """Move every staged epoch into the partitioned lake (append), then
-    retire the staged directories. Returns rows flushed."""
+def _claim_staged(
+    spark: SparkSession, staging_root: str, include_stale: bool = False
+) -> list[str]:
+    """Atomically CLAIM staged epoch dirs for one flusher by renaming
+    each ``ingest_batch=<N>`` dir to a transient ``_flushing_`` prefix
+    (ADVICE r9: without a claim step, ``finalize_composite_flush``
+    racing the ingest query's in-batch flush could enumerate the same
+    epochs as the other flusher before either deletes and double-append
+    them). ``fs.rename`` is atomic on HDFS and local FS, so each epoch
+    has exactly one winner; the loser simply skips it. Returns the
+    claimed (renamed) paths.
+
+    ``include_stale=True`` additionally adopts pre-existing
+    ``_flushing_`` dirs — claims orphaned by a crash between rename and
+    append. Only :func:`finalize_composite_flush` passes it (its
+    contract requires the ingest query stopped, making it the sole
+    flusher and the adoption race-free); the in-batch flusher never
+    touches another flusher's claims."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(staging_root)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    claimed = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if name.startswith("ingest_batch="):
+            target = jvm.org.apache.hadoop.fs.Path(root, "_flushing_" + name)
+            if fs.rename(st.getPath(), target):
+                claimed.append(str(target))
+        elif include_stale and name.startswith("_flushing_"):
+            claimed.append(str(st.getPath()))
+    return sorted(claimed)
+
+
+def _flush_staged(
+    spark: SparkSession,
+    staging_root: str,
+    dest_dir: str,
+    recover_stale: bool = False,
+) -> int:
+    """Move every staged epoch this flusher can CLAIM into the
+    partitioned lake (append), then retire the claimed directories.
+    Returns rows flushed. Claiming (see :func:`_claim_staged`) makes
+    concurrent flushers safe: each epoch is appended by at most one.
+    A crash between claim and append strands the epoch under its
+    ``_flushing_`` name until ``finalize_composite_flush`` adopts it
+    (``recover_stale=True``); a crash between append and delete
+    re-flushes it there — both windows are the documented
+    at-least-once delivery, never loss."""
     from real_estate_bigdata_spark.util import delete_dir
 
-    dirs = _staged_epoch_dirs(spark, staging_root)
+    dirs = _claim_staged(spark, staging_root, include_stale=recover_stale)
     if not dirs:
         return 0
     staged = spark.read.parquet(*dirs)
@@ -226,11 +276,21 @@ def run_composite_flush_ingest(
 
 def finalize_composite_flush(spark: SparkSession, dest_dir: str) -> int:
     """Drain rows still staged below the composite thresholds into the
-    lake — the shutdown hook's buffer flush in the reference consumer.
-    Safe to call any time the ingest query is stopped; returns the
-    number of rows flushed (0 = staging empty)."""
+    lake — the buffer flush the reference consumer's shutdown hook
+    SHOULD perform but does not (`kafka_to_hdfs_consumer.py:154-160`
+    closes the consumer and exits, dropping the in-memory
+    ``message_batch``; this staged tier makes that drain possible, a
+    strictly safer behavior than the reference's, not a parity claim).
+    Also adopts and re-flushes claims orphaned by a crashed flusher
+    (``_flushing_`` dirs — see :func:`_claim_staged`). Safe to call any
+    time the ingest query is stopped (the stopped-query contract is
+    what makes the orphan adoption race-free); returns the number of
+    rows flushed (0 = staging empty)."""
     return _flush_staged(
-        spark, dest_dir.rstrip("/") + "/_flush_staging", dest_dir
+        spark,
+        dest_dir.rstrip("/") + "/_flush_staging",
+        dest_dir,
+        recover_stale=True,
     )
 
 

@@ -370,6 +370,35 @@ class TestCompositeFlushIngest:
         assert out.select("quan_huyen").distinct().count() == 120
         assert ingest.finalize_composite_flush(spark, dest) == 0
 
+    def test_claimed_epochs_flush_exactly_once_under_race(
+        self, spark, tmp_path
+    ):
+        """ADVICE r9: a finalize racing the in-batch flush must not
+        double-append. Claims are atomic dir renames — once one flusher
+        claims the staged epochs, a second flusher sees nothing to
+        claim and flushes zero rows."""
+        src = tmp_path / "drop5"
+        src.mkdir()
+        _write_jsonl(src / "f.jsonl", [_mk({}) for _ in range(5)])
+        dest = str(tmp_path / "lake5")
+        q = ingest.run_composite_flush_ingest(
+            spark, str(src), dest, str(tmp_path / "ck5"),
+            flush_rows=100, flush_seconds=1e9,
+        )
+        q.awaitTermination(120)
+        staging = dest + "/_flush_staging"
+        # flusher A claims every staged epoch (rename to _flushing_)
+        claimed = ingest._claim_staged(spark, staging)
+        assert claimed and all("/_flushing_" in d for d in claimed)
+        # flusher B (either a second finalize or the in-batch flush)
+        # finds nothing claimable -> flushes 0, no double-append
+        assert ingest._claim_staged(spark, staging) == []
+        assert ingest._flush_staged(spark, staging, dest) == 0
+        # finalize adopts A's orphaned claims (A "crashed" mid-flush)
+        assert ingest.finalize_composite_flush(spark, dest) == 5
+        assert spark.read.parquet(dest).count() == 5
+        assert ingest.finalize_composite_flush(spark, dest) == 0
+
     def test_validates_thresholds(self, spark, tmp_path):
         with pytest.raises(ValueError):
             ingest.run_composite_flush_ingest(
