@@ -273,6 +273,14 @@ def _posting_pairs(
     lose the dropped shingles, so jaccard is underestimated for pairs
     sharing them — conservative: never a false positive); ``None``
     (default) keeps exact-oracle semantics.
+
+    Recommended production cap: ~500 (r10). A shingle present in more
+    than a few hundred documents is boilerplate, not dedup signal —
+    near-duplicate pairs share MANY rarer shingles, so the planted
+    near-dups in every fixture survive a 500-cap intact (pytest-pinned
+    for jaccard and containment) while a single viral shingle's
+    quadratic pair expansion (>125k candidate rows at 500, billions at
+    corpus scale) is cut before the shuffle.
     """
     if max_posting_len is not None and max_posting_len < 2:
         raise ValueError(f"max_posting_len must be >= 2, got {max_posting_len}")

@@ -613,11 +613,26 @@ def fleiss_kappa(
 
 
 def krippendorff_alpha(
-    df: DataFrame, item_col: str, category_col: str
+    df: DataFrame, item_col: str, category_col: str, metric: str = "nominal"
 ) -> DataFrame:
-    """Krippendorff's alpha (nominal metric, Krippendorff 2004) over
-    ``(item, rating)`` rows -> one row ``(alpha, d_o, d_e, n_items,
-    n_ratings)``.
+    """Krippendorff's alpha (Krippendorff 2004) over ``(item, rating)``
+    rows -> one row ``(alpha, d_o, d_e, n_items, n_ratings)``.
+
+    ``metric`` picks the difference function (r10 — the common label-QA
+    trio): ``"nominal"`` (identity — any disagreement counts 1),
+    ``"interval"`` (``(c - k)^2`` over the NUMERIC rating values —
+    near-misses on a score scale cost less than far misses) and
+    ``"ordinal"`` (squared rank-mass distance
+    ``(sum_{g=c..k} n_g - (n_c + n_k)/2)^2`` from the pooled
+    coincidence marginals — respects rating ORDER without trusting the
+    numeric spacing). Interval/ordinal require a numeric category
+    column and raise ``ValueError`` otherwise; all three share the
+    same pairable-item/missing-data treatment, and nominal keeps its
+    closed-form single-aggregate path (bit-identical to the r9
+    output). The general path's extra work is bounded by categories,
+    not ratings: a per-item ordered category-pair join (<= raters^2
+    rows per item) and a categories x categories expected cross —
+    the corpus of ratings is still touched exactly once.
 
     The agreement statistic built for the MESSY labeling reality
     :func:`fleiss_kappa` assumes away: raters may skip items, rating
@@ -642,6 +657,18 @@ def krippendorff_alpha(
     ratings is touched exactly once — the same posture as
     :func:`fleiss_kappa`/:func:`cohens_kappa`.
     """
+    if metric not in ("nominal", "interval", "ordinal"):
+        raise ValueError(
+            f"metric must be nominal|interval|ordinal, got {metric!r}"
+        )
+    if metric != "nominal":
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(df.schema[category_col].dataType, NumericType):
+            raise ValueError(
+                f"{metric} alpha needs a numeric {category_col!r} column, "
+                f"got {df.schema[category_col].dataType.simpleString()}"
+            )
     cells = (
         df.filter(
             F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
@@ -667,17 +694,116 @@ def krippendorff_alpha(
         ).alias("__do_num"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
-    cat_tot = (
-        cells.join(units.select("__i"), "__i")
-        .groupBy("__k")
-        .agg(F.sum("__c").alias("__nk"))
-        .agg(F.coalesce(F.sum(F.col("__nk") * F.col("__nk")), F.lit(0.0)).alias("__sk"))
+    if metric == "nominal":
+        # closed form: sum_{c!=k} n_uc n_uk collapses to nu^2 - ss, so
+        # no pair join is ever built
+        cat_tot = (
+            cells.join(units.select("__i"), "__i")
+            .groupBy("__k")
+            .agg(F.sum("__c").alias("__nk"))
+            .agg(F.coalesce(F.sum(F.col("__nk") * F.col("__nk")), F.lit(0.0)).alias("__sk"))
+        )
+        out = tot.crossJoin(cat_tot).select(
+            (F.col("__do_num") / F.col("n")).alias("__do"),
+            (
+                (F.col("n") * F.col("n") - F.col("__sk"))
+                / (F.col("n") * (F.col("n") - 1))
+            ).alias("__de"),
+            "n_items",
+            F.col("n").cast("long").alias("n_ratings"),
+        )
+        return out.select(
+            F.round(
+                F.when(F.col("__de") > 0, 1.0 - F.col("__do") / F.col("__de")),
+                6,
+            ).alias("alpha"),
+            F.round("__do", 6).alias("d_o"),
+            F.round("__de", 6).alias("d_e"),
+            "n_items",
+            "n_ratings",
+        )
+
+    # general coincidence-pair path (interval/ordinal): ordered
+    # category pairs c != k weighted by the metric's squared distance.
+    # Every frame below is bounded by CATEGORIES (x raters per item),
+    # never by the ratings corpus.
+    pc = cells.join(units.select("__i", "__nu"), "__i")
+    marg = pc.groupBy("__k").agg(F.sum("__c").alias("__nk"))
+    if metric == "interval":
+        delta = lambda a, b: (  # noqa: E731 — tiny expr factory
+            (F.col(f"__k{a}") - F.col(f"__k{b}"))
+            * (F.col(f"__k{a}") - F.col(f"__k{b}"))
+        )
+        side = marg.select("__k", "__nk")
+    else:  # ordinal: squared rank-mass distance from pooled marginals
+        # cumulative mass in category-value order; the window is
+        # single-partition by construction but runs over one row per
+        # CATEGORY (bounded), not per rating
+        win = Window.orderBy("__k").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        side = marg.select(
+            "__k", "__nk", F.sum("__nk").over(win).alias("__cum")
+        )
+
+        def delta(a, b):
+            lo_cum = F.least(F.col(f"__cum{a}"), F.col(f"__cum{b}"))
+            hi_cum = F.greatest(F.col(f"__cum{a}"), F.col(f"__cum{b}"))
+            lo_nk = F.when(
+                F.col(f"__cum{a}") <= F.col(f"__cum{b}"), F.col(f"__nk{a}")
+            ).otherwise(F.col(f"__nk{b}"))
+            mass = hi_cum - lo_cum + lo_nk
+            half_ends = (F.col(f"__nk{a}") + F.col(f"__nk{b}")) / 2.0
+            return (mass - half_ends) * (mass - half_ends)
+
+    def suffixed(frame, s):
+        return frame.select(
+            *[F.col(c).alias(f"{c}{s}") for c in frame.columns]
+        )
+
+    pair_cols_a = suffixed(side, "a")
+    pair_cols_b = suffixed(side, "b")
+    # observed: within-item ordered pairs, each weighted c_a * c_b
+    obs_pairs = (
+        pc.select(
+            "__i", "__nu", F.col("__k").alias("__ka"),
+            F.col("__c").alias("__ca"),
+        )
+        .join(
+            pc.select(
+                "__i", F.col("__k").alias("__kb"),
+                F.col("__c").alias("__cb"),
+            ),
+            "__i",
+        )
+        .filter(F.col("__ka") != F.col("__kb"))
+        .join(F.broadcast(pair_cols_a), "__ka")
+        .join(F.broadcast(pair_cols_b), "__kb")
     )
-    out = tot.crossJoin(cat_tot).select(
-        (F.col("__do_num") / F.col("n")).alias("__do"),
+    d_obs = obs_pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.col("__ca") * F.col("__cb") * delta("a", "b")
+                / (F.col("__nu") - 1)
+            ),
+            F.lit(0.0),
+        ).alias("__do_sum")
+    )
+    # expected: categories x categories cross over the pooled marginals
+    d_exp = (
+        pair_cols_a.crossJoin(pair_cols_b)
+        .filter(F.col("__ka") != F.col("__kb"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("__nka") * F.col("__nkb") * delta("a", "b")),
+                F.lit(0.0),
+            ).alias("__de_sum")
+        )
+    )
+    out = tot.crossJoin(d_obs).crossJoin(d_exp).select(
+        (F.col("__do_sum") / F.col("n")).alias("__do"),
         (
-            (F.col("n") * F.col("n") - F.col("__sk"))
-            / (F.col("n") * (F.col("n") - 1))
+            F.col("__de_sum") / (F.col("n") * (F.col("n") - 1))
         ).alias("__de"),
         "n_items",
         F.col("n").cast("long").alias("n_ratings"),

@@ -275,6 +275,38 @@ def test_tune_n_probe_terminates_at_full_probe_for_target_1(spark):
     assert tuned["swept"][-1]["min_recall"] == 1.0
 
 
+def test_tuned_point_persists_with_artifact_and_pins_driver_constant(
+    spark, tmp_path
+):
+    """Tune offline, serve cheap (r10): tune_n_probe stamps the index
+    object, save_ivf_index persists the point, load_ivf_index restores
+    it — so a serving job never re-pays the ladder. The driver query's
+    pinned constant must equal what the live tuner derives on the same
+    corpus/params, or the pin has drifted from the tuner."""
+    import __spark_entry__ as entry_mod
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    index = sim.build_ivf_index(emb, n_lists=16, seed=42)
+    assert index.tuned_n_probe is None  # untuned until the offline job
+    tuned = sim.tune_n_probe(
+        index, emb, queries, k=10, target_recall=0.8, recall_stat="min",
+        candidates=[4, 8],
+    )
+    assert index.tuned_n_probe == tuned["n_probe"]
+    assert tuned["n_probe"] == entry_mod._ANN_PINNED_N_PROBE
+
+    path = str(tmp_path / "tuned_idx")
+    sim.save_ivf_index(index, path)
+    loaded = sim.load_ivf_index(spark, path)
+    assert loaded.tuned_n_probe == tuned["n_probe"]
+    # an untuned artifact round-trips as untuned (no meta tier)
+    fresh = sim.build_ivf_index(emb.limit(50), n_lists=4, seed=1)
+    path2 = str(tmp_path / "untuned_idx")
+    sim.save_ivf_index(fresh, path2)
+    assert sim.load_ivf_index(spark, path2).tuned_n_probe is None
+
+
 def test_tune_n_probe_validates_args(spark):
     import pytest
 
@@ -1468,3 +1500,40 @@ def test_ngram_containment_pairs_catches_subset_jaccard_misses(spark):
     assert dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8).count() == 0
     with pytest.raises(ValueError):
         dd.ngram_containment_pairs(docs, threshold=0.0)
+
+
+def test_containment_cap_bounds_viral_shingle_blowup(spark):
+    """r10 skewed-posting pin for the containment family: one viral
+    3-gram shared by EVERY doc otherwise makes every doc pair a
+    candidate (k(k-1)/2 expansion on a single shuffle key — the 100 TB
+    failure mode); the stop-shingle cap must cut exactly that posting
+    while real subset duplication (many RARE shared shingles, each
+    posting far under the cap) survives untouched."""
+    viral = []
+    for i in range(60):
+        viral.append(
+            (i, f"common viral marker u{i}a u{i}b u{i}c u{i}d u{i}e")
+        )
+    # a genuine subset pair: doc 100's text embeds verbatim in doc 101
+    quoted = "q1 q2 q3 q4 q5 q6"
+    viral.append((100, quoted))
+    viral.append((101, quoted + " tail1 tail2 tail3 tail4"))
+    docs = spark.createDataFrame(viral, "doc_id long, text string")
+
+    uncapped = dd.ngram_containment_pairs(docs, n=3, threshold=0.15)
+    capped = dd.ngram_containment_pairs(
+        docs, n=3, threshold=0.15, max_posting_len=8
+    )
+    got_un = {(r.id_a, r.id_b): r.overlap for r in uncapped.collect()}
+    got_cap = {(r.id_a, r.id_b): r.overlap for r in capped.collect()}
+
+    # uncapped: the viral shingle alone pairs all 60 boilerplate docs
+    # (1 shared of 6 shingles each = overlap 1/6 >= 0.15) + the real pair
+    assert len(got_un) == 60 * 59 // 2 + 1
+    # capped: the 62-doc viral posting is dropped; ONLY the real subset
+    # pair remains, its rare-shingle postings (len 2) under the cap
+    assert set(got_cap) == {(100, 101)}
+    assert got_cap[(100, 101)] == 1.0
+    # cap is conservative: subset of pairs, never a raised score
+    assert set(got_cap) <= set(got_un)
+    assert all(got_cap[p] <= got_un[p] + 1e-9 for p in got_cap)

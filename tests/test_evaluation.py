@@ -1048,3 +1048,126 @@ def test_rbo_duplicate_doc_keeps_best_rank(spark):
     clean = _ranked(spark, 0, [7, 8])
     want = rank_biased_overlap(clean, b, p=0.9, k=10).collect()[0]["rbo"]
     assert got == want
+
+
+def mirror_krippendorff_metric(ratings, metric):
+    """(item, rating) rows -> alpha under the given difference function,
+    independent of the Spark formulation: direct enumeration of ordered
+    RATING pairs within each pairable unit (not category-pair algebra),
+    pooled-marginal delta computed per pair from scratch."""
+    from collections import Counter, defaultdict
+
+    by_item: dict = defaultdict(list)
+    for i, c in ratings:
+        if i is None or c is None:
+            continue
+        by_item[i].append(c)
+    pairable = {i: v for i, v in by_item.items() if len(v) >= 2}
+    n = sum(len(v) for v in pairable.values())
+    if n < 2:
+        return None
+    pooled: Counter = Counter()
+    for v in pairable.values():
+        pooled.update(v)
+    cats = sorted(pooled)
+
+    def delta(a, b):
+        if a == b:
+            return 0.0
+        if metric == "nominal":
+            return 1.0
+        if metric == "interval":
+            return float((a - b) ** 2)
+        lo, hi = min(a, b), max(a, b)
+        mass = sum(pooled[g] for g in cats if lo <= g <= hi)
+        return (mass - (pooled[lo] + pooled[hi]) / 2.0) ** 2
+
+    d_o = 0.0
+    for v in pairable.values():
+        s = sum(
+            delta(a, b)
+            for x, a in enumerate(v)
+            for y, b in enumerate(v)
+            if x != y
+        )
+        d_o += s / (len(v) - 1)
+    d_o /= n
+    d_e = sum(
+        pooled[a] * pooled[b] * delta(a, b)
+        for a in cats
+        for b in cats
+        if a != b
+    ) / (n * (n - 1))
+    if d_e == 0:
+        return None
+    return 1.0 - d_o / d_e
+
+
+class TestKrippendorffMetrics:
+    """r10: interval/ordinal difference functions next to nominal."""
+
+    def _ragged(self, spark, seed=11, levels=(0, 1, 2, 5)):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            for _ in range(rng.randint(1, 4)):
+                rows.append((i, rng.choice(levels)))
+        return rows, spark.createDataFrame(rows, "item long, cat long")
+
+    @pytest.mark.parametrize("metric", ["nominal", "interval", "ordinal"])
+    def test_matches_independent_mirror(self, spark, metric):
+        rows, df = self._ragged(spark)
+        got = krippendorff_alpha(df, "item", "cat", metric=metric).collect()[0]
+        want = mirror_krippendorff_metric(rows, metric)
+        assert got["alpha"] == pytest.approx(want, abs=1e-6)
+
+    def test_binary_interval_equals_nominal(self, spark):
+        # with two categories the only cross-pair distance is a constant,
+        # so interval and nominal alphas coincide exactly
+        rows, _ = self._ragged(spark, seed=3, levels=(0, 1))
+        df = spark.createDataFrame(rows, "item long, cat long")
+        a_nom = krippendorff_alpha(df, "item", "cat").collect()[0]["alpha"]
+        a_int = krippendorff_alpha(
+            df, "item", "cat", metric="interval"
+        ).collect()[0]["alpha"]
+        assert a_nom == pytest.approx(a_int, abs=1e-6)
+
+    def test_interval_rewards_near_misses_over_far(self, spark):
+        # every item disagrees by 1 on a 0..10 scale: nominal sees full
+        # disagreement, interval sees small squared distances vs the
+        # pooled spread -> interval alpha must be higher
+        rows = []
+        for i in range(20):
+            base = (i * 3) % 9
+            rows.append((i, base))
+            rows.append((i, base + 1))
+        df = spark.createDataFrame(rows, "item long, cat long")
+        a_nom = krippendorff_alpha(df, "item", "cat").collect()[0]["alpha"]
+        a_int = krippendorff_alpha(
+            df, "item", "cat", metric="interval"
+        ).collect()[0]["alpha"]
+        assert a_int > a_nom
+        assert a_int == pytest.approx(
+            mirror_krippendorff_metric(rows, "interval"), abs=1e-6
+        )
+
+    def test_perfect_agreement_is_one_under_all_metrics(self, spark):
+        rows = [(i, i % 3) for i in range(12) for _ in range(3)]
+        df = spark.createDataFrame(rows, "item long, cat long")
+        for metric in ("nominal", "interval", "ordinal"):
+            got = krippendorff_alpha(
+                df, "item", "cat", metric=metric
+            ).collect()[0]
+            assert got["alpha"] == pytest.approx(1.0, abs=1e-6)
+            assert got["d_o"] == 0.0
+
+    def test_validates_metric_and_category_type(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b")], "item long, cat string"
+        )
+        with pytest.raises(ValueError, match="metric"):
+            krippendorff_alpha(df, "item", "cat", metric="ratio")
+        with pytest.raises(ValueError, match="numeric"):
+            krippendorff_alpha(df, "item", "cat", metric="interval")
+        with pytest.raises(ValueError, match="numeric"):
+            krippendorff_alpha(df, "item", "cat", metric="ordinal")

@@ -434,3 +434,62 @@ def test_ahash_small_images_not_degenerate():
     assert mm.ahash64(np.full((1, 1, 3), 0.7)) == 0
     # degenerate empty decode stays defined
     assert mm.ahash64(np.zeros((0, 4, 3))) == 0
+
+
+def test_driver_image_neardup_matches_brute_force_mirror(spark, sf_dir):
+    """The r10 driver query q_image_neardup, pinned against an
+    INDEPENDENT pure-numpy mirror: re-derive every media object's
+    stub pixels (sha256-seeded PCG64 — the documented deterministic
+    fake) and average-hash from scratch, brute-force ALL pairs at
+    hamming <= 7, and require the Spark banded-join result to equal it
+    exactly (max_hamming <= bands-1 makes banding lossless, so any
+    difference is a bug, not approximation). Also checks every planted
+    byte-identical copy pairs with its original at hamming 0."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in entry_mod.queries()["q_image_neardup"](spark, sf_dir)
+        .collect()
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def mirror_hash(content: bytes) -> int:
+        seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+        px = np.random.default_rng(seed).random((8, 8, 3))
+        gray = px.mean(axis=2)
+        bits = 0
+        mean = gray.mean()
+        for r in range(8):
+            for c in range(8):
+                if gray[r, c] > mean:
+                    bits |= 1 << (r * 8 + c)
+        return bits
+
+    sigs = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        h = mirror_hash(text.encode("utf-8"))
+        sigs[doc_id] = h
+        if doc_id % 10 == 0:
+            sigs[doc_id + entry_mod._MEDIA_COPY_OFFSET] = h
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    )
+    assert got == want
+    planted = [p for p in want if p[1] - p[0] == entry_mod._MEDIA_COPY_OFFSET]
+    assert len(planted) == sum(1 for d in ids if d % 10 == 0 and d < entry_mod._MEDIA_COPY_OFFSET)
+    assert all(h == 0 for _, _, h in planted)

@@ -122,6 +122,12 @@ def test_every_query_has_oracle_or_is_documented():
         # queries); the recall arithmetic is hand-pinned and
         # full-probe==brute-force-pinned in tests/test_evaluation.py
         "q_ann_recall",
+        # image near-dup pairs (NEW r10): the signature is a
+        # decode-then-average-hash (sha256-seeded stub pixels), not
+        # SQL; planted byte-identical copies are the deterministic
+        # ground truth and the pair set is pinned against an
+        # independent brute-force mirror in tests/test_multimodal.py
+        "q_image_neardup",
     }
     assert set(missing) <= allowed_rows_only
 
