@@ -651,11 +651,12 @@ def krippendorff_alpha(
     Rounded to 6 decimals.
 
     Distributed shape: ONE ``groupBy(item, category)`` cell shuffle
-    (bounded by items x categories); the per-item aggregate, the
-    pairable-item filter, and the pooled category marginals all derive
-    from that frame (exchange reused at runtime), so the corpus of
-    ratings is touched exactly once — the same posture as
-    :func:`fleiss_kappa`/:func:`cohens_kappa`.
+    (bounded by items x categories), eagerly materialized
+    (localCheckpoint — the many downstream references must not
+    re-aggregate the corpus); the per-item aggregate, the pairable-item
+    filter, and the pooled category marginals all derive from that
+    frame, so the corpus of ratings is touched exactly once per call —
+    the same posture as :func:`fleiss_kappa`/:func:`cohens_kappa`.
     """
     if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
@@ -669,6 +670,14 @@ def krippendorff_alpha(
                 f"{metric} alpha needs a numeric {category_col!r} column, "
                 f"got {df.schema[category_col].dataType.simpleString()}"
             )
+    # the coincidence cells are referenced by every downstream frame
+    # (units, marginals, pair sides, totals) — materialize them ONCE so
+    # the ratings corpus is aggregated exactly once per call instead of
+    # re-scanned per reference (static exchange reuse only collapsed a
+    # fraction of the repeats; measured 93 file scans for the 3-metric
+    # driver query before this). localCheckpoint, not persist, for the
+    # same session-lifetime reason as image_neardup_pairs; the frame is
+    # bounded by items x categories, strictly <= the ratings count.
     cells = (
         df.filter(
             F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
@@ -677,7 +686,7 @@ def krippendorff_alpha(
             F.col(item_col).alias("__i"), F.col(category_col).alias("__k")
         )
         .agg(F.count(F.lit(1)).cast("double").alias("__c"))
-    )
+    ).localCheckpoint(eager=True)
     units = (
         cells.groupBy("__i")
         .agg(
