@@ -581,3 +581,131 @@ def test_krippendorff_vs_fleiss_on_complete_data_random(spark):
     kappa = fleiss_kappa(df, "item", "cat").collect()[0]["kappa"]
     assert alpha == pytest.approx(mirror_krippendorff(rows), abs=1e-6)
     assert abs(alpha - kappa) < 0.05, (alpha, kappa)
+
+
+def test_krippendorff_metric_invariance_random(spark):
+    """r10 metric-specific invariances on random ragged numeric
+    ratings: every metric matches its independent mirror; nominal is
+    invariant under ANY category bijection; interval under positive
+    affine maps (delta scales by a^2 in both d_o and d_e — cancels);
+    ordinal under ANY strictly monotone relabel (it reads only marginal
+    masses and order, never spacing)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        krippendorff_alpha,
+    )
+    from tests.test_evaluation import mirror_krippendorff_metric
+
+    rng = random.Random(29)
+    rows = []
+    for i in range(60):
+        for _ in range(rng.randrange(1, 5)):
+            rows.append((i, rng.choice([0, 1, 2, 3, 7])))
+    df = spark.createDataFrame(rows, "item long, cat long")
+
+    def alpha(frame, metric):
+        return krippendorff_alpha(frame, "item", "cat", metric=metric).collect()[
+            0
+        ]["alpha"]
+
+    base = {m: alpha(df, m) for m in ("nominal", "interval", "ordinal")}
+    for m, a in base.items():
+        assert a == pytest.approx(
+            mirror_krippendorff_metric(rows, m), abs=2e-6
+        ), m
+        assert a <= 1.0 + 1e-9
+
+    # positive affine: cat -> 3*cat + 7
+    affine = df.select("item", (F.col("cat") * 3 + 7).alias("cat"))
+    assert alpha(affine, "interval") == pytest.approx(
+        base["interval"], abs=2e-6
+    )
+    # strictly monotone but non-affine: squaring non-negative values
+    mono = df.select("item", (F.col("cat") * F.col("cat")).alias("cat"))
+    assert alpha(mono, "ordinal") == pytest.approx(base["ordinal"], abs=2e-6)
+    # nominal: arbitrary bijection (here a value shuffle via modular map
+    # that is bijective on the 5 observed values is fiddly — use the
+    # monotone map, which is in particular a bijection)
+    assert alpha(mono, "nominal") == pytest.approx(base["nominal"], abs=2e-6)
+    # interval is NOT monotone-invariant: squaring changes the spacing,
+    # so a matching value here would mean the metric ignores spacing
+    assert alpha(mono, "interval") != pytest.approx(
+        base["interval"], abs=1e-4
+    )
+
+
+def test_image_neardup_banding_exact_random(spark):
+    """r10: banded Hamming blocking over random binary payloads (with
+    planted byte-identical copies) must equal the brute-force pair set
+    exactly at max_hamming <= bands-1 — pigeonhole exactness on random
+    shapes, not just the driver fixture."""
+    import hashlib
+
+    import numpy as np
+
+    from real_estate_bigdata_spark.operators import multimodal as mm
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(50):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        rows.append((i, payload, ("image/png", None, None, None, None)))
+        if i % 7 == 0:  # planted duplicate payload under a new id
+            rows.append((1000 + i, payload, ("image/png", None, None, None, None)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.image_neardup_pairs(media, max_hamming=7, bands=8).collect()
+    )
+
+    def mirror_hash(content):
+        seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
+        gray = np.random.default_rng(seed).random((8, 8, 3)).mean(axis=2)
+        mean = gray.mean()
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                if gray[r, c] > mean:
+                    bits |= 1 << (r * 8 + c)
+        return bits
+
+    sigs = {mid: mirror_hash(bytes(payload)) for mid, payload, _ in rows}
+    ids = sorted(sigs)
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for x, a in enumerate(ids)
+        for b in ids[x + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    )
+    assert got == want
+    planted = {(i, 1000 + i) for i in range(0, 50, 7)}
+    assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_union_tagged_and_media_stats_conservation_random(spark):
+    """r10 conservation laws: union_all_tagged preserves per-source row
+    counts exactly (tag partition = input partition), and media_stats'
+    per-mime object/byte totals sum to the corpus totals."""
+    from real_estate_bigdata_spark.operators import multimodal as mm
+    from real_estate_bigdata_spark.operators.setops import union_all_tagged
+
+    rng = random.Random(37)
+    frames, counts = {}, {}
+    for tag in ("alpha", "beta", "gamma"):
+        n = rng.randrange(0, 40)
+        counts[tag] = n
+        frames[tag] = spark.range(n).select(F.col("id").alias("k"))
+    out = union_all_tagged(frames)
+    got = {r.source_tag: r.n for r in out.groupBy("source_tag").agg(F.count("*").alias("n")).collect()}
+    assert got == {t: n for t, n in counts.items() if n > 0}
+
+    rows = []
+    total_bytes = 0
+    for i in range(80):
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 30)))
+        total_bytes += len(payload)
+        mime = rng.choice(["image/png", "audio/wav", None])
+        rows.append((i, payload, (mime, None, None, None, None)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    stats = mm.media_stats(media).collect()
+    assert sum(r.n_objects for r in stats) == 80
+    assert sum(r.total_bytes or 0 for r in stats) == total_bytes
