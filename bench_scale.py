@@ -100,6 +100,7 @@ from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.dsir import dsir_select
 from real_estate_bigdata_spark.operators.evaluation import (
     auc_by_slice,
+    krippendorff_alpha,
     ranking_metrics,
 )
 from real_estate_bigdata_spark.operators.curation import curate_corpus
@@ -487,6 +488,36 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         # scoring tail differs and the pair count grows with copies)
         "containment_pairs": lambda: dd.ngram_containment_pairs(
             docs(), n=3, threshold=0.9
+        ),
+        # r10: Krippendorff ordinal alpha over a 3-rater ragged ratings
+        # table derived from the scaled embeddings (the heaviest of the
+        # three metrics: pooled-marginal window + pair joins — all
+        # category-bounded after the ONE corpus cell aggregation, so
+        # the curve must stay ~linear in ratings volume)
+        "label_alpha_ordinal": lambda: krippendorff_alpha(
+            emb()
+            .select(
+                "vec_id", F.pmod(F.col("vec_id"), F.lit(5)).alias("rating")
+            )
+            .unionByName(
+                emb()
+                .filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+                .select(
+                    "vec_id",
+                    F.pmod(F.col("vec_id") + 1, F.lit(5)).alias("rating"),
+                )
+            )
+            .unionByName(
+                emb()
+                .filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0)
+                .select(
+                    "vec_id",
+                    F.pmod(F.col("vec_id") + 2, F.lit(5)).alias("rating"),
+                )
+            ),
+            "vec_id",
+            "rating",
+            metric="ordinal",
         ),
         # PQ family over the scaled embedding corpus: train (bounded
         # sample) + encode (linear Arrow pass) + reranked ADC search —
