@@ -676,6 +676,46 @@ def _q_fleiss_kappa(spark, sf):
     return fleiss_kappa(ratings, "vec_id", "rating")
 
 
+def _alpha_ratings(spark, sf, with_rater: bool = False):
+    """The shared labeling-QA fixture: three threshold raters over the
+    scored embeddings with DELIBERATE missingness (rater1 judges every
+    item, rater2 only even vec_ids, rater3 only multiples of 3) and
+    3-level severity ratings, so near-miss disagreements exist for the
+    interval/ordinal metrics to forgive. ``with_rater=True`` carries
+    the rater id column (rater_reliability needs it; alpha and the
+    item triage deliberately do not — they are rater-anonymous)."""
+    scored = _eval_scored(spark, sf)
+
+    def rater(df, lo, hi, name):
+        cols = [
+            "vec_id",
+            F.when(F.col("score") >= hi, F.lit(2))
+            .when(F.col("score") >= lo, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rating"),
+        ]
+        if with_rater:
+            cols.append(F.lit(name).alias("rater"))
+        return df.select(*cols)
+
+    return (
+        rater(scored, -0.2, 0.2, "rater1")
+        .unionByName(
+            rater(
+                scored.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+                -0.1, 0.25, "rater2",
+            )
+        )
+        .unionByName(
+            rater(
+                scored.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
+                0.0, 0.3, "rater3",
+            )
+        )
+    )
+
+
 def _q_label_alpha(spark, sf):
     """Krippendorff's alpha under all three difference functions
     (r9 nominal; r10 adds interval + ordinal, VERDICT r9 task #7) over
@@ -694,33 +734,7 @@ def _q_label_alpha(spark, sf):
         krippendorff_alpha,
     )
 
-    scored = _eval_scored(spark, sf)
-
-    def rater(df, lo, hi):
-        return df.select(
-            "vec_id",
-            F.when(F.col("score") >= hi, F.lit(2))
-            .when(F.col("score") >= lo, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("rating"),
-        )
-
-    ratings = (
-        rater(scored, -0.2, 0.2)
-        .unionByName(
-            rater(
-                scored.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
-                -0.1, 0.25,
-            )
-        )
-        .unionByName(
-            rater(
-                scored.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0),
-                0.0, 0.3,
-            )
-        )
-    )
+    ratings = _alpha_ratings(spark, sf)
     out = None
     for metric in ("nominal", "interval", "ordinal"):
         row = krippendorff_alpha(
@@ -728,6 +742,45 @@ def _q_label_alpha(spark, sf):
         ).select(F.lit(metric).alias("metric"), "*")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _q_item_disagreement(spark, sf):
+    """Per-item disagreement triage (NEW r10) over the same 3-rater /
+    3-level fixture as q_label_alpha — the re-label queue: nominal
+    split probability and interval squared-distance severity side by
+    side per pairable item. FULL DuckDB oracle (cell algebra is plain
+    GROUP BYs; the interval pair join is category-bounded)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        item_disagreement,
+    )
+
+    ratings = _alpha_ratings(spark, sf)
+    nom = item_disagreement(ratings, "vec_id", "rating").select(
+        "vec_id", "n_ratings",
+        F.col("disagreement").alias("nominal_disagreement"),
+    )
+    ival = item_disagreement(
+        ratings, "vec_id", "rating", metric="interval"
+    ).select(
+        "vec_id", F.col("disagreement").alias("interval_disagreement")
+    )
+    return nom.join(ival, "vec_id")
+
+
+def _q_rater_reliability(spark, sf):
+    """Leave-one-out rater reliability (NEW r10) — which of the three
+    threshold raters drifts from the others' majority. The strict
+    rater (rater3, highest thresholds) should score lowest. FULL
+    DuckDB oracle (votes + LOO-majority joins, smallest-category
+    tie-break in both engines)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        rater_reliability,
+    )
+
+    return rater_reliability(
+        _alpha_ratings(spark, sf, with_rater=True),
+        "vec_id", "rater", "rating",
+    )
 
 
 def _q_ranking_rbo(spark, sf):
@@ -1681,15 +1734,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 130 queries against the 50-slot cap cannot cycle faster).
+    stale — 132 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 130 queries: 120 oracle-bearing + 10 rows-only
+    The registry holds 132 queries: 122 oracle-bearing + 10 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup — each pinned against an independent mirror in
     pytest). r9 froze its rotation at 122/113 before five r9-late
     queries landed past-cap; r10 adds q_media_stats, q_image_neardup,
-    q_union_all_tagged.
+    q_union_all_tagged, and (r10-late, in-cap slots 49-50) the
+    labeling-QA triage twins q_item_disagreement / q_rater_reliability,
+    which displaced q_asof_view_purchase and q_bm25_search to the r11
+    block (both keep in-cap family siblings).
 
     Round-10 rotation (VERDICT r9 tasks #1/#2/#5). In-cap slots 1-50:
     (a) the 3 NEW r10 queries — first driver verification;
@@ -1707,11 +1763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plan, then oldest-family breadth (core joins, scalars, text,
         sampling, drift, decontamination, temporal, search).
 
-    Past slot 50: (i) the remaining 31 r8-verified queries — two
+    Past slot 50: (i) the remaining 33 r8-verified queries — two
     rounds stale after this round, ALL scheduled in-cap for r11;
     (ii) the 49 r9-verified queries (one round stale; the r12 block).
     Union invariant: r9 ∪ r10 driver rows cover every query except the
-    31 r11-scheduled r8-verified returners, and every oracle-bearing
+    33 r11-scheduled r8-verified returners, and every oracle-bearing
     query is additionally DuckDB-compared on every pytest run
     (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
     """
@@ -1769,9 +1825,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,
         "q_distribution_drift": _q_distribution_drift,
         "q_decontaminate": _q_decontaminate,
+        # ---- slots 49-50: NEW r10-late labeling-QA triage (first
+        # driver verification; displaced q_asof_view_purchase /
+        # q_bm25_search to the r11 block — both keep an in-cap family
+        # sibling: q_interval_signup_errors / q_bm25_index_search) ----
+        "q_item_disagreement": _q_item_disagreement,
+        "q_rater_reliability": _q_rater_reliability,
+        # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
-        # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
@@ -4607,6 +4669,75 @@ def oracle_sql() -> dict[str, str]:
                    n, n_items
             FROM tot
         )
+    """
+    # labeling-QA triage twins (NEW r10): same ratings fixture as
+    # q_label_alpha; the interval pair join and the LOO-majority join
+    # are both category-bounded
+    _ratings_cte = """
+        , ratings AS (
+            SELECT vec_id, 'rater1' AS rater,
+                   CASE WHEN score >= 0.2 THEN 2
+                        WHEN score >= -0.2 THEN 1 ELSE 0 END AS rating
+            FROM valid
+            UNION ALL
+            SELECT vec_id, 'rater2',
+                   CASE WHEN score >= 0.25 THEN 2
+                        WHEN score >= -0.1 THEN 1 ELSE 0 END
+            FROM valid WHERE vec_id % 2 = 0
+            UNION ALL
+            SELECT vec_id, 'rater3',
+                   CASE WHEN score >= 0.3 THEN 2
+                        WHEN score >= 0.0 THEN 1 ELSE 0 END
+            FROM valid WHERE vec_id % 3 = 0
+        )
+    """
+    oracles["q_item_disagreement"] = scored_cte + _ratings_cte + """
+        , cells AS (
+            SELECT vec_id AS i, rating AS k, count(*)::DOUBLE AS c
+            FROM ratings GROUP BY 1, 2
+        ), units AS (
+            SELECT i, sum(c) AS nu, sum(c * c) AS ss
+            FROM cells GROUP BY i HAVING sum(c) >= 2
+        ), ival AS (
+            SELECT a.i,
+                   sum(a.c * b.c * (a.k - b.k) * (a.k - b.k)) AS d
+            FROM cells a JOIN cells b ON a.i = b.i AND a.k <> b.k
+            GROUP BY a.i
+        )
+        SELECT u.i AS vec_id,
+               u.nu::BIGINT AS n_ratings,
+               round((u.nu * u.nu - u.ss) / (u.nu * (u.nu - 1)), 6)
+                   AS nominal_disagreement,
+               round(coalesce(ival.d, 0) / (u.nu * (u.nu - 1)), 6)
+                   AS interval_disagreement
+        FROM units u LEFT JOIN ival ON ival.i = u.i
+    """
+    oracles["q_rater_reliability"] = scored_cte + _ratings_cte + """
+        , valid_votes AS (
+            SELECT DISTINCT vec_id AS i, rater AS r, rating AS k
+            FROM ratings
+        ), votes AS (
+            SELECT i, k AS vk, count(*)::DOUBLE AS c
+            FROM valid_votes GROUP BY 1, 2
+        ), adj AS (
+            SELECT v.i, v.r, v.k, t.vk,
+                   t.c - CASE WHEN t.vk = v.k THEN 1.0 ELSE 0.0 END AS a
+            FROM valid_votes v JOIN votes t ON t.i = v.i
+        ), loo AS (
+            SELECT i, r, k, sum(a) AS others,
+                   min(CASE WHEN a = m THEN vk END) AS majority
+            FROM (SELECT *, max(a) OVER (PARTITION BY i, r, k) AS m
+                  FROM adj)
+            GROUP BY i, r, k
+        )
+        SELECT r AS rater,
+               count(*)::BIGINT AS n_rated,
+               sum(CASE WHEN others > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_judged,
+               round(avg(CASE WHEN others > 0 THEN
+                          CASE WHEN k = majority THEN 1.0 ELSE 0.0 END
+                          END), 6) AS agreement_rate
+        FROM loo GROUP BY r
     """
     # dedup-config QA: composes the two pair oracles that already
     # verify the generators individually

@@ -49,8 +49,10 @@ __all__ = [
     "confusion_at_threshold",
     "expected_calibration_error",
     "fleiss_kappa",
+    "item_disagreement",
     "krippendorff_alpha",
     "pair_set_metrics",
+    "rater_reliability",
     "precision_at_k",
     "rank_biased_overlap",
     "ranking_compare",
@@ -826,6 +828,210 @@ def krippendorff_alpha(
         F.round("__de", 6).alias("d_e"),
         "n_items",
         "n_ratings",
+    )
+
+
+def item_disagreement(
+    df: DataFrame, item_col: str, category_col: str, metric: str = "nominal"
+) -> DataFrame:
+    """Per-item disagreement triage (r10) — the item-level companion of
+    :func:`krippendorff_alpha`: alpha says how much the LABELING
+    process agrees overall; this says WHICH items the annotators split
+    on, i.e. the re-label / adjudication queue. One row
+    ``(<item_col>, n_ratings, disagreement)`` per pairable item (>= 2
+    ratings; single-rating and NULL rows carry no evidence and are
+    excluded, as in alpha). ``disagreement`` is the mean pairwise
+    difference over the item's ordered rating pairs: with the
+    ``"nominal"`` metric the closed form ``(n_u^2 - sum_c n_uc^2) /
+    (n_u (n_u - 1))`` (the probability two of the item's ratings
+    differ — 0 = unanimous, upper bound approaches 1), with
+    ``"interval"`` the mean squared value distance (NUMERIC category
+    column required) so a 0-vs-2 split on a severity scale outranks a
+    0-vs-1 split in the queue. The ordinal metric is deliberately NOT
+    offered here: its distance depends on the pooled corpus marginals,
+    which makes a per-item triage score change when OTHER items'
+    ratings move — exactly the property a re-label queue must not have
+    (use alpha for the corpus-level ordinal readout). Rounded to 6
+    decimals.
+
+    Shape: the same single ``groupBy(item, category)`` cell shuffle as
+    alpha; the nominal score folds in that aggregate, the interval
+    score adds one per-item category self-join bounded by raters^2
+    rows per item — never a corpus-sized join.
+    """
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            f"metric must be nominal|interval, got {metric!r} (ordinal "
+            "is corpus-marginal-dependent and unsuitable for per-item "
+            "triage — see docstring)"
+        )
+    if metric == "interval":
+        from pyspark.sql.types import NumericType
+
+        if not isinstance(df.schema[category_col].dataType, NumericType):
+            raise ValueError(
+                f"interval disagreement needs a numeric {category_col!r} "
+                f"column, got "
+                f"{df.schema[category_col].dataType.simpleString()}"
+            )
+    # same one-touch contract as krippendorff_alpha: the cells frame is
+    # referenced by units AND (interval) both pair sides — materialize
+    # once so the ratings corpus is aggregated exactly once per call
+    cells = (
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(category_col).alias("__k")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    ).localCheckpoint(eager=True)
+    units = (
+        cells.groupBy("__i")
+        .agg(
+            F.sum("__c").alias("__nu"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        )
+        .filter(F.col("__nu") >= 2)
+    )
+    if metric == "nominal":
+        out = units.select(
+            F.col("__i").alias(item_col),
+            F.col("__nu").cast("long").alias("n_ratings"),
+            F.round(
+                (F.col("__nu") * F.col("__nu") - F.col("__ss"))
+                / (F.col("__nu") * (F.col("__nu") - 1)),
+                6,
+            ).alias("disagreement"),
+        )
+        return out
+    pc = cells.join(units.select("__i", "__nu"), "__i")
+    pairs = (
+        pc.select(
+            "__i", "__nu", F.col("__k").alias("__ka"),
+            F.col("__c").alias("__ca"),
+        )
+        .join(
+            pc.select(
+                "__i", F.col("__k").alias("__kb"),
+                F.col("__c").alias("__cb"),
+            ),
+            "__i",
+        )
+        .filter(F.col("__ka") != F.col("__kb"))
+    )
+    scored = pairs.groupBy("__i", "__nu").agg(
+        F.sum(
+            F.col("__ca")
+            * F.col("__cb")
+            * (F.col("__ka") - F.col("__kb"))
+            * (F.col("__ka") - F.col("__kb"))
+        ).alias("__d")
+    )
+    # unanimous items produce no c != k pair rows — restore them at 0
+    return (
+        units.join(scored.select("__i", "__d"), "__i", "left")
+        .select(
+            F.col("__i").alias(item_col),
+            F.col("__nu").cast("long").alias("n_ratings"),
+            F.round(
+                F.coalesce(F.col("__d"), F.lit(0.0))
+                / (F.col("__nu") * (F.col("__nu") - 1)),
+                6,
+            ).alias("disagreement"),
+        )
+    )
+
+
+def rater_reliability(
+    df: DataFrame, item_col: str, rater_col: str, category_col: str
+) -> DataFrame:
+    """Leave-one-out rater reliability (r10) — the third leg of the
+    labeling-QA stool next to :func:`krippendorff_alpha` (process) and
+    :func:`item_disagreement` (items): WHICH annotators drift. For
+    every rating, compare the rater's category against the MAJORITY of
+    the item's OTHER ratings (own vote excluded — a rater must never
+    corroborate themselves); ties break to the smallest category value
+    (deterministic, engine-independent). One row per rater:
+    ``(<rater_col>, n_rated, n_judged, agreement_rate)`` where
+    ``n_rated`` counts the rater's valid ratings, ``n_judged`` those
+    with at least one other rating to compare against (the rest are
+    unjudgeable, excluded from the rate), and ``agreement_rate`` is the
+    judged-agreement fraction rounded to 6 decimals (NULL when nothing
+    is judgeable). NULL item/rater/category rows are excluded, and
+    votes are per DISTINCT (item, rater, category) — a duplicated
+    identical rating is one opinion, not two.
+
+    Shape: one ``groupBy(item, category)`` vote aggregation, one join
+    of the ratings back to their item's vote rows (fan-out bounded by
+    the item's distinct categories <= raters), two bounded aggregates.
+    No corpus-sized self-join: the leave-one-out adjustment is the
+    subtraction of the rater's own vote from the joined count.
+    """
+    # one VOTE per distinct (item, rater, category): a duplicated
+    # identical rating is one opinion, not two — and makes the
+    # leave-one-out adjustment an exact minus-1
+    # materialized once (the vote table feeds both the per-category
+    # counts and the LOO join — one-touch, as in krippendorff_alpha)
+    valid = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(category_col).isNotNull()
+        )
+        .select(
+            F.col(item_col).alias("__i"),
+            F.col(rater_col).alias("__r"),
+            F.col(category_col).alias("__k"),
+        )
+        .distinct()
+    ).localCheckpoint(eager=True)
+    votes = valid.groupBy("__i", F.col("__k").alias("__vk")).agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    # each vote x its item's vote rows, own vote removed
+    adj = valid.join(votes, "__i").select(
+        "__i",
+        "__r",
+        "__k",
+        "__vk",
+        (
+            F.col("__c")
+            - F.when(F.col("__vk") == F.col("__k"), F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("__adj"),
+    )
+    w = Window.partitionBy("__i", "__r", "__k")
+    loo = (
+        adj.withColumn("__m", F.max("__adj").over(w))
+        .groupBy("__i", "__r", "__k")
+        .agg(
+            F.sum("__adj").alias("__others"),
+            F.min(
+                F.when(F.col("__adj") == F.col("__m"), F.col("__vk"))
+            ).alias("__majority"),
+        )
+    )
+    return (
+        loo.groupBy(F.col("__r").alias(rater_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rated"),
+            F.sum(
+                F.when(F.col("__others") > 0, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_judged"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("__others") > 0,
+                        (F.col("__k") == F.col("__majority")).cast("double"),
+                    )
+                ),
+                6,
+            ).alias("agreement_rate"),
+        )
     )
 
 

@@ -21,7 +21,9 @@ from real_estate_bigdata_spark.operators.evaluation import (
     confusion_at_threshold,
     expected_calibration_error,
     fleiss_kappa,
+    item_disagreement,
     krippendorff_alpha,
+    rater_reliability,
     pair_set_metrics,
     precision_at_k,
     rank_biased_overlap,
@@ -1171,3 +1173,155 @@ class TestKrippendorffMetrics:
             krippendorff_alpha(df, "item", "cat", metric="interval")
         with pytest.raises(ValueError, match="numeric"):
             krippendorff_alpha(df, "item", "cat", metric="ordinal")
+
+
+def mirror_item_disagreement(ratings, metric):
+    """(item, rating) -> {item: (n_ratings, disagreement)} — direct
+    ordered-pair enumeration, independent of the cell algebra."""
+    from collections import defaultdict
+
+    by_item: dict = defaultdict(list)
+    for i, c in ratings:
+        if i is None or c is None:
+            continue
+        by_item[i].append(c)
+    out = {}
+    for i, v in by_item.items():
+        if len(v) < 2:
+            continue
+        s = 0.0
+        for x, a in enumerate(v):
+            for y, b in enumerate(v):
+                if x == y:
+                    continue
+                if metric == "nominal":
+                    s += 1.0 if a != b else 0.0
+                else:
+                    s += float((a - b) ** 2)
+        out[i] = (len(v), s / (len(v) * (len(v) - 1)))
+    return out
+
+
+def mirror_rater_reliability(rows):
+    """(item, rater, rating) -> {rater: (n_rated, n_judged, rate)} —
+    explicit leave-one-out majority with smallest-category tie-break."""
+    from collections import Counter, defaultdict
+
+    votes: dict = defaultdict(Counter)
+    seen = set()
+    for i, r, c in rows:
+        if i is None or r is None or c is None:
+            continue
+        if (i, r, c) in seen:
+            continue
+        seen.add((i, r, c))
+        votes[i][c] += 1
+    per_rater: dict = defaultdict(lambda: [0, 0, 0])
+    for i, r, c in seen:
+        cnt = votes[i].copy()
+        cnt[c] -= 1
+        others = sum(cnt.values())
+        per_rater[r][0] += 1
+        if others == 0:
+            continue
+        m = max(cnt.values())
+        majority = min(k for k, v in cnt.items() if v == m)
+        per_rater[r][1] += 1
+        per_rater[r][2] += 1 if c == majority else 0
+    return {
+        r: (n, j, (a / j) if j else None)
+        for r, (n, j, a) in per_rater.items()
+    }
+
+
+class TestLabelQaTriage:
+    """r10: item_disagreement + rater_reliability next to alpha."""
+
+    def _rows(self, seed=13, n=50):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            for r in range(rng.randint(1, 4)):
+                rows.append((i, f"rater{r}", rng.choice([0, 1, 2])))
+        return rows
+
+    @pytest.mark.parametrize("metric", ["nominal", "interval"])
+    def test_item_disagreement_matches_mirror(self, spark, metric):
+        rows = [(i, c) for i, _, c in self._rows()]
+        df = spark.createDataFrame(rows, "item long, cat long")
+        got = {
+            r.item: (r.n_ratings, r.disagreement)
+            for r in item_disagreement(df, "item", "cat", metric=metric)
+            .collect()
+        }
+        want = mirror_item_disagreement(rows, metric)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1], abs=1e-6)
+
+    def test_item_disagreement_unanimous_and_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (1, 5), (1, 5), (2, 0), (2, 9), (3, 7)],
+            "item long, cat long",
+        )
+        out = {r.item: r for r in item_disagreement(df, "item", "cat").collect()}
+        assert out[1].disagreement == 0.0        # unanimous
+        assert out[2].disagreement == 1.0        # total split
+        assert 3 not in out                      # single rating: no evidence
+        ival = {
+            r.item: r
+            for r in item_disagreement(
+                df, "item", "cat", metric="interval"
+            ).collect()
+        }
+        assert ival[1].disagreement == 0.0       # unanimous stays 0
+        assert ival[2].disagreement == 81.0      # (0-9)^2
+        with pytest.raises(ValueError, match="ordinal"):
+            item_disagreement(df, "item", "cat", metric="ordinal")
+        with pytest.raises(ValueError, match="numeric"):
+            item_disagreement(
+                spark.createDataFrame([(1, "a")], "item long, cat string"),
+                "item", "cat", metric="interval",
+            )
+
+    def test_rater_reliability_matches_mirror(self, spark):
+        rows = self._rows(seed=17, n=60)
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        got = {
+            r.rater: (r.n_rated, r.n_judged, r.agreement_rate)
+            for r in rater_reliability(df, "item", "rater", "cat").collect()
+        }
+        want = mirror_rater_reliability(rows)
+        assert set(got) == set(want)
+        for r in got:
+            assert got[r][0] == want[r][0]
+            assert got[r][1] == want[r][1]
+            if want[r][2] is None:
+                assert got[r][2] is None
+            else:
+                assert got[r][2] == pytest.approx(want[r][2], abs=1e-6)
+
+    def test_rater_reliability_contracts(self, spark):
+        # a lone rater is unjudgeable; a duplicated identical rating is
+        # ONE vote; ties break to the smallest category
+        rows = [
+            (1, "a", 0), (1, "a", 0),          # duplicate -> one vote
+            (1, "b", 1), (1, "c", 0),
+            (2, "solo", 2),                     # unjudgeable item
+            (3, "a", 0), (3, "b", 1),           # 1-1 LOO: no tie (own
+                                                # vote removed)
+        ]
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        got = {
+            r.rater: r
+            for r in rater_reliability(df, "item", "rater", "cat").collect()
+        }
+        # rater a on item 1: others = {b:1, c:0->, c voted 0 so cnt0=1,cnt1=1}
+        # own vote 0 removed -> others {0:1 (c), 1:1 (b)} tie -> majority 0
+        # -> agrees; on item 3: other is b:1 -> majority 1, a voted 0 ->
+        # disagrees => rate 0.5
+        assert got["a"].n_rated == 2 and got["a"].n_judged == 2
+        assert got["a"].agreement_rate == pytest.approx(0.5, abs=1e-6)
+        assert got["solo"].n_rated == 1 and got["solo"].n_judged == 0
+        assert got["solo"].agreement_rate is None
