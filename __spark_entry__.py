@@ -783,6 +783,19 @@ def _q_rater_reliability(spark, sf):
     )
 
 
+def _q_consensus_labels(spark, sf):
+    """Majority-vote consensus labels (NEW r10) over the 3-rater
+    fixture — the labeling pipeline's output artifact: per item the
+    most-voted rating (smallest-value tie-break), vote confidence, and
+    the tie flag a quality gate routes to adjudication. FULL DuckDB
+    oracle (one vote GROUP BY + one item window in both engines)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        consensus_labels,
+    )
+
+    return consensus_labels(_alpha_ratings(spark, sf), "vec_id", "rating")
+
+
 def _q_ranking_rbo(spark, sf):
     """Prefix rank-biased overlap (NEW r9; Webber et al. 2010) between
     the full-weight and head-truncated (16-dim) ranked pools — the
@@ -1734,18 +1747,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 132 queries against the 50-slot cap cannot cycle faster).
+    stale — 133 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 132 queries: 122 oracle-bearing + 10 rows-only
+    The registry holds 133 queries: 123 oracle-bearing + 10 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup — each pinned against an independent mirror in
     pytest). r9 froze its rotation at 122/113 before five r9-late
     queries landed past-cap; r10 adds q_media_stats, q_image_neardup,
     q_union_all_tagged, and (r10-late, in-cap slots 49-50) the
-    labeling-QA triage twins q_item_disagreement / q_rater_reliability,
-    which displaced q_asof_view_purchase and q_bm25_search to the r11
-    block (both keep in-cap family siblings).
+    labeling-QA tier q_item_disagreement / q_rater_reliability /
+    q_consensus_labels, which displaced q_asof_view_purchase,
+    q_bm25_search and q_value_histogram to the r11 block (each keeps an
+    in-cap family sibling: q_interval_signup_errors,
+    q_bm25_index_search, q_weighted_sample).
 
     Round-10 rotation (VERDICT r9 tasks #1/#2/#5). In-cap slots 1-50:
     (a) the 3 NEW r10 queries — first driver verification;
@@ -1763,11 +1778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plan, then oldest-family breadth (core joins, scalars, text,
         sampling, drift, decontamination, temporal, search).
 
-    Past slot 50: (i) the remaining 33 r8-verified queries — two
+    Past slot 50: (i) the remaining 34 r8-verified queries — two
     rounds stale after this round, ALL scheduled in-cap for r11;
     (ii) the 49 r9-verified queries (one round stale; the r12 block).
     Union invariant: r9 ∪ r10 driver rows cover every query except the
-    33 r11-scheduled r8-verified returners, and every oracle-bearing
+    34 r11-scheduled r8-verified returners, and every oracle-bearing
     query is additionally DuckDB-compared on every pytest run
     (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
     """
@@ -1821,19 +1836,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_gallery": _q_scalar_gallery,
         "q_tfidf": _q_tfidf,
         "q_lang_id": _q_lang_id,
-        "q_value_histogram": _q_value_histogram,
         "q_weighted_sample": _q_weighted_sample,
         "q_distribution_drift": _q_distribution_drift,
         "q_decontaminate": _q_decontaminate,
-        # ---- slots 49-50: NEW r10-late labeling-QA triage (first
+        # ---- slots 48-50: NEW r10-late labeling-QA tier (first
         # driver verification; displaced q_asof_view_purchase /
-        # q_bm25_search to the r11 block — both keep an in-cap family
-        # sibling: q_interval_signup_errors / q_bm25_index_search) ----
+        # q_bm25_search / q_value_histogram to the r11 block — each
+        # keeps an in-cap family sibling: q_interval_signup_errors /
+        # q_bm25_index_search / q_weighted_sample) ----
         "q_item_disagreement": _q_item_disagreement,
         "q_rater_reliability": _q_rater_reliability,
+        "q_consensus_labels": _q_consensus_labels,
         # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
+        "q_value_histogram": _q_value_histogram,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
@@ -4738,6 +4755,23 @@ def oracle_sql() -> dict[str, str]:
                           CASE WHEN k = majority THEN 1.0 ELSE 0.0 END
                           END), 6) AS agreement_rate
         FROM loo GROUP BY r
+    """
+    oracles["q_consensus_labels"] = scored_cte + _ratings_cte + """
+        , cells AS (
+            SELECT vec_id AS i, rating AS k, count(*)::DOUBLE AS c
+            FROM ratings GROUP BY 1, 2
+        ), v AS (
+            SELECT i, k, c,
+                   max(c) OVER (PARTITION BY i) AS m,
+                   sum(c) OVER (PARTITION BY i) AS n
+            FROM cells
+        )
+        SELECT i AS vec_id,
+               min(CASE WHEN c = m THEN k END) AS label,
+               max(n)::BIGINT AS n_ratings,
+               round(max(m) / max(n), 6) AS confidence,
+               (sum(CASE WHEN c = m THEN 1 ELSE 0 END) > 1) AS tied
+        FROM v GROUP BY i
     """
     # dedup-config QA: composes the two pair oracles that already
     # verify the generators individually

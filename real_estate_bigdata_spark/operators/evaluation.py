@@ -47,6 +47,7 @@ __all__ = [
     "calibration_bins",
     "cohens_kappa",
     "confusion_at_threshold",
+    "consensus_labels",
     "expected_calibration_error",
     "fleiss_kappa",
     "item_disagreement",
@@ -1033,6 +1034,60 @@ def rater_reliability(
             ).alias("agreement_rate"),
         )
     )
+
+
+def consensus_labels(
+    df: DataFrame, item_col: str, category_col: str
+) -> DataFrame:
+    """Majority-vote label aggregation (r10) — the OUTPUT artifact of a
+    labeling pipeline, closing the QA quartet: alpha judges the
+    process, :func:`item_disagreement` queues the contested items,
+    :func:`rater_reliability` scores the annotators, and this emits the
+    consensus label the training set actually consumes. One row per
+    item: ``(<item_col>, label, n_ratings, confidence, tied)`` where
+    ``label`` is the most-voted category (ties break to the smallest
+    value — deterministic and engine-independent, the same rule as
+    rater_reliability), ``confidence = top votes / total votes``
+    (rounded to 6 decimals), and ``tied`` marks items whose top count
+    is shared — the rows a quality gate should route to adjudication
+    together with the high-:func:`item_disagreement` queue. UNLIKE the
+    agreement statistics, single-rating items are kept (confidence 1.0
+    from evidence of one — the consumer decides whether to trust
+    them); NULL items/categories are excluded.
+
+    Shape: one ``groupBy(item, category)`` vote shuffle; the majority,
+    total, and tie columns derive from one item-partitioned window over
+    that bounded frame and the final per-item fold reuses the
+    partitioning — the ratings corpus is touched exactly once.
+    """
+    votes = (
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(
+            F.col(item_col).alias("__i"), F.col(category_col).alias("__k")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    w = Window.partitionBy("__i")
+    v = votes.withColumn("__m", F.max("__c").over(w)).withColumn(
+        "__n", F.sum("__c").over(w)
+    )
+    return v.groupBy("__i").agg(
+        F.min(F.when(F.col("__c") == F.col("__m"), F.col("__k"))).alias(
+            "label"
+        ),
+        F.first("__n").cast("long").alias("n_ratings"),
+        F.round(F.first(F.col("__m") / F.col("__n")), 6).alias("confidence"),
+        (
+            F.sum(
+                F.when(F.col("__c") == F.col("__m"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            > 1
+        ).alias("tied"),
+    ).withColumnRenamed("__i", item_col)
 
 
 def rank_biased_overlap(

@@ -18,6 +18,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     auc_score,
     calibration_bins,
     cohens_kappa,
+    consensus_labels,
     confusion_at_threshold,
     expected_calibration_error,
     fleiss_kappa,
@@ -1325,3 +1326,59 @@ class TestLabelQaTriage:
         assert got["a"].agreement_rate == pytest.approx(0.5, abs=1e-6)
         assert got["solo"].n_rated == 1 and got["solo"].n_judged == 0
         assert got["solo"].agreement_rate is None
+
+
+def mirror_consensus(rows):
+    from collections import Counter, defaultdict
+
+    votes: dict = defaultdict(Counter)
+    for i, c in rows:
+        if i is None or c is None:
+            continue
+        votes[i][c] += 1
+    out = {}
+    for i, cnt in votes.items():
+        n = sum(cnt.values())
+        m = max(cnt.values())
+        label = min(k for k, v in cnt.items() if v == m)
+        tied = sum(1 for v in cnt.values() if v == m) > 1
+        out[i] = (label, n, m / n, tied)
+    return out
+
+
+class TestConsensusLabels:
+    def test_matches_mirror_random(self, spark):
+        rng = random.Random(23)
+        rows = []
+        for i in range(60):
+            for _ in range(rng.randint(1, 5)):
+                rows.append((i, rng.choice([0, 1, 2])))
+        df = spark.createDataFrame(rows, "item long, cat long")
+        got = {
+            r.item: (r.label, r.n_ratings, r.confidence, r.tied)
+            for r in consensus_labels(df, "item", "cat").collect()
+        }
+        want = mirror_consensus(rows)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == want[i][1]
+            assert got[i][2] == pytest.approx(want[i][2], abs=1e-6)
+            assert got[i][3] == want[i][3]
+
+    def test_tie_break_single_rating_and_nulls(self, spark):
+        rows = [
+            (1, 2), (1, 1),            # 1-1 tie -> smallest label, tied
+            (2, 5),                    # single rating kept, conf 1.0
+            (3, 0), (3, 0), (3, 9),    # clear majority
+            (None, 1), (4, None),      # excluded
+        ]
+        df = spark.createDataFrame(rows, "item long, cat long")
+        got = {r.item: r for r in consensus_labels(df, "item", "cat").collect()}
+        assert set(got) == {1, 2, 3}
+        assert got[1].label == 1 and got[1].tied is True
+        assert got[1].confidence == pytest.approx(0.5)
+        assert got[2].label == 5 and got[2].n_ratings == 1
+        assert got[2].confidence == 1.0 and got[2].tied is False
+        assert got[3].label == 0 and got[3].tied is False
+        assert got[3].confidence == pytest.approx(2 / 3, abs=1e-6)
