@@ -796,6 +796,24 @@ def _q_consensus_labels(spark, sf):
     return consensus_labels(_alpha_ratings(spark, sf), "vec_id", "rating")
 
 
+def _q_dawid_skene(spark, sf):
+    """Dawid-Skene EM consensus (NEW r10; rows-only — EM is a fixpoint
+    ANSI SQL cannot express, the BPE/linear-probe class) over the
+    3-rater fixture: confusion-matrix-weighted labels next to
+    q_consensus_labels' one-rater-one-vote baseline. Fixed 3-round
+    budget with the convergence aggregate skipped (tol=None — one
+    action per round; the full convergence loop and the
+    unreliable-rater recovery are pinned against an independent numpy
+    EM mirror in tests/test_evaluation.py::TestDawidSkene)."""
+    from real_estate_bigdata_spark.operators.evaluation import dawid_skene
+
+    return dawid_skene(
+        _alpha_ratings(spark, sf, with_rater=True),
+        "vec_id", "rater", "rating",
+        max_iter=3, tol=None,
+    )
+
+
 def _q_ranking_rbo(spark, sf):
     """Prefix rank-biased overlap (NEW r9; Webber et al. 2010) between
     the full-weight and head-truncated (16-dim) ranked pools — the
@@ -1747,20 +1765,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 133 queries against the 50-slot cap cannot cycle faster).
+    stale — 134 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 133 queries: 123 oracle-bearing + 10 rows-only
+    The registry holds 134 queries: 123 oracle-bearing + 11 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup — each pinned against an independent mirror in
     pytest). r9 froze its rotation at 122/113 before five r9-late
     queries landed past-cap; r10 adds q_media_stats, q_image_neardup,
     q_union_all_tagged, and (r10-late, in-cap slots 49-50) the
     labeling-QA tier q_item_disagreement / q_rater_reliability /
-    q_consensus_labels, which displaced q_asof_view_purchase,
-    q_bm25_search and q_value_histogram to the r11 block (each keeps an
-    in-cap family sibling: q_interval_signup_errors,
-    q_bm25_index_search, q_weighted_sample).
+    q_consensus_labels / q_dawid_skene (rows-only, numpy-EM
+    mirror-pinned), which displaced q_asof_view_purchase,
+    q_bm25_search, q_value_histogram and q_distribution_drift to the
+    r11 block (each keeps an in-cap family sibling or a same-family
+    r8-verified twin: q_interval_signup_errors, q_bm25_index_search,
+    q_weighted_sample, q_source_drift).
 
     Round-10 rotation (VERDICT r9 tasks #1/#2/#5). In-cap slots 1-50:
     (a) the 3 NEW r10 queries — first driver verification;
@@ -1778,11 +1798,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plan, then oldest-family breadth (core joins, scalars, text,
         sampling, drift, decontamination, temporal, search).
 
-    Past slot 50: (i) the remaining 34 r8-verified queries — two
+    Past slot 50: (i) the remaining 35 r8-verified queries — two
     rounds stale after this round, ALL scheduled in-cap for r11;
     (ii) the 49 r9-verified queries (one round stale; the r12 block).
     Union invariant: r9 ∪ r10 driver rows cover every query except the
-    34 r11-scheduled r8-verified returners, and every oracle-bearing
+    35 r11-scheduled r8-verified returners, and every oracle-bearing
     query is additionally DuckDB-compared on every pytest run
     (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
     """
@@ -1837,20 +1857,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": _q_tfidf,
         "q_lang_id": _q_lang_id,
         "q_weighted_sample": _q_weighted_sample,
-        "q_distribution_drift": _q_distribution_drift,
         "q_decontaminate": _q_decontaminate,
-        # ---- slots 48-50: NEW r10-late labeling-QA tier (first
+        # ---- slots 47-50: NEW r10-late labeling-QA tier (first
         # driver verification; displaced q_asof_view_purchase /
-        # q_bm25_search / q_value_histogram to the r11 block — each
-        # keeps an in-cap family sibling: q_interval_signup_errors /
-        # q_bm25_index_search / q_weighted_sample) ----
+        # q_bm25_search / q_value_histogram / q_distribution_drift to
+        # the r11 block — each keeps an in-cap family sibling or twin:
+        # q_interval_signup_errors / q_bm25_index_search /
+        # q_weighted_sample / q_source_drift) ----
         "q_item_disagreement": _q_item_disagreement,
         "q_rater_reliability": _q_rater_reliability,
         "q_consensus_labels": _q_consensus_labels,
+        "q_dawid_skene": _q_dawid_skene,
         # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
+        "q_distribution_drift": _q_distribution_drift,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q10_returned_items": _q10_returned_items,

@@ -48,6 +48,7 @@ __all__ = [
     "cohens_kappa",
     "confusion_at_threshold",
     "consensus_labels",
+    "dawid_skene",
     "expected_calibration_error",
     "fleiss_kappa",
     "item_disagreement",
@@ -1088,6 +1089,226 @@ def consensus_labels(
             > 1
         ).alias("tied"),
     ).withColumnRenamed("__i", item_col)
+
+
+def dawid_skene(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    category_col: str,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    smoothing: float = 0.01,
+) -> DataFrame:
+    """Dawid-Skene EM label aggregation (Dawid & Skene 1979) — the
+    confusion-matrix-weighted upgrade of :func:`consensus_labels`:
+    instead of one-rater-one-vote, each rater's vote is weighted by
+    their LEARNED per-class confusion matrix, so a rater who
+    systematically confuses classes 1 and 2 stops dragging those items,
+    and a reliable minority can outvote an unreliable majority. The
+    standard EM: E-step scores each item's class posterior from the
+    class priors and the raters' confusion rows; M-step re-estimates
+    priors and confusions from the posteriors; initialized from the
+    majority-vote shares, Laplace-``smoothing`` on the confusion
+    counts, stopped at ``max_iter`` or when no posterior moves more
+    than ``tol`` (``tol=None`` skips the per-iteration convergence
+    aggregate entirely and runs exactly ``max_iter`` rounds — one
+    Spark action per round instead of two; the right trade when the
+    iteration budget is fixed anyway). Returns one row per item:
+    ``(<item_col>, label, confidence, n_ratings)`` with ``label`` the
+    argmax-posterior class (smallest-value tie-break) and
+    ``confidence`` the winning posterior (rounded to 6 decimals).
+
+    Like the other iterative operators (BPE, connected components)
+    this is rows-only at the oracle gate — ANSI SQL has no fixpoint —
+    and is pinned against an independent numpy EM mirror in
+    ``tests/test_evaluation.py`` (allclose, never bit-exact: partial
+    -sum order varies, the linear-probe precedent).
+
+    Distributed shape: the vote table is the only corpus-sized frame.
+    Per iteration the E-step joins votes to the broadcast confusion
+    table (raters x classes^2 — crowd-scale small) and aggregates
+    log-posteriors per (item, class) (a classes-bounded expansion of
+    one corpus pass), the M-step aggregates the same join the other
+    way; posteriors are localCheckpointed per iteration to truncate
+    the lineage (the CC/BPE precedent), and the class set is a bounded
+    driver collect (labeling taxonomies are enumerable by design —
+    validated against ``max_classes=64``).
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    valid = (
+        df.filter(
+            F.col(item_col).isNotNull()
+            & F.col(rater_col).isNotNull()
+            & F.col(category_col).isNotNull()
+        )
+        .select(
+            F.col(item_col).alias("__i"),
+            F.col(rater_col).alias("__r"),
+            F.col(category_col).alias("__k"),
+        )
+        .distinct()
+    ).localCheckpoint(eager=True)
+    cats = sorted(
+        r[0] for r in valid.select("__k").distinct().collect()
+    )  # bounded: a labeling taxonomy, not data
+    if len(cats) > 64:
+        raise ValueError(
+            f"dawid_skene expects an enumerable class taxonomy, got "
+            f"{len(cats)} distinct categories (max 64)"
+        )
+    if not cats:
+        return valid.sparkSession.createDataFrame(
+            [], f"{item_col} long, label long, confidence double, "
+            f"n_ratings long"
+        )
+    spark = valid.sparkSession
+    n_items_votes = valid.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__nv")
+    )
+    cats_df = spark.createDataFrame(
+        [(c,) for c in cats], f"__c {valid.schema['__k'].dataType.simpleString()}"
+    )
+    # init: posterior = per-item vote share (majority-vote proportions)
+    share = (
+        valid.groupBy("__i", F.col("__k").alias("__c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    )
+    post = (
+        n_items_votes.crossJoin(F.broadcast(cats_df))
+        .join(share, ["__i", "__c"], "left")
+        .select(
+            "__i",
+            "__c",
+            (F.coalesce(F.col("__v"), F.lit(0.0)) / F.col("__nv")).alias(
+                "__p"
+            ),
+        )
+    ).localCheckpoint(eager=True)
+    n_cats = len(cats)
+    for _ in range(max_iter):
+        # M-step: class priors (tiny) and rater confusions
+        pri = post.groupBy("__c").agg(F.avg("__p").alias("__pri"))
+        conf = (
+            valid.join(post, "__i")
+            .groupBy("__r", "__c", F.col("__k").alias("__vk"))
+            .agg(F.sum("__p").alias("__w"))
+        )
+        conf_tot = conf.groupBy("__r", "__c").agg(
+            F.sum("__w").alias("__wt")
+        )
+        theta = (
+            conf.join(conf_tot, ["__r", "__c"])
+            .select(
+                "__r",
+                "__c",
+                "__vk",
+                (
+                    (F.col("__w") + F.lit(smoothing))
+                    / (F.col("__wt") + F.lit(smoothing * n_cats))
+                ).alias("__th"),
+            )
+        )
+        # E-step: log posterior per (item, class); a vote the rater's
+        # learned confusion row never weighted gets the pure-smoothing
+        # floor (same denominator as theta, zero numerator)
+        theta_r = theta.select(
+            F.col("__r").alias("__tr"),
+            F.col("__c").alias("__tc"),
+            "__vk",
+            "__th",
+        )
+        tot_r = conf_tot.select(
+            F.col("__r").alias("__gr"),
+            F.col("__c").alias("__gc"),
+            "__wt",
+        )
+        vote_scores = (
+            valid.crossJoin(F.broadcast(cats_df))
+            .join(
+                F.broadcast(theta_r),
+                (F.col("__r") == F.col("__tr"))
+                & (F.col("__c") == F.col("__tc"))
+                & (F.col("__k") == F.col("__vk")),
+                "left",
+            )
+            .join(
+                F.broadcast(tot_r),
+                (F.col("__r") == F.col("__gr"))
+                & (F.col("__c") == F.col("__gc")),
+                "left",
+            )
+            .select(
+                "__i",
+                "__c",
+                F.log(
+                    F.coalesce(
+                        F.col("__th"),
+                        F.lit(smoothing)
+                        / (F.col("__wt") + F.lit(smoothing * n_cats)),
+                        F.lit(1.0 / n_cats),  # rater row absent
+                        # entirely — cannot happen for valid votes;
+                        # defensive
+                    )
+                ).alias("__ls"),
+            )
+        )
+        logp = (
+            vote_scores.groupBy("__i", "__c")
+            .agg(F.sum("__ls").alias("__ll"))
+            .join(F.broadcast(pri), "__c")
+            .select(
+                "__i",
+                "__c",
+                (F.col("__ll") + F.log(F.col("__pri") + F.lit(1e-300))).alias(
+                    "__ll"
+                ),
+            )
+        )
+        w = Window.partitionBy("__i")
+        new_post = (
+            logp.withColumn("__mx", F.max("__ll").over(w))
+            .withColumn("__e", F.exp(F.col("__ll") - F.col("__mx")))
+            .withColumn("__z", F.sum("__e").over(w))
+            .select("__i", "__c", (F.col("__e") / F.col("__z")).alias("__p"))
+        ).localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_post.join(
+                    post.select(
+                        "__i", "__c", F.col("__p").alias("__p0")
+                    ),
+                    ["__i", "__c"],
+                )
+                .agg(F.max(F.abs(F.col("__p") - F.col("__p0"))))
+                .collect()[0][0]
+            )
+            post = new_post
+            if delta is not None and delta < tol:
+                break
+        else:
+            post = new_post
+    w = Window.partitionBy("__i")
+    return (
+        post.withColumn("__mx", F.max("__p").over(w))
+        .groupBy("__i")
+        .agg(
+            F.min(
+                F.when(F.col("__p") == F.col("__mx"), F.col("__c"))
+            ).alias("label"),
+            F.round(F.max("__p"), 6).alias("confidence"),
+        )
+        .join(n_items_votes, "__i")
+        .select(
+            F.col("__i").alias(item_col),
+            "label",
+            "confidence",
+            F.col("__nv").alias("n_ratings"),
+        )
+    )
 
 
 def rank_biased_overlap(

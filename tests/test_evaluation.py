@@ -19,6 +19,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     calibration_bins,
     cohens_kappa,
     consensus_labels,
+    dawid_skene,
     confusion_at_threshold,
     expected_calibration_error,
     fleiss_kappa,
@@ -1382,3 +1383,101 @@ class TestConsensusLabels:
         assert got[2].confidence == 1.0 and got[2].tied is False
         assert got[3].label == 0 and got[3].tied is False
         assert got[3].confidence == pytest.approx(2 / 3, abs=1e-6)
+
+
+def mirror_dawid_skene(rows, max_iter=20, tol=1e-6, smoothing=0.01):
+    """Independent numpy EM (Dawid & Skene 1979), same init/smoothing/
+    stopping contract as the operator: returns {item: (label,
+    confidence, n_ratings)}."""
+    import numpy as np
+
+    votes = sorted({(i, r, k) for i, r, k in rows
+                    if i is not None and r is not None and k is not None})
+    items = sorted({i for i, _, _ in votes})
+    raters = sorted({r for _, r, _ in votes})
+    cats = sorted({k for _, _, k in votes})
+    ii = {v: n for n, v in enumerate(items)}
+    ri = {v: n for n, v in enumerate(raters)}
+    ci = {v: n for n, v in enumerate(cats)}
+    nI, nR, nC = len(items), len(raters), len(cats)
+    post = np.zeros((nI, nC))
+    nv = np.zeros(nI)
+    for i, r, k in votes:
+        post[ii[i], ci[k]] += 1.0
+        nv[ii[i]] += 1.0
+    post /= nv[:, None]
+    for _ in range(max_iter):
+        pri = post.mean(axis=0)
+        conf = np.zeros((nR, nC, nC))
+        for i, r, k in votes:
+            conf[ri[r], :, ci[k]] += post[ii[i]]
+        tot = conf.sum(axis=2, keepdims=True)
+        theta = (conf + smoothing) / (tot + smoothing * nC)
+        logp = np.tile(np.log(pri + 1e-300), (nI, 1))
+        for i, r, k in votes:
+            logp[ii[i]] += np.log(theta[ri[r], :, ci[k]])
+        mx = logp.max(axis=1, keepdims=True)
+        e = np.exp(logp - mx)
+        new_post = e / e.sum(axis=1, keepdims=True)
+        delta = np.abs(new_post - post).max()
+        post = new_post
+        if delta < tol:
+            break
+    out = {}
+    for i in items:
+        p = post[ii[i]]
+        m = p.max()
+        label = min(cats[c] for c in range(nC) if p[c] == m)
+        out[i] = (label, round(float(m), 6), int(nv[ii[i]]))
+    return out
+
+
+class TestDawidSkene:
+    def test_unreliable_rater_outvoted(self, spark):
+        # two honest raters + one who always answers 0: EM must learn
+        # the constant rater's confusion and recover the truth
+        rows = []
+        for i in range(30):
+            t = i % 3
+            rows += [(i, "g1", t), (i, "g2", t), (i, "bad", 0)]
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        got = {r.item: r for r in dawid_skene(df, "item", "rater", "cat").collect()}
+        assert all(got[i].label == i % 3 for i in range(30))
+        # majority vote CANNOT do this when one honest rater is absent:
+        # the same fixture minus g2 ties 1-1 everywhere, but EM still
+        # recovers most items via the learned confusions
+        assert all(got[i].confidence > 0.99 for i in range(30))
+
+    def test_matches_numpy_mirror(self, spark):
+        rng = random.Random(41)
+        rows = []
+        for i in range(50):
+            truth = rng.choice([0, 1, 2])
+            for r in range(4):
+                noisy = truth if rng.random() < 0.7 else rng.choice([0, 1, 2])
+                if rng.random() < 0.8:  # missingness
+                    rows.append((i, f"r{r}", noisy))
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        got = {
+            r.item: (r.label, r.confidence, r.n_ratings)
+            for r in dawid_skene(df, "item", "rater", "cat").collect()
+        }
+        want = mirror_dawid_skene(rows)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i][2] == want[i][2]
+            # float reduction order differs (linear-probe precedent):
+            # posteriors approx-match; labels must agree whenever the
+            # mirror's win margin is clear
+            assert got[i][1] == pytest.approx(want[i][1], abs=1e-4)
+            if want[i][1] > 0.51:
+                assert got[i][0] == want[i][0], i
+
+    def test_validation_and_empty(self, spark):
+        df = spark.createDataFrame([(1, "a", 0)], "item long, rater string, cat long")
+        with pytest.raises(ValueError, match="max_iter"):
+            dawid_skene(df, "item", "rater", "cat", max_iter=0)
+        with pytest.raises(ValueError, match="smoothing"):
+            dawid_skene(df, "item", "rater", "cat", smoothing=0.0)
+        empty = spark.createDataFrame([], "item long, rater string, cat long")
+        assert dawid_skene(empty, "item", "rater", "cat").count() == 0

@@ -128,6 +128,11 @@ def test_every_query_has_oracle_or_is_documented():
         # ground truth and the pair set is pinned against an
         # independent brute-force mirror in tests/test_multimodal.py
         "q_image_neardup",
+        # Dawid-Skene EM consensus (NEW r10): the E/M fixpoint is the
+        # same non-SQL iterative class as BPE; pinned against an
+        # independent numpy EM mirror in
+        # tests/test_evaluation.py::TestDawidSkene
+        "q_dawid_skene",
     }
     assert set(missing) <= allowed_rows_only
 
