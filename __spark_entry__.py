@@ -1428,6 +1428,24 @@ def _q_shuffle_shard(spark, sf):
     return shuffle_shard(docs, n_shards=16).select("doc_id", "shard", "pos")
 
 
+def _q_bucket_batches(spark, sf):
+    """Length-bucketed dynamic batching (NEW r10): band documents by
+    whitespace token count (30/60/90 boundaries), sub-shard each band
+    by the md5 family, fill ~1000-token batches per (bucket, shard) in
+    deterministic hash order via the closed-form prefix-sum assignment
+    — the trainer-side layout that pads to the band, not the corpus
+    max. FULL DuckDB oracle (same md5/prefix-sum arithmetic; exact
+    integer token sums)."""
+    from real_estate_bigdata_spark.operators.sampling import (
+        bucket_by_length,
+    )
+
+    return bucket_by_length(
+        load_table(spark, sf, "documents"),
+        boundaries=(30, 60, 90), batch_tokens=1000, n_shards=8,
+    )
+
+
 def _q_corpus_diff(spark, sf):
     """Corpus snapshot diff (NEW r5 cont.): added/removed/changed ids
     between two derived snapshots of the documents table — old drops
@@ -1765,10 +1783,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 134 queries against the 50-slot cap cannot cycle faster).
+    stale — 135 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 134 queries: 123 oracle-bearing + 11 rows-only
+    The registry holds 135 queries: 124 oracle-bearing + 11 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup — each pinned against an independent mirror in
     pytest). r9 froze its rotation at 122/113 before five r9-late
@@ -1776,11 +1794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_union_all_tagged, and (r10-late, in-cap slots 49-50) the
     labeling-QA tier q_item_disagreement / q_rater_reliability /
     q_consensus_labels / q_dawid_skene (rows-only, numpy-EM
-    mirror-pinned), which displaced q_asof_view_purchase,
-    q_bm25_search, q_value_histogram and q_distribution_drift to the
-    r11 block (each keeps an in-cap family sibling or a same-family
-    r8-verified twin: q_interval_signup_errors, q_bm25_index_search,
-    q_weighted_sample, q_source_drift).
+    mirror-pinned) and the q_bucket_batches dynamic-batching layout,
+    which displaced q_asof_view_purchase, q_bm25_search,
+    q_value_histogram, q_distribution_drift and
+    q05_local_supplier_volume to the r11 block (each keeps an in-cap
+    family sibling or a same-family r8-verified twin:
+    q_interval_signup_errors, q_bm25_index_search, q_weighted_sample,
+    q_source_drift, and the q03/q04/q07-q09 star joins).
 
     Round-10 rotation (VERDICT r9 tasks #1/#2/#5). In-cap slots 1-50:
     (a) the 3 NEW r10 queries — first driver verification;
@@ -1798,11 +1818,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plan, then oldest-family breadth (core joins, scalars, text,
         sampling, drift, decontamination, temporal, search).
 
-    Past slot 50: (i) the remaining 35 r8-verified queries — two
+    Past slot 50: (i) the remaining 36 r8-verified queries — two
     rounds stale after this round, ALL scheduled in-cap for r11;
     (ii) the 49 r9-verified queries (one round stale; the r12 block).
     Union invariant: r9 ∪ r10 driver rows cover every query except the
-    35 r11-scheduled r8-verified returners, and every oracle-bearing
+    36 r11-scheduled r8-verified returners, and every oracle-bearing
     query is additionally DuckDB-compared on every pytest run
     (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
     """
@@ -1852,7 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_index_search": _q_bm25_index_search,
         "q03_shipping_priority": _q03_shipping_priority,
         "q04_order_priority": _q04_order_priority,
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q_bucket_batches": _q_bucket_batches,
         "q_scalar_gallery": _q_scalar_gallery,
         "q_tfidf": _q_tfidf,
         "q_lang_id": _q_lang_id,
@@ -1873,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
         "q_distribution_drift": _q_distribution_drift,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
         "q_embed_cosine_topk": _q_embed_cosine_topk,
         "q06_forecast_revenue": _q06_forecast_revenue,
         "q10_returned_items": _q10_returned_items,
@@ -3814,6 +3835,32 @@ def oracle_sql() -> dict[str, str]:
         # bigint mod 16 (NOT the mod-10000 bucket — double modulo would
         # bias), pos = row_number ordered by the md5 hex STRING (ASCII
         # compare, engine-portable) with the id as tiebreak
+        "q_bucket_batches": r"""
+            WITH staged AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END::BIGINT AS n_tokens,
+                       md5(doc_id::VARCHAR) AS hhex,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                           % 8 AS shard
+                FROM documents WHERE text IS NOT NULL
+            ), b AS (
+                SELECT doc_id, n_tokens,
+                       ((n_tokens >= 30)::INT + (n_tokens >= 60)::INT
+                        + (n_tokens >= 90)::INT) AS bucket,
+                       hhex, shard
+                FROM staged
+            )
+            SELECT doc_id, n_tokens, bucket::INT AS bucket,
+                   shard::INT AS shard,
+                   floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY bucket, shard
+                       ORDER BY hhex, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 1000.0)::BIGINT AS batch_id
+            FROM b
+        """,
         "q_shuffle_shard": """
             WITH h AS (
                 SELECT doc_id,

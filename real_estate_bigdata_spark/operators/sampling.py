@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "allocate_token_budget",
+    "bucket_by_length",
     "bucket_of",
     "cap_per_group",
     "hash_sample",
@@ -713,4 +714,100 @@ def pack_documents(
             n.alias(n_tokens_col),
             F.floor((cum - F.lit(1)) / F.lit(token_budget)).cast("bigint").alias("chunk_id"),
         )
+    )
+
+
+def bucket_by_length(
+    df: DataFrame,
+    boundaries: tuple[int, ...] = (64, 128, 256, 512),
+    batch_tokens: int = 4096,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Length-bucketed dynamic batching (r10) — the trainer-side
+    complement of :func:`pack_documents`: instead of concatenating
+    documents into fixed windows, group SIMILAR-length documents and
+    fill ~``batch_tokens``-sized batches, so a training step pads to
+    its batch's length band instead of the corpus maximum (the
+    standard dynamic-batching layout). One row per batchable document:
+    ``(<key_col>, n_tokens, bucket, shard, batch_id)``.
+
+    ``bucket`` = number of ``boundaries`` (strictly increasing) at or
+    below the whitespace token count — band 0 is shorter than the
+    first boundary, band ``len(boundaries)`` at-or-above the last.
+    Within a bucket, documents are SUB-SHARDED by the md5 hash family
+    (``shuffle_shard``'s exact spelling: 60-bit md5-prefix mod
+    ``n_shards``) and batches are filled per (bucket, shard) in
+    deterministic md5-hex order with the CLOSED-FORM assignment
+    ``batch_id = floor(tokens_before / batch_tokens)`` — each batch
+    averages ``batch_tokens`` with overflow bounded by one document
+    (a document belongs to the batch where its prefix sum starts; the
+    greedy would-overflow-breaks variant is a sequential fold no
+    engine can parallelize, the same trade :func:`allocate_token_budget`
+    documents for its waterline). Deterministic on every run, engine,
+    and partitioning; a different ``salt`` re-deals the batches.
+
+    NULL-text documents have no token count and are EXCLUDED (the
+    quarantine path owns them); empty/blank text is 0 tokens and
+    batches normally.
+
+    Scale posture: tokenize + bucket + shard are map-only; the only
+    shuffle is the window on (bucket, shard) — ``n_shards`` keeps that
+    parallel at any corpus size (a bucket-only window would serialize
+    into len(boundaries)+1 tasks at 100 TB). Batches never cross a
+    (bucket, shard) pair, which is also what makes them stable under
+    cluster resizing.
+    """
+    from real_estate_bigdata_spark.functions.text import token_count
+
+    if any(b <= 0 for b in boundaries) or list(boundaries) != sorted(
+        set(boundaries)
+    ):
+        raise ValueError(
+            f"boundaries must be strictly increasing positive ints, "
+            f"got {boundaries}"
+        )
+    if batch_tokens < 1:
+        raise ValueError(f"batch_tokens must be >= 1, got {batch_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    n_tok = token_count(F.col(text_col))
+    bucket = (
+        sum((n_tok >= F.lit(b)).cast("int") for b in boundaries)
+        if boundaries
+        else F.lit(0)
+    )
+    staged = df.select(
+        F.col(key_col),
+        n_tok.alias("n_tokens"),
+        bucket.cast("int").alias("bucket"),
+        F.md5(
+            F.concat_ws("", F.col(key_col).cast("string"), F.lit(salt))
+        ).alias("__hhex"),
+    ).filter(F.col("n_tokens").isNotNull())
+    staged = staged.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("__hhex", 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = (
+        Window.partitionBy("bucket", "shard")
+        .orderBy("__hhex", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return staged.select(
+        key_col,
+        "n_tokens",
+        F.col("bucket").cast("int").alias("bucket"),
+        "shard",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            / F.lit(batch_tokens)
+        )
+        .cast("bigint")
+        .alias("batch_id"),
     )

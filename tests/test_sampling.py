@@ -526,3 +526,98 @@ def test_allocate_token_budget_edges(spark):
         sp.allocate_token_budget(df, 1.0, max_epochs=0.0)
     with pytest.raises(ValueError):
         sp.allocate_token_budget(df, 1.0, mixture={"x": -2.0})
+
+
+class TestBucketByLength:
+    """r10 length-bucketed dynamic batching."""
+
+    def test_matches_pure_python_mirror_exactly(self, spark):
+        import hashlib
+
+        rows = [(i, " ".join(["w"] * ((i * 7) % 120))) for i in range(80)]
+        rows += [(1000, None), (1001, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from real_estate_bigdata_spark.operators.sampling import (
+            bucket_by_length,
+        )
+
+        got = sorted(
+            (r.doc_id, r.n_tokens, r.bucket, r.shard, r.batch_id)
+            for r in bucket_by_length(
+                df, boundaries=(30, 60, 90), batch_tokens=200, n_shards=4
+            ).collect()
+        )
+
+        staged = []
+        for i, t in rows:
+            if t is None:
+                continue
+            n = 0 if t.strip() == "" else len(t.strip().split())
+            b = sum(n >= x for x in (30, 60, 90))
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            staged.append((b, int(h[:15], 16) % 4, h, i, n))
+        want = []
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for b, sh, h, i, n in staged:
+            groups[(b, sh)].append((h, i, n))
+        for (b, sh), g in groups.items():
+            cum = 0
+            for h, i, n in sorted(g):
+                want.append((i, n, b, sh, cum // 200))
+                cum += n
+        assert got == sorted(want)
+        # empty text is 0 tokens and batches normally; NULL is excluded
+        ids = {r[0] for r in got}
+        assert 1001 in ids and 1000 not in ids
+
+    def test_batch_fill_bound_and_determinism(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import (
+            bucket_by_length,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = bucket_by_length(
+            docs, boundaries=(30, 60, 90), batch_tokens=500, n_shards=4
+        )
+        again = bucket_by_length(
+            docs, boundaries=(30, 60, 90), batch_tokens=500, n_shards=4
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+        sums = {
+            (r.bucket, r.shard, r.batch_id): r.s
+            for r in out.groupBy("bucket", "shard", "batch_id")
+            .agg(F.sum("n_tokens").alias("s"))
+            .collect()
+        }
+        longest = out.agg(F.max("n_tokens")).collect()[0][0]
+        # closed-form overflow bound: batch total < batch_tokens + longest doc
+        assert all(s < 500 + longest for s in sums.values())
+        # a different salt re-deals the batches
+        other = bucket_by_length(
+            docs, boundaries=(30, 60, 90), batch_tokens=500, n_shards=4,
+            salt="epoch2",
+        )
+        assert sorted(map(tuple, out.collect())) != sorted(
+            map(tuple, other.collect())
+        )
+
+    def test_validates_params(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import (
+            bucket_by_length,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest
+
+        with pytest.raises(ValueError, match="boundaries"):
+            bucket_by_length(df, boundaries=(10, 10)).collect()
+        with pytest.raises(ValueError, match="boundaries"):
+            bucket_by_length(df, boundaries=(0, 5)).collect()
+        with pytest.raises(ValueError, match="batch_tokens"):
+            bucket_by_length(df, batch_tokens=0).collect()
+        with pytest.raises(ValueError, match="n_shards"):
+            bucket_by_length(df, n_shards=0).collect()
