@@ -896,20 +896,61 @@ _ANN_PINNED_N_PROBE = 16
 _ANN_INDEX_CACHE: dict = {}
 
 
+def _embeddings_fingerprint(sf) -> str:
+    """Content fingerprint of the sf dir's embeddings parquet files
+    (relative name + size + mtime_ns per data file, md5'd): keys the
+    cached serving artifact to the DATA, not the directory name
+    (ADVICE r10 — regenerated testdata must never be served by a stale
+    index built from the old bytes)."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf.rstrip("/"), "embeddings.parquet")
+    h = hashlib.md5()
+    if os.path.isdir(root):
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if name.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(dirpath, name))
+                rel = os.path.relpath(os.path.join(dirpath, name), root)
+                h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def _ann_serving_index(spark, sf, emb):
     """The build-once/serve-many artifact path: build + pin + save on
     first touch of an sf dir (the offline tuning job), load_ivf_index
-    once per session after, serve from memory thereafter."""
+    once per session after, serve from memory thereafter. The artifact
+    path is keyed by a fingerprint of the embeddings data files and the
+    build goes through a temp dir + atomic rename (ADVICE r10): a
+    regenerated corpus gets a fresh key instead of silently serving the
+    stale index, and two concurrent bench processes racing the first
+    build each publish a complete artifact — the rename loser discards
+    its temp dir and serves the winner's."""
     import os
+    import shutil
+    import uuid
 
-    path = f"/tmp/spark_graft_ivf_v1/{os.path.basename(sf.rstrip('/'))}"
+    base = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/spark_graft_ivf_v1/{base}_{_embeddings_fingerprint(sf)}"
     key = (spark.sparkContext.applicationId, path)
     index = _ANN_INDEX_CACHE.get(key)
     if index is None:
         if not os.path.exists(f"{path}/meta/_SUCCESS"):
+            tmp = f"{path}.tmp-{uuid.uuid4().hex[:12]}"
             built = sim.build_ivf_index(emb, n_lists=16, seed=42)
             built.tuned_n_probe = _ANN_PINNED_N_PROBE
-            sim.save_ivf_index(built, path)
+            sim.save_ivf_index(built, tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # a concurrent builder published first — use theirs
+                shutil.rmtree(tmp, ignore_errors=True)
         index = sim.load_ivf_index(spark, path)
         _ANN_INDEX_CACHE[key] = index
     return index

@@ -1161,8 +1161,13 @@ def dawid_skene(
             f"{len(cats)} distinct categories (max 64)"
         )
     if not cats:
+        # dtypes derive from the input schema (ADVICE r10): string or
+        # int item/category columns must yield the same schema empty
+        # and non-empty, or downstream unions break on the empty edge
+        i_t = valid.schema["__i"].dataType.simpleString()
+        k_t = valid.schema["__k"].dataType.simpleString()
         return valid.sparkSession.createDataFrame(
-            [], f"{item_col} long, label long, confidence double, "
+            [], f"{item_col} {i_t}, label {k_t}, confidence double, "
             f"n_ratings long"
         )
     spark = valid.sparkSession

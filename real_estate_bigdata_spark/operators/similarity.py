@@ -820,11 +820,15 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     )
     # optional-tier probe is a driver-side fs.exists, not a caught
     # AnalysisException (the r8 lesson: per-load exception probes cost
-    # ~0.3 s); absent meta = never tuned, the common case
+    # ~0.3 s); absent meta = never tuned, the common case. The probe
+    # targets meta/_SUCCESS, not the bare directory (ADVICE r10): a
+    # crash mid-meta-write leaves a partial dir whose parquet read
+    # would fail every later load — a torn meta write must degrade to
+    # an untuned index, never a load failure.
     tuned = None
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    meta_p = jvm.org.apache.hadoop.fs.Path(f"{path}/meta/_SUCCESS")
     if meta_p.getFileSystem(conf).exists(meta_p):
         tuned = spark.read.parquet(f"{path}/meta").collect()[0][
             "tuned_n_probe"

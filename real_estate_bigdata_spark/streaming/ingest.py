@@ -140,20 +140,33 @@ def _claim_staged(
     append. Only :func:`finalize_composite_flush` passes it (its
     contract requires the ingest query stopped, making it the sole
     flusher and the adoption race-free); the in-batch flusher never
-    touches another flusher's claims."""
+    touches another flusher's claims.
+
+    Claim names carry a per-call uuid (``_flushing_<uuid>_ingest_batch=N``,
+    ADVICE r10): a crash between claim and append leaves an orphaned
+    claim for epoch N, and the replayed micro-batch recreates
+    ``ingest_batch=N``; with a FIXED claim name the next claim's
+    ``fs.rename`` would find its target already present and — under
+    HDFS/local rename-into-directory semantics — move the source INTO
+    the orphan, nesting a partition-named subdir that corrupts the
+    later adopt/read. A fresh uuid per call makes every rename target
+    nonexistent, so the rename is always the atomic directory move."""
+    import uuid as _uuid
+
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(staging_root)
     fs = root.getFileSystem(conf)
     if not fs.exists(root):
         return []
+    claim_tag = "_flushing_" + _uuid.uuid4().hex[:12] + "_"
     claimed = []
     for st in fs.listStatus(root):
         if not st.isDirectory():
             continue
         name = st.getPath().getName()
         if name.startswith("ingest_batch="):
-            target = jvm.org.apache.hadoop.fs.Path(root, "_flushing_" + name)
+            target = jvm.org.apache.hadoop.fs.Path(root, claim_tag + name)
             if fs.rename(st.getPath(), target):
                 claimed.append(str(target))
         elif include_stale and name.startswith("_flushing_"):

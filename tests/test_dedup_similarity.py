@@ -306,6 +306,25 @@ def test_tuned_point_persists_with_artifact_and_pins_driver_constant(
     sim.save_ivf_index(fresh, path2)
     assert sim.load_ivf_index(spark, path2).tuned_n_probe is None
 
+    # torn meta write (ADVICE r10): a crash mid-meta-write leaves a
+    # partial dir without _SUCCESS — the load must degrade to an
+    # UNTUNED index, not raise on the parquet read
+    import os
+    import shutil
+
+    torn = str(tmp_path / "torn_idx")
+    sim.save_ivf_index(index, torn)
+    os.remove(f"{torn}/meta/_SUCCESS")
+    for f in os.listdir(f"{torn}/meta"):  # simulate partial data files
+        if f.endswith(".parquet"):
+            os.remove(f"{torn}/meta/{f}")
+    degraded = sim.load_ivf_index(spark, torn)
+    assert degraded.tuned_n_probe is None
+    # and the degraded index still serves (untuned caller picks n_probe)
+    got = sim.ivf_search(degraded, queries.limit(2), k=3, n_probe=16)
+    assert got.count() > 0
+    shutil.rmtree(torn)
+
 
 def test_tune_n_probe_validates_args(spark):
     import pytest

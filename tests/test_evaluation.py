@@ -1481,3 +1481,87 @@ class TestDawidSkene:
             dawid_skene(df, "item", "rater", "cat", smoothing=0.0)
         empty = spark.createDataFrame([], "item long, rater string, cat long")
         assert dawid_skene(empty, "item", "rater", "cat").count() == 0
+
+    def test_empty_schema_matches_nonempty_for_string_columns(self, spark):
+        """ADVICE r10: with string item/category columns the empty
+        edge must produce the SAME dtypes as the non-empty path, or a
+        downstream unionByName breaks on the empty partition."""
+        schema = "item string, rater string, cat string"
+        nonempty = dawid_skene(
+            spark.createDataFrame(
+                [("doc-1", "a", "pos"), ("doc-1", "b", "pos")], schema
+            ),
+            "item", "rater", "cat", max_iter=1,
+        )
+        empty = dawid_skene(
+            spark.createDataFrame([], schema), "item", "rater", "cat"
+        )
+        # dtypes must agree (nullability legitimately differs: the
+        # non-empty count() is non-nullable)
+        assert empty.dtypes == nonempty.dtypes
+        # and the union that motivated the fix actually works
+        assert nonempty.unionByName(empty).count() == 1
+
+    def test_tol_convergence_stops_early_and_matches_fixed_budget(
+        self, spark, monkeypatch
+    ):
+        """VERDICT r10 task #5: the tol-stopped mode must EXIT before
+        max_iter on a converged fixture (unanimous votes converge after
+        one E-step) and produce the fixed-budget answer. Iterations are
+        observed via the per-iteration localCheckpoint (one per E-step,
+        plus two upfront for valid/init) — deterministic, no timing."""
+        rows = [(i, f"r{r}", i % 3) for i in range(12) for r in range(3)]
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        # patch the CONCRETE class of this session's frames (PySpark 4
+        # splits the ABC from pyspark.sql.classic.dataframe.DataFrame)
+        df_cls = type(df)
+        calls = {"n": 0}
+        orig = df_cls.localCheckpoint
+
+        def counting(self, eager=True):
+            calls["n"] += 1
+            return orig(self, eager=eager)
+
+        monkeypatch.setattr(df_cls, "localCheckpoint", counting)
+        got_tol = dawid_skene(
+            df, "item", "rater", "cat", max_iter=50, tol=1e-6
+        ).collect()
+        iters = calls["n"] - 2
+        assert iters < 50, "tol mode never exited early"
+        assert iters >= 1
+        monkeypatch.undo()
+        got_fixed = dawid_skene(
+            df, "item", "rater", "cat", max_iter=5, tol=None
+        ).collect()
+        as_map = lambda rs: {r.item: (r.label, r.n_ratings) for r in rs}  # noqa: E731
+        assert as_map(got_tol) == as_map(got_fixed)
+        assert all(r.label == r.item % 3 for r in got_tol)
+
+    def test_skewed_rater_majority_of_votes(self, spark):
+        """VERDICT r10 task #5: one rater holding 90% of all votes must
+        not break the broadcast-confusion assumption or the learned
+        weighting — the dominant rater is honest here, the sparse ones
+        noisy, and EM should track the dominant rater's answers."""
+        rng = random.Random(7)
+        rows = []
+        for i in range(100):
+            t = i % 4
+            rows.append((i, "dominant", t))  # labels every item
+            if i < 11:  # sparse raters cover ~10% of items
+                rows.append((i, "s1", rng.choice([0, 1, 2, 3])))
+                rows.append((i, "s2", rng.choice([0, 1, 2, 3])))
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        got = {
+            r.item: r for r in dawid_skene(df, "item", "rater", "cat").collect()
+        }
+        assert len(got) == 100
+        # the dominant honest rater's labels win on every item it alone
+        # rated, and on the contested items EM still recovers >= 9/11
+        alone = [i for i in range(11, 100)]
+        assert all(got[i].label == i % 4 for i in alone)
+        contested_ok = sum(got[i].label == i % 4 for i in range(11))
+        assert contested_ok >= 9
+        # mirror agreement on the full skewed fixture
+        want = mirror_dawid_skene(rows)
+        for i in got:
+            assert got[i].confidence == pytest.approx(want[i][1], abs=1e-4)

@@ -399,6 +399,48 @@ class TestCompositeFlushIngest:
         assert spark.read.parquet(dest).count() == 5
         assert ingest.finalize_composite_flush(spark, dest) == 0
 
+    def test_replayed_epoch_claims_unique_no_nesting(
+        self, spark, tmp_path
+    ):
+        """ADVICE r10: a crash between claim and append leaves an
+        orphaned ``_flushing_*ingest_batch=N`` claim, and the replayed
+        micro-batch recreates ``ingest_batch=N``. The NEXT claim of the
+        recreated epoch must not rename INTO the existing orphan
+        (HDFS/local rename-into-directory semantics would nest a
+        partition-named subdir inside it) — uuid-unique claim names
+        make every rename target fresh, and finalize adopts both
+        claims as two separate epochs."""
+        dest = str(tmp_path / "lake6")
+        staging = dest + "/_flush_staging"
+
+        def _stage_epoch(tag):
+            spark.createDataFrame(
+                [(tag, "2024-01-01", "srcA")],
+                "quan_huyen string, ingest_date string, source string",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                staging + "/ingest_batch=7"
+            )
+
+        _stage_epoch("first")
+        first = ingest._claim_staged(spark, staging)
+        assert len(first) == 1  # orphaned claim (flusher "crashed")
+        _stage_epoch("second")  # replayed micro-batch, same epoch id
+        second = ingest._claim_staged(spark, staging)
+        assert len(second) == 1 and second != first
+        # neither claim nested the other: each reads exactly one row,
+        # with the staged schema only (no leaked ingest_batch column)
+        for d, tag in [(first[0], "first"), (second[0], "second")]:
+            got = spark.read.parquet(d)
+            assert got.columns == ["quan_huyen", "ingest_date", "source"]
+            assert [r.quan_huyen for r in got.collect()] == [tag]
+        # finalize adopts both orphans -> 2 rows total, exactly once
+        assert ingest.finalize_composite_flush(spark, dest) == 2
+        out = spark.read.parquet(dest)
+        assert sorted(r.quan_huyen for r in out.collect()) == [
+            "first", "second",
+        ]
+        assert ingest.finalize_composite_flush(spark, dest) == 0
+
     def test_validates_thresholds(self, spark, tmp_path):
         with pytest.raises(ValueError):
             ingest.run_composite_flush_ingest(
