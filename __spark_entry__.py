@@ -190,6 +190,24 @@ def _q22_sales_opportunity(spark, sf):
     )
 
 
+def _q11_important_stock(spark, sf):
+    """TPC-H Q11 shape (NEW r11, VERDICT r10 task #3): grouped agg
+    filtered by a GLOBAL scalar subquery over the same aggregate."""
+    return jn.important_part_values(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def _q20_potential_promotion(spark, sf):
+    """TPC-H Q20 shape (NEW r11, VERDICT r10 task #3): nested
+    correlated semi-join chain into the supplier dimension."""
+    return jn.potential_promotion_suppliers(
+        load_tables(spark, sf, ("lineitem", "part", "supplier", "nation"))
+    )
+
+
 def _q12_priority_lines(spark, sf):
     return jn.priority_line_counts(
         load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
@@ -1929,6 +1947,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rater_reliability": _q_rater_reliability,
         "q_consensus_labels": _q_consensus_labels,
         "q_dawid_skene": _q_dawid_skene,
+        # ---- NEW r11 (registered here pre-rotation; the r11 reorder
+        # puts them in-cap) ----
+        "q11_important_stock": _q11_important_stock,
+        "q20_potential_promotion": _q20_potential_promotion,
         # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
@@ -2756,6 +2778,48 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 25
+        """,
+        "q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS val
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_9'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS partkey, round(val, 2) AS part_value
+            FROM per_part
+            WHERE val > (SELECT avg(val) * 2.0 FROM per_part)
+            ORDER BY part_value DESC, partkey
+        """,
+        "q20_potential_promotion": """
+            WITH catalog AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS avail_qty
+                FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1999-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small%')
+                GROUP BY 1, 2
+            ), shipped AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS window_qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+                  AND l_shipdate <  TIMESTAMP '2000-01-01'
+                GROUP BY 1, 2
+            )
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_9'
+              AND s_suppkey IN (
+                  SELECT c.l_suppkey
+                  FROM catalog c
+                  JOIN shipped w ON c.l_partkey = w.l_partkey
+                               AND c.l_suppkey = w.l_suppkey
+                  WHERE c.avail_qty > 0.5 * w.window_qty)
+            ORDER BY s_name
         """,
         "q22_sales_opportunity": """
             WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer

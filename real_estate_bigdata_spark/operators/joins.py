@@ -39,6 +39,8 @@ __all__ = [
     "sales_opportunity",
     "priority_line_counts",
     "supplier_variety",
+    "important_part_values",
+    "potential_promotion_suppliers",
 ]
 
 def shipping_priority(
@@ -613,4 +615,138 @@ def active_segment_customers(
         customer.filter(F.col("c_mktsegment") == segment)
         .join(yr, customer.c_custkey == yr.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
+    )
+
+
+def important_part_values(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_9",
+    mean_multiple: float = 2.0,
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one nation's suppliers,
+    kept only when it exceeds ``mean_multiple`` x the nation's MEAN
+    per-part value — a grouped aggregate filtered by a GLOBAL scalar
+    subquery over the same aggregate (the HAVING-scalar-subquery
+    optimizer shape the rest of the join battery lacked; VERDICT r10
+    task #3).
+
+    Adapted to the driver testdata (no partsupp): "stock value" is
+    sum(l_extendedprice * (1 - l_discount)) of the nation's shipments
+    per part — same two-level plan, different fact. The threshold is a
+    multiple of the MEAN rather than Q11's fraction-of-total because a
+    fixed fraction deselects everything as the part count grows (TPC-H
+    itself rescales the fraction by 1/SF); the mean-relative form is
+    scale-free while keeping the identical scalar-subquery plan.
+
+    Plan: nation (1 row after the filter) broadcasts into supplier
+    (bounded) which broadcasts into the lineitem scan; ONE shuffle
+    aggregates per part. The scalar threshold re-aggregates the
+    per-part frame (already shuffled once — the second agg is a
+    single-stage rollup of the first's output, not a second pass over
+    the fact) and binds as a broadcast one-row cross join.
+    """
+    nat = nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    supp = (
+        supplier.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "__val"
+            )
+        )
+    )
+    threshold = per_part.agg(
+        (F.avg("__val") * F.lit(mean_multiple)).alias("__thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("__val") > F.col("__thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("__val", 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("partkey"))
+    )
+
+
+def potential_promotion_suppliers(
+    tables: dict[str, DataFrame],
+    name_prefix: str = "small",
+    nation_name: str = "NATION_9",
+    window_start: str = "1999-01-01",
+    window_end: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding excess stock of
+    parts with a given name prefix — the nested correlated semi-join
+    chain (supplier IN (... part IN (...) AND qty > correlated scalar
+    ...)) the join battery lacked (VERDICT r10 task #3).
+
+    Adapted to the driver testdata (no partsupp.availqty): the "stock"
+    of a (part, supplier) pair is the quantity it shipped BEFORE the
+    promotion window (the supply-catalog proxy), and the correlated
+    scalar is Q20's 0.5 * sum(l_quantity) inside the window. A pair
+    with no in-window shipments is excluded, exactly like Q20's
+    sum-over-empty NULL comparison.
+
+    Plan: the part-name filter broadcasts as a semi join into the
+    pre-window catalog aggregate; both grouped aggregates shuffle on
+    the SAME (partkey, suppkey) key so AQE plans their join without a
+    third exchange; the surviving pair set (tiny) broadcasts into the
+    supplier semi join, and nation (1 row) broadcasts last.
+    """
+    li = tables["lineitem"].select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    wanted_parts = (
+        tables["part"]
+        .filter(F.col("p_name").startswith(name_prefix))
+        .select("p_partkey")
+    )
+    start = F.lit(window_start).cast("timestamp")
+    end = F.lit(window_end).cast("timestamp")
+    catalog = (
+        li.filter(F.col("l_shipdate") < start)
+        .join(
+            F.broadcast(wanted_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("avail_qty"))
+    )
+    shipped = (
+        li.filter((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+        .groupBy(
+            F.col("l_partkey").alias("w_partkey"),
+            F.col("l_suppkey").alias("w_suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("window_qty"))
+    )
+    excess = (
+        catalog.join(
+            shipped,
+            (F.col("l_partkey") == F.col("w_partkey"))
+            & (F.col("l_suppkey") == F.col("w_suppkey")),
+        )
+        .filter(F.col("avail_qty") > F.lit(0.5) * F.col("window_qty"))
+        .select("l_suppkey")
+    )
+    nat = tables["nation"].filter(F.col("n_name") == nation_name).select(
+        "n_nationkey"
+    )
+    return (
+        tables["supplier"]
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
     )

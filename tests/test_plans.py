@@ -111,6 +111,35 @@ def test_q22_scalar_subquery_broadcasts(spark):
     )
 
 
+def test_q11_scalar_threshold_broadcasts(spark):
+    # nation->supplier chain broadcasts into the fact scan; ONE shuffle
+    # aggregates per part; the global threshold binds as a broadcast
+    # one-row cross join — never a sort-merge
+    stats = assert_plan(
+        QUERIES["q11_important_stock"](spark, SF),
+        min_broadcast_joins=2,
+        max_sortmerge_joins=0,
+        min_scans_with_pushdown=1,
+        forbid_python=True,
+    )
+    # part agg appears once per scalar-subquery branch (2) + the
+    # one-row threshold rollup + final sort
+    assert stats.shuffles <= 4, stats
+
+
+def test_q20_semi_join_chain_broadcasts(spark):
+    # part-name filter broadcasts as a semi join; the surviving pair
+    # set broadcasts into supplier; nation broadcasts last — the only
+    # shuffles are the two (partkey, suppkey) aggregates
+    assert_plan(
+        QUERIES["q20_potential_promotion"](spark, SF),
+        min_broadcast_joins=3,
+        max_sortmerge_joins=1,  # catalog ⋈ shipped share the agg key
+        min_scans_with_pushdown=2,
+        forbid_python=True,
+    )
+
+
 def test_minhash_pipeline_shuffle_budget(spark):
     # shingle postings + signature agg + banding self-join + verify joins:
     # bounded exchanges, no Python crossing anywhere in the pipeline
