@@ -1802,20 +1802,103 @@ def _q_media_stats(spark, sf):
     )
 
 
+#: pixel grid of the synthesized PNG fixture (16x16 -> 2x2 px per
+#: aHash cell; PNG ~500-800 bytes per object)
+_PNG_FIXTURE_SIDE = 16
+
+
+def _png_media_fixture(spark, sf, with_copies: bool = True):
+    """documents -> MEDIA_SCHEMA-shaped frame whose payloads are REAL
+    PNGs (r11, VERDICT r10 task #2): per doc_id, deterministic
+    16x16 RGB pixels (PCG64 seeded by doc_id) encoded with the
+    pure-stdlib ``multimodal.encode_png`` inside an Arrow-batched
+    mapInPandas — no codec dependency, and the decode side exercises
+    the ``_decode_png_stdlib`` tier on real pixels instead of the
+    sha-stub. NULL text keeps a NULL payload (the corrupt/absent-media
+    contract). ``with_copies=True`` plants every 10th object under a
+    second media_id with the byte-identical payload — the ground truth
+    for the near-duplicate query."""
+    import pandas as _pd
+
+    from real_estate_bigdata_spark.operators.multimodal import encode_png
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("text").isNull().alias("null_text"), "source"
+    )
+    # the testdata documents scan is 1-2 parquet files; the synthesis
+    # (encode) and the downstream decode are the dominant per-row CPU,
+    # so spread them across the session's cores (the shuffled payload
+    # is 3 skinny columns — at production scale the source would
+    # already be well-partitioned and this repartition drops out)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    side = _PNG_FIXTURE_SIDE
+
+    def batches(it):
+        import numpy as _np
+
+        for pdf in it:
+            contents = []
+            for doc_id, is_null in zip(pdf["doc_id"], pdf["null_text"]):
+                if is_null:
+                    contents.append(None)
+                    continue
+                px = _np.random.default_rng(int(doc_id)).integers(
+                    0, 256, (side, side, 3), dtype=_np.uint8
+                )
+                contents.append(encode_png(px))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": contents,
+                    "source_uri": pdf["source"],
+                }
+            )
+
+    base = docs.mapInPandas(
+        batches, schema="media_id long, content binary, source_uri string"
+    ).select(
+        "media_id",
+        "content",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(side).cast("long").alias("width"),
+            F.lit(side).cast("long").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.col("source_uri").alias("source_uri"),
+        ).alias("meta"),
+    )
+    if with_copies:
+        base = base.unionByName(
+            base.filter(F.pmod(F.col("media_id"), F.lit(10)) == 0).select(
+                (F.col("media_id") + F.lit(_MEDIA_COPY_OFFSET)).alias(
+                    "media_id"
+                ),
+                "content",
+                "meta",
+            )
+        )
+    return base
+
+
 def _q_image_neardup(spark, sf):
-    """Image near-duplicate pairs over the copies fixture (NEW r10 —
-    rows-only like the ANN family: the signature is a decode-then-
-    average-hash, not SQL). The deterministic stub decode (sha256-seeded
-    PCG64 'pixels') makes the pair set reproducible run-to-run: every
-    planted byte-identical copy pairs with its original at hamming 0,
-    unrelated stub images differ in ~32 of 64 cells. Semantics are
-    pinned against an independent brute-force mirror in
+    """Image near-duplicate pairs over REAL PNG payloads (r11 rework,
+    VERDICT r10 task #2 — rows-only like the ANN family: the signature
+    is a decode-then-average-hash, not SQL). Payloads are deterministic
+    16x16 PNGs synthesized by the stdlib encoder, decoded back through
+    the stdlib PNG tier — the query now hashes real pixels in this
+    sandbox, not sha-stub fakes. Every planted byte-identical copy
+    pairs with its original at hamming 0; unrelated images differ in
+    ~32 of 64 cells. The pair set is pinned against an independent
+    pixels->aHash numpy mirror (which never touches the PNG bytes, so
+    an encode/decode bug cannot cancel out) in
     tests/test_multimodal.py; the banded plan (decode once, JVM-side
     band join, payloads never shuffle) is the operator's contract."""
     from real_estate_bigdata_spark.operators import multimodal as mm
 
     return mm.image_neardup_pairs(
-        _media_fixture(spark, sf, with_copies=True), max_hamming=7, bands=8
+        _png_media_fixture(spark, sf, with_copies=True),
+        max_hamming=7,
+        bands=8,
     )
 
 

@@ -4,9 +4,12 @@ metadata, with Arrow-batched Pandas-UDF processing.
 North-star surface for training-data pipelines. The Spark-side plumbing
 (schemas, partitioning, mapInPandas batch shape, deterministic outputs)
 is real and tested. IMAGE decode is a real PIL/Pillow decode when the
-optional dependency is installed (:func:`decode_image`), falling back
-to a deterministic sha-seeded stub when not (this container ships no
-codec libs). AUDIO decode is real for PCM WAV via the stdlib ``wave``
+optional dependency is installed (:func:`decode_image`); without PIL,
+PNG payloads still decode to REAL pixels via the pure-stdlib tier
+(:func:`_decode_png_stdlib` — zlib inflate + filter reversal; paired
+with :func:`encode_png` for dependency-free fixtures), and only
+non-PNG payloads fall back to the deterministic sha-seeded stub (this
+container ships no codec libs). AUDIO decode is real for PCM WAV via the stdlib ``wave``
 module — always available — and for every soundfile-supported format
 when the optional ``soundfile`` dependency is installed
 (:func:`decode_audio`); ``use_codec=False`` forces the deterministic
@@ -47,6 +50,7 @@ __all__ = [
     "media_stats",
     "pil_available",
     "audio_codec",
+    "encode_png",
     "decode_image",
     "decode_audio",
     "extract_image_features",
@@ -154,14 +158,163 @@ def pil_available() -> bool:
     return _PILImage is not None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """HxWx3 pixel array (float in [0,1] or uint8) -> minimal valid PNG
+    (8-bit RGB, filter 0 rows, one zlib-level-9 IDAT). Pure stdlib —
+    the fixture/test counterpart of :func:`_decode_png_stdlib`, so real
+    image payloads can be synthesized without any codec dependency.
+    Deterministic for a given input array."""
+    import struct
+    import zlib
+
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_png expects HxWx3, got {px.shape}")
+    if px.dtype != np.uint8:
+        px = (np.clip(px, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    h, w = px.shape[:2]
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+#: channels per PNG color type (8-bit, non-interlaced support matrix)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png_stdlib(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + scanline filter reversal)
+    -> HxWx3 float64 in [0, 1] — the tier between PIL and the sha-stub
+    (VERDICT r10 task #2: real pixels must be decodable in-harness even
+    though this container ships no codec libs). Supports 8-bit depth,
+    non-interlaced, color types 0/2/3/4/6 (gray / RGB / palette /
+    gray+alpha / RGBA); gray replicates to RGB and alpha is dropped,
+    matching PIL's ``convert("RGB")``. Raises ValueError on anything
+    else — a corrupt or unsupported real image must stay VISIBLE, never
+    silently replaced with stub pixels."""
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    try:
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos : pos + 4])
+            typ = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            if len(data) != length:
+                raise ValueError("truncated PNG chunk")
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError(
+                f"unsupported PNG variant (depth={depth}, color={color}, "
+                f"interlace={interlace}) for the stdlib decoder"
+            )
+        if color not in _PNG_CHANNELS:
+            raise ValueError(f"unsupported PNG color type {color}")
+        ch = _PNG_CHANNELS[color]
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            ftype = raw[r * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+            ).copy()
+            if ftype == 0:
+                pass
+            elif ftype == 2:  # Up
+                line += prev
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left
+                cur = line.astype(np.int32)
+                rec = np.zeros(stride, dtype=np.int32)
+                pv = prev.astype(np.int32)
+                for i in range(stride):
+                    a = rec[i - ch] if i >= ch else 0
+                    b = pv[i]
+                    if ftype == 1:
+                        rec[i] = (cur[i] + a) & 0xFF
+                    elif ftype == 3:
+                        rec[i] = (cur[i] + (a + b) // 2) & 0xFF
+                    else:  # Paeth
+                        c = pv[i - ch] if i >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        rec[i] = (cur[i] + pred) & 0xFF
+                line = rec.astype(np.uint8)
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[r] = line
+            prev = line
+        px = out.reshape(h, w, ch)
+        if color == 0:
+            rgb = np.repeat(px, 3, axis=2)
+        elif color == 2:
+            rgb = px
+        elif color == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            idx = px[:, :, 0]
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("palette index out of range")
+            rgb = plte[idx]
+        elif color == 4:
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        else:  # 6: RGBA -> drop alpha (PIL convert("RGB") semantics)
+            rgb = px[:, :, :3]
+        return rgb.astype(np.float64) / 255.0
+    except ValueError:
+        raise
+    except Exception as exc:  # zlib/struct errors on corrupt payloads
+        raise ValueError(f"undecodable PNG payload: {exc}") from None
+
+
 def decode_image(content: bytes, use_pil: bool | None = None) -> np.ndarray:
     """bytes -> HxWx3 float64 pixel array in [0, 1].
 
-    ``use_pil=None`` auto-selects: real PIL decode when installed, the
-    deterministic stub otherwise. The PIL path raises ValueError on an
-    undecodable payload (callers surface it as a NULL output row — a
-    corrupt image must be visible, never silently replaced with fake
-    pixels).
+    ``use_pil=None`` auto-selects the decode tier: real PIL decode when
+    installed; else the pure-stdlib PNG decoder for PNG payloads
+    (:func:`_decode_png_stdlib` — real pixels with no codec
+    dependency); else the deterministic sha-seeded stub. Both real
+    tiers raise ValueError on an undecodable payload (callers surface
+    it as a NULL output row — a corrupt image must be visible, never
+    silently replaced with fake pixels). ``use_pil=False`` forces the
+    stub (deterministic-fixture mode for non-PNG payloads and tests).
     """
     pil = pil_available() if use_pil is None else use_pil
     if pil:
@@ -174,6 +327,8 @@ def decode_image(content: bytes, use_pil: bool | None = None) -> np.ndarray:
         except Exception as exc:
             raise ValueError(f"undecodable image payload: {exc}") from None
         return np.asarray(img, dtype=np.float64) / 255.0
+    if use_pil is None and content.startswith(_PNG_MAGIC):
+        return _decode_png_stdlib(content)
     return _decode_image_stub(content)
 
 

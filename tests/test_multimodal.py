@@ -436,17 +436,166 @@ def test_ahash_small_images_not_degenerate():
     assert mm.ahash64(np.zeros((0, 4, 3))) == 0
 
 
-def test_driver_image_neardup_matches_brute_force_mirror(spark, sf_dir):
-    """The r10 driver query q_image_neardup, pinned against an
-    INDEPENDENT pure-numpy mirror: re-derive every media object's
-    stub pixels (sha256-seeded PCG64 — the documented deterministic
-    fake) and average-hash from scratch, brute-force ALL pairs at
-    hamming <= 7, and require the Spark banded-join result to equal it
-    exactly (max_hamming <= bands-1 makes banding lossless, so any
-    difference is a bug, not approximation). Also checks every planted
-    byte-identical copy pairs with its original at hamming 0."""
-    import hashlib
+class TestPngStdlibCodec:
+    """Pure-stdlib PNG tier (r11, VERDICT r10 task #2): encode_png /
+    _decode_png_stdlib round-trips, all five scanline filters, every
+    supported color type (hand-built chunks — no codec dependency),
+    corrupt/unsupported visibility, and PIL parity when PIL exists."""
 
+    @staticmethod
+    def _build_png(w, h, color, channels_data, plte=None, filters=None,
+                   depth=8, interlace=0):
+        """Hand-assemble a PNG from raw channel bytes with chosen
+        per-row filter TYPES (filter bytes only — pixel bytes are
+        pre-filtered by the caller)."""
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                                 interlace))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        out += chunk(b"IDAT", zlib.compress(channels_data))
+        out += chunk(b"IEND", b"")
+        return out
+
+    def test_roundtrip_exact(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (11, 23, 3), dtype=np.uint8)
+        back = mm._decode_png_stdlib(mm.encode_png(arr))
+        assert np.array_equal((back * 255).round().astype(np.uint8), arr)
+        # float input clips + quantizes
+        f = mm.encode_png(np.full((4, 4, 3), 0.5))
+        assert mm._decode_png_stdlib(f).shape == (4, 4, 3)
+
+    def test_all_filter_types_reverse_correctly(self):
+        """Encode 4x4 RGB rows with filters 0/1/2/3/4 applied BY HAND
+        (the spec's forward definitions), then require the decoder to
+        recover the original pixels exactly."""
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+        stride, ch = 12, 3
+        raws = []
+        prev = np.zeros(stride, dtype=np.int32)
+        for r, ftype in enumerate([0, 1, 2, 3, 4]):
+            line = px[r].reshape(-1).astype(np.int32)
+            enc = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+            raws.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+            prev = line
+        png = self._build_png(4, 5, 2, b"".join(raws))
+        back = mm._decode_png_stdlib(png)
+        assert np.array_equal((back * 255).round().astype(np.uint8), px)
+
+    def test_color_types_gray_palette_alpha(self):
+        import numpy as np
+
+        # gray (type 0): replicate to RGB
+        gray = bytes([0, 10, 200, 0, 30, 40])  # 2 rows x 2 px, filter 0
+        back = mm._decode_png_stdlib(self._build_png(2, 2, 0, gray))
+        assert np.array_equal(
+            (back * 255).round().astype(np.uint8)[0, 0], [10, 10, 10]
+        )
+        # palette (type 3)
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        pal = bytes([0, 0, 1, 0, 2, 1])  # rows: [idx0,idx1], [idx2,idx1]
+        back = mm._decode_png_stdlib(self._build_png(2, 2, 3, pal, plte=plte))
+        q = (back * 255).round().astype(np.uint8)
+        assert q[0, 0].tolist() == [255, 0, 0] and q[1, 0].tolist() == [0, 0, 255]
+        # palette index out of range must raise
+        bad = bytes([0, 0, 9, 0, 2, 1])
+        with pytest.raises(ValueError, match="palette"):
+            mm._decode_png_stdlib(self._build_png(2, 2, 3, bad, plte=plte))
+        # gray+alpha (type 4): alpha dropped
+        ga = bytes([0, 77, 10, 99, 200]) + bytes([0, 1, 2, 3, 4])
+        back = mm._decode_png_stdlib(self._build_png(2, 2, 4, ga))
+        assert (back * 255).round().astype(np.uint8)[0, 0].tolist() == [77] * 3
+        # RGBA (type 6): alpha dropped
+        rgba = bytes([0] + [5, 6, 7, 8] * 2) + bytes([0] + [9, 10, 11, 12] * 2)
+        back = mm._decode_png_stdlib(self._build_png(2, 2, 6, rgba))
+        assert (back * 255).round().astype(np.uint8)[0, 1].tolist() == [5, 6, 7]
+
+    def test_corrupt_and_unsupported_stay_visible(self):
+        import numpy as np
+
+        png = mm.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            mm._decode_png_stdlib(png[:30])  # truncated
+        with pytest.raises(ValueError, match="not a PNG"):
+            mm._decode_png_stdlib(b"JFIF-ish bytes")
+        # 16-bit depth: unsupported variant must raise, not stub
+        deep = self._build_png(1, 1, 2, bytes(7), depth=16)
+        with pytest.raises(ValueError, match="unsupported"):
+            mm._decode_png_stdlib(deep)
+        # interlaced: same
+        adam7 = self._build_png(1, 1, 2, bytes(4), interlace=1)
+        with pytest.raises(ValueError, match="unsupported"):
+            mm._decode_png_stdlib(adam7)
+        # pixel-length mismatch
+        short = self._build_png(4, 4, 2, bytes(5))
+        with pytest.raises(ValueError):
+            mm._decode_png_stdlib(short)
+        # decode_image auto tier: corrupt PNG surfaces the error (never
+        # silently falls back to the stub), non-PNG payloads stub
+        with pytest.raises(ValueError):
+            mm.decode_image(png[:30])
+        assert mm.decode_image(b"not-a-png").shape == (8, 8, 3)
+
+    def test_matches_pil_when_available(self):
+        """Env-gated PIL parity (VERDICT r10 task #2): the stdlib tier
+        must decode the same pixels PIL does."""
+        if not mm.pil_available():
+            pytest.skip("PIL/Pillow not installed in this environment")
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+        png = mm.encode_png(arr)
+        ours = mm._decode_png_stdlib(png)
+        pil = mm.decode_image(png, use_pil=True)
+        assert np.array_equal(ours, pil)
+
+
+def test_driver_image_neardup_matches_brute_force_mirror(spark, sf_dir):
+    """The driver query q_image_neardup (r11 rework: REAL PNG payloads,
+    stdlib decode), pinned against an INDEPENDENT pure-numpy mirror:
+    re-derive every media object's SOURCE pixels (PCG64 seeded by
+    doc_id — the documented fixture) and average-hash from scratch
+    WITHOUT ever touching the PNG bytes, brute-force ALL pairs at
+    hamming <= 7, and require the Spark encode->decode->hash->banded-
+    join result to equal it exactly (max_hamming <= bands-1 makes
+    banding lossless). Because the mirror skips the codec entirely, a
+    bug in encode_png or _decode_png_stdlib CANNOT cancel out — any
+    pixel corruption shifts cell means and breaks hash equality. Also
+    checks every planted byte-identical copy pairs at hamming 0."""
     import duckdb
     import numpy as np
 
@@ -461,24 +610,31 @@ def test_driver_image_neardup_matches_brute_force_mirror(spark, sf_dir):
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
     ).fetchall()
+    side = entry_mod._PNG_FIXTURE_SIDE
+    cell = side // 8
 
-    def mirror_hash(content: bytes) -> int:
-        seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big")
-        px = np.random.default_rng(seed).random((8, 8, 3))
-        gray = px.mean(axis=2)
+    def mirror_hash(doc_id: int) -> int:
+        px = np.random.default_rng(doc_id).integers(
+            0, 256, (side, side, 3), dtype=np.uint8
+        )
+        gray = (px.astype(np.float64) / 255.0).mean(axis=2)
+        cells = [
+            gray[r * cell : (r + 1) * cell, c * cell : (c + 1) * cell].mean()
+            for r in range(8)
+            for c in range(8)
+        ]
+        mean = float(np.mean(cells))
         bits = 0
-        mean = gray.mean()
-        for r in range(8):
-            for c in range(8):
-                if gray[r, c] > mean:
-                    bits |= 1 << (r * 8 + c)
+        for i, v in enumerate(cells):
+            if v > mean:
+                bits |= 1 << i
         return bits
 
     sigs = {}
     for doc_id, text in docs:
         if text is None:
             continue
-        h = mirror_hash(text.encode("utf-8"))
+        h = mirror_hash(doc_id)
         sigs[doc_id] = h
         if doc_id % 10 == 0:
             sigs[doc_id + entry_mod._MEDIA_COPY_OFFSET] = h
