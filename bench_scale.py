@@ -100,6 +100,7 @@ from real_estate_bigdata_spark.operators.clustering import connected_components
 from real_estate_bigdata_spark.operators.dsir import dsir_select
 from real_estate_bigdata_spark.operators.evaluation import (
     auc_by_slice,
+    dawid_skene,
     krippendorff_alpha,
     ranking_metrics,
 )
@@ -528,6 +529,52 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
                 emb().orderBy("vec_id").limit(8), k=10, rerank=emb(),
             )
         )(train_pq(emb(), m=8, ksub=32)),
+        # r11 (VERDICT r10 task #5): Dawid-Skene EM over a synthesized
+        # 3-rater vote table that grows with the corpus — two honest
+        # raters + one hash-noisy rater, fixed 3-round budget
+        # (tol=None = one action per round); per-round cost must stay
+        # ~linear in votes (broadcast confusion table, bounded class
+        # taxonomy)
+        "dawid_skene": lambda: dawid_skene(
+            docs()
+            .select(
+                F.col("doc_id").alias("item"),
+                F.explode(
+                    F.array(F.lit("r0"), F.lit("r1"), F.lit("r2"))
+                ).alias("rater"),
+            )
+            .select(
+                "item",
+                "rater",
+                F.when(
+                    F.col("rater") != "r2", F.pmod(F.col("item"), F.lit(4))
+                )
+                .otherwise(F.pmod(F.xxhash64("item"), F.lit(4)))
+                .alias("cat"),
+            ),
+            "item",
+            "rater",
+            "cat",
+            max_iter=3,
+            tol=None,
+        ),
+        # r11 (VERDICT r10 task #6): banded-Hamming image near-dup with
+        # a SKEWED signature fixture — a FIXED 250-payload identical
+        # cluster (ONE maximally dense band bucket, constant C(250,2)
+        # pair core at every scale) riding on the growing corpus; the
+        # banding must absorb the dense bucket gracefully, never go
+        # corpus-quadratic
+        "image_neardup_skew": lambda: mm.image_neardup_pairs(
+            docs().select(
+                F.col("doc_id").alias("media_id"),
+                F.when(
+                    F.col("doc_id") < 250, F.lit(b"shared-hot-payload")
+                )
+                .otherwise(F.col("text").cast("binary"))
+                .alias("content"),
+            ),
+            use_pil=False,
+        ),
     }
     if names is not None:
         return {k: defs[k] for k in names}
