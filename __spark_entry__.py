@@ -1739,6 +1739,35 @@ def _q_dedup_clusters(spark, sf):
     return cc.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def _q_best_survivors(spark, sf):
+    """Quality-priority dedup survivors (NEW r11): one survivor per
+    exact-Jaccard near-dup cluster, chosen by HIGHEST n_chars (min-id
+    tie-break) instead of min-id — keep the longest member of each
+    boilerplate cluster. Full DuckDB oracle: the recursive-CTE closure
+    over the same exact pair set + a window argmax."""
+    from real_estate_bigdata_spark.operators.clustering import best_survivors
+    from real_estate_bigdata_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return best_survivors(
+        docs, ngram_jaccard_pairs(docs), score_col="n_chars"
+    ).select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _q_source_overlap(spark, sf):
+    """Cross-source duplication matrix (NEW r11): the exact-Jaccard
+    near-dup pair stream aggregated by unordered source pair — which
+    crawls duplicate each other. Full DuckDB oracle over the shared
+    pair template."""
+    from real_estate_bigdata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        source_overlap_matrix,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    return source_overlap_matrix(docs, ngram_jaccard_pairs(docs))
+
+
 # --------------------------------------------------------------------------
 # Multimodal driver fixture (NEW r10, VERDICT r9 task #2): the testdata
 # ships no binary media table, so the tier's driver queries synthesize
@@ -2034,6 +2063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # puts them in-cap) ----
         "q11_important_stock": _q11_important_stock,
         "q20_potential_promotion": _q20_potential_promotion,
+        "q_best_survivors": _q_best_survivors,
+        "q_source_overlap": _q_source_overlap,
         # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
@@ -4097,6 +4128,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id
             FROM reach GROUP BY u
+        """,
+        # quality-priority survivors: same recursive closure, survivor
+        # = argmax(n_chars) with min-id tie-break (NULL scores last),
+        # singletons (never in `reach`) all survive
+        "q_best_survivors": f"""
+            WITH RECURSIVE pairs AS ({_jaccard_pairs_sql()}),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(u, r) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+            ),
+            cc AS (
+                SELECT u AS doc_id, min(r) AS cluster_id
+                FROM reach GROUP BY u
+            ),
+            ranked AS (
+                SELECT d.doc_id,
+                       row_number() OVER (
+                           PARTITION BY cc.cluster_id
+                           ORDER BY d.n_chars DESC NULLS LAST, d.doc_id
+                       ) AS rk
+                FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+            )
+            SELECT doc_id, source, n_chars::BIGINT AS n_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+        """,
+        "q_source_overlap": f"""
+            WITH pairs AS ({_jaccard_pairs_sql()}),
+            tagged AS (
+                SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b,
+                       CASE WHEN da.source <= db.source THEN p.id_a
+                            ELSE p.id_b END AS doc_a,
+                       CASE WHEN da.source <= db.source THEN p.id_b
+                            ELSE p.id_a END AS doc_b
+                FROM pairs p
+                JOIN documents da ON da.doc_id = p.id_a
+                JOIN documents db ON db.doc_id = p.id_b
+            )
+            SELECT source_a, source_b,
+                   count(*)::BIGINT AS n_pairs,
+                   count(DISTINCT doc_a)::BIGINT AS n_docs_a,
+                   count(DISTINCT doc_b)::BIGINT AS n_docs_b
+            FROM tagged GROUP BY source_a, source_b
         """,
         # TPC-H Q15 adapted to driver supplier schema; revenue rounded
         # to 2 decimals BEFORE the max compare on both engines

@@ -325,6 +325,59 @@ def near_dup_survivors(
     return docs.join(victims, id_col, "left_anti")
 
 
+def best_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-priority dedup survivors (r11): every singleton plus the
+    HIGHEST-``score_col`` member of each near-duplicate cluster (ties
+    and NULL scores break to the smallest id — a NULL-scored doc never
+    beats a scored one). The curation-realistic upgrade of
+    :func:`near_dup_survivors`'s min-id policy: when a boilerplate farm
+    and a clean original collide, keep the clean one, not the one that
+    happened to be crawled first.
+
+    Scale shape: cluster labels come from the pair stream (near-dup-
+    rate sized); the docs table joins the label side once on the id
+    (inner — only clustered docs carry a label), the per-cluster argmax
+    is ONE aggregate over clustered docs only (struct-min: max score,
+    then min id — no window sort over the corpus), and the final
+    victim anti-join's build side is victims-only. Full original
+    schema passes through untouched.
+    """
+    if score_col not in docs.columns:
+        raise ValueError(f"score_col {score_col!r} not in docs columns")
+    cc = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
+    labeled = docs.select(
+        F.col(id_col).alias("__id"), F.col(score_col).alias("__s")
+    ).join(cc.select(F.col("id").alias("__id"), "cluster_id"), "__id")
+    # argmax score / min id via one struct-min aggregate: NULL scores
+    # rank BELOW every real score (coalesce to +inf on the negated key)
+    winners = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.coalesce(-F.col("__s").cast("double"), F.lit(float("inf"))).alias(
+                        "__neg"
+                    ),
+                    F.col("__id").alias("__id"),
+                )
+            ).alias("__w")
+        )
+        .select(F.col("__w.__id").alias("__id"))
+    )
+    victims = labeled.select("__id").join(winners, "__id", "left_anti")
+    return docs.join(
+        victims.select(F.col("__id").alias(id_col)), id_col, "left_anti"
+    )
+
+
 def cluster_safe_split(
     docs: DataFrame,
     pairs: DataFrame,

@@ -57,6 +57,7 @@ __all__ = [
     "neardup_against_store",
     "cross_corpus_lsh_pairs",
     "novelty_scores",
+    "source_overlap_matrix",
 ]
 
 
@@ -1439,4 +1440,55 @@ def novelty_scores(
                 F.round(F.col("n_novel") / F.col("n_grams"), 6),
             ).alias("novelty"),
         )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cross-source duplication matrix (r11): aggregate a near-dup pair
+    stream by the UNORDERED source pair of its endpoints —
+    ``(source_a, source_b, n_pairs, n_docs_a_side, n_docs_b_side)``
+    with source_a <= source_b. The curation readout that tells you
+    WHICH crawls/dumps duplicate each other (a high diagonal = a
+    self-duplicating source; a heavy off-diagonal = two mirrors of the
+    same site feeding the corpus twice), so cap-per-source and mixture
+    weights can act on provenance instead of guesswork.
+
+    Scale shape: the pair stream is near-dup-rate sized and the
+    id->source projection is two skinny columns, so both endpoint
+    joins shuffle only ids+source strings (AQE broadcasts the pair
+    side when it is tiny); the final aggregate is bounded by the
+    source-pair taxonomy, not the corpus. Distinct endpoint counts use
+    the per-side doc sets, never re-scanning the corpus.
+    """
+    lookup = docs.select(
+        F.col(id_col).alias("__id"), F.col(source_col).alias("__src")
+    )
+    joined = (
+        pairs.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .join(lookup.withColumnsRenamed({"__id": "__a", "__src": "__sa"}), "__a")
+        .join(lookup.withColumnsRenamed({"__id": "__b", "__src": "__sb"}), "__b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            # endpoint ids bucketed to the unordered pair's sides: the
+            # lexicographically-lesser source's endpoint is side a
+            F.when(F.col("__sa") <= F.col("__sb"), F.col("__a"))
+            .otherwise(F.col("__b"))
+            .alias("__doc_a"),
+            F.when(F.col("__sa") <= F.col("__sb"), F.col("__b"))
+            .otherwise(F.col("__a"))
+            .alias("__doc_b"),
+        )
+    )
+    return joined.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("__doc_a").cast("long").alias("n_docs_a"),
+        F.countDistinct("__doc_b").cast("long").alias("n_docs_b"),
     )

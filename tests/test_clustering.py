@@ -218,3 +218,81 @@ def test_unionfind_tolerates_null_endpoints(spark):
     labels = dict(fast)
     assert labels[1] == 1 and labels[2] == 1  # real edge still unions
     assert labels[3] == 3 and labels[4] == 4  # NULL neighbors isolate
+
+
+class TestBestSurvivors:
+    """Quality-priority survivor policy (r11): argmax score per
+    cluster, min-id tie-break, NULL scores lose, singletons pass."""
+
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, 10.0), (2, 30.0), (3, 30.0),   # cluster {1,2,3}
+                (4, None), (5, 1.0),               # cluster {4,5}
+                (6, None), (7, None),              # cluster {6,7}: all NULL
+                (8, 99.0),                         # singleton
+            ],
+            "doc_id long, score double",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+        )
+        return docs, pairs
+
+    def test_argmax_tiebreak_null_singleton(self, spark):
+        docs, pairs = self._fixture(spark)
+        got = sorted(
+            r.doc_id
+            for r in cl.best_survivors(docs, pairs, "score").collect()
+        )
+        # {1,2,3}: 2 and 3 tie at 30 -> min id 2; {4,5}: NULL loses -> 5;
+        # {6,7}: all NULL -> min id 6; 8 singleton survives
+        assert got == [2, 5, 6, 8]
+
+    def test_full_schema_and_partition_independence(self, spark):
+        docs, pairs = self._fixture(spark)
+        out = cl.best_survivors(docs.repartition(7), pairs, "score")
+        assert out.columns == docs.columns
+        assert sorted(r.doc_id for r in out.collect()) == [2, 5, 6, 8]
+
+    def test_validates_score_col(self, spark):
+        docs, pairs = self._fixture(spark)
+        with pytest.raises(ValueError, match="score_col"):
+            cl.best_survivors(docs, pairs, "nope")
+
+    def test_matches_minid_policy_when_scores_equal(self, spark):
+        docs, pairs = self._fixture(spark)
+        flat = docs.withColumn("score", F.lit(1.0))
+        best = sorted(
+            r.doc_id for r in cl.best_survivors(flat, pairs, "score").collect()
+        )
+        minid = sorted(
+            r.doc_id
+            for r in cl.near_dup_survivors(flat, pairs).collect()
+        )
+        assert best == minid
+
+
+def test_source_overlap_matrix_buckets_unordered_pairs(spark):
+    """r11: side-a is always the lexicographically-lesser source; the
+    diagonal counts within-source duplication; endpoint distincts are
+    per side."""
+    from real_estate_bigdata_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "sA"), (2, "sB"), (3, "sA"), (4, "sA"), (5, "sB")],
+        "doc_id long, source string",
+    )
+    # (1,2): A-B; (2,3): A-B reversed endpoint order; (1,3): A-A; (2,5): B-B
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_pairs, r.n_docs_a, r.n_docs_b)
+        for r in source_overlap_matrix(docs, pairs).collect()
+    }
+    # A-B pairs: (1,2) -> a-side doc 1; (2,3) -> a-side doc 3 (source A
+    # is the lesser, so the A endpoint is side a regardless of id order)
+    assert got[("sA", "sB")] == (2, 2, 1)
+    assert got[("sA", "sA")] == (1, 1, 1)
+    assert got[("sB", "sB")] == (1, 1, 1)
