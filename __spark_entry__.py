@@ -1692,6 +1692,59 @@ def _q_mixture_balance(spark, sf):
     return mixture_balance(docs, weight_col="n_chars").select("doc_id", "source")
 
 
+def _q_credit_card_audit(spark, sf):
+    """Luhn-validated credit-card audit (NEW r11): deterministic card
+    numbers are injected per doc — a VALID one (check digit computed
+    with the parity-complement Luhn pass), the same number with a
+    bumped check digit (regex-identical, Luhn-invalid), a spaced
+    variant, and a 20-digit timestamp run no candidate window can
+    match — then ``credit_card_report`` separates real PANs from digit
+    noise. Full DuckDB oracle (the Luhn transform is plain list
+    algebra in both engines). Map-only Column exprs end-to-end."""
+    from real_estate_bigdata_spark.functions.pii import (
+        credit_card_report,
+        luhn_check_digit,
+    )
+
+    docs = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
+    base = F.concat(
+        F.lit("4"),
+        F.lpad(
+            (F.col("doc_id") * 7919 % 100000000000000).cast("string"), 14, "0"
+        ),
+    )
+    chk = luhn_check_digit(base)
+    valid16 = F.concat(base, chk)
+    inv16 = F.concat(
+        base, ((chk.cast("int") + 1) % 10).cast("string")
+    )
+    spaced = F.concat_ws(
+        " ",
+        F.substring(valid16, 1, 4),
+        F.substring(valid16, 5, 4),
+        F.substring(valid16, 9, 4),
+        F.substring(valid16, 13, 4),
+    )
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(F.lit(" pay "), valid16, F.lit(" ref "), inv16),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+            F.concat(F.lit(" alt "), spaced),
+        ).otherwise(F.lit("")),
+        F.lit(" ts 20260815190000123456"),
+    )
+    rep = credit_card_report(dirty)
+    return docs.select(
+        "doc_id",
+        rep["n_card_candidates"].alias("n_card_candidates"),
+        rep["n_cards_valid"].alias("n_cards_valid"),
+    )
+
+
 def _q_pii_redaction(spark, sf):
     """Testdata text is PII-free by construction, so deterministic PII
     (email/phone derived from doc_id, fixed SSN/IP) is injected first —
@@ -2065,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_potential_promotion": _q20_potential_promotion,
         "q_best_survivors": _q_best_survivors,
         "q_source_overlap": _q_source_overlap,
+        "q_credit_card_audit": _q_credit_card_audit,
         # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
@@ -2337,6 +2391,66 @@ def _simhash_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "q_pii_redaction": _pii_sql(),
+        # Luhn audit: reverse-indexed digit algebra mirrored as list
+        # transforms; validation doubles reversed-EVEN 1-based
+        # positions, check-digit derivation doubles reversed-ODD (the
+        # appended digit shifts base parity by one)
+        "q_credit_card_audit": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       '4' || lpad(((doc_id * 7919) % 100000000000000)::VARCHAR,
+                                   14, '0') AS b
+                FROM documents WHERE text IS NOT NULL
+            ), chk AS (
+                SELECT doc_id, text, b,
+                       (10 - (list_sum(list_transform(range(1, len(b) + 1), i ->
+                           CASE WHEN i % 2 = 1 THEN
+                               CASE WHEN substr(reverse(b), i, 1)::INT > 4
+                                    THEN substr(reverse(b), i, 1)::INT * 2 - 9
+                                    ELSE substr(reverse(b), i, 1)::INT * 2 END
+                           ELSE substr(reverse(b), i, 1)::INT END)) % 10)) % 10
+                           AS c
+                FROM base
+            ), cards AS (
+                SELECT doc_id, text,
+                       b || c::VARCHAR AS valid16,
+                       b || ((c + 1) % 10)::VARCHAR AS inv16
+                FROM chk
+            ), dirty AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' pay ' || valid16 || ' ref ' || inv16
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' alt ' || substr(valid16, 1, 4) || ' '
+                                    || substr(valid16, 5, 4) || ' '
+                                    || substr(valid16, 9, 4) || ' '
+                                    || substr(valid16, 13, 4)
+                               ELSE '' END
+                       || ' ts 20260815190000123456' AS t
+                FROM cards
+            ), cand AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(t, '\b(?:\d[ -]?){12,18}\d\b'),
+                               s -> regexp_replace(s, '[ -]', '', 'g')),
+                           d -> len(d) BETWEEN 13 AND 19) AS ds
+                FROM dirty
+            )
+            SELECT doc_id,
+                   len(ds)::BIGINT AS n_card_candidates,
+                   len(list_filter(ds, d ->
+                       (list_sum(list_transform(range(1, len(d) + 1), i ->
+                           CASE WHEN i % 2 = 0 THEN
+                               CASE WHEN substr(reverse(d), i, 1)::INT > 4
+                                    THEN substr(reverse(d), i, 1)::INT * 2 - 9
+                                    ELSE substr(reverse(d), i, 1)::INT * 2 END
+                           ELSE substr(reverse(d), i, 1)::INT END)) % 10) = 0
+                   ))::BIGINT AS n_cards_valid
+            FROM cand
+        """,
         "q_dedup_simhash": _simhash_sql(),
         # corpus vocabulary head: wordcount + doc frequency, rank by
         # (count desc, token asc) — deterministic tie-break both engines

@@ -23,7 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "redact_pii", "pii_counts"]
+__all__ = [
+    "PII_PATTERNS",
+    "redact_pii",
+    "pii_counts",
+    "CREDIT_CARD_PATTERN",
+    "luhn_valid",
+    "luhn_check_digit",
+    "credit_card_report",
+]
 
 #: kind -> (pattern, replacement token); insertion order IS the
 #: redaction order (dicts preserve it).
@@ -86,3 +94,74 @@ def pii_counts(text: Column, kinds: list[str] | None = None) -> Column:
         fields.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{k}"))
         cur = F.regexp_replace(cur, pat, tok)
     return F.struct(*fields)
+
+
+#: candidate card-number runs: 13-19 digits with optional single
+#: space/dash separators between them. Valid in Java regex AND RE2 (no
+#: lookaround). Deliberately NOT in PII_PATTERNS: a bare regex
+#: over-matches (order ids, timestamps) — card handling goes through
+#: the Luhn check below instead of blind redaction.
+CREDIT_CARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff ``digits`` (a digits-only string column) passes the
+    Luhn mod-10 checksum — the check that separates a real card number
+    from an arbitrary digit run (halves the false-positive rate of the
+    regex alone; every issued PAN is Luhn-valid by ISO/IEC 7812).
+
+    Pure Column expressions (transform + aggregate over the reversed
+    character array — map-only, codegen-fused, no Python): from the
+    RIGHTMOST digit, every second digit doubles (minus 9 when > 9) and
+    the total must be divisible by 10. NULL in, NULL out; an empty
+    string is not valid."""
+    rev = F.split(F.reverse(digits), "")
+    vals = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            d.cast("int") * 2 - F.when(d.cast("int") > 4, 9).otherwise(0),
+        ).otherwise(d.cast("int")),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) > 0) & (total % 10 == 0)
+
+
+def credit_card_report(text: Column) -> Column:
+    """struct(n_card_candidates, n_cards_valid) for a text column:
+    candidate runs matched by :data:`CREDIT_CARD_PATTERN`, separators
+    stripped, length re-checked (13-19 digits), then Luhn-validated.
+    The audit half of card hygiene — a doc with Luhn-VALID numbers is
+    a drop/redact candidate; a doc with only invalid digit runs
+    (timestamps, order ids) is not. Map-only Column expressions
+    end-to-end. NULL text yields a NULL struct entry pair."""
+    cands = F.regexp_extract_all(text, F.lit(CREDIT_CARD_PATTERN), 0)
+    digits = F.transform(cands, lambda c: F.regexp_replace(c, "[ -]", ""))
+    plausible = F.filter(
+        digits, lambda d: (F.length(d) >= 13) & (F.length(d) <= 19)
+    )
+    valid = F.filter(plausible, luhn_valid)
+    n = F.when(text.isNotNull(), F.size(plausible).cast("long"))
+    v = F.when(text.isNotNull(), F.size(valid).cast("long"))
+    return F.struct(
+        n.alias("n_card_candidates"), v.alias("n_cards_valid")
+    )
+
+
+def luhn_check_digit(base: Column) -> Column:
+    """The Luhn check digit for ``base`` (digits-only string): the
+    digit c making ``base || c`` pass :func:`luhn_valid`. In the full
+    number the appended digit occupies the rightmost (undoubled) slot,
+    so ``base``'s own digits double from ITS rightmost — the parity
+    complement of the validation pass. Used to synthesize valid card
+    fixtures (drivers, tests) without hardcoding PANs."""
+    rev = F.split(F.reverse(base), "")
+    vals = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 0,
+            d.cast("int") * 2 - F.when(d.cast("int") > 4, 9).otherwise(0),
+        ).otherwise(d.cast("int")),
+    )
+    total = F.aggregate(vals, F.lit(0), lambda acc, x: acc + x)
+    return ((F.lit(10) - total % 10) % 10).cast("string")

@@ -79,3 +79,79 @@ def test_redaction_is_map_only(spark):
         max_shuffles=0,
         forbid_python=True,
     )
+
+
+class TestLuhnCards:
+    """r11: Luhn-validated card handling — checksum algebra vs a
+    pure-Python mirror, check-digit inverse property, candidate window
+    semantics, NULL contract, map-only plan."""
+
+    @staticmethod
+    def _py_luhn_ok(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - (9 if d > 4 else 0)
+            total += d
+        return len(s) > 0 and total % 10 == 0
+
+    def test_luhn_valid_matches_python_mirror(self, spark):
+        import random
+
+        rng = random.Random(5)
+        nums = ["".join(rng.choice("0123456789") for _ in range(n))
+                for n in (13, 15, 16, 19) for _ in range(25)]
+        df = spark.createDataFrame([(s,) for s in nums], "d string")
+        got = {r.d: r.v for r in df.select(
+            "d", pii.luhn_valid(F.col("d")).alias("v")).collect()}
+        for s in nums:
+            assert got[s] == self._py_luhn_ok(s), s
+
+    def test_check_digit_inverse_property(self, spark):
+        import random
+
+        rng = random.Random(9)
+        bases = ["4" + "".join(rng.choice("0123456789") for _ in range(14))
+                 for _ in range(50)]
+        df = spark.createDataFrame([(s,) for s in bases], "b string")
+        full = df.select(
+            F.concat("b", pii.luhn_check_digit(F.col("b"))).alias("f")
+        )
+        ok = full.select(pii.luhn_valid(F.col("f")).alias("v")).collect()
+        assert all(r.v for r in ok)
+
+    def test_report_separates_valid_invalid_and_windows(self, spark):
+        rows = [
+            # one valid (known test PAN), one invalid (bumped digit)
+            ("pay 4532015112830366 ref 4532015112830367", 2, 1),
+            # spaced + dashed formats strip to the same valid PAN
+            ("a 4532 0151 1283 0366 b 4532-0151-1283-0367 c", 2, 1),
+            # 20-digit run: no candidate window can match it
+            ("ts 20260815190000123456", 0, 0),
+            # 12-digit run: below the candidate floor
+            ("id 123456789012", 0, 0),
+            ("no digits at all", 0, 0),
+            (None, None, None),
+        ]
+        df = spark.createDataFrame(
+            [(t,) for t, _, _ in rows], "t string"
+        ).select("t", pii.credit_card_report(F.col("t")).alias("r"))
+        got = {r.t: (r.r.n_card_candidates, r.r.n_cards_valid)
+               for r in df.collect()}
+        for t, n, v in rows:
+            assert got[t] == (n, v), t
+
+    def test_card_audit_plan_is_jvm_only(self, spark):
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        import __spark_entry__ as entry_mod
+
+        assert_plan(
+            entry_mod.queries()["q_credit_card_audit"](
+                spark, "/root/testdata/sf0.001"
+            ),
+            max_shuffles=0,
+            forbid_python=True,
+            min_scans_with_pushdown=1,
+        )
