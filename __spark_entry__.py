@@ -1692,6 +1692,29 @@ def _q_mixture_balance(spark, sf):
     return mixture_balance(docs, weight_col="n_chars").select("doc_id", "source")
 
 
+def _q_curriculum_phases(spark, sf):
+    """Curriculum ordering (NEW r11): difficulty = equal-weight sum of
+    z-scored char count + whitespace-token count, bucketed into 4
+    equal-mass phases via broadcast quantile cutoffs — NO global
+    ordered window (a corpus ntile is a single-task sort at scale).
+    Full DuckDB oracle (quantile_cont and F.percentile both
+    interpolate linearly — the q_quality_floor precedent)."""
+    from real_estate_bigdata_spark.operators.sampling import curriculum_phases
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s_chars"),
+        F.when(F.col("text").isNull(), F.lit(None))
+        .when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("double")
+        .alias("s_tokens"),
+    )
+    return curriculum_phases(
+        docs, {"s_chars": 0.5, "s_tokens": 0.5}, n_phases=4
+    )
+
+
 def _q_credit_card_audit(spark, sf):
     """Luhn-validated credit-card audit (NEW r11): deterministic card
     numbers are injected per doc — a VALID one (check digit computed
@@ -2119,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_best_survivors": _q_best_survivors,
         "q_source_overlap": _q_source_overlap,
         "q_credit_card_audit": _q_credit_card_audit,
+        "q_curriculum_phases": _q_curriculum_phases,
         # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
@@ -2391,6 +2415,44 @@ def _simhash_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "q_pii_redaction": _pii_sql(),
+        # curriculum: stats round to 9 BEFORE scoring, difficulty and
+        # cutoffs to 6 (prototype-pruning precedent); phase = 1 + count
+        # of exceeded cutoffs — identical tie semantics in both engines
+        "q_curriculum_phases": r"""
+            WITH t AS (
+                SELECT doc_id, n_chars::DOUBLE AS s1,
+                       (CASE WHEN text IS NULL THEN NULL
+                             WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\s+'))
+                        END)::DOUBLE AS s2
+                FROM documents
+            ), st AS (
+                SELECT round(avg(s1), 9) AS mu1,
+                       round(stddev_samp(s1), 9) AS sd1,
+                       round(avg(s2), 9) AS mu2,
+                       round(stddev_samp(s2), 9) AS sd2
+                FROM t
+            ), scored AS (
+                SELECT doc_id,
+                       round(
+                           0.5 * (CASE WHEN sd1 IS NOT NULL AND sd1 > 0
+                                       THEN (coalesce(s1, mu1) - mu1) / sd1
+                                       ELSE 0 END)
+                         + 0.5 * (CASE WHEN sd2 IS NOT NULL AND sd2 > 0
+                                       THEN (coalesce(s2, mu2) - mu2) / sd2
+                                       ELSE 0 END), 6) AS difficulty
+                FROM t, st
+            ), cuts AS (
+                SELECT round(quantile_cont(difficulty, 0.25), 6) AS c1,
+                       round(quantile_cont(difficulty, 0.50), 6) AS c2,
+                       round(quantile_cont(difficulty, 0.75), 6) AS c3
+                FROM scored
+            )
+            SELECT doc_id, difficulty,
+                   (1 + (difficulty > c1)::INT + (difficulty > c2)::INT
+                      + (difficulty > c3)::INT) AS phase
+            FROM scored, cuts
+        """,
         # Luhn audit: reverse-indexed digit algebra mirrored as list
         # transforms; validation doubles reversed-EVEN 1-based
         # positions, check-digit derivation doubles reversed-ODD (the

@@ -28,6 +28,7 @@ __all__ = [
     "bucket_by_length",
     "bucket_of",
     "cap_per_group",
+    "curriculum_phases",
     "hash_sample",
     "hash_sample_weighted",
     "hash_split",
@@ -810,4 +811,93 @@ def bucket_by_length(
         )
         .cast("bigint")
         .alias("batch_id"),
+    )
+
+
+def curriculum_phases(
+    df: DataFrame,
+    signals: dict[str, float],
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering (r11): a difficulty score per document —
+    the weighted sum of z-normalized ``signals`` columns — bucketed
+    into ``n_phases`` equal-mass phases (1 = easiest) for
+    easy-to-hard training schedules.
+
+    Scale shape: phases are NOT a global ntile (a corpus-wide ordered
+    window is a single-task sort at 100 TB). Instead: ONE aggregate
+    derives each signal's mean/stddev, a second derives the exact
+    interpolated phase cutoffs of the difficulty distribution
+    (``F.percentile`` — bounded output: n_phases-1 doubles), both bind
+    as broadcast one-row frames, and the phase assignment is a
+    MAP-SIDE comparison against the cutoffs. Three scan-level passes,
+    zero shuffles of the corpus, no ordered window anywhere.
+
+    Determinism across engines (the prototype-pruning precedent):
+    means/stddevs round to 9 decimals BEFORE scoring so engine
+    reduction order cannot leak into the 6-decimal difficulty; cutoffs
+    round to 6. A signal with zero variance contributes 0 (not NaN);
+    NULL signal values z-score as 0 (the mean — the neutral
+    imputation). Output: (``id_col``, ``difficulty``, ``phase``).
+    """
+    if not signals:
+        raise ValueError("signals must be a non-empty {column: weight} map")
+    if n_phases < 2:
+        raise ValueError(f"n_phases must be >= 2, got {n_phases}")
+    missing = [c for c in signals if c not in df.columns]
+    if missing:
+        raise ValueError(f"signal columns {missing} not in df")
+    stats = df.agg(
+        *[
+            F.round(F.avg(c), 9).alias(f"__mu_{i}")
+            for i, c in enumerate(signals)
+        ],
+        *[
+            F.round(F.stddev(c), 9).alias(f"__sd_{i}")
+            for i, c in enumerate(signals)
+        ],
+    )
+    z_terms = []
+    for i, (c, w) in enumerate(signals.items()):
+        sd = F.col(f"__sd_{i}")
+        z = F.when(
+            sd.isNotNull() & (sd > 0),
+            (F.coalesce(F.col(c).cast("double"), F.col(f"__mu_{i}"))
+             - F.col(f"__mu_{i}")) / sd,
+        ).otherwise(F.lit(0.0))
+        z_terms.append(F.lit(float(w)) * z)
+    scored = (
+        df.select(id_col, *signals)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.round(
+                sum(z_terms[1:], z_terms[0]), 6
+            ).alias("difficulty"),
+        )
+    )
+    fracs = [i / n_phases for i in range(1, n_phases)]
+    cuts = scored.agg(
+        F.percentile(
+            "difficulty", F.array([F.lit(p) for p in fracs])
+        ).alias("__cuts")
+    ).select(
+        F.transform("__cuts", lambda c: F.round(c, 6)).alias("__cuts")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "difficulty",
+            (
+                F.lit(1)
+                + F.aggregate(
+                    "__cuts",
+                    F.lit(0),
+                    lambda acc, c: acc
+                    + F.when(F.col("difficulty") > c, 1).otherwise(0),
+                )
+            ).cast("int").alias("phase"),
+        )
     )

@@ -621,3 +621,87 @@ class TestBucketByLength:
             bucket_by_length(df, batch_tokens=0).collect()
         with pytest.raises(ValueError, match="n_shards"):
             bucket_by_length(df, n_shards=0).collect()
+
+
+class TestCurriculumPhases:
+    """r11: scale-safe curriculum bucketing — weighted z-sum scoring,
+    broadcast quantile cutoffs, map-side phases, no ordered window."""
+
+    def test_equal_mass_and_monotone(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import (
+            curriculum_phases,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "doc_id long, s double"
+        )
+        got = curriculum_phases(df, {"s": 1.0}, n_phases=4).collect()
+        by_phase = {}
+        for r in got:
+            by_phase.setdefault(r.phase, []).append(r.difficulty)
+        assert sorted(by_phase) == [1, 2, 3, 4]
+        assert all(24 <= len(v) <= 26 for v in by_phase.values())
+        # difficulty strictly increases with the signal; phases nest
+        assert max(by_phase[1]) < min(by_phase[2])
+        assert max(by_phase[3]) < min(by_phase[4])
+
+    def test_zero_variance_and_null_signals(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import (
+            curriculum_phases,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0, 10.0), (2, 5.0, None), (3, 5.0, 30.0), (4, 5.0, 20.0)],
+            "doc_id long, flat double, s double",
+        )
+        got = {
+            r.doc_id: r
+            for r in curriculum_phases(
+                df, {"flat": 10.0, "s": 1.0}, n_phases=2
+            ).collect()
+        }
+        # flat signal contributes 0 regardless of weight; NULL s
+        # imputes to the mean (difficulty 0 for doc 2)
+        assert got[2].difficulty == 0.0
+        assert got[1].difficulty < got[2].difficulty < got[3].difficulty
+        assert got[1].phase == 1 and got[3].phase == 2
+
+    def test_weights_and_validation(self, spark):
+        import pytest
+
+        from real_estate_bigdata_spark.operators.sampling import (
+            curriculum_phases,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 100.0), (2, 2.0, 50.0)], "doc_id long, a double, b double"
+        )
+        # negative weight inverts a signal's direction
+        got = {
+            r.doc_id: r.difficulty
+            for r in curriculum_phases(
+                df, {"a": 1.0, "b": -1.0}, n_phases=2
+            ).collect()
+        }
+        assert got[2] > got[1]
+        with pytest.raises(ValueError, match="non-empty"):
+            curriculum_phases(df, {}, n_phases=2)
+        with pytest.raises(ValueError, match="n_phases"):
+            curriculum_phases(df, {"a": 1.0}, n_phases=1)
+        with pytest.raises(ValueError, match="not in df"):
+            curriculum_phases(df, {"nope": 1.0})
+
+    def test_plan_no_ordered_window_no_python(self, spark):
+        from real_estate_bigdata_spark.plans import assert_plan, plan_stats
+
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["q_curriculum_phases"](
+            spark, "/root/testdata/sf0.001"
+        )
+        st = assert_plan(df, forbid_python=True, min_scans_with_pushdown=0)
+        # the two stat aggregates shuffle one row each; the corpus
+        # itself never exchanges and NO Window/Sort appears
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan and "Sort " not in plan, plan[:2000]
+        assert st.sortmerge_joins == 0
