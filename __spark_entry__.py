@@ -2030,120 +2030,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 135 queries against the 50-slot cap cannot cycle faster).
+    stale — 141 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 135 queries: 124 oracle-bearing + 11 rows-only
+    The registry holds 141 queries: 130 oracle-bearing + 11 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
-    image near-dup — each pinned against an independent mirror in
-    pytest). r9 froze its rotation at 122/113 before five r9-late
-    queries landed past-cap; r10 adds q_media_stats, q_image_neardup,
-    q_union_all_tagged, and (r10-late, in-cap slots 49-50) the
-    labeling-QA tier q_item_disagreement / q_rater_reliability /
-    q_consensus_labels / q_dawid_skene (rows-only, numpy-EM
-    mirror-pinned) and the q_bucket_batches dynamic-batching layout,
-    which displaced q_asof_view_purchase, q_bm25_search,
-    q_value_histogram, q_distribution_drift and
-    q05_local_supplier_volume to the r11 block (each keeps an in-cap
-    family sibling or a same-family r8-verified twin:
-    q_interval_signup_errors, q_bm25_index_search, q_weighted_sample,
-    q_source_drift, and the q03/q04/q07-q09 star joins).
+    image near-dup, Dawid-Skene — each pinned against an independent
+    mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
+    rows-only query NEVER displaces an oracle-bearing query from its
+    scheduled re-verification round — it may only occupy a spare slot
+    (this round: q_image_neardup sits in-cap because its PNG rework
+    CHANGED its path, in a spare slot after the mandatory block).
 
-    Round-10 rotation (VERDICT r9 tasks #1/#2/#5). In-cap slots 1-50:
-    (a) the 3 NEW r10 queries — first driver verification;
-    (b) the 5 r9-late queries with no driver row in any round
-        (q_dedup_containment, q_label_alpha, q_ranking_rbo,
-        q_bloom_contamination, q_token_budget); q_label_alpha also
-        verifies the r10 three-metric rework;
-    (c) q_ann_recall — implementation changed in r10 (serves from the
-        persisted artifact at the pinned operating point), must
-        re-verify;
-    (d) the 22 r7-verified returners at the documented two-round
-        staleness maximum — the TPC-H join/window/grouping cluster;
-    (e) 19 r8-verified returners: the six first-verified-in-r8
-        (DSIR/Gopher/C4/prototype) + q_bm25_index_search per the r9
-        plan, then oldest-family breadth (core joins, scalars, text,
-        sampling, drift, decontamination, temporal, search).
+    Round-11 rotation (VERDICT r10 tasks #1/#3, COVERAGE.md r11 map).
+    In-cap slots 1-50:
+    (a) slots 1-36 — ALL 36 r8-verified returners at the two-round
+        staleness maximum (the mandatory block: the r10-displaced
+        q_asof_view_purchase / q_bm25_search / q_value_histogram /
+        q_distribution_drift / q05, the q06/q10/q12-q14/q17 joins,
+        embed-cosine, vocab/unigram/chunk text tier, pivot/topk/
+        rollup/window-frames aggregates, corpus health/diff, pii,
+        repetition, curation, mixtures, drift, novelty, cross-corpus);
+    (b) slots 37-42 — the 6 NEW r11 queries, first driver
+        verification: q11_important_stock + q20_potential_promotion
+        (the two TPC-H plan shapes VERDICT r10 task #3 asked for),
+        q_best_survivors, q_source_overlap, q_credit_card_audit,
+        q_curriculum_phases;
+    (c) slot 43 — q_image_neardup, CHANGED in r11 (real stdlib-PNG
+        payloads replace the sha-stub fixture), must re-verify;
+    (d) slots 44-50 — 7 r9-verified eval-tier queries pulled one round
+        EARLY (q_auc_fixed, q_calibration_bins, q_confusion_probe,
+        q_precision_at_k, q_auc_by_slice, q_ranking_eval,
+        q_ranking_summary) to pre-drain the r12 block.
 
-    Past slot 50: (i) the remaining 36 r8-verified queries — two
-    rounds stale after this round, ALL scheduled in-cap for r11;
-    (ii) the 49 r9-verified queries (one round stale; the r12 block).
-    Union invariant: r9 ∪ r10 driver rows cover every query except the
-    36 r11-scheduled r8-verified returners, and every oracle-bearing
-    query is additionally DuckDB-compared on every pytest run
-    (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
+    Past slot 50: (i) the 42 remaining r9-verified queries — the r12
+    mandatory block (42 < 50, so r12 keeps >= 8 spare slots even
+    before r11-late additions); (ii) the 54 r10-verified queries (one
+    round stale; the r13 block alongside whatever r11 verifies).
+    Union invariant: r10 ∪ r11 driver rows cover every registry query
+    except the 42 r12-scheduled r9-verified returners, and every
+    oracle-bearing query is additionally DuckDB-compared on every
+    pytest run (tests/test_queries.py::test_query_matches_oracle),
+    in-cap or not.
     """
     return {
-        # ---- slots 1-3: NEW r10 (first driver verification) ----
-        "q_media_stats": _q_media_stats,
-        "q_image_neardup": _q_image_neardup,
-        "q_union_all_tagged": _q_union_all_tagged,
-        # ---- slots 4-8: r9-late, no driver row yet (VERDICT r9 task #1) ----
-        "q_dedup_containment": _q_dedup_containment,
-        "q_label_alpha": _q_label_alpha,
-        "q_ranking_rbo": _q_ranking_rbo,
-        "q_bloom_contamination": _q_bloom_contamination,
-        "q_token_budget": _q_token_budget,
-        # ---- slot 9: r10 implementation change, must re-verify ----
-        "q_ann_recall": _q_ann_recall,
-        # ---- slots 10-31: r7-verified returners at max staleness ----
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q08_market_share": _q08_market_share,
-        "q09_product_profit": _q09_product_profit,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_sessionize": _q_sessionize,
-        # ---- slots 32-50: r8-verified returners (priority + breadth) ----
-        "q_dsir_weights": _q_dsir_weights,
-        "q_dsir_select": _q_dsir_select,
-        "q_gopher_quality": _q_gopher_quality,
-        "q_c4_quality": _q_c4_quality,
-        "q_prototype_scores": _q_prototype_scores,
-        "q_prototype_prune": _q_prototype_prune,
-        "q_bm25_index_search": _q_bm25_index_search,
-        "q03_shipping_priority": _q03_shipping_priority,
-        "q04_order_priority": _q04_order_priority,
-        "q_bucket_batches": _q_bucket_batches,
-        "q_scalar_gallery": _q_scalar_gallery,
-        "q_tfidf": _q_tfidf,
-        "q_lang_id": _q_lang_id,
-        "q_weighted_sample": _q_weighted_sample,
-        "q_decontaminate": _q_decontaminate,
-        # ---- slots 47-50: NEW r10-late labeling-QA tier (first
-        # driver verification; displaced q_asof_view_purchase /
-        # q_bm25_search / q_value_histogram / q_distribution_drift to
-        # the r11 block — each keeps an in-cap family sibling or twin:
-        # q_interval_signup_errors / q_bm25_index_search /
-        # q_weighted_sample / q_source_drift) ----
-        "q_item_disagreement": _q_item_disagreement,
-        "q_rater_reliability": _q_rater_reliability,
-        "q_consensus_labels": _q_consensus_labels,
-        "q_dawid_skene": _q_dawid_skene,
-        # ---- NEW r11 (registered here pre-rotation; the r11 reorder
-        # puts them in-cap) ----
-        "q11_important_stock": _q11_important_stock,
-        "q20_potential_promotion": _q20_potential_promotion,
-        "q_best_survivors": _q_best_survivors,
-        "q_source_overlap": _q_source_overlap,
-        "q_credit_card_audit": _q_credit_card_audit,
-        "q_curriculum_phases": _q_curriculum_phases,
-        # ---- past-cap: remaining r8-verified (ALL in-cap r11) ----
+        # ---- slots 1-36: the 36 r8-verified returners (mandatory
+        # r11 block — two rounds stale, VERDICT r10 task #1) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
@@ -2180,7 +2112,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_drift": _q_source_drift,
         "q_novelty_scores": _q_novelty_scores,
         "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # ---- past-cap: r9-verified (one round stale; r12 block) ----
+        # ---- slots 37-42: NEW r11, first driver verification ----
+        "q11_important_stock": _q11_important_stock,
+        "q20_potential_promotion": _q20_potential_promotion,
+        "q_best_survivors": _q_best_survivors,
+        "q_source_overlap": _q_source_overlap,
+        "q_credit_card_audit": _q_credit_card_audit,
+        "q_curriculum_phases": _q_curriculum_phases,
+        # ---- slot 43: CHANGED r11 (real-PNG fixture), re-verify ----
+        "q_image_neardup": _q_image_neardup,
+        # ---- slots 44-50: r9-verified pulled one round early to
+        # pre-drain the r12 block ----
         "q_auc_fixed": _q_auc_fixed,
         "q_calibration_bins": _q_calibration_bins,
         "q_confusion_probe": _q_confusion_probe,
@@ -2188,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_by_slice": _q_auc_by_slice,
         "q_ranking_eval": _q_ranking_eval,
         "q_ranking_summary": _q_ranking_summary,
+        # ---- past-cap: remaining r9-verified (the r12 mandatory
+        # block, 42 queries) ----
         "q_calibration_ece": _q_calibration_ece,
         "q_cohens_kappa": _q_cohens_kappa,
         "q_auc_bootstrap": _q_auc_bootstrap,
@@ -2230,6 +2174,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_semantic_decontaminate": _q_semantic_decontaminate,
         "q_token_accounting": _q_token_accounting,
+        # ---- past-cap: r10-verified (one round stale; r13 block) ----
+        "q_media_stats": _q_media_stats,
+        "q_union_all_tagged": _q_union_all_tagged,
+        "q_dedup_containment": _q_dedup_containment,
+        "q_label_alpha": _q_label_alpha,
+        "q_ranking_rbo": _q_ranking_rbo,
+        "q_bloom_contamination": _q_bloom_contamination,
+        "q_token_budget": _q_token_budget,
+        "q_ann_recall": _q_ann_recall,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dsir_weights": _q_dsir_weights,
+        "q_dsir_select": _q_dsir_select,
+        "q_gopher_quality": _q_gopher_quality,
+        "q_c4_quality": _q_c4_quality,
+        "q_prototype_scores": _q_prototype_scores,
+        "q_prototype_prune": _q_prototype_prune,
+        "q_bm25_index_search": _q_bm25_index_search,
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q04_order_priority": _q04_order_priority,
+        "q_bucket_batches": _q_bucket_batches,
+        "q_scalar_gallery": _q_scalar_gallery,
+        "q_tfidf": _q_tfidf,
+        "q_lang_id": _q_lang_id,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_decontaminate": _q_decontaminate,
+        "q_item_disagreement": _q_item_disagreement,
+        "q_rater_reliability": _q_rater_reliability,
+        "q_consensus_labels": _q_consensus_labels,
+        "q_dawid_skene": _q_dawid_skene,
     }
 
 
