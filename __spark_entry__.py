@@ -1692,6 +1692,52 @@ def _q_mixture_balance(spark, sf):
     return mixture_balance(docs, weight_col="n_chars").select("doc_id", "source")
 
 
+def _preference_comparisons(spark, sf):
+    """Pairwise-preference fixture (r11): adjacent documents compete,
+    their SOURCES are the rated items, and the longer text wins (equal
+    length = tie) — deterministic, engine-reproducible, and shaped
+    exactly like an RLHF A-vs-B judgment table."""
+    docs = load_table(spark, sf, "documents")
+    d1 = docs.select(
+        "doc_id",
+        F.col("source").alias("item_a"),
+        F.col("n_chars").alias("__ca"),
+    )
+    d2 = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.col("source").alias("item_b"),
+        F.col("n_chars").alias("__cb"),
+    )
+    return d1.join(d2, "doc_id").select(
+        "item_a",
+        "item_b",
+        F.when(F.col("__ca") > F.col("__cb"), F.col("item_a"))
+        .when(F.col("__cb") > F.col("__ca"), F.col("item_b"))
+        .alias("winner"),
+    )
+
+
+def _q_pairwise_winrate(spark, sf):
+    """Per-source win rates with Wilson bands over the adjacent-doc
+    preference fixture (NEW r11). Full DuckDB oracle — the credit
+    explode and the closed-form Wilson algebra mirror exactly."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        pairwise_win_rates,
+    )
+
+    return pairwise_win_rates(_preference_comparisons(spark, sf))
+
+
+def _q_bradley_terry(spark, sf):
+    """Bradley-Terry strengths over the same preference fixture (NEW
+    r11; rows-only — the MM fixpoint is the BPE/Dawid-Skene class,
+    pinned against an independent numpy mirror in
+    tests/test_evaluation.py)."""
+    from real_estate_bigdata_spark.operators.evaluation import bradley_terry
+
+    return bradley_terry(_preference_comparisons(spark, sf), max_iter=10)
+
+
 def _q_curriculum_phases(spark, sf):
     """Curriculum ordering (NEW r11): difficulty = equal-weight sum of
     z-scored char count + whitespace-token count, bucketed into 4
@@ -2030,10 +2076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 141 queries against the 50-slot cap cannot cycle faster).
+    stale — 143 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 141 queries: 130 oracle-bearing + 11 rows-only
+    The registry holds 143 queries: 131 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2058,17 +2104,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_curriculum_phases;
     (c) slot 43 — q_image_neardup, CHANGED in r11 (real stdlib-PNG
         payloads replace the sha-stub fixture), must re-verify;
-    (d) slots 44-50 — 7 r9-verified eval-tier queries pulled one round
+    (d) slots 44-48 — 5 r9-verified eval-tier queries pulled one round
         EARLY (q_auc_fixed, q_calibration_bins, q_confusion_probe,
-        q_precision_at_k, q_auc_by_slice, q_ranking_eval,
-        q_ranking_summary) to pre-drain the r12 block.
+        q_precision_at_k, q_auc_by_slice) to pre-drain the r12 block;
+    (e) slots 49-50 — the NEW r11-late preference tier
+        (q_pairwise_winrate, full oracle; q_bradley_terry, rows-only
+        with a numpy MM mirror), which displaced the q_ranking_eval /
+        q_ranking_summary BONUS slots back to their normally-scheduled
+        r12 block — no mandatory returner was displaced.
 
-    Past slot 50: (i) the 42 remaining r9-verified queries — the r12
-    mandatory block (42 < 50, so r12 keeps >= 8 spare slots even
-    before r11-late additions); (ii) the 54 r10-verified queries (one
+    Past slot 50: (i) the 44 remaining r9-verified queries — the r12
+    mandatory block (44 < 50, so r12 keeps >= 6 spare slots even
+    before r12-new additions); (ii) the 54 r10-verified queries (one
     round stale; the r13 block alongside whatever r11 verifies).
     Union invariant: r10 ∪ r11 driver rows cover every registry query
-    except the 42 r12-scheduled r9-verified returners, and every
+    except the 44 r12-scheduled r9-verified returners, and every
     oracle-bearing query is additionally DuckDB-compared on every
     pytest run (tests/test_queries.py::test_query_matches_oracle),
     in-cap or not.
@@ -2128,10 +2178,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_confusion_probe": _q_confusion_probe,
         "q_precision_at_k": _q_precision_at_k,
         "q_auc_by_slice": _q_auc_by_slice,
+        # ---- slots 49-50: NEW r11-late preference tier (displacing
+        # two of the pulled-early r9 bonuses back to their normally
+        # scheduled r12 block — no mandatory returner is displaced) ----
+        "q_pairwise_winrate": _q_pairwise_winrate,
+        "q_bradley_terry": _q_bradley_terry,
+        # ---- past-cap: remaining r9-verified (the r12 mandatory
+        # block, 44 queries incl. the two bounced bonuses) ----
         "q_ranking_eval": _q_ranking_eval,
         "q_ranking_summary": _q_ranking_summary,
-        # ---- past-cap: remaining r9-verified (the r12 mandatory
-        # block, 42 queries) ----
         "q_calibration_ece": _q_calibration_ece,
         "q_cohens_kappa": _q_cohens_kappa,
         "q_auc_bootstrap": _q_auc_bootstrap,
@@ -2409,6 +2464,63 @@ def _simhash_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "q_pii_redaction": _pii_sql(),
+        # pairwise preferences: adjacent-doc fixture, two endpoint
+        # credits per valid comparison, one aggregate, closed-form
+        # Wilson band (z = 1.959963985 inlined on both engines)
+        "q_pairwise_winrate": """
+            WITH comp AS (
+                SELECT d1.source AS a, d2.source AS b,
+                       CASE WHEN d1.n_chars > d2.n_chars THEN d1.source
+                            WHEN d2.n_chars > d1.n_chars THEN d2.source
+                       END AS w
+                FROM documents d1
+                JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+            ), valid AS (
+                SELECT * FROM comp
+                WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b
+                  AND (w IS NULL OR w = a OR w = b)
+            ), endp AS (
+                SELECT a AS item,
+                       CASE WHEN w IS NULL THEN 0.5
+                            WHEN w = a THEN 1.0 ELSE 0.0 END AS credit
+                FROM valid
+                UNION ALL
+                SELECT b,
+                       CASE WHEN w IS NULL THEN 0.5
+                            WHEN w = b THEN 1.0 ELSE 0.0 END
+                FROM valid
+            ), agg AS (
+                SELECT item,
+                       count(*)::BIGINT AS n_games,
+                       sum((credit = 1.0)::INT)::BIGINT AS n_wins,
+                       sum((credit = 0.5)::INT)::BIGINT AS n_ties,
+                       sum(credit) AS wsum
+                FROM endp GROUP BY item
+            )
+            SELECT item, n_games, n_wins, n_ties,
+                   round(wsum / n_games, 6) AS win_rate,
+                   round(((wsum / n_games) + 3.84145882249708
+                              / (2 * n_games))
+                             / (1 + 3.84145882249708 / n_games)
+                         - 1.959963985
+                           * sqrt((wsum / n_games) * (1 - wsum / n_games)
+                                      / n_games
+                                  + 3.84145882249708
+                                    / (4 * n_games * n_games))
+                           / (1 + 3.84145882249708 / n_games),
+                         6) AS wilson_lo,
+                   round(((wsum / n_games) + 3.84145882249708
+                              / (2 * n_games))
+                             / (1 + 3.84145882249708 / n_games)
+                         + 1.959963985
+                           * sqrt((wsum / n_games) * (1 - wsum / n_games)
+                                      / n_games
+                                  + 3.84145882249708
+                                    / (4 * n_games * n_games))
+                           / (1 + 3.84145882249708 / n_games),
+                         6) AS wilson_hi
+            FROM agg
+        """,
         # curriculum: stats round to 9 BEFORE scoring, difficulty and
         # cutoffs to 6 (prototype-pruning precedent); phase = 1 + count
         # of exceeded cutoffs — identical tie semantics in both engines

@@ -19,6 +19,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     calibration_bins,
     cohens_kappa,
     consensus_labels,
+    bradley_terry,
     dawid_skene,
     confusion_at_threshold,
     expected_calibration_error,
@@ -27,6 +28,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     krippendorff_alpha,
     rater_reliability,
     pair_set_metrics,
+    pairwise_win_rates,
     precision_at_k,
     rank_biased_overlap,
     ranking_compare,
@@ -1565,3 +1567,142 @@ class TestDawidSkene:
         want = mirror_dawid_skene(rows)
         for i in got:
             assert got[i].confidence == pytest.approx(want[i][1], abs=1e-4)
+
+
+class TestPairwisePreference:
+    """r11 preference tier: win-rate/Wilson algebra vs hand values,
+    validity contract, and Bradley-Terry vs an independent numpy MM
+    mirror (the Dawid-Skene precedent: allclose, never bit-exact)."""
+
+    @staticmethod
+    def _mirror_bt(rows, max_iter=10, smoothing=0.1):
+        import numpy as np
+
+        valid = [
+            (a, b, w)
+            for a, b, w in rows
+            if a is not None and b is not None and a != b and w in (a, b)
+        ]
+        items = sorted({x for a, b, _ in valid for x in (a, b)})
+        idx = {x: i for i, x in enumerate(items)}
+        n = np.zeros((len(items), len(items)))
+        wins = np.zeros(len(items))
+        for a, b, w in valid:
+            i, j = idx[a], idx[b]
+            n[i, j] += 1
+            n[j, i] += 1
+            wins[idx[w]] += 1
+        s = np.ones(len(items))
+        for _ in range(max_iter):
+            denom = (n / np.add.outer(s, s)).sum(axis=1)
+            s = (wins + smoothing / 2) / (denom + smoothing / (s + 1))
+            s = s / s.mean()
+        games = n.sum(axis=1)
+        return {x: (s[idx[x]], int(games[idx[x]])) for x in items}
+
+    def _rows(self):
+        rng = random.Random(17)
+        items = [f"m{k}" for k in range(6)]
+        truth = {m: 0.5 + k for k, m in enumerate(items)}
+        rows = []
+        for _ in range(300):
+            a, b = rng.sample(items, 2)
+            pa = truth[a] / (truth[a] + truth[b])
+            rows.append((a, b, a if rng.random() < pa else b))
+        return rows
+
+    def test_win_rates_hand_values_and_validity(self, spark):
+        rows = [
+            ("A", "B", "A"), ("A", "B", "A"), ("A", "B", "B"),
+            ("A", "C", None),           # tie
+            ("C", "C", "C"),            # self -> invalid
+            ("A", None, "A"),           # NULL side -> invalid
+            ("A", "D", "Z"),            # foreign winner -> invalid
+        ]
+        df = spark.createDataFrame(
+            rows, "item_a string, item_b string, winner string"
+        )
+        got = {r.item: r for r in pairwise_win_rates(df).collect()}
+        assert set(got) == {"A", "B", "C"}
+        assert (got["A"].n_games, got["A"].n_wins, got["A"].n_ties) == (4, 2, 1)
+        assert got["A"].win_rate == pytest.approx(2.5 / 4)
+        assert (got["C"].n_games, got["C"].n_wins, got["C"].n_ties) == (1, 0, 1)
+        # Wilson hand-check for B: 1 win of 3, z = 1.959963985
+        z = 1.959963985
+        nb, p = 3.0, 1.0 / 3.0
+        center = (p + z * z / (2 * nb)) / (1 + z * z / nb)
+        half = z * ((p * (1 - p) / nb + z * z / (4 * nb * nb)) ** 0.5) / (
+            1 + z * z / nb
+        )
+        assert got["B"].wilson_lo == pytest.approx(center - half, abs=1e-6)
+        assert got["B"].wilson_hi == pytest.approx(center + half, abs=1e-6)
+        assert all(
+            0.0 <= r.wilson_lo <= r.win_rate <= r.wilson_hi <= 1.0
+            for r in got.values()
+        )
+
+    def test_bradley_terry_matches_numpy_mirror(self, spark):
+        rows = self._rows()
+        df = spark.createDataFrame(
+            rows, "item_a string, item_b string, winner string"
+        )
+        got = {
+            r.item: (r.strength, r.n_games)
+            for r in bradley_terry(df, max_iter=10).collect()
+        }
+        want = self._mirror_bt(rows)
+        assert set(got) == set(want)
+        for m in got:
+            assert got[m][1] == want[m][1], m
+            assert got[m][0] == pytest.approx(want[m][0], rel=1e-4), m
+        # transitive sanity: learned order tracks the planted truth
+        order = sorted(got, key=lambda m: got[m][0])
+        assert order == [f"m{k}" for k in range(6)]
+
+    def test_bradley_terry_undefeated_item_finite(self, spark):
+        rows = [("A", "B", "A"), ("A", "C", "A"), ("B", "C", "B")]
+        df = spark.createDataFrame(
+            rows, "item_a string, item_b string, winner string"
+        )
+        got = {r.item: r.strength for r in bradley_terry(df).collect()}
+        import math
+
+        assert all(math.isfinite(v) and v > 0 for v in got.values())
+        assert got["A"] > got["B"] > got["C"]
+
+    def test_bradley_terry_distributed_path_matches_fast(self, spark):
+        """small_pairs_threshold=0 forces the distributed per-round
+        loop (the above-threshold branch); it must agree with the
+        bounded numpy fast path — the CC fast-path parity precedent.
+        Few iterations: each distributed round is a full job wave."""
+        rows = self._rows()[:60]
+        df = spark.createDataFrame(
+            rows, "item_a string, item_b string, winner string"
+        )
+        fast = {
+            r.item: (round(r.strength, 4), r.n_games)
+            for r in bradley_terry(df, max_iter=3).collect()
+        }
+        dist = {
+            r.item: (round(r.strength, 4), r.n_games)
+            for r in bradley_terry(
+                df, max_iter=3, small_pairs_threshold=0
+            ).collect()
+        }
+        assert fast == dist
+
+    def test_bradley_terry_validation_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [("A", "B", "A")], "item_a string, item_b string, winner string"
+        )
+        with pytest.raises(ValueError, match="max_iter"):
+            bradley_terry(df, max_iter=0)
+        with pytest.raises(ValueError, match="smoothing"):
+            bradley_terry(df, smoothing=-1.0)
+        empty = bradley_terry(
+            spark.createDataFrame(
+                [], "item_a string, item_b string, winner string"
+            )
+        )
+        assert empty.count() == 0
+        assert empty.columns == ["item", "strength", "n_games"]

@@ -133,6 +133,10 @@ def test_every_query_has_oracle_or_is_documented():
         # independent numpy EM mirror in
         # tests/test_evaluation.py::TestDawidSkene
         "q_dawid_skene",
+        # Bradley-Terry MM strengths (NEW r11): the same iterative
+        # fixpoint class; pinned against an independent numpy MM
+        # mirror in tests/test_evaluation.py::TestPairwisePreference
+        "q_bradley_terry",
     }
     assert set(missing) <= allowed_rows_only
 
