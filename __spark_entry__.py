@@ -1738,6 +1738,28 @@ def _q_bradley_terry(spark, sf):
     return bradley_terry(_preference_comparisons(spark, sf), max_iter=10)
 
 
+def _q_funnel_conversion(spark, sf):
+    """Windowed ordered funnel view -> click -> purchase with a 24 h
+    per-hop horizon (NEW r11) — earliest-entry semantics, each step a
+    shrinking user-key aggregate. Full DuckDB oracle."""
+    from real_estate_bigdata_spark.operators.events import funnel_conversion
+
+    return funnel_conversion(
+        load_table(spark, sf, "events"),
+        ["view", "click", "purchase"],
+        within_hours=24.0,
+    )
+
+
+def _q_cohort_retention(spark, sf):
+    """Weekly cohort retention triangle over the events table (NEW
+    r11): cohort = week of first event, one user-key tag join, one
+    (cohort, offset) distinct aggregate. Full DuckDB oracle."""
+    from real_estate_bigdata_spark.operators.events import cohort_retention
+
+    return cohort_retention(load_table(spark, sf, "events"))
+
+
 def _q_curriculum_phases(spark, sf):
     """Curriculum ordering (NEW r11): difficulty = equal-weight sum of
     z-scored char count + whitespace-token count, bucketed into 4
@@ -2076,10 +2098,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 143 queries against the 50-slot cap cannot cycle faster).
+    stale — 145 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 143 queries: 131 oracle-bearing + 12 rows-only
+    The registry holds 145 queries: 133 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2104,21 +2126,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_curriculum_phases;
     (c) slot 43 — q_image_neardup, CHANGED in r11 (real stdlib-PNG
         payloads replace the sha-stub fixture), must re-verify;
-    (d) slots 44-48 — 5 r9-verified eval-tier queries pulled one round
-        EARLY (q_auc_fixed, q_calibration_bins, q_confusion_probe,
-        q_precision_at_k, q_auc_by_slice) to pre-drain the r12 block;
-    (e) slots 49-50 — the NEW r11-late preference tier
+    (d) slots 44-46 — 3 r9-verified eval-tier queries pulled one round
+        EARLY (q_auc_fixed, q_calibration_bins, q_confusion_probe) to
+        pre-drain the r12 block;
+    (e) slots 47-50 — the NEW r11-late tiers: pairwise preferences
         (q_pairwise_winrate, full oracle; q_bradley_terry, rows-only
-        with a numpy MM mirror), which displaced the q_ranking_eval /
-        q_ranking_summary BONUS slots back to their normally-scheduled
-        r12 block — no mandatory returner was displaced.
+        with a numpy MM mirror) and event analytics
+        (q_funnel_conversion, q_cohort_retention, both full oracles),
+        which displaced four pulled-early BONUS slots back to their
+        normally-scheduled r12 block — no mandatory returner was
+        displaced.
 
-    Past slot 50: (i) the 44 remaining r9-verified queries — the r12
-    mandatory block (44 < 50, so r12 keeps >= 6 spare slots even
+    Past slot 50: (i) the 46 remaining r9-verified queries — the r12
+    mandatory block (46 < 50, so r12 keeps >= 4 spare slots even
     before r12-new additions); (ii) the 54 r10-verified queries (one
     round stale; the r13 block alongside whatever r11 verifies).
     Union invariant: r10 ∪ r11 driver rows cover every registry query
-    except the 44 r12-scheduled r9-verified returners, and every
+    except the 46 r12-scheduled r9-verified returners, and every
     oracle-bearing query is additionally DuckDB-compared on every
     pytest run (tests/test_queries.py::test_query_matches_oracle),
     in-cap or not.
@@ -2176,15 +2200,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_auc_fixed": _q_auc_fixed,
         "q_calibration_bins": _q_calibration_bins,
         "q_confusion_probe": _q_confusion_probe,
-        "q_precision_at_k": _q_precision_at_k,
-        "q_auc_by_slice": _q_auc_by_slice,
-        # ---- slots 49-50: NEW r11-late preference tier (displacing
-        # two of the pulled-early r9 bonuses back to their normally
-        # scheduled r12 block — no mandatory returner is displaced) ----
+        # ---- slots 47-50: NEW r11-late tiers (displacing four of
+        # the pulled-early r9 bonuses back to their normally scheduled
+        # r12 block — no mandatory returner is displaced) ----
         "q_pairwise_winrate": _q_pairwise_winrate,
         "q_bradley_terry": _q_bradley_terry,
+        "q_funnel_conversion": _q_funnel_conversion,
+        "q_cohort_retention": _q_cohort_retention,
         # ---- past-cap: remaining r9-verified (the r12 mandatory
-        # block, 44 queries incl. the two bounced bonuses) ----
+        # block, 46 queries incl. the four bounced bonuses) ----
+        "q_precision_at_k": _q_precision_at_k,
+        "q_auc_by_slice": _q_auc_by_slice,
         "q_ranking_eval": _q_ranking_eval,
         "q_ranking_summary": _q_ranking_summary,
         "q_calibration_ece": _q_calibration_ece,
@@ -2464,6 +2490,64 @@ def _simhash_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "q_pii_redaction": _pii_sql(),
+        # funnel: sequential shrinking entry CTEs, bounded k-row window
+        "q_funnel_conversion": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS e FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT ev.user_id, min(ev.ts) AS e
+                FROM events ev JOIN s1 USING (user_id)
+                WHERE ev.event_type = 'click' AND ev.ts > s1.e
+                  AND ev.ts <= s1.e + INTERVAL 24 HOUR
+                GROUP BY 1
+            ), s3 AS (
+                SELECT ev.user_id, min(ev.ts) AS e
+                FROM events ev JOIN s2 USING (user_id)
+                WHERE ev.event_type = 'purchase' AND ev.ts > s2.e
+                  AND ev.ts <= s2.e + INTERVAL 24 HOUR
+                GROUP BY 1
+            ), counts AS (
+                SELECT 1 AS step_idx, 'view' AS step,
+                       count(*)::BIGINT AS n_users FROM s1
+                UNION ALL
+                SELECT 2, 'click', count(*)::BIGINT FROM s2
+                UNION ALL
+                SELECT 3, 'purchase', count(*)::BIGINT FROM s3
+            )
+            SELECT step_idx, step, n_users,
+                   round(CASE WHEN first_value(n_users) OVER w > 0
+                              THEN n_users::DOUBLE
+                                   / first_value(n_users) OVER w END,
+                         6) AS conv_from_first,
+                   round(CASE WHEN lag(n_users) OVER w > 0
+                              THEN n_users::DOUBLE
+                                   / lag(n_users) OVER w END,
+                         6) AS conv_from_prev
+            FROM counts WINDOW w AS (ORDER BY step_idx)
+        """,
+        # cohort retention: week-truncated first-event cohorts; both
+        # engines truncate weeks to Monday and integer-divide day
+        # offsets by 7
+        "q_cohort_retention": """
+            WITH first AS (
+                SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort
+                FROM events GROUP BY 1
+            ), active AS (
+                SELECT cohort,
+                       (date_diff('day', cohort,
+                                  date_trunc('week', e.ts)::DATE)
+                        // 7)::INT AS period_offset,
+                       count(DISTINCT e.user_id)::BIGINT AS n_active
+                FROM events e JOIN first USING (user_id)
+                GROUP BY 1, 2
+            ), sizes AS (
+                SELECT cohort, count(*)::BIGINT AS sz FROM first GROUP BY 1
+            )
+            SELECT cohort, period_offset, n_active,
+                   round(n_active::DOUBLE / sz, 6) AS retention
+            FROM active JOIN sizes USING (cohort)
+        """,
         # pairwise preferences: adjacent-doc fixture, two endpoint
         # credits per valid comparison, one aggregate, closed-form
         # Wilson band (z = 1.959963985 inlined on both engines)
