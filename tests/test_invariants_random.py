@@ -709,3 +709,123 @@ def test_union_tagged_and_media_stats_conservation_random(spark):
     stats = mm.media_stats(media).collect()
     assert sum(r.n_objects for r in stats) == 80
     assert sum(r.total_bytes or 0 for r in stats) == total_bytes
+
+
+def test_pairwise_preference_invariants_random(spark):
+    """r11 preference tier: (1) swapping every comparison's (a, b)
+    columns changes nothing — the operator is symmetric in how a pair
+    is written down; (2) duplicating every comparison doubles counts
+    but leaves win_rate identical and NARROWS the Wilson band; (3) at
+    smoothing=0 Bradley-Terry is invariant under count duplication
+    (the MM update is homogeneous in the counts)."""
+    from real_estate_bigdata_spark.operators.evaluation import (
+        bradley_terry,
+        pairwise_win_rates,
+    )
+
+    rng = random.Random(23)
+    items = [f"s{k}" for k in range(5)]
+    rows = []
+    for _ in range(120):
+        a, b = rng.sample(items, 2)
+        w = rng.choice([a, b, None])
+        rows.append((a, b, w))
+    schema = "item_a string, item_b string, winner string"
+    df = spark.createDataFrame(rows, schema)
+    swapped = spark.createDataFrame([(b, a, w) for a, b, w in rows], schema)
+    key = lambda r: (r.n_games, r.n_wins, r.n_ties, r.win_rate,  # noqa: E731
+                     r.wilson_lo, r.wilson_hi)
+    got = {r.item: key(r) for r in pairwise_win_rates(df).collect()}
+    gsw = {r.item: key(r) for r in pairwise_win_rates(swapped).collect()}
+    assert got == gsw
+    doubled = spark.createDataFrame(rows + rows, schema)
+    gd = {r.item: r for r in pairwise_win_rates(doubled).collect()}
+    for m in got:
+        assert gd[m].n_games == 2 * got[m][0]
+        assert gd[m].win_rate == pytest.approx(got[m][3], abs=2e-6)
+        width = got[m][5] - got[m][4]
+        assert (gd[m].wilson_hi - gd[m].wilson_lo) < width
+    bt = {
+        r.item: r.strength
+        for r in bradley_terry(df, max_iter=8, smoothing=0.0).collect()
+    }
+    btd = {
+        r.item: r.strength
+        for r in bradley_terry(doubled, max_iter=8, smoothing=0.0).collect()
+    }
+    for m in bt:
+        assert btd[m] == pytest.approx(bt[m], abs=2e-6), m
+
+
+def test_curriculum_affine_invariance_random(spark):
+    """z-scored difficulty is invariant under a positive affine
+    transform of any signal (x -> 2x + 10): phases must be IDENTICAL
+    and difficulties equal to float tolerance."""
+    from real_estate_bigdata_spark.operators.sampling import curriculum_phases
+
+    rng = random.Random(31)
+    rows = [(i, rng.uniform(0, 100), float(rng.randint(0, 50)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, a double, b double")
+    base = {
+        r.doc_id: r
+        for r in curriculum_phases(df, {"a": 1.0, "b": 0.5}).collect()
+    }
+    aff = df.withColumn("a", F.col("a") * 2 + 10)
+    trans = {
+        r.doc_id: r
+        for r in curriculum_phases(aff, {"a": 1.0, "b": 0.5}).collect()
+    }
+    for i in base:
+        assert trans[i].difficulty == pytest.approx(
+            base[i].difficulty, abs=1e-5
+        )
+    phase_moves = sum(base[i].phase != trans[i].phase for i in base)
+    # a boundary tie can move at a rounding edge; the mass must not
+    assert phase_moves <= 2
+
+
+def test_funnel_and_cohort_invariants_random(spark):
+    """Funnel counts are invariant under event duplication and row
+    order; every cohort retains 100% at offset 0 and never exceeds
+    its size."""
+    import datetime as dt
+
+    from real_estate_bigdata_spark.operators.events import (
+        cohort_retention,
+        funnel_conversion,
+    )
+
+    rng = random.Random(41)
+    t0 = dt.datetime(2024, 1, 1)
+    types = ["view", "click", "purchase"]
+    rows = []
+    for i in range(400):
+        rows.append(
+            (i, t0 + dt.timedelta(minutes=rng.randint(0, 40_000)),
+             rng.randint(1, 40), rng.choice(types))
+        )
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    fun = {r.step: r.n_users
+           for r in funnel_conversion(df, types, within_hours=48.0).collect()}
+    dup = spark.createDataFrame(rows + [(e + 10_000, t, u, ty)
+                                        for e, t, u, ty in rows], schema)
+    fun_dup = {r.step: r.n_users
+               for r in funnel_conversion(dup, types, within_hours=48.0).collect()}
+    assert fun == fun_dup
+    assert fun["view"] >= fun["click"] >= fun["purchase"]
+    shuffled = df.orderBy(F.rand(7)).repartition(11)
+    fun_sh = {r.step: r.n_users
+              for r in funnel_conversion(shuffled, types, within_hours=48.0).collect()}
+    assert fun == fun_sh
+
+    ret = cohort_retention(df).collect()
+    sizes = {}
+    for r in ret:
+        if r.period_offset == 0:
+            assert r.retention == 1.0
+            sizes[r.cohort] = r.n_active
+    for r in ret:
+        assert r.n_active <= sizes[r.cohort]
+        assert 0.0 < r.retention <= 1.0
