@@ -649,3 +649,30 @@ def test_driver_image_neardup_matches_brute_force_mirror(spark, sf_dir):
     planted = [p for p in want if p[1] - p[0] == entry_mod._MEDIA_COPY_OFFSET]
     assert len(planted) == sum(1 for d in ids if d % 10 == 0 and d < entry_mod._MEDIA_COPY_OFFSET)
     assert all(h == 0 for _, _, h in planted)
+
+
+def test_png_dimensions_jvm_only_header_parse(spark):
+    """r11: IHDR width/height parsed with pure Column exprs — the
+    triage-before-decode pattern. Sizes round-trip exactly; non-PNG,
+    truncated, and NULL payloads yield NULL dims; the plan is map-only
+    with NO Python stage (the whole point: header triage must not pay
+    an Arrow crossing)."""
+    import numpy as np
+
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    sizes = [(1, 1), (7, 13), (16, 16), (300, 4), (513, 1027)]
+    rows = [
+        (i, bytes(mm.encode_png(np.zeros((h, w, 3), dtype=np.uint8))))
+        for i, (h, w) in enumerate(sizes)
+    ]
+    rows += [(90, b"JFIF not a png"), (91, None), (92, rows[2][1][:20])]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = mm.png_dimensions(df)
+    got = {r.media_id: (r.png_width, r.png_height) for r in out.collect()}
+    for i, (h, w) in enumerate(sizes):
+        assert got[i] == (w, h), (i, got[i])
+    assert got[90] == (None, None)
+    assert got[91] == (None, None)
+    assert got[92] == (None, None)
+    assert_plan(out, max_shuffles=0, forbid_python=True)
