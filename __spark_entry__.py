@@ -1924,14 +1924,13 @@ def _q_source_overlap(spark, sf):
 _MEDIA_COPY_OFFSET = 10_000_000
 
 
-def _media_fixture(spark, sf, with_copies: bool = False):
+def _media_fixture(spark, sf):
     """documents -> MEDIA_SCHEMA-shaped frame (media_id, content bytes,
-    meta struct). ``with_copies=True`` re-stores every 10th object under
-    a second media_id (byte-identical payload) — the planted ground
-    truth for the near-duplicate query, modeling the same asset
-    ingested twice from different URIs."""
+    meta struct) for the metadata-only q_media_stats oracle. The
+    near-dup query moved to :func:`_png_media_fixture` in r11 (real
+    PNG payloads), which also owns the planted-copies mechanism."""
     docs = load_table(spark, sf, "documents")
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("content"),
         F.struct(
@@ -1945,17 +1944,6 @@ def _media_fixture(spark, sf, with_copies: bool = False):
             F.col("source").alias("source_uri"),
         ).alias("meta"),
     )
-    if with_copies:
-        media = media.unionByName(
-            media.filter(F.pmod(F.col("media_id"), F.lit(10)) == 0).select(
-                (F.col("media_id") + F.lit(_MEDIA_COPY_OFFSET)).alias(
-                    "media_id"
-                ),
-                "content",
-                "meta",
-            )
-        )
-    return media
 
 
 def _q_media_stats(spark, sf):
