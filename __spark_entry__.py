@@ -1760,6 +1760,22 @@ def _q_cohort_retention(spark, sf):
     return cohort_retention(load_table(spark, sf, "events"))
 
 
+def _q_vocab_coverage(spark, sf):
+    """Per-doc OOV mass against the corpus' own top-200 token vocab
+    (NEW r11-late, registered PAST-CAP — scheduled into an r12 spare
+    slot per the COVERAGE.md plan; oracle-compared on every pytest run
+    meanwhile). Full DuckDB oracle — identical deterministic vocab
+    tie-break (count desc, token asc) in both engines."""
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        vocab_coverage,
+        vocab_top_tokens,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    vocab = vocab_top_tokens(docs, k=200).select("token")
+    return vocab_coverage(docs, vocab)
+
+
 def _q_curriculum_phases(spark, sf):
     """Curriculum ordering (NEW r11): difficulty = equal-weight sum of
     z-scored char count + whitespace-token count, bucketed into 4
@@ -2086,10 +2102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 145 queries against the 50-slot cap cannot cycle faster).
+    stale — 146 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 145 queries: 133 oracle-bearing + 12 rows-only
+    The registry holds 146 queries: 134 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2195,6 +2211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bradley_terry": _q_bradley_terry,
         "q_funnel_conversion": _q_funnel_conversion,
         "q_cohort_retention": _q_cohort_retention,
+        # ---- past-cap: NEW r11-late, scheduled into an r12 spare
+        # slot (COVERAGE.md r12 plan); full oracle, pytest-compared
+        # every round meanwhile ----
+        "q_vocab_coverage": _q_vocab_coverage,
         # ---- past-cap: remaining r9-verified (the r12 mandatory
         # block, 46 queries incl. the four bounced bonuses) ----
         "q_precision_at_k": _q_precision_at_k,
@@ -2478,6 +2498,42 @@ def _simhash_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "q_pii_redaction": _pii_sql(),
+        # vocab coverage: corpus-derived top-200 vocab with the same
+        # deterministic tie-break; occurrence-weighted OOV mass
+        "q_vocab_coverage": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL THEN NULL
+                            WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE string_split_regex(trim(text), '\s+')
+                       END AS w,
+                       text IS NULL AS no_text
+                FROM documents
+            ), flat AS (
+                SELECT doc_id, unnest(w) AS t FROM toks
+            ), vocab AS (
+                SELECT t FROM flat GROUP BY t
+                ORDER BY count(*) DESC, t LIMIT 200
+            ), totals AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tok FROM flat GROUP BY 1
+            ), hits AS (
+                SELECT doc_id, count(*)::BIGINT AS n_in
+                FROM flat JOIN vocab USING (t) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CASE WHEN NOT no_text
+                        THEN coalesce(n_tok, 0) END AS n_tokens,
+                   CASE WHEN NOT no_text
+                        THEN coalesce(n_tok, 0) - coalesce(n_in, 0)
+                   END AS n_oov,
+                   CASE WHEN NOT no_text AND coalesce(n_tok, 0) > 0
+                        THEN round((coalesce(n_tok, 0)
+                                    - coalesce(n_in, 0))::DOUBLE / n_tok, 6)
+                   END AS oov_rate
+            FROM toks d
+            LEFT JOIN totals USING (doc_id)
+            LEFT JOIN hits USING (doc_id)
+        """,
         # funnel: sequential shrinking entry CTEs, bounded k-row window
         "q_funnel_conversion": """
             WITH s1 AS (

@@ -32,6 +32,7 @@ __all__ = [
     "doc_fingerprints",
     "remove_boilerplate_lines",
     "repetition_metrics",
+    "vocab_coverage",
     "vocab_top_tokens",
     "bigram_logprob_scores",
     "dedup_paragraphs",
@@ -1360,4 +1361,51 @@ def chunk_documents(
         "chunk_text",
         token_count(F.col("chunk_text")).alias("n_tokens"),
         F.length("chunk_text").cast("bigint").alias("n_chars"),
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document vocabulary coverage (r11): how much of each doc a
+    fixed token vocabulary explains — the go/no-go readout before
+    committing a tokenizer/vocab to a corpus (high OOV mass = wrong
+    vocab or wrong corpus slice). Returns ``(id, n_tokens, n_oov,
+    oov_rate)`` with occurrence weighting (a doc repeating one OOV
+    token 50 times IS 50 tokens of OOV mass). NULL text keeps NULL
+    counts; an empty doc has 0 tokens and a NULL rate.
+
+    Scale shape: one map-side whitespace explode, one BROADCAST left
+    join against the vocabulary (vocabs are bounded by construction —
+    BPE/wordpiece sizes are 10k-500k rows of short strings), one
+    doc-key aggregate. The corpus shuffles once, on the id.
+    """
+    toks = ensure_min_parallelism(docs).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__t")
+    )
+    hits = toks.join(
+        F.broadcast(vocab.select(F.col(token_col).alias("__t")).distinct()),
+        "__t",
+        "left_semi",
+    ).groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("__in"))
+    totals = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    has = F.col(text_col).isNotNull()
+    nt = F.when(has, F.coalesce("n_tokens", F.lit(0)))
+    oov = nt - F.coalesce("__in", F.lit(0))
+    return (
+        docs.select(id_col, text_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            nt.alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.when(nt > 0, F.round(oov / nt, 6)).alias("oov_rate"),
+        )
     )

@@ -625,3 +625,25 @@ class TestRrfFuse:
             rrf_fuse([a], k_rrf=0)
         with _pytest.raises(ValueError):
             rrf_fuse([a], top_k=0)
+
+
+def test_vocab_coverage_contracts(spark):
+    """r11: occurrence-weighted OOV; NULL text -> NULL counts; empty
+    text -> 0 tokens / NULL rate; broadcast-vocab plan."""
+    from real_estate_bigdata_spark.operators.text_analysis import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "x y"), (3, ""), (4, None), (5, "a a a")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",), ("a",)], "token string")
+    got = {r.doc_id: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (got[1].n_tokens, got[1].n_oov, got[1].oov_rate) == (4, 1, 0.25)
+    assert (got[2].n_tokens, got[2].n_oov, got[2].oov_rate) == (2, 2, 1.0)
+    assert (got[3].n_tokens, got[3].n_oov, got[3].oov_rate) == (0, 0, None)
+    assert (got[4].n_tokens, got[4].n_oov, got[4].oov_rate) == (
+        None, None, None,
+    )
+    assert got[5].oov_rate == 0.0
