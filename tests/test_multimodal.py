@@ -676,3 +676,24 @@ def test_png_dimensions_jvm_only_header_parse(spark):
     assert got[91] == (None, None)
     assert got[92] == (None, None)
     assert_plan(out, max_shuffles=0, forbid_python=True)
+
+
+def test_png_roundtrip_property_random_shapes():
+    """r11: encode->stdlib-decode is the identity on uint8 RGB for
+    arbitrary shapes, including 1-pixel edges and skinny strips."""
+    import random as _random
+
+    import numpy as np
+
+    rng = _random.Random(99)
+    shapes = [(1, 1), (1, 37), (37, 1), (2, 3), (31, 29), (64, 64)]
+    shapes += [(rng.randint(1, 80), rng.randint(1, 80)) for _ in range(10)]
+    for h, w in shapes:
+        arr = np.random.default_rng(h * 1000 + w).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        back = mm._decode_png_stdlib(mm.encode_png(arr))
+        assert back.shape == (h, w, 3), (h, w)
+        assert np.array_equal(
+            (back * 255).round().astype(np.uint8), arr
+        ), (h, w)
