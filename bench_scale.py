@@ -102,6 +102,7 @@ from real_estate_bigdata_spark.operators.evaluation import (
     auc_by_slice,
     dawid_skene,
     krippendorff_alpha,
+    pairwise_win_rates,
     ranking_metrics,
 )
 from real_estate_bigdata_spark.operators.curation import curate_corpus
@@ -124,7 +125,11 @@ from real_estate_bigdata_spark.operators.quality import (
     c4_quality_filter,
     metric_histogram,
 )
-from real_estate_bigdata_spark.operators.sampling import cap_per_group, shuffle_shard
+from real_estate_bigdata_spark.operators.sampling import (
+    cap_per_group,
+    curriculum_phases,
+    shuffle_shard,
+)
 from real_estate_bigdata_spark.operators.versioning import corpus_diff
 from real_estate_bigdata_spark.schema import load_table
 from real_estate_bigdata_spark.session import get_spark
@@ -529,6 +534,39 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
                 emb().orderBy("vec_id").limit(8), k=10, rerank=emb(),
             )
         )(train_pq(emb(), m=8, ksub=32)),
+        # r11-late: curriculum bucketing (three scan-level aggregates +
+        # broadcast binds — linear by construction, measured to prove
+        # it) and pairwise win rates over the adjacent-doc preference
+        # fixture (explode + one aggregate; comparisons scale with the
+        # corpus)
+        "curriculum_phases": lambda: curriculum_phases(
+            docs().select(
+                "doc_id",
+                F.col("n_chars").cast("double").alias("s1"),
+                F.length("text").cast("double").alias("s2"),
+            ),
+            {"s1": 0.5, "s2": 0.5},
+        ),
+        "pairwise_winrate": lambda: pairwise_win_rates(
+            (lambda d: d.select(
+                F.col("doc_id").alias("k"),
+                F.col("source").alias("item_a"),
+                F.col("n_chars").alias("ca"),
+            ).join(
+                d.select(
+                    (F.col("doc_id") - 1).alias("k"),
+                    F.col("source").alias("item_b"),
+                    F.col("n_chars").alias("cb"),
+                ),
+                "k",
+            ).select(
+                "item_a",
+                "item_b",
+                F.when(F.col("ca") > F.col("cb"), F.col("item_a"))
+                .when(F.col("cb") > F.col("ca"), F.col("item_b"))
+                .alias("winner"),
+            ))(docs())
+        ),
         # r11 (VERDICT r10 task #5): Dawid-Skene EM over a synthesized
         # 3-rater vote table that grows with the corpus — two honest
         # raters + one hash-noisy rater, fixed 3-round budget
