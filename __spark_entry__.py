@@ -1776,6 +1776,19 @@ def _q_vocab_coverage(spark, sf):
     return vocab_coverage(docs, vocab)
 
 
+def _q_resample_ffill(spark, sf):
+    """Per-user daily resample + forward fill over the events table
+    (NEW r11-late, registered PAST-CAP for an r12 spare slot; full
+    DuckDB oracle — generate_series grid + IGNORE NULLS window in both
+    engines)."""
+    from real_estate_bigdata_spark.operators.temporal import resample_ffill
+
+    return resample_ffill(
+        load_table(spark, sf, "events"), "user_id", "ts", "value",
+        granularity="day",
+    )
+
+
 def _q_curriculum_phases(spark, sf):
     """Curriculum ordering (NEW r11): difficulty = equal-weight sum of
     z-scored char count + whitespace-token count, bucketed into 4
@@ -2102,10 +2115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 146 queries against the 50-slot cap cannot cycle faster).
+    stale — 147 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 146 queries: 134 oracle-bearing + 12 rows-only
+    The registry holds 147 queries: 135 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2211,10 +2224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bradley_terry": _q_bradley_terry,
         "q_funnel_conversion": _q_funnel_conversion,
         "q_cohort_retention": _q_cohort_retention,
-        # ---- past-cap: NEW r11-late, scheduled into an r12 spare
-        # slot (COVERAGE.md r12 plan); full oracle, pytest-compared
+        # ---- past-cap: NEW r11-late, scheduled into r12 spare
+        # slots (COVERAGE.md r12 plan); full oracles, pytest-compared
         # every round meanwhile ----
         "q_vocab_coverage": _q_vocab_coverage,
+        "q_resample_ffill": _q_resample_ffill,
         # ---- past-cap: remaining r9-verified (the r12 mandatory
         # block, 46 queries incl. the four bounced bonuses) ----
         "q_precision_at_k": _q_precision_at_k,
@@ -2533,6 +2547,32 @@ def oracle_sql() -> dict[str, str]:
             FROM toks d
             LEFT JOIN totals USING (doc_id)
             LEFT JOIN hits USING (doc_id)
+        """,
+        # resample + forward fill: per-key day grid via
+        # generate_series; both engines mean-downsample per bucket
+        # (rounded 6) then last_value IGNORE NULLS over the grid
+        "q_resample_ffill": """
+            WITH obs AS (
+                SELECT user_id AS key, date_trunc('day', ts) AS b,
+                       round(avg(value), 6) AS v
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
+            ), bounds AS (
+                SELECT key, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1
+            ), grid AS (
+                SELECT key,
+                       unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b
+                FROM bounds
+            )
+            SELECT g.key AS user_id, g.b AS bucket_ts,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY g.key ORDER BY g.b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   v IS NULL AS filled
+            FROM grid g
+            LEFT JOIN obs o ON o.key = g.key AND o.b = g.b
         """,
         # funnel: sequential shrinking entry CTEs, bounded k-row window
         "q_funnel_conversion": """

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "bucketed_range_join"]
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "bucketed_range_join",
+    "resample_ffill",
+]
 
 
 def asof_join(
@@ -143,4 +148,71 @@ def bucketed_range_join(
             & (F.col(f"r_{right_ts}") <= F.col(left_end))
         )
         .drop("__bucket")
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    granularity: str = "hour",
+) -> DataFrame:
+    """Regularize an irregular per-key time series (r11): bucket
+    observations to ``granularity`` (mean per bucket, rounded to 6),
+    generate every bucket between each key's first and last
+    observation, and FORWARD-FILL the gaps — the resample step every
+    time-series consumer (charting, feature windows, drift baselines)
+    needs before assuming a regular grid. Returns
+    ``(key, bucket_ts, value, filled)`` where ``filled`` marks
+    carried-forward rows.
+
+    Scale shape: one (key, bucket) aggregate downsamples the corpus;
+    the per-key grid is a bounded ``sequence`` explode (span /
+    granularity rows — hours over a retention window, never
+    corpus-sized); the forward fill is ONE per-key ordered window
+    (``last(..., ignorenulls=True)``) over the grid, not the raw
+    events. Granularities: ``hour`` / ``day`` / ``minute``
+    (date_trunc units shared with the oracle engines).
+    """
+    if granularity not in ("minute", "hour", "day"):
+        raise ValueError(
+            f"granularity must be minute/hour/day, got {granularity!r}"
+        )
+    from pyspark.sql import Window
+
+    obs = (
+        df.filter(F.col(time_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(granularity, F.col(time_col)).alias("bucket_ts"),
+        )
+        .agg(F.round(F.avg(value_col), 6).alias("__v"))
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence(
+                F.col("__lo"),
+                F.col("__hi"),
+                F.expr(f"interval 1 {granularity}"),
+            )
+        ).alias("bucket_ts"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["key", "bucket_ts"], "left")
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_ts",
+            F.last("__v", ignorenulls=True).over(w).alias("value"),
+            F.col("__v").isNull().alias("filled"),
+        )
     )

@@ -140,3 +140,39 @@ def test_order_priority_interval_not_date_truncated(spark):
     )
     out2 = order_priority_checking(orders, late, late_days=60).collect()
     assert [(r.o_orderpriority, r.order_count) for r in out2] == [("1-URGENT", 1)]
+
+
+def test_resample_ffill_semantics(spark):
+    """r11: in-bucket mean, gap rows carried forward and flagged, no
+    extrapolation past a key's last observation, per-key isolation,
+    validation."""
+    import datetime as dt
+
+    import pytest
+
+    from real_estate_bigdata_spark.operators.temporal import resample_ffill
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=10), 10.0),
+        (1, t0 + dt.timedelta(minutes=50), 20.0),   # same hour: mean 15
+        (1, t0 + dt.timedelta(hours=3), 30.0),      # hours 1-2 filled
+        (2, t0, 5.0),                               # singleton span
+        (None, t0, 1.0),                            # NULL key excluded
+        (3, None, 9.0),                              # NULL ts excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.bucket_ts.hour): (r.value, r.filled)
+        for r in resample_ffill(df, "user_id", "ts", "value").collect()
+    }
+    assert got[(1, 0)] == (15.0, False)
+    assert got[(1, 1)] == (15.0, True)
+    assert got[(1, 2)] == (15.0, True)
+    assert got[(1, 3)] == (30.0, False)
+    assert got[(2, 0)] == (5.0, False)
+    # no extrapolation: user 1 ends at hour 3, user 2 at hour 0
+    assert len(got) == 5
+    assert all(k[0] in (1, 2) for k in got)
+    with pytest.raises(ValueError, match="granularity"):
+        resample_ffill(df, "user_id", "ts", "value", granularity="month")
