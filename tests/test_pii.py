@@ -155,3 +155,31 @@ class TestLuhnCards:
             forbid_python=True,
             min_scans_with_pushdown=1,
         )
+
+
+def test_luhn_detects_every_single_digit_error(spark):
+    """Property (ISO/IEC 7812 guarantee): the Luhn checksum detects ALL
+    single-digit substitution errors — any one-digit mutation of a
+    valid number must fail validation."""
+    import random
+
+    rng = random.Random(77)
+    rows = []
+    for _ in range(20):
+        base = "4" + "".join(rng.choice("0123456789") for _ in range(14))
+        rows.append(("b", base))
+    df = spark.createDataFrame(rows, "tag string, b string")
+    valid = [
+        r.f
+        for r in df.select(
+            F.concat("b", pii.luhn_check_digit(F.col("b"))).alias("f")
+        ).collect()
+    ]
+    mutated = []
+    for s in valid:
+        pos = rng.randrange(len(s))
+        new_d = rng.choice([d for d in "0123456789" if d != s[pos]])
+        mutated.append(s[:pos] + new_d + s[pos + 1:])
+    mdf = spark.createDataFrame([(m,) for m in mutated], "d string")
+    got = mdf.select(pii.luhn_valid(F.col("d")).alias("v")).collect()
+    assert all(r.v is False for r in got)
