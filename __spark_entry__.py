@@ -1789,6 +1789,18 @@ def _q_resample_ffill(spark, sf):
     )
 
 
+def _q_rolling_activity(spark, sf):
+    """Per-user trailing 7-day rolling count/sum/mean over the events
+    table (NEW r11-late, registered PAST-CAP for an r12 spare slot;
+    full DuckDB oracle — both engines run a RANGE frame over
+    microsecond epochs)."""
+    from real_estate_bigdata_spark.operators.temporal import rolling_time_agg
+
+    return rolling_time_agg(
+        load_table(spark, sf, "events"), "user_id", "ts", "value"
+    )
+
+
 def _q_curriculum_phases(spark, sf):
     """Curriculum ordering (NEW r11): difficulty = equal-weight sum of
     z-scored char count + whitespace-token count, bucketed into 4
@@ -2115,10 +2127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries of this dict (observed in r1/r2), so slots are
     ROTATED each round; from r9 the contract is a THREE-round cycle
     (every oracle-bearing query's latest driver row at most two rounds
-    stale — 147 queries against the 50-slot cap cannot cycle faster).
+    stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 147 queries: 135 oracle-bearing + 12 rows-only
+    The registry holds 148 queries: 136 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2229,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every round meanwhile ----
         "q_vocab_coverage": _q_vocab_coverage,
         "q_resample_ffill": _q_resample_ffill,
+        "q_rolling_activity": _q_rolling_activity,
         # ---- past-cap: remaining r9-verified (the r12 mandatory
         # block, 46 queries incl. the four bounced bonuses) ----
         "q_precision_at_k": _q_precision_at_k,
@@ -2547,6 +2560,20 @@ def oracle_sql() -> dict[str, str]:
             FROM toks d
             LEFT JOIN totals USING (doc_id)
             LEFT JOIN hits USING (doc_id)
+        """,
+        # rolling RANGE window: microsecond-epoch ordering in both
+        # engines; identical-timestamp events are RANGE peers
+        "q_rolling_activity": """
+            SELECT user_id, ts,
+                   count(*) OVER w::BIGINT AS n_window,
+                   round(sum(value) OVER w, 6) AS sum_window,
+                   round(avg(value) OVER w, 6) AS avg_window
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+            )
         """,
         # resample + forward fill: per-key day grid via
         # generate_series; both engines mean-downsample per bucket

@@ -34,6 +34,7 @@ __all__ = [
     "interval_join",
     "bucketed_range_join",
     "resample_ffill",
+    "rolling_time_agg",
 ]
 
 
@@ -215,4 +216,45 @@ def resample_ffill(
             F.last("__v", ignorenulls=True).over(w).alias("value"),
             F.col("__v").isNull().alias("filled"),
         )
+    )
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing time-RANGE rolling aggregates per key (r11): for every
+    event, the count / sum / mean of the key's events in the inclusive
+    ``[t - window_days, t]`` window — per-user rolling activity and
+    spend, the feature every behavioral model starts from. Unlike a
+    row-frame window (n preceding ROWS), the RANGE frame is anchored
+    to event TIME, so bursty and sparse users get the same semantics.
+
+    Scale shape: ONE per-key ordered window over microsecond epochs
+    with a rangeBetween frame — Spark evaluates it in a single pass
+    over each key's sorted partition (no self-join, no per-event
+    re-scan). Events with identical (key, timestamp) are RANGE peers
+    and see identical aggregates — deterministic by construction.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from pyspark.sql import Window
+
+    span_us = window_days * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(time_col)))
+        .rangeBetween(-span_us, 0)
+    )
+    return df.filter(
+        F.col(key_col).isNotNull() & F.col(time_col).isNotNull()
+    ).select(
+        key_col,
+        time_col,
+        F.count(F.lit(1)).over(w).cast("long").alias("n_window"),
+        F.round(F.sum(value_col).over(w), 6).alias("sum_window"),
+        F.round(F.avg(value_col).over(w), 6).alias("avg_window"),
     )

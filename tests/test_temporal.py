@@ -176,3 +176,39 @@ def test_resample_ffill_semantics(spark):
     assert all(k[0] in (1, 2) for k in got)
     with pytest.raises(ValueError, match="granularity"):
         resample_ffill(df, "user_id", "ts", "value", granularity="month")
+
+
+def test_rolling_time_agg_range_semantics(spark):
+    """r11: inclusive [t-7d, t] RANGE frame — boundary event included,
+    stale events dropped, identical timestamps are peers, NULL
+    key/time rows excluded, validation."""
+    import datetime as dt
+
+    import pytest
+
+    from real_estate_bigdata_spark.operators.temporal import rolling_time_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(days=7), 30.0),    # exactly 7d: inclusive
+        (1, t0 + dt.timedelta(days=7), 50.0),    # same ts: RANGE peer
+        (1, t0 + dt.timedelta(days=15), 40.0),   # everything aged out
+        (2, t0, 1.0),
+        (None, t0, 9.0),
+        (2, None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = rolling_time_agg(df, "user_id", "ts", "value").collect()
+    assert len(got) == 5
+    by = {}
+    for r in got:
+        by.setdefault((r.user_id, r.ts), []).append(
+            (r.n_window, r.sum_window)
+        )
+    assert by[(1, t0)] == [(1, 10.0)]
+    # the two same-timestamp events are peers: both see all 3 rows
+    assert by[(1, t0 + dt.timedelta(days=7))] == [(3, 90.0)] * 2
+    assert by[(1, t0 + dt.timedelta(days=15))] == [(1, 40.0)]
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_time_agg(df, "user_id", "ts", "value", window_days=0)
