@@ -1453,7 +1453,7 @@ def source_overlap_matrix(
 ) -> DataFrame:
     """Cross-source duplication matrix (r11): aggregate a near-dup pair
     stream by the UNORDERED source pair of its endpoints —
-    ``(source_a, source_b, n_pairs, n_docs_a_side, n_docs_b_side)``
+    ``(source_a, source_b, n_pairs, n_docs_a, n_docs_b)``
     with source_a <= source_b. The curation readout that tells you
     WHICH crawls/dumps duplicate each other (a high diagonal = a
     self-duplicating source; a heavy off-diagonal = two mirrors of the

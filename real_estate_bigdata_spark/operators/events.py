@@ -153,10 +153,15 @@ def funnel_conversion(
         )
         cond = t > F.col("__prev")
         if within_hours is not None:
+            # make_interval(hours=...) truncates fractional hours to the
+            # integer part; the secs argument is decimal-capable, so
+            # within_hours=1.5 really caps at 90 minutes (r12 ADVICE fix).
             cond = cond & (
                 t
                 <= F.col("__prev")
-                + F.make_interval(hours=F.lit(float(within_hours)))
+                + F.make_interval(
+                    secs=F.lit(float(within_hours) * 3600.0)
+                )
             )
         reached = (
             events.filter(ty == step)

@@ -71,6 +71,27 @@ class TestFunnel:
         }
         assert got == {"view": 3, "click": 1}
 
+    def test_fractional_within_hours_is_not_truncated(self, spark):
+        """within_hours=1.5 must cap at 90 minutes, not 60 (r12 ADVICE:
+        make_interval(hours=...) silently truncates fractional hours;
+        the implementation now uses the decimal-capable secs arg)."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+        rows = [
+            (m(0), 1, "view"), (m(75), 1, "click"),   # 75 min: in 1.5h
+            (m(0), 2, "view"), (m(100), 2, "click"),  # 100 min: out
+            (m(0), 3, "view"), (m(90), 3, "click"),   # exactly 90: in (<=)
+        ]
+        got = {
+            r.step: r.n_users
+            for r in funnel_conversion(
+                _ev(spark, rows), ["view", "click"], within_hours=1.5
+            ).collect()
+        }
+        assert got == {"view": 3, "click": 2}
+
     def test_validates_steps(self, spark):
         df = _ev(spark, [])
         with pytest.raises(ValueError, match=">= 2 steps"):
