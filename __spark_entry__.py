@@ -822,7 +822,11 @@ def _q_dawid_skene(spark, sf):
     budget with the convergence aggregate skipped (tol=None — one
     action per round; the full convergence loop and the
     unreliable-rater recovery are pinned against an independent numpy
-    EM mirror in tests/test_evaluation.py::TestDawidSkene)."""
+    EM mirror in tests/test_evaluation.py::TestDawidSkene). r12: the
+    fixture's ~6k-vote table is under the LIMIT-probed
+    small_votes_threshold, so the EM runs on the bounded numpy fast
+    path (distributed-vs-fast parity pinned in the same test class;
+    guard re-pinned 5.18 -> 1.561)."""
     from real_estate_bigdata_spark.operators.evaluation import dawid_skene
 
     return dawid_skene(

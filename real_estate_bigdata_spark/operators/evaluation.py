@@ -1094,6 +1094,64 @@ def consensus_labels(
     ).withColumnRenamed("__i", item_col)
 
 
+def _dawid_skene_numpy(
+    rows,
+    cats,
+    max_iter: int,
+    tol: float | None,
+    smoothing: float,
+) -> list[tuple]:
+    """Vectorized EM on collected ``(__i, __r, __k)`` vote rows — the
+    bounded fast path of :func:`dawid_skene`. Same init (majority-vote
+    shares), Laplace smoothing, prior floor, softmax, ``tol``/
+    ``max_iter`` stopping, and smallest-class argmax tie-break as the
+    distributed loop (``cats`` arrives sorted, so the first-index
+    argmax IS the smallest-value tie-break). Returns
+    ``[(item, label, confidence, n_ratings), ...]`` sorted by item."""
+    items = sorted({r["__i"] for r in rows})
+    raters = sorted({r["__r"] for r in rows})
+    ii = {v: n for n, v in enumerate(items)}
+    ri = {v: n for n, v in enumerate(raters)}
+    ci = {v: n for n, v in enumerate(cats)}
+    n_items, n_raters, n_cats = len(items), len(raters), len(cats)
+    i_idx = np.array([ii[r["__i"]] for r in rows])
+    r_idx = np.array([ri[r["__r"]] for r in rows])
+    k_idx = np.array([ci[r["__k"]] for r in rows])
+    post = np.zeros((n_items, n_cats))
+    np.add.at(post, (i_idx, k_idx), 1.0)
+    nv = post.sum(axis=1)
+    post /= nv[:, None]
+    for _ in range(max_iter):
+        pri = post.mean(axis=0)
+        # conf[r, vk, c] = sum over votes (i, r, vk) of post[i, c]
+        conf = np.zeros((n_raters, n_cats, n_cats))
+        np.add.at(conf, (r_idx, k_idx), post[i_idx])
+        tot = conf.sum(axis=1, keepdims=True)  # (r, 1, c)
+        theta = (conf + smoothing) / (tot + smoothing * n_cats)
+        logp = np.tile(np.log(pri + 1e-300), (n_items, 1))
+        np.add.at(logp, i_idx, np.log(theta)[r_idx, k_idx])
+        mx = logp.max(axis=1, keepdims=True)
+        e = np.exp(logp - mx)
+        new_post = e / e.sum(axis=1, keepdims=True)
+        if tol is not None:
+            delta = float(np.abs(new_post - post).max())
+            post = new_post
+            if delta < tol:
+                break
+        else:
+            post = new_post
+    win = post.argmax(axis=1)  # first max = smallest class (cats sorted)
+    return [
+        (
+            item,
+            cats[int(win[n])],
+            round(float(post[n, int(win[n])]), 6),
+            int(nv[n]),
+        )
+        for n, item in enumerate(items)
+    ]
+
+
 def dawid_skene(
     df: DataFrame,
     item_col: str,
@@ -1102,6 +1160,7 @@ def dawid_skene(
     max_iter: int = 20,
     tol: float | None = 1e-6,
     smoothing: float = 0.01,
+    small_votes_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Dawid-Skene EM label aggregation (Dawid & Skene 1979) — the
     confusion-matrix-weighted upgrade of :func:`consensus_labels`:
@@ -1137,6 +1196,20 @@ def dawid_skene(
     the lineage (the CC/BPE precedent), and the class set is a bounded
     driver collect (labeling taxonomies are enumerable by design —
     validated against ``max_classes=64``).
+
+    Bounded fast path (r12; the Bradley-Terry / union-find precedent):
+    the deduplicated vote table is LIMIT-probed against
+    ``small_votes_threshold`` — labeling studies are item x rater x
+    class tables, usually thousands-to-millions of votes, not
+    corpus-sized — and when it fits (and the dense EM state
+    ``raters * classes^2`` plus the per-vote E-step expansion
+    ``votes * classes`` stays under a fixed driver-memory budget) the
+    EM runs as vectorized numpy on the collected votes: identical
+    init / smoothing / stopping contract, none of the per-round
+    Spark-job overhead an iterative tiny-frame loop pays (measured
+    ~2.5 s of pure scheduling at sf0.1 for a 3-round budget). Above
+    either bound the loop runs distributed as before. Parity between
+    the two branches is pinned in ``tests/test_evaluation.py``.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -1174,6 +1247,27 @@ def dawid_skene(
             f"n_ratings long"
         )
     spark = valid.sparkSession
+    n_cats = len(cats)
+    out_schema = (
+        f"{item_col} {valid.schema['__i'].dataType.simpleString()}, "
+        f"label {valid.schema['__k'].dataType.simpleString()}, "
+        f"confidence double, n_ratings long"
+    )
+    probe = valid.limit(small_votes_threshold + 1).count()
+    if probe <= small_votes_threshold:
+        rows = valid.collect()
+        # dense-state budget: theta is raters*classes^2 doubles and the
+        # vectorized E-step expands votes*classes — cap the sum at
+        # ~48M doubles (~400 MB of temporaries) before going dense
+        n_raters = len({r["__r"] for r in rows})
+        if n_raters * n_cats * n_cats + len(rows) * n_cats <= 48_000_000:
+            return spark.createDataFrame(
+                _dawid_skene_numpy(
+                    rows, cats, max_iter=max_iter, tol=tol,
+                    smoothing=smoothing,
+                ),
+                out_schema,
+            )
     n_items_votes = valid.groupBy("__i").agg(
         F.count(F.lit(1)).cast("long").alias("__nv")
     )
@@ -1196,7 +1290,6 @@ def dawid_skene(
             ),
         )
     ).localCheckpoint(eager=True)
-    n_cats = len(cats)
     for _ in range(max_iter):
         # M-step: class priors (tiny) and rater confusions
         pri = post.groupBy("__c").agg(F.avg("__p").alias("__pri"))

@@ -1525,19 +1525,57 @@ class TestDawidSkene:
             return orig(self, eager=eager)
 
         monkeypatch.setattr(df_cls, "localCheckpoint", counting)
+        # small_votes_threshold=0 forces the DISTRIBUTED loop (the r12
+        # numpy fast path would otherwise absorb this tiny fixture and
+        # the checkpoint counter would see nothing)
         got_tol = dawid_skene(
-            df, "item", "rater", "cat", max_iter=50, tol=1e-6
+            df, "item", "rater", "cat", max_iter=50, tol=1e-6,
+            small_votes_threshold=0,
         ).collect()
         iters = calls["n"] - 2
         assert iters < 50, "tol mode never exited early"
         assert iters >= 1
         monkeypatch.undo()
         got_fixed = dawid_skene(
-            df, "item", "rater", "cat", max_iter=5, tol=None
+            df, "item", "rater", "cat", max_iter=5, tol=None,
+            small_votes_threshold=0,
         ).collect()
         as_map = lambda rs: {r.item: (r.label, r.n_ratings) for r in rs}  # noqa: E731
         assert as_map(got_tol) == as_map(got_fixed)
         assert all(r.label == r.item % 3 for r in got_tol)
+
+    def test_distributed_path_matches_fast(self, spark):
+        """r12 (the bradley_terry precedent): the above-threshold
+        DISTRIBUTED EM loop and the bounded numpy fast path must agree
+        on labels/counts exactly and on confidences to float-reduction
+        tolerance, in both tol and fixed-budget modes."""
+        rng = random.Random(13)
+        rows = []
+        for i in range(40):
+            truth = i % 3
+            for r in range(3):
+                noisy = truth if rng.random() < 0.75 else rng.choice([0, 1, 2])
+                rows.append((i, f"r{r}", noisy))
+        df = spark.createDataFrame(rows, "item long, rater string, cat long")
+        for kw in ({"max_iter": 4, "tol": None}, {"max_iter": 25, "tol": 1e-6}):
+            fast = {
+                r.item: r
+                for r in dawid_skene(df, "item", "rater", "cat", **kw).collect()
+            }
+            dist = {
+                r.item: r
+                for r in dawid_skene(
+                    df, "item", "rater", "cat",
+                    small_votes_threshold=0, **kw
+                ).collect()
+            }
+            assert set(fast) == set(dist)
+            for i in fast:
+                assert fast[i].label == dist[i].label, (kw, i)
+                assert fast[i].n_ratings == dist[i].n_ratings
+                assert fast[i].confidence == pytest.approx(
+                    dist[i].confidence, abs=1e-4
+                )
 
     def test_skewed_rater_majority_of_votes(self, spark):
         """VERDICT r10 task #5: one rater holding 90% of all votes must
