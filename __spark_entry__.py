@@ -1828,6 +1828,73 @@ def _q_curriculum_phases(spark, sf):
     )
 
 
+def _q_url_canonical(spark, sf):
+    """URL canonicalization + registered-domain gallery (NEW r12 —
+    VERDICT r11 task #7, the one crawl-pipeline scalar family with no
+    named surface; the reference keys listings by crawled page URL).
+    Deterministic messy URLs are synthesized per doc — mixed-case
+    scheme/host, www variants, default (:80/:443) vs real (:8080)
+    ports crossed against both schemes, utm_* tracking params in
+    leading/trailing/only positions, and fragments — then
+    ``canonicalize_url`` + ``registered_domain`` normalize them
+    (functions/url.py: F.parse_url wrappers, pure map-only Column
+    algebra, zero Python). The DuckDB oracle derives the expected
+    canonical form ANALYTICALLY from the same doc_id arithmetic — an
+    independent ground truth for the whole parse+normalize path, not
+    a SQL re-implementation of the parser. ``domain`` is the
+    cap_per_group / source-overlap key at crawl scale."""
+    from real_estate_bigdata_spark.functions.url import (
+        canonicalize_url,
+        registered_domain,
+    )
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW."))
+        .when(d % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("Site")).otherwise(F.lit("site")),
+        (d % 7).cast("string"),
+        F.lit(".example"),
+        F.when(d % 4 == 0, F.lit(".com"))
+        .when(d % 4 == 1, F.lit(".org"))
+        .when(d % 4 == 2, F.lit(".co.uk"))
+        .otherwise(F.lit(".net")),
+        F.when(d % 5 == 0, F.lit(":80"))
+        .when(d % 5 == 1, F.lit(":443"))
+        .when(d % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 50).cast("string"),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="),
+                (d % 100).cast("string"),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(d % 4 == 1, F.concat(F.lit("?id="), (d % 100).cast("string")))
+        .when(d % 4 == 2, F.lit("?utm_medium=a"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 6 == 0, F.concat(F.lit("#sec-"), (d % 9).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        load_table(spark, sf, "documents")
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            canonicalize_url(F.col("url")).alias("canonical_url"),
+            registered_domain(F.col("url")).alias("domain"),
+        )
+    )
+
+
 def _q_credit_card_audit(spark, sf):
     """Luhn-validated credit-card audit (NEW r11): deterministic card
     numbers are injected per doc — a VALID one (check digit computed
@@ -2134,120 +2201,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 148 queries: 136 oracle-bearing + 12 rows-only
+    The registry holds 149 queries: 137 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
     rows-only query NEVER displaces an oracle-bearing query from its
-    scheduled re-verification round — it may only occupy a spare slot
-    (this round: q_image_neardup sits in-cap because its PNG rework
-    CHANGED its path, in a spare slot after the mandatory block).
+    scheduled re-verification round — it may only occupy a slot on
+    first registration, on an implementation/fixture CHANGE, or as a
+    spare (this round: q_dawid_skene is in-cap because its bounded
+    numpy fast path CHANGED its execution path).
 
-    Round-11 rotation (VERDICT r10 tasks #1/#3, COVERAGE.md r11 map).
+    Round-12 rotation (VERDICT r11 tasks #1/#2/#7, COVERAGE.md r12
+    map — executed as pre-planned, with the plan's own displacement
+    rule applied once for the one NEW r12 oracle query).
     In-cap slots 1-50:
-    (a) slots 1-36 — ALL 36 r8-verified returners at the two-round
-        staleness maximum (the mandatory block: the r10-displaced
-        q_asof_view_purchase / q_bm25_search / q_value_histogram /
-        q_distribution_drift / q05, the q06/q10/q12-q14/q17 joins,
-        embed-cosine, vocab/unigram/chunk text tier, pivot/topk/
-        rollup/window-frames aggregates, corpus health/diff, pii,
-        repetition, curation, mixtures, drift, novelty, cross-corpus);
-    (b) slots 37-42 — the 6 NEW r11 queries, first driver
-        verification: q11_important_stock + q20_potential_promotion
-        (the two TPC-H plan shapes VERDICT r10 task #3 asked for),
-        q_best_survivors, q_source_overlap, q_credit_card_audit,
-        q_curriculum_phases;
-    (c) slot 43 — q_image_neardup, CHANGED in r11 (real stdlib-PNG
-        payloads replace the sha-stub fixture), must re-verify;
-    (d) slots 44-46 — 3 r9-verified eval-tier queries pulled one round
-        EARLY (q_auc_fixed, q_calibration_bins, q_confusion_probe) to
-        pre-drain the r12 block;
-    (e) slots 47-50 — the NEW r11-late tiers: pairwise preferences
-        (q_pairwise_winrate, full oracle; q_bradley_terry, rows-only
-        with a numpy MM mirror) and event analytics
-        (q_funnel_conversion, q_cohort_retention, both full oracles),
-        which displaced four pulled-early BONUS slots back to their
-        normally-scheduled r12 block — no mandatory returner was
-        displaced.
+    (a) slots 1-46 — ALL 46 r9-verified returners at the two-round
+        staleness maximum (the mandatory block VERDICT r11 task #1
+        named: the four bounced eval bonuses, the agreement/kappa/
+        bootstrap eval tier, pair-set QA, the rows-only ANN/BPE/probe
+        family, q01/q02, normalization, the exact/banded dedup
+        battery, capping, boilerplate, SemDeDup, bigram LM, packing,
+        redaction, shuffle-shard, clustering, label QA, text quality,
+        sampling, decontamination, token accounting);
+    (b) slot 47 — q_dawid_skene, CHANGED in r12 (bounded numpy fast
+        path, VERDICT r11 task #2), must re-verify (rows-only; the
+        distributed-vs-fast parity is pytest-pinned);
+    (c) slot 48 — q_url_canonical, NEW r12 (VERDICT r11 task #7: URL
+        canonicalization + registered-domain gallery, full analytical
+        DuckDB oracle);
+    (d) slots 49-50 — q_vocab_coverage + q_resample_ffill (r11-late,
+        first-ever driver rows). Per the written r12 plan, the one
+        NEW oracle query (c) displaces exactly one r11-late row:
+        q_rolling_activity defers to r13 — its nearest sibling
+        q_resample_ffill (same per-key ordered-window temporal
+        family) is in-cap, and it stays DuckDB-compared on every
+        pytest run meanwhile.
 
-    Past slot 50: (i) the 46 remaining r9-verified queries — the r12
-    mandatory block (46 < 50, so r12 keeps >= 4 spare slots even
-    before r12-new additions); (ii) the 54 r10-verified queries (one
-    round stale; the r13 block alongside whatever r11 verifies).
-    Union invariant: r10 ∪ r11 driver rows cover every registry query
-    except the 46 r12-scheduled r9-verified returners, and every
+    Past slot 50: (i) q_rolling_activity (r13, first driver row);
+    (ii) the 48 queries whose latest driver row is r10 (two rounds
+    stale after r12 — the r13 MANDATORY block: 47 oracle-bearing +
+    rows-only q_ann_recall, which under the rows-only policy occupies
+    a spare slot only, so the block fits the cap with room to spare);
+    (iii) the 50 r11-verified queries (one round stale; the r14
+    block). Registry-growth policy (VERDICT r11 task #5) is written
+    in COVERAGE.md: strict three-round rotation over ORACLE-BEARING
+    queries only, <= 4 new oracle queries per round on average
+    (150-slot cycle vs 137 oracles), consolidation before
+    displacement.
+    Union invariant: r11 ∪ r12 driver rows cover every registry query
+    except the 48 r13-scheduled r10-verified returners, and every
     oracle-bearing query is additionally DuckDB-compared on every
     pytest run (tests/test_queries.py::test_query_matches_oracle),
     in-cap or not.
     """
     return {
-        # ---- slots 1-36: the 36 r8-verified returners (mandatory
-        # r11 block — two rounds stale, VERDICT r10 task #1) ----
-        "q_asof_view_purchase": _q_asof_view_purchase,
-        "q_bm25_search": _q_bm25_search,
-        "q_value_histogram": _q_value_histogram,
-        "q_distribution_drift": _q_distribution_drift,
-        "q05_local_supplier_volume": _q05_local_supplier_volume,
-        "q_embed_cosine_topk": _q_embed_cosine_topk,
-        "q06_forecast_revenue": _q06_forecast_revenue,
-        "q10_returned_items": _q10_returned_items,
-        "q12_priority_lines": _q12_priority_lines,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "q17_small_quantity": _q17_small_quantity,
-        "q_vocab_top_tokens": _q_vocab_top_tokens,
-        "q_unigram_logprob": _q_unigram_logprob,
-        "q_chunk_documents": _q_chunk_documents,
-        "q_pivot_status": _q_pivot_status,
-        "q_collect_top_keys": _q_collect_top_keys,
-        "q_set_nation_coverage": _q_set_nation_coverage,
-        "q_mixture_balance": _q_mixture_balance,
-        "q_json_props": _q_json_props,
-        "q_corpus_health": _q_corpus_health,
-        "q_hash_split": _q_hash_split,
-        "q_pack_documents": _q_pack_documents,
-        "q_pii_redaction": _q_pii_redaction,
-        "q_repetition": _q_repetition,
-        "q_curate_corpus": _q_curate_corpus,
-        "q_topk_orders": _q_topk_orders,
-        "q_window_frames": _q_window_frames,
-        "q_rollup_orders": _q_rollup_orders,
-        "q_corpus_diff": _q_corpus_diff,
-        "q_linear_quality": _q_linear_quality,
-        "q_temperature_mixture": _q_temperature_mixture,
-        "q_perplexity_buckets": _q_perplexity_buckets,
-        "q_source_drift": _q_source_drift,
-        "q_novelty_scores": _q_novelty_scores,
-        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
-        # ---- slots 37-42: NEW r11, first driver verification ----
-        "q11_important_stock": _q11_important_stock,
-        "q20_potential_promotion": _q20_potential_promotion,
-        "q_best_survivors": _q_best_survivors,
-        "q_source_overlap": _q_source_overlap,
-        "q_credit_card_audit": _q_credit_card_audit,
-        "q_curriculum_phases": _q_curriculum_phases,
-        # ---- slot 43: CHANGED r11 (real-PNG fixture), re-verify ----
-        "q_image_neardup": _q_image_neardup,
-        # ---- slots 44-50: r9-verified pulled one round early to
-        # pre-drain the r12 block ----
-        "q_auc_fixed": _q_auc_fixed,
-        "q_calibration_bins": _q_calibration_bins,
-        "q_confusion_probe": _q_confusion_probe,
-        # ---- slots 47-50: NEW r11-late tiers (displacing four of
-        # the pulled-early r9 bonuses back to their normally scheduled
-        # r12 block — no mandatory returner is displaced) ----
-        "q_pairwise_winrate": _q_pairwise_winrate,
-        "q_bradley_terry": _q_bradley_terry,
-        "q_funnel_conversion": _q_funnel_conversion,
-        "q_cohort_retention": _q_cohort_retention,
-        # ---- past-cap: NEW r11-late, scheduled into r12 spare
-        # slots (COVERAGE.md r12 plan); full oracles, pytest-compared
-        # every round meanwhile ----
-        "q_vocab_coverage": _q_vocab_coverage,
-        "q_resample_ffill": _q_resample_ffill,
-        "q_rolling_activity": _q_rolling_activity,
-        # ---- past-cap: remaining r9-verified (the r12 mandatory
-        # block, 46 queries incl. the four bounced bonuses) ----
+        # ---- slots 1-46: the 46 r9-verified returners (mandatory
+        # r12 block — two rounds stale, VERDICT r11 task #1) ----
         "q_precision_at_k": _q_precision_at_k,
         "q_auc_by_slice": _q_auc_by_slice,
         "q_ranking_eval": _q_ranking_eval,
@@ -2294,7 +2303,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_semantic_decontaminate": _q_semantic_decontaminate,
         "q_token_accounting": _q_token_accounting,
-        # ---- past-cap: r10-verified (one round stale; r13 block) ----
+        # ---- slot 47: CHANGED r12 (bounded numpy fast path, VERDICT
+        # r11 task #2), re-verify; rows-only, parity pytest-pinned ----
+        "q_dawid_skene": _q_dawid_skene,
+        # ---- slot 48: NEW r12 (VERDICT r11 task #7) ----
+        "q_url_canonical": _q_url_canonical,
+        # ---- slots 49-50: r11-late, first driver rows ----
+        "q_vocab_coverage": _q_vocab_coverage,
+        "q_resample_ffill": _q_resample_ffill,
+        # ---- past-cap: r11-late displaced by the one NEW r12 oracle
+        # query (written displacement rule); first driver row r13,
+        # sibling q_resample_ffill in-cap, pytest-compared meanwhile --
+        "q_rolling_activity": _q_rolling_activity,
+        # ---- past-cap: r10-verified (two rounds stale after r12 —
+        # the r13 MANDATORY block) ----
         "q_media_stats": _q_media_stats,
         "q_union_all_tagged": _q_union_all_tagged,
         "q_dedup_containment": _q_dedup_containment,
@@ -2343,7 +2365,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_item_disagreement": _q_item_disagreement,
         "q_rater_reliability": _q_rater_reliability,
         "q_consensus_labels": _q_consensus_labels,
-        "q_dawid_skene": _q_dawid_skene,
+        # ---- past-cap: r11-verified (one round stale; r14 block) ----
+        "q_asof_view_purchase": _q_asof_view_purchase,
+        "q_bm25_search": _q_bm25_search,
+        "q_value_histogram": _q_value_histogram,
+        "q_distribution_drift": _q_distribution_drift,
+        "q05_local_supplier_volume": _q05_local_supplier_volume,
+        "q_embed_cosine_topk": _q_embed_cosine_topk,
+        "q06_forecast_revenue": _q06_forecast_revenue,
+        "q10_returned_items": _q10_returned_items,
+        "q12_priority_lines": _q12_priority_lines,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_quantity": _q17_small_quantity,
+        "q_vocab_top_tokens": _q_vocab_top_tokens,
+        "q_unigram_logprob": _q_unigram_logprob,
+        "q_chunk_documents": _q_chunk_documents,
+        "q_pivot_status": _q_pivot_status,
+        "q_collect_top_keys": _q_collect_top_keys,
+        "q_set_nation_coverage": _q_set_nation_coverage,
+        "q_mixture_balance": _q_mixture_balance,
+        "q_json_props": _q_json_props,
+        "q_corpus_health": _q_corpus_health,
+        "q_hash_split": _q_hash_split,
+        "q_pack_documents": _q_pack_documents,
+        "q_pii_redaction": _q_pii_redaction,
+        "q_repetition": _q_repetition,
+        "q_curate_corpus": _q_curate_corpus,
+        "q_topk_orders": _q_topk_orders,
+        "q_window_frames": _q_window_frames,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_corpus_diff": _q_corpus_diff,
+        "q_linear_quality": _q_linear_quality,
+        "q_temperature_mixture": _q_temperature_mixture,
+        "q_perplexity_buckets": _q_perplexity_buckets,
+        "q_source_drift": _q_source_drift,
+        "q_novelty_scores": _q_novelty_scores,
+        "q_cross_corpus_pairs": _q_cross_corpus_pairs,
+        "q11_important_stock": _q11_important_stock,
+        "q20_potential_promotion": _q20_potential_promotion,
+        "q_best_survivors": _q_best_survivors,
+        "q_source_overlap": _q_source_overlap,
+        "q_credit_card_audit": _q_credit_card_audit,
+        "q_curriculum_phases": _q_curriculum_phases,
+        "q_image_neardup": _q_image_neardup,
+        "q_auc_fixed": _q_auc_fixed,
+        "q_calibration_bins": _q_calibration_bins,
+        "q_confusion_probe": _q_confusion_probe,
+        "q_pairwise_winrate": _q_pairwise_winrate,
+        "q_bradley_terry": _q_bradley_terry,
+        "q_funnel_conversion": _q_funnel_conversion,
+        "q_cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2762,6 +2834,53 @@ def oracle_sql() -> dict[str, str]:
         # transforms; validation doubles reversed-EVEN 1-based
         # positions, check-digit derivation doubles reversed-ODD (the
         # appended digit shifts base parity by one)
+        "q_url_canonical": r"""
+            WITH u AS (
+                SELECT doc_id,
+                    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                    || '://'
+                    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+                             WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END)
+                    || (CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END)
+                    || (doc_id % 7)::VARCHAR || '.example'
+                    || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                             WHEN 2 THEN '.co.uk' ELSE '.net' END)
+                    || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                             WHEN 2 THEN ':8080' ELSE '' END)
+                    || '/p/' || (doc_id % 50)::VARCHAR
+                    || (CASE doc_id % 4
+                        WHEN 0 THEN '?utm_source=feed&id='
+                                    || (doc_id % 100)::VARCHAR
+                                    || '&utm_campaign=x'
+                        WHEN 1 THEN '?id=' || (doc_id % 100)::VARCHAR
+                        WHEN 2 THEN '?utm_medium=a' ELSE '' END)
+                    || (CASE WHEN doc_id % 6 = 0
+                             THEN '#sec-' || (doc_id % 9)::VARCHAR
+                             ELSE '' END) AS url
+                FROM documents
+            )
+            -- the expected canonical form derived ANALYTICALLY from
+            -- the fixture arithmetic (independent of any URL parser):
+            -- lower scheme/host, www stripped, :80/:443 kept only
+            -- cross-scheme, :8080 kept, tracking params dropped,
+            -- fragment dropped
+            SELECT doc_id, url,
+                (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                || '://site' || (doc_id % 7)::VARCHAR || '.example'
+                || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                         WHEN 2 THEN '.co.uk' ELSE '.net' END)
+                || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
+                         WHEN doc_id % 5 = 1 AND doc_id % 2 = 0 THEN ':443'
+                         WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)
+                || '/p/' || (doc_id % 50)::VARCHAR
+                || (CASE WHEN doc_id % 4 IN (0, 1)
+                         THEN '?id=' || (doc_id % 100)::VARCHAR
+                         ELSE '' END) AS canonical_url,
+                'example'
+                || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                         WHEN 2 THEN '.co.uk' ELSE '.net' END) AS domain
+            FROM u
+        """,
         "q_credit_card_audit": r"""
             WITH base AS (
                 SELECT doc_id, text,
