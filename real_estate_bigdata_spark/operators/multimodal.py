@@ -904,3 +904,166 @@ def png_dimensions(media: DataFrame) -> DataFrame:
         F.when(ok, width).alias("png_width"),
         F.when(ok, height).alias("png_height"),
     )
+
+
+def _be(col, pos, nbytes):
+    """Big-endian unsigned int from ``nbytes`` at 1-based ``pos`` of
+    binary ``col`` (int or Column pos) — hex of a binary slice is
+    already big-endian, so conv(hex, 16, 10) is the whole parse."""
+    return F.conv(F.hex(F.substring(col, pos, nbytes)), 16, 10).cast("long")
+
+
+def _le(col, pos, nbytes):
+    """Little-endian unsigned int: sum byte_i * 256^i over the slice."""
+    out = None
+    for i in range(nbytes):
+        term = _be(col, pos + i if isinstance(pos, int) else pos + F.lit(i), 1) * (256 ** i)
+        out = term if out is None else out + term
+    return out
+
+
+#: SOF marker second bytes (0xFFCn) that carry frame dimensions —
+#: every Cn except C4 (DHT), C8 (JPG extension), CC (DAC).
+_JPEG_SOF_MARKERS = [
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+]
+
+#: bounded JPEG header walk: real images put SOF within the first
+#: dozen segments (SOI, APPn, COM, DQT, DHT, then SOFn before SOS);
+#: 48 steps is far past any real header while keeping the fold a
+#: fixed-size expression tree.
+_JPEG_MAX_SEGMENTS = 48
+
+
+def _jpeg_dimensions(content):
+    """(width, height) struct parsed from a JPEG's SOF marker with a
+    PURE Column expression — a bounded ``F.aggregate`` fold walks the
+    marker chain segment by segment (each segment's length field says
+    where the next marker starts), so 0xFFC0 byte pairs INSIDE a DQT/
+    DHT payload can never false-match, unlike a regex-over-hex scan.
+    Fill bytes (0xFF padding before a marker) are skipped; hitting SOS
+    or EOI before any SOF, running off the end, or a non-0xFF where a
+    marker must be, ends the walk with NULL dimensions."""
+    c = content
+    n = F.length(c)
+    init = F.struct(
+        F.lit(3).cast("long").alias("pos"),  # just past FF D8
+        F.lit(None).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("h"),
+        F.lit(False).alias("done"),
+    )
+
+    def step(st, _):
+        pos, done = st["pos"], st["done"]
+        out_of_bounds = pos + F.lit(1) > n
+        b0 = _be(c, pos, 1)
+        b1 = _be(c, pos + F.lit(1), 1)
+        seg_len = _be(c, pos + F.lit(2), 2)
+        is_sof = b1.isin(*_JPEG_SOF_MARKERS)
+        sof_ok = pos + F.lit(8) <= n
+        halt = lambda: F.struct(  # noqa: E731 — keep state, stop walking
+            pos.alias("pos"), st["w"].alias("w"), st["h"].alias("h"),
+            F.lit(True).alias("done"),
+        )
+        return (
+            F.when(done | out_of_bounds | (b0 != 255), halt())
+            .when(
+                b1 == 255,  # fill byte: markers may be 0xFF-padded
+                F.struct(
+                    (pos + 1).alias("pos"), st["w"].alias("w"),
+                    st["h"].alias("h"), F.lit(False).alias("done"),
+                ),
+            )
+            .when(
+                is_sof,
+                F.struct(
+                    pos.alias("pos"),
+                    F.when(sof_ok, _be(c, pos + F.lit(7), 2)).alias("w"),
+                    F.when(sof_ok, _be(c, pos + F.lit(5), 2)).alias("h"),
+                    F.lit(True).alias("done"),
+                ),
+            )
+            # standalone markers (no length field): SOI, RSTn, TEM
+            .when(
+                (b1 == 0xD8) | ((b1 >= 0xD0) & (b1 <= 0xD7)) | (b1 == 0x01),
+                F.struct(
+                    (pos + 2).alias("pos"), st["w"].alias("w"),
+                    st["h"].alias("h"), F.lit(False).alias("done"),
+                ),
+            )
+            # SOS/EOI before any SOF: entropy data follows — give up
+            .when((b1 == 0xDA) | (b1 == 0xD9), halt())
+            .otherwise(
+                F.struct(
+                    (pos + 2 + seg_len).alias("pos"), st["w"].alias("w"),
+                    st["h"].alias("h"), F.lit(False).alias("done"),
+                )
+            )
+        )
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)), init, step
+    )
+    return F.struct(walked["w"].alias("w"), walked["h"].alias("h"))
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """(media_id, format, width, height) parsed from image file
+    headers with PURE Column expressions — no decode, no Python (r12:
+    the ``png_dimensions`` pattern extended to the real mixed-crawl
+    case per VERDICT r11 task #3). The 100 TB triage posture: format
+    and dimensions come out of a few header bytes inside the JVM scan
+    (whole-stage codegen, zero exchanges, zero Arrow crossings), so
+    thumbnails/banners are filtered out and only the survivors ever
+    pay a real decode pass.
+
+    Formats: PNG (big-endian IHDR), GIF87a/GIF89a (little-endian
+    logical-screen descriptor), BMP (little-endian BITMAPINFOHEADER;
+    height is SIGNED — top-down bitmaps store it negative, reported
+    here as abs), JPEG (bounded marker-chain walk to the first SOF —
+    see :func:`_jpeg_dimensions`; real JPEG *decode* stays env-gated,
+    this parses 8 bytes of the frame header only). Unknown magic,
+    truncated, or NULL payloads yield NULL format/dimensions —
+    visible, like every corrupt-media contract here."""
+    c = F.col("content")
+    n = F.length(c)
+    head = F.hex(F.substring(c, 1, 8))
+    is_png = (head == "89504E470D0A1A0A") & (n >= 24)
+    is_gif = F.hex(F.substring(c, 1, 6)).isin("474946383761", "474946383961") & (
+        n >= 10
+    )
+    is_bmp = (F.hex(F.substring(c, 1, 2)) == "424D") & (n >= 26)
+    is_jpeg = (F.hex(F.substring(c, 1, 2)) == "FFD8") & (n >= 4)
+    # BMP width/height are signed little-endian int32 (negative height
+    # = top-down row order); fold the two's complement back
+    bmp_w_raw = _le(c, 19, 4)
+    bmp_h_raw = _le(c, 23, 4)
+    signed = lambda v: F.when(  # noqa: E731
+        v >= 2**31, v - F.lit(2**32)
+    ).otherwise(v)
+    jpeg_dims = _jpeg_dimensions(c)
+    fmt = (
+        F.when(is_png, F.lit("png"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
+        .when(is_jpeg, F.lit("jpeg"))
+    )
+    width = (
+        F.when(is_png, _be(c, 17, 4))
+        .when(is_gif, _le(c, 7, 2))
+        .when(is_bmp, F.abs(signed(bmp_w_raw)))
+        .when(is_jpeg, jpeg_dims["w"])
+    )
+    height = (
+        F.when(is_png, _be(c, 21, 4))
+        .when(is_gif, _le(c, 9, 2))
+        .when(is_bmp, F.abs(signed(bmp_h_raw)))
+        .when(is_jpeg, jpeg_dims["h"])
+    )
+    return media.select(
+        "media_id",
+        fmt.alias("format"),
+        width.alias("width"),
+        height.alias("height"),
+    )

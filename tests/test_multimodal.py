@@ -678,6 +678,105 @@ def test_png_dimensions_jvm_only_header_parse(spark):
     assert_plan(out, max_shuffles=0, forbid_python=True)
 
 
+def _gif_bytes(w, h, version=b"89a"):
+    import struct
+
+    return (
+        b"GIF" + version + struct.pack("<HH", w, h)
+        + b"\x00\x00\x00" + b"\x3b"
+    )
+
+
+def _bmp_bytes(w, h):
+    """Minimal BITMAPINFOHEADER BMP; negative h = top-down row order."""
+    import struct
+
+    header = struct.pack("<iiHHII", w, h, 1, 24, 0, 0)
+    info = struct.pack("<I", 40) + header + b"\x00" * 16
+    return b"BM" + struct.pack("<I", 54 + 16) + b"\x00" * 4 + struct.pack("<I", 54) + info
+
+
+def _jpeg_header_bytes(w, h, marker=0xC0, dqt_trap=True, fill=0):
+    """Synthesized JPEG header: SOI + APP0(JFIF) + DQT + SOFn + SOS +
+    EOI. ``dqt_trap`` plants a literal FF C0 byte pair INSIDE the DQT
+    payload — a regex-over-hex scan would false-match it, the segment
+    walk must not. ``fill`` prepends 0xFF padding before the SOF."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt_payload = b"\x00" + (b"\xff\xc0\x11\x22" * 16)[:64] if dqt_trap else b"\x00" + b"\x10" * 64
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + len(dqt_payload)) + dqt_payload
+    sof = (
+        b"\xff" * fill
+        + bytes([0xFF, marker])
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x01\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + dqt + sof + sos + b"\xf0\x0d" + b"\xff\xd9"
+
+
+def test_image_dimensions_dispatcher_all_formats(spark):
+    """r12 (VERDICT r11 task #3): one JVM-side header-triage dispatcher
+    for the mixed-crawl case — PNG/GIF/BMP trivial headers plus the
+    JPEG SOF marker walk — with NULL for unknown/truncated/NULL
+    payloads and a map-only no-Python plan."""
+    import numpy as np
+
+    from real_estate_bigdata_spark.plans import assert_plan
+
+    rows = [
+        (0, bytes(mm.encode_png(np.zeros((13, 7, 3), dtype=np.uint8)))),
+        (1, _gif_bytes(320, 200)),
+        (2, _gif_bytes(5, 9, version=b"87a")),
+        (3, _bmp_bytes(640, 480)),
+        (4, _bmp_bytes(33, -77)),            # top-down BMP: abs height
+        (5, _jpeg_header_bytes(1024, 768)),  # SOF0 + DQT trap bytes
+        (6, _jpeg_header_bytes(50, 60, marker=0xC2)),   # progressive
+        (7, _jpeg_header_bytes(12, 34, fill=3)),        # FF padding
+        (90, b"not an image at all....."),
+        (91, None),
+        (92, _gif_bytes(320, 200)[:8]),      # truncated GIF
+        (93, b"\xff\xd8\xff\xd9"),           # JPEG with no SOF at all
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = mm.image_dimensions(df)
+    got = {r.media_id: (r.format, r.width, r.height) for r in out.collect()}
+    assert got[0] == ("png", 7, 13)
+    assert got[1] == ("gif", 320, 200)
+    assert got[2] == ("gif", 5, 9)
+    assert got[3] == ("bmp", 640, 480)
+    assert got[4] == ("bmp", 33, 77)
+    assert got[5] == ("jpeg", 1024, 768)
+    assert got[6] == ("jpeg", 50, 60)
+    assert got[7] == ("jpeg", 12, 34)
+    assert got[90] == (None, None, None)
+    assert got[91] == (None, None, None)
+    assert got[92] == (None, None, None)
+    assert got[93] == ("jpeg", None, None)
+    assert_plan(out, max_shuffles=0, forbid_python=True)
+
+
+def test_image_dimensions_jpeg_matches_pil_when_available(spark):
+    """When PIL exists, the SOF walk must agree with a real decoder on
+    a PIL-encoded JPEG (env-gated like the other codec tests)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.random.RandomState(5).randint(0, 255, (48, 32, 3), dtype=np.uint8)
+    ).save(buf, format="JPEG")
+    df = spark.createDataFrame([(0, buf.getvalue())], "media_id long, content binary")
+    r = mm.image_dimensions(df).collect()[0]
+    assert (r.format, r.width, r.height) == ("jpeg", 32, 48)
+
+
 def test_png_roundtrip_property_random_shapes():
     """r11: encode->stdlib-decode is the identity on uint8 RGB for
     arbitrary shapes, including 1-pixel edges and skinny strips."""
