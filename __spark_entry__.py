@@ -1895,6 +1895,49 @@ def _q_url_canonical(spark, sf):
     )
 
 
+def _q_domain_cap(spark, sf):
+    """Per-DOMAIN crawl cap (NEW r12-late — the composition VERDICT r11
+    task #7 named: ``registered_domain`` feeding ``cap_per_group`` so
+    anti-dominance capping keys on registrable domains instead of raw
+    crawl-source labels): the q_url_canonical fixture's URLs reduce to
+    their registered domains, then at most 40 docs survive per domain,
+    quality-ordered (longest text first, doc_id tie-break) with the
+    provably-exact percentile prefilter on. Oracle: the domain comes
+    out of the fixture arithmetic analytically and the cap is the
+    plain exact window. Registered PAST-CAP for an r13 spare slot per
+    the growth policy; DuckDB-compared on every pytest run."""
+    from real_estate_bigdata_spark.functions.url import registered_domain
+    from real_estate_bigdata_spark.operators.sampling import cap_per_group
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 7).cast("string"),
+        F.lit(".example"),
+        F.when(d % 4 == 0, F.lit(".com"))
+        .when(d % 4 == 1, F.lit(".org"))
+        .when(d % 4 == 2, F.lit(".co.uk"))
+        .otherwise(F.lit(".net")),
+        F.lit("/p/"),
+        (d % 50).cast("string"),
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("quality"),
+        registered_domain(url).alias("domain"),
+    )
+    return cap_per_group(
+        docs,
+        max_rows=40,
+        group_col="domain",
+        order_col="quality",
+        prefilter_counts=True,
+    ).select("doc_id", "domain", "quality")
+
+
 def _q_credit_card_audit(spark, sf):
     """Luhn-validated credit-card audit (NEW r11): deterministic card
     numbers are injected per doc — a VALID one (check digit computed
@@ -2201,7 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 149 queries: 137 oracle-bearing + 12 rows-only
+    The registry holds 150 queries: 138 oracle-bearing + 12 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2237,7 +2280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         family) is in-cap, and it stays DuckDB-compared on every
         pytest run meanwhile.
 
-    Past slot 50: (i) q_rolling_activity (r13, first driver row);
+    Past slot 50: (i) q_rolling_activity (r13, first driver row) and
+    q_domain_cap (NEW r12-late — registered_domain feeding
+    cap_per_group, the composition VERDICT r11 task #7 named;
+    registered past-cap for an r13 spare slot per the growth policy,
+    full oracle, pytest-compared every round);
     (ii) the 48 queries whose latest driver row is r10 (two rounds
     stale after r12 — the r13 MANDATORY block: 47 oracle-bearing +
     rows-only q_ann_recall, which under the rows-only policy occupies
@@ -2246,7 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     block). Registry-growth policy (VERDICT r11 task #5) is written
     in COVERAGE.md: strict three-round rotation over ORACLE-BEARING
     queries only, <= 4 new oracle queries per round on average
-    (150-slot cycle vs 137 oracles), consolidation before
+    (150-slot cycle vs 138 oracles), consolidation before
     displacement.
     Union invariant: r11 ∪ r12 driver rows cover every registry query
     except the 48 r13-scheduled r10-verified returners, and every
@@ -2315,6 +2362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query (written displacement rule); first driver row r13,
         # sibling q_resample_ffill in-cap, pytest-compared meanwhile --
         "q_rolling_activity": _q_rolling_activity,
+        # ---- past-cap: NEW r12-late, scheduled into an r13 spare
+        # slot per the growth policy (the r11-late precedent); full
+        # oracle, pytest-compared every round meanwhile ----
+        "q_domain_cap": _q_domain_cap,
         # ---- past-cap: r10-verified (two rounds stale after r12 —
         # the r13 MANDATORY block) ----
         "q_media_stats": _q_media_stats,
@@ -2880,6 +2931,28 @@ def oracle_sql() -> dict[str, str]:
                 || (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
                          WHEN 2 THEN '.co.uk' ELSE '.net' END) AS domain
             FROM u
+        """,
+        "q_domain_cap": r"""
+            WITH tagged AS (
+                SELECT doc_id,
+                       n_chars::BIGINT AS quality,
+                       -- registered domain derived analytically from
+                       -- the fixture arithmetic (www/case/port/query
+                       -- variants all reduce to the same domain)
+                       'example' || (CASE doc_id % 4
+                           WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                           WHEN 2 THEN '.co.uk' ELSE '.net' END)
+                           AS domain
+                FROM documents
+            ), ranked AS (
+                SELECT doc_id, domain, quality,
+                       row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY quality DESC, doc_id
+                       ) AS rn
+                FROM tagged
+            )
+            SELECT doc_id, domain, quality FROM ranked WHERE rn <= 40
         """,
         "q_credit_card_audit": r"""
             WITH base AS (

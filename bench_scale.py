@@ -96,10 +96,18 @@ from real_estate_bigdata_spark.operators.bpe import (
     train_bpe,
     train_bpe_batched,
 )
-from real_estate_bigdata_spark.operators.clustering import connected_components
+from real_estate_bigdata_spark.operators.clustering import (
+    best_survivors,
+    connected_components,
+)
+from real_estate_bigdata_spark.operators.events import (
+    cohort_retention,
+    funnel_conversion,
+)
 from real_estate_bigdata_spark.operators.dsir import dsir_select
 from real_estate_bigdata_spark.operators.evaluation import (
     auc_by_slice,
+    bradley_terry,
     dawid_skene,
     krippendorff_alpha,
     pairwise_win_rates,
@@ -316,6 +324,82 @@ def _ranking_eval_df(emb, scale):
         F.greatest(F.lit(0), 5 - F.col("label")).cast("double").alias("grade"),
     ).filter(F.col("grade") > 0)
     return ranking_metrics(ranked, rel, k=10)
+
+
+def _events_from_orders(ords, skew=False):
+    """Event stream derived from the SCALED orders table: user =
+    o_custkey (copies offset custkeys, so users scale with volume and
+    events-per-user stays constant — the funnel/cohort regime), event
+    type hashed 3-ways, timestamps spread within the order day.
+    ``skew=True`` reroutes ~half of ALL events to ONE power user —
+    the r12 funnel skew stressor (VERDICT r11 task #4): the per-step
+    user-key aggregates must absorb a single hot key via AQE/partial
+    aggregation, never stall on one reducer."""
+    user = F.col("o_custkey")
+    if skew:
+        user = F.when(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(2)) == 0, F.lit(-1)
+        ).otherwise(user)
+    return ords.select(
+        user.alias("user_id"),
+        (
+            F.to_timestamp("o_orderdate")
+            + F.make_interval(secs=F.pmod(F.xxhash64("o_orderkey"), F.lit(86400)))
+        ).alias("ts"),
+        F.when(F.pmod(F.xxhash64("o_orderkey", F.lit(1)), F.lit(3)) == 0, F.lit("view"))
+        .when(F.pmod(F.xxhash64("o_orderkey", F.lit(1)), F.lit(3)) == 1, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+    )
+
+
+def _ds_votes(docs):
+    """3-rater vote table growing with the corpus: two honest raters +
+    one hash-noisy rater over a 4-class taxonomy."""
+    return (
+        docs.select(
+            F.col("doc_id").alias("item"),
+            F.explode(F.array(F.lit("r0"), F.lit("r1"), F.lit("r2"))).alias(
+                "rater"
+            ),
+        )
+        .select(
+            "item",
+            "rater",
+            F.when(F.col("rater") != "r2", F.pmod(F.col("item"), F.lit(4)))
+            .otherwise(F.pmod(F.xxhash64("item"), F.lit(4)))
+            .alias("cat"),
+        )
+    )
+
+
+def _bt_comparisons(docs):
+    """Adjacent-doc preference fixture (the pairwise_winrate shape):
+    items are (source, doc_id%1000) composites — bounded item space, so
+    comparisons scale with the corpus while the canonical pair table
+    stays bounded: the measured curve is the corpus-sized pair-count
+    collapse, the iteration cost is fixed. That is exactly the at-scale
+    split the operator's docstring claims; this proves it."""
+    it = lambda c, d: F.concat(  # noqa: E731
+        F.col(c), F.lit("-"), F.pmod(F.col(d), F.lit(1000))
+    )
+    a = docs.select(
+        F.col("doc_id").alias("k"),
+        it("source", "doc_id").alias("item_a"),
+        F.col("n_chars").alias("ca"),
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("k"),
+        it("source", "doc_id").alias("item_b"),
+        F.col("n_chars").alias("cb"),
+    )
+    return a.join(b, "k").select(
+        "item_a",
+        "item_b",
+        F.when(F.col("ca") > F.col("cb"), F.col("item_a"))
+        .when(F.col("cb") > F.col("ca"), F.col("item_b"))
+        .alias("winner"),
+    )
 
 
 def _union(parts):
@@ -570,31 +654,31 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         # r11 (VERDICT r10 task #5): Dawid-Skene EM over a synthesized
         # 3-rater vote table that grows with the corpus — two honest
         # raters + one hash-noisy rater, fixed 3-round budget
-        # (tol=None = one action per round); per-round cost must stay
-        # ~linear in votes (broadcast confusion table, bounded class
-        # taxonomy)
+        # (tol=None = one action per round). Since r12 the default
+        # path at these vote counts is the bounded numpy fast path
+        # (LIMIT-probe + collect + vectorized EM) — this curve
+        # measures what a production run pays; the forced-distributed
+        # twin below measures the above-threshold algorithm's curve
+        # (the dedup_clusters precedent)
         "dawid_skene": lambda: dawid_skene(
-            docs()
-            .select(
-                F.col("doc_id").alias("item"),
-                F.explode(
-                    F.array(F.lit("r0"), F.lit("r1"), F.lit("r2"))
-                ).alias("rater"),
-            )
-            .select(
-                "item",
-                "rater",
-                F.when(
-                    F.col("rater") != "r2", F.pmod(F.col("item"), F.lit(4))
-                )
-                .otherwise(F.pmod(F.xxhash64("item"), F.lit(4)))
-                .alias("cat"),
-            ),
+            _ds_votes(docs()),
             "item",
             "rater",
             "cat",
             max_iter=3,
             tol=None,
+        ),
+        # r12: the DISTRIBUTED EM loop forced (small_votes_threshold=0)
+        # — per-round cost must stay ~linear in votes (broadcast
+        # confusion table, bounded class taxonomy)
+        "dawid_skene_distributed": lambda: dawid_skene(
+            _ds_votes(docs()),
+            "item",
+            "rater",
+            "cat",
+            max_iter=3,
+            tol=None,
+            small_votes_threshold=0,
         ),
         # r11 (VERDICT r10 task #6): banded-Hamming image near-dup with
         # a SKEWED signature fixture — a FIXED 250-payload identical
@@ -612,6 +696,43 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
                 .alias("content"),
             ),
             use_pil=False,
+        ),
+        # r12 (VERDICT r11 task #4): the r11 event-analytics tier.
+        # Funnel = k shrinking user-key aggregates (no corpus window);
+        # the skew variant routes ~half of ALL events to ONE user —
+        # the hot-key stressor the per-step aggregates must absorb
+        "funnel_conversion": lambda: funnel_conversion(
+            _events_from_orders(ords()),
+            ["view", "click", "purchase"],
+            within_hours=24.0,
+        ),
+        "funnel_conversion_skew": lambda: funnel_conversion(
+            _events_from_orders(ords(), skew=True),
+            ["view", "click", "purchase"],
+            within_hours=24.0,
+        ),
+        "cohort_retention": lambda: cohort_retention(
+            _events_from_orders(ords())
+        ),
+        # r12: Bradley-Terry with the numpy fast path DISABLED — the
+        # measured curve is the distributed branch's corpus-sized
+        # pair-count collapse + 3 bounded MM rounds (the at-scale
+        # claim in the operator docstring, proven here)
+        "bradley_terry_distributed": lambda: bradley_terry(
+            _bt_comparisons(docs()),
+            max_iter=3,
+            small_pairs_threshold=0,
+        ),
+        # r12: quality-argmax survivors riding CC over the banded pair
+        # stream + ONE struct-min aggregate over clustered docs
+        "best_survivors": lambda: best_survivors(
+            docs(), dd.minhash_lsh_pairs(docs()), score_col="n_chars"
+        ),
+        # r12: cross-source duplication matrix — endpoint joins carry
+        # ids+source strings only, final aggregate bounded by the
+        # source-pair taxonomy
+        "source_overlap": lambda: dd.source_overlap_matrix(
+            docs(), dd.minhash_lsh_pairs(docs())
         ),
     }
     if names is not None:
