@@ -399,6 +399,29 @@ def _q_embed_cosine_topk(spark, sf):
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def _q_embed_pca(spark, sf):
+    """Distributed PCA + whitening projection (NEW r12-late —
+    embedding preprocessing before the cosine-threshold tier: rotate
+    onto the top-8 principal directions with unit variance so one
+    dominant direction cannot swamp cosine similarity, and shrink
+    64 -> 8 dims = 8x less shuffle traffic for every downstream pair
+    generator). Fit = ONE corpus pass of partition-wise BLAS Gram
+    triples + a 64x64 driver eigendecomposition (the linear-probe
+    eager-fit precedent); apply = map-only pure Column dot products
+    against the broadcast-bound components — no Python in the
+    registry plan. Rows-only: eigendecomposition is not
+    ANSI-SQL-expressible (the BPE/Dawid-Skene class); parity is
+    pinned against an independent numpy mirror in
+    tests/test_projection.py (allclose — float reduction order
+    varies). Registered PAST-CAP per the rows-only policy."""
+    from real_estate_bigdata_spark.operators.projection import embedding_pca
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_pca(emb, k=8, whiten=True).select(
+        "vec_id", "projected"
+    )
+
+
 def _q_label_agreement(spark, sf):
     """Label-noise audit: exact 1-NN label consistency over the labeled
     embeddings table (NEW r3; exploits the `label` column)."""
@@ -2244,7 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 150 queries: 138 oracle-bearing + 12 rows-only
+    The registry holds 151 queries: 138 oracle-bearing + 13 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2366,6 +2389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot per the growth policy (the r11-late precedent); full
         # oracle, pytest-compared every round meanwhile ----
         "q_domain_cap": _q_domain_cap,
+        # ---- past-cap: NEW r12-late, rows-only (eigendecomposition —
+        # the BPE/Dawid-Skene non-SQL class; numpy-mirror-pinned);
+        # rows-only policy: never takes a mandatory slot ----
+        "q_embed_pca": _q_embed_pca,
         # ---- past-cap: r10-verified (two rounds stale after r12 —
         # the r13 MANDATORY block) ----
         "q_media_stats": _q_media_stats,

@@ -128,6 +128,7 @@ from real_estate_bigdata_spark.operators.similarity import (
     train_pq,
 )
 from real_estate_bigdata_spark.operators.joins import supplier_variety, waiting_suppliers
+from real_estate_bigdata_spark.operators.projection import embedding_pca
 from real_estate_bigdata_spark.operators.pruning import prototype_prune
 from real_estate_bigdata_spark.operators.quality import (
     c4_quality_filter,
@@ -723,6 +724,11 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             max_iter=3,
             small_pairs_threshold=0,
         ),
+        # r12-late: PCA fit (one Gram pass) + whitened projection over
+        # the scaled embedding corpus — the embedding-preprocessing
+        # stage; linear by construction (partition-wise BLAS triples,
+        # dim-bounded driver eig), measured to prove it
+        "embedding_pca": lambda: embedding_pca(emb(), k=8, whiten=True),
         # r12: quality-argmax survivors riding CC over the banded pair
         # stream + ONE struct-min aggregate over clustered docs
         "best_survivors": lambda: best_survivors(
