@@ -104,6 +104,94 @@ class TestRegisteredDomain:
         assert got == "co.uk"  # without the list, naive last-two
 
 
+class TestProperties:
+    """Hypothesis invariants over random well-formed URLs (r12): a
+    mutation that canonicalization is DEFINED to erase — scheme/host
+    case, a leading www., the scheme's default port, appended utm_*
+    params, a fragment — must never change the canonical form or the
+    registered domain; and canonicalization is idempotent."""
+
+    def test_mutation_invariance_and_idempotence(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        label = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1,
+            max_size=8,
+        ).filter(lambda s: s != "www")  # a literal www. subdomain is
+        # stripped from the CLEAN form too — not a mutation invariance
+        base = st.fixed_dictionaries(
+            {
+                "https": st.booleans(),
+                "sub": st.lists(label, min_size=0, max_size=2),
+                "dom": label,
+                "tld": st.sampled_from(["com", "org", "net", "co.uk", "io"]),
+                "path": st.lists(label, min_size=0, max_size=3),
+                "params": st.lists(
+                    st.tuples(label, label), min_size=0, max_size=3
+                ),
+                "case_mask": st.integers(min_value=0, max_value=7),
+                "add_www": st.booleans(),
+                "add_default_port": st.booleans(),
+                "add_utm": st.booleans(),
+                "add_frag": st.booleans(),
+            }
+        )
+
+        def build(d, mutated):
+            scheme = "https" if d["https"] else "http"
+            host = ".".join(d["sub"] + [d["dom"]]) + "." + d["tld"]
+            url = scheme + "://"
+            if mutated:
+                if d["case_mask"] & 1:
+                    url = url.upper().replace("://", "://")
+                if d["add_www"]:
+                    host = "www." + host
+                if d["case_mask"] & 2:
+                    host = host.upper()
+            url += host
+            if mutated and d["add_default_port"]:
+                url += ":443" if d["https"] else ":80"
+            url += "/" + "/".join(d["path"]) if d["path"] else "/p"
+            q = [f"{k}={v}" for k, v in d["params"]]
+            if mutated and d["add_utm"]:
+                q = ["utm_source=x"] + q + ["utm_campaign=y"]
+            if q:
+                url += "?" + "&".join(q)
+            if mutated and d["add_frag"]:
+                url += "#frag"
+            return url
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(st.lists(base, min_size=1, max_size=10))
+        def run(ds):
+            rows = [(build(d, False), build(d, True)) for d in ds]
+            df = spark.createDataFrame(rows, "clean string, mutated string")
+            out = df.select(
+                canonicalize_url(F.col("clean")).alias("c0"),
+                canonicalize_url(F.col("mutated")).alias("c1"),
+                canonicalize_url(canonicalize_url(F.col("mutated"))).alias(
+                    "c2"
+                ),
+                registered_domain(F.col("clean")).alias("d0"),
+                registered_domain(F.col("mutated")).alias("d1"),
+            ).collect()
+            for r in out:
+                assert r.c0 is not None
+                assert r.c1 == r.c0, (r.c0, r.c1)
+                assert r.c2 == r.c1  # idempotent
+                assert r.d1 == r.d0
+
+        run()
+
+
 class TestPlan:
     def test_map_only_no_python(self, spark):
         """Both scalars inline into the scan: no exchange, no
