@@ -422,6 +422,34 @@ def _q_embed_pca(spark, sf):
     )
 
 
+def _q_pagerank(spark, sf):
+    """PageRank over a synthesized crawl-link graph (NEW r12-late —
+    the crawl-graph quality signal curation pipelines weight domains
+    by; the reference crawls one portal and has no graph surface).
+    Each doc links to 3 hash-derived hub nodes in [0, 1000) plus its
+    doc_id%97 cohort hub — a scale-free-ish fan-in so ranks separate.
+    Rows-only: the power-iteration fixpoint is the CC/BPE/Dawid-Skene
+    non-SQL class; semantics pinned against an independent dense
+    power-iteration mirror + hand graphs in tests/test_clustering.py
+    (TestPagerank). Fixed 8-round budget (tol=None — one action per
+    round). Registered PAST-CAP per the rows-only policy."""
+    from real_estate_bigdata_spark.operators.clustering import pagerank
+
+    docs = load_table(spark, sf, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1000)),
+                F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(1000)),
+                F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(1000)),
+                F.pmod(F.col("doc_id"), F.lit(97)),
+            )
+        ).alias("dst"),
+    )
+    return pagerank(edges, max_iter=8, tol=None)
+
+
 def _q_label_agreement(spark, sf):
     """Label-noise audit: exact 1-NN label consistency over the labeled
     embeddings table (NEW r3; exploits the `label` column)."""
@@ -2267,7 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 151 queries: 138 oracle-bearing + 13 rows-only
+    The registry holds 152 queries: 138 oracle-bearing + 14 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2393,6 +2421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the BPE/Dawid-Skene non-SQL class; numpy-mirror-pinned);
         # rows-only policy: never takes a mandatory slot ----
         "q_embed_pca": _q_embed_pca,
+        # ---- past-cap: NEW r12-late, rows-only (power-iteration
+        # fixpoint; mirror- and hand-graph-pinned) ----
+        "q_pagerank": _q_pagerank,
         # ---- past-cap: r10-verified (two rounds stale after r12 —
         # the r13 MANDATORY block) ----
         "q_media_stats": _q_media_stats,

@@ -99,6 +99,7 @@ from real_estate_bigdata_spark.operators.bpe import (
 from real_estate_bigdata_spark.operators.clustering import (
     best_survivors,
     connected_components,
+    pagerank,
 )
 from real_estate_bigdata_spark.operators.events import (
     cohort_retention,
@@ -723,6 +724,25 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
             _bt_comparisons(docs()),
             max_iter=3,
             small_pairs_threshold=0,
+        ),
+        # r12-late: PageRank over a corpus-scaled link graph, the
+        # DISTRIBUTED loop forced (the dedup_clusters/bradley_terry
+        # precedent) — per round ONE edge-sized join + one vertex
+        # aggregate; fixed 5-round budget, must stay ~linear in edges
+        "pagerank_distributed": lambda: pagerank(
+            docs().select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(
+                        F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(1000)),
+                        F.pmod(F.xxhash64("doc_id", F.lit(2)), F.lit(1000)),
+                        F.pmod(F.col("doc_id"), F.lit(97)),
+                    )
+                ).alias("dst"),
+            ),
+            max_iter=5,
+            tol=None,
+            small_edges_threshold=0,
         ),
         # r12-late: PCA fit (one Gram pass) + whitened projection over
         # the scaled embedding corpus — the embedding-preprocessing

@@ -40,7 +40,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-__all__ = ["connected_components", "near_dup_survivors", "cluster_safe_split"]
+__all__ = [
+    "connected_components",
+    "near_dup_survivors",
+    "cluster_safe_split",
+    "best_survivors",
+    "pagerank",
+]
 
 
 #: pair count at or below which components are resolved driver-side
@@ -414,3 +420,168 @@ def cluster_safe_split(
     return hash_split(
         labeled, weights, key_col="__split_key", salt=salt, split_col=split_col
     ).drop("__split_key", "cluster_id")
+
+
+#: edge count at or below which PageRank iterates as vectorized numpy
+#: on the collected edge list (the connected-components union-find /
+#: Bradley-Terry precedent): crawl-graph ranking jobs routinely rank
+#: host-level graphs of thousands-to-millions of edges where per-round
+#: Spark job overhead dwarfs the arithmetic. Above it the loop runs
+#: distributed (one edge-sized join + one vertex aggregate per round).
+PAGERANK_SMALL_EDGES = 2_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    small_edges_threshold: int = PAGERANK_SMALL_EDGES,
+) -> DataFrame:
+    """PageRank (Page et al. 1999) over a directed edge list —
+    ``(node, rank)`` with ranks a probability distribution (sum 1).
+    The crawl-graph quality signal LLM curation actually uses: a
+    page/host linked by well-linked pages outranks link-farm spokes,
+    and the rank feeds quality floors and per-domain mixture weights
+    the same way the text/gopher scores do (the reference crawls one
+    portal and has no graph surface — north-star ABSENT category).
+
+    Semantics: NULL endpoints dropped, self-loops dropped, parallel
+    edges deduplicated (unweighted classic formulation); the node set
+    is the union of endpoints; dangling nodes (no out-edges)
+    redistribute their mass uniformly each round — so the invariant
+    ``sum(rank) == 1`` holds exactly at every iteration. ``tol`` stops
+    early when the L1 delta falls below it (None = exactly
+    ``max_iter`` rounds, one action fewer per round — the Dawid-Skene
+    budget contract). Like BPE / CC / Dawid-Skene / Bradley-Terry the
+    fixpoint is not ANSI-SQL-expressible — rows-only at the oracle
+    gate, pinned against an independent numpy mirror plus
+    hand-checkable graphs in ``tests/test_clustering.py``.
+
+    Distributed shape: per round, ranks join the (deduped, checkpointed
+    once) edge list on ``src`` — an edge-sized shuffle, never more —
+    then ONE aggregate on ``dst`` rebuilds in-flows; the dangling mass
+    is a scalar aggregate broadcast back; new ranks right-join the node
+    frame so zero-in-degree nodes keep their teleport share. Ranks
+    localCheckpoint per round (the CC lineage precedent). Under
+    ``small_edges_threshold`` (LIMIT-probed) the same iteration runs
+    vectorized on the collected edge list instead — strengths-only
+    driver state, the payload never moves.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = (
+        edges.filter(
+            F.col(src).isNotNull()
+            & F.col(dst).isNotNull()
+            & (F.col(src) != F.col(dst))
+        )
+        .select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    id_t = e.schema["__s"].dataType.simpleString()
+    out_schema = f"node {id_t}, rank double"
+    probe = e.limit(small_edges_threshold + 1).count()
+    if probe <= small_edges_threshold:
+        rows = e.collect()
+        if not rows:
+            return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(
+            _pagerank_numpy(rows, damping, max_iter, tol), out_schema
+        )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n = nodes.count()
+    deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("__deg")
+    )
+    # (node, deg) with 0 for dangling — reused every round
+    nd = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("__deg", F.lit(0.0)).alias("__deg")
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("__r")).localCheckpoint(
+        eager=True
+    )
+    teleport = (1.0 - damping) / n
+    for _ in range(max_iter):
+        rd = ranks.join(nd, "node")
+        dangling = rd.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__deg") == 0.0, F.col("__r"))), F.lit(0.0)
+            ).alias("__dm")
+        )
+        inflow = (
+            e.join(
+                rd.filter(F.col("__deg") > 0.0).select(
+                    F.col("node").alias("__s"),
+                    (F.col("__r") / F.col("__deg")).alias("__c"),
+                ),
+                "__s",
+            )
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__c").alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / n
+                    )
+                ).alias("__r"),
+            )
+        ).localCheckpoint(eager=True)
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("__r").alias("__r0")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("__r") - F.col("__r0"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks.select("node", F.round("__r", 9).alias("rank"))
+
+
+def _pagerank_numpy(rows, damping, max_iter, tol):
+    """Vectorized PageRank on collected ``(__s, __d)`` edge rows — the
+    bounded fast path of :func:`pagerank`; identical semantics (uniform
+    init, dangling redistribution, teleport, L1 ``tol``)."""
+    import numpy as np
+
+    nodes = sorted({r["__s"] for r in rows} | {r["__d"] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = np.array([idx[r["__s"]] for r in rows])
+    d = np.array([idx[r["__d"]] for r in rows])
+    deg = np.zeros(n)
+    np.add.at(deg, s, 1.0)
+    r = np.full(n, 1.0 / n)
+    teleport = (1.0 - damping) / n
+    for _ in range(max_iter):
+        dangling = r[deg == 0.0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, d, r[s] / deg[s])
+        new_r = teleport + damping * (contrib + dangling / n)
+        l1 = float(np.abs(new_r - r).sum())
+        r = new_r
+        if tol is not None and l1 < tol:
+            break
+    return [(v, round(float(r[idx[v]]), 9)) for v in nodes]

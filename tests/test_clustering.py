@@ -296,3 +296,134 @@ def test_source_overlap_matrix_buckets_unordered_pairs(spark):
     assert got[("sA", "sB")] == (2, 2, 1)
     assert got[("sA", "sA")] == (1, 1, 1)
     assert got[("sB", "sB")] == (1, 1, 1)
+
+
+class TestPagerank:
+    """r12: PageRank semantics on hand-checkable graphs, an independent
+    numpy power-iteration mirror, distributed-vs-fast parity, and the
+    sum-to-1 / dedup / null contracts."""
+
+    @staticmethod
+    def _mirror(edge_list, damping=0.85, n_iter=50):
+        """Independent dense power iteration (matrix formulation)."""
+        import numpy as np
+
+        nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        m = np.zeros((n, n))
+        deg = {}
+        dedup = sorted({(a, b) for a, b in edge_list if a != b})
+        for a, _ in dedup:
+            deg[a] = deg.get(a, 0) + 1
+        for a, b in dedup:
+            m[idx[b], idx[a]] = 1.0 / deg[a]
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            dangling = sum(r[idx[v]] for v in nodes if v not in deg)
+            r = (1 - damping) / n + damping * (m @ r + dangling / n)
+        return {v: r[idx[v]] for v in nodes}
+
+    def _df(self, spark, edge_list):
+        return spark.createDataFrame(edge_list, "src long, dst long")
+
+    def test_two_cycle_is_uniform(self, spark):
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        got = {r.node: r.rank for r in pagerank(
+            self._df(spark, [(1, 2), (2, 1)])).collect()}
+        assert got == {1: 0.5, 2: 0.5}
+
+    def test_directed_cycle_exact_uniform(self, spark):
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        k = 5
+        edges = [(i, (i + 1) % k) for i in range(k)]
+        got = {r.node: r.rank for r in pagerank(self._df(spark, edges)).collect()}
+        assert all(abs(v - 1 / k) < 1e-9 for v in got.values()), got
+
+    def test_hub_outranks_spokes_and_matches_mirror(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        # spokes 1..6 -> hub 0; hub -> 1 (so the hub is not dangling)
+        edges = [(i, 0) for i in range(1, 7)] + [(0, 1)]
+        # identical fixed budgets: at damping 0.85 the residual after k
+        # rounds is ~0.85^k, so mismatched budgets show at 1e-6
+        got = {
+            r.node: r.rank
+            for r in pagerank(
+                self._df(spark, edges), tol=None, max_iter=50
+            ).collect()
+        }
+        want = self._mirror(edges, n_iter=50)
+        assert got[0] == max(got.values())
+        for v, r in got.items():
+            assert r == _pytest.approx(want[v], abs=1e-6), v
+        assert sum(got.values()) == _pytest.approx(1.0, abs=1e-7)
+
+    def test_dangling_mass_redistributed_sum_one(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        # 2 is dangling; ranks must still sum to 1 and match the mirror
+        edges = [(1, 2), (3, 2), (3, 1)]
+        got = {r.node: r.rank for r in pagerank(
+            self._df(spark, edges), tol=None, max_iter=30).collect()}
+        want = self._mirror(edges, n_iter=30)
+        assert sum(got.values()) == _pytest.approx(1.0, abs=1e-7)
+        for v in got:
+            assert got[v] == _pytest.approx(want[v], abs=1e-6)
+
+    def test_parallel_edges_and_self_loops_ignored(self, spark):
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        base = [(1, 2), (2, 1)]
+        noisy = base + [(1, 2), (1, 2), (1, 1), (2, 2)]
+        a = {r.node: r.rank for r in pagerank(self._df(spark, base)).collect()}
+        b = {r.node: r.rank for r in pagerank(self._df(spark, noisy)).collect()}
+        assert a == b
+
+    def test_null_endpoints_dropped_and_empty(self, spark):
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (None, 1), (2, None)], "src long, dst long"
+        )
+        got = {r.node: r.rank for r in pagerank(df).collect()}
+        assert got == {1: 0.5, 2: 0.5}
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(empty).count() == 0
+
+    def test_distributed_path_matches_fast(self, spark):
+        import random as _random
+
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        rng = _random.Random(17)
+        edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(150)})
+        df = self._df(spark, edges).repartition(5)
+        for kw in ({"tol": None, "max_iter": 8}, {"tol": 1e-8, "max_iter": 40}):
+            fast = {r.node: r.rank for r in pagerank(df, **kw).collect()}
+            dist = {
+                r.node: r.rank
+                for r in pagerank(df, small_edges_threshold=0, **kw).collect()
+            }
+            assert set(fast) == set(dist)
+            for v in fast:
+                assert fast[v] == _pytest.approx(dist[v], abs=1e-7), (kw, v)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        df = self._df(spark, [(1, 2)])
+        with _pytest.raises(ValueError, match="max_iter"):
+            pagerank(df, max_iter=0)
+        with _pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)
