@@ -305,17 +305,317 @@ def _decode_png_stdlib(content: bytes) -> np.ndarray:
         raise ValueError(f"undecodable PNG payload: {exc}") from None
 
 
+_BMP_MAGIC = b"BM"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """HxWx3 pixel array -> minimal 24-bit BI_RGB BMP (bottom-up rows,
+    4-byte row padding). Pure stdlib, deterministic — the fixture/test
+    counterpart of :func:`_decode_bmp_stdlib` (r12: the GIF/BMP real
+    tier next to r11's PNG)."""
+    import struct
+
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_bmp expects HxWx3, got {px.shape}")
+    if px.dtype != np.uint8:
+        px = (np.clip(px, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    h, w = px.shape[:2]
+    pad = (-3 * w) % 4
+    rows = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad  # BGR, bottom-up
+        for r in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
+    return header + info + rows
+
+
+def _decode_bmp_stdlib(content: bytes) -> np.ndarray:
+    """Pure-stdlib BMP decode -> HxWx3 float64 in [0, 1] (r12).
+    Supports uncompressed (BI_RGB) 24- and 32-bit BITMAPINFOHEADER
+    bitmaps, bottom-up or top-down (negative height). Raises
+    ValueError on anything else — corrupt/unsupported stays VISIBLE
+    (the PNG-tier contract)."""
+    import struct
+
+    if not content.startswith(_BMP_MAGIC):
+        raise ValueError("not a BMP payload")
+    try:
+        data_off = struct.unpack("<I", content[10:14])[0]
+        bisize = struct.unpack("<I", content[14:18])[0]
+        if bisize < 40:
+            raise ValueError(f"unsupported BMP header size {bisize}")
+        w, h_raw = struct.unpack("<ii", content[18:26])
+        planes, bpp = struct.unpack("<HH", content[26:30])
+        comp = struct.unpack("<I", content[30:34])[0]
+        if comp != 0 or bpp not in (24, 32) or planes != 1 or w <= 0:
+            raise ValueError(
+                f"unsupported BMP: bpp={bpp} compression={comp} planes={planes}"
+            )
+        top_down = h_raw < 0
+        h = -h_raw if top_down else h_raw
+        if h <= 0:
+            raise ValueError("degenerate BMP height")
+        nbytes = bpp // 8
+        stride = (w * nbytes + 3) // 4 * 4
+        need = data_off + stride * h
+        if len(content) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            content, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        px = rows[:, : w * nbytes].reshape(h, w, nbytes)
+        rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+        if not top_down:
+            rgb = rgb[::-1]
+        return rgb.astype(np.float64) / 255.0
+    except ValueError:
+        raise
+    except Exception as exc:  # struct errors on corrupt payloads
+        raise ValueError(f"undecodable BMP payload: {exc}") from None
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """HxWx3 pixel array -> single-frame GIF89a with a real LZW-coded
+    image (global color table built from the unique colors — more than
+    256 distinct colors raises; quantize upstream). Pure stdlib,
+    deterministic — the fixture/test counterpart of
+    :func:`_decode_gif_stdlib`."""
+    import struct
+
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_gif expects HxWx3, got {px.shape}")
+    if px.dtype != np.uint8:
+        px = (np.clip(px, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors = sorted({tuple(int(v) for v in c) for c in flat})
+    if len(colors) > 256:
+        raise ValueError(
+            f"encode_gif supports <= 256 unique colors, got {len(colors)}"
+        )
+    cmap = {c: i for i, c in enumerate(colors)}
+    indices = [cmap[tuple(int(v) for v in c)] for c in flat]
+    # GCT size: power of two >= len(colors), minimum 2 entries
+    gct_bits = max(1, (max(len(colors) - 1, 1)).bit_length())
+    gct = b"".join(
+        bytes(colors[i]) if i < len(colors) else b"\x00\x00\x00"
+        for i in range(1 << gct_bits)
+    )
+    mcs = max(2, gct_bits)  # LZW minimum code size (spec floor 2)
+    codes = _lzw_encode(indices, mcs)
+    packed = _pack_lsb(codes)
+    blocks = b"".join(
+        bytes([len(packed[i : i + 255])]) + packed[i : i + 255]
+        for i in range(0, len(packed), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([mcs]) + blocks + b"\x00"
+        + b"\x3b"
+    )
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> list[tuple[int, int]]:
+    """GIF-variant LZW: yields (code, bit_width) pairs, CLEAR first,
+    table reset at 4096, END last."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {(i,): i for i in range(1 << mcs)}
+
+    table = fresh()
+    next_code = end + 1
+    width = mcs + 1
+    out = [(clear, width)]
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        out.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            out.append((clear, width))
+            table = fresh()
+            next_code = end + 1
+            width = mcs + 1
+        buf = (sym,)
+    if buf:
+        out.append((table[buf], width))
+    out.append((end, width))
+    return out
+
+
+def _pack_lsb(codes: list[tuple[int, int]]) -> bytes:
+    """Pack (code, width) pairs LSB-first into bytes (GIF bit order)."""
+    acc = n = 0
+    out = bytearray()
+    for code, width in codes:
+        acc |= code << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace pass layout: (first row, step) per pass
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_stdlib(content: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decode (real LZW) -> HxWx3 float64 in [0, 1]
+    (r12). Supports GIF87a/89a, global or local color table, interlace,
+    the FIRST image frame (animation frames beyond the first are
+    ignored — the still-image triage contract); extensions are skipped.
+    Raises ValueError on corrupt/unsupported payloads — visible, never
+    silently stubbed."""
+    import struct
+
+    if content[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    try:
+        w, h, packed, _bg, _ar = struct.unpack("<HHBBB", content[6:13])
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            size = 2 << (packed & 0x07)
+            gct = content[pos : pos + 3 * size]
+            if len(gct) != 3 * size:
+                raise ValueError("truncated GIF global color table")
+            pos += 3 * size
+        while pos < len(content):
+            b0 = content[pos]
+            if b0 == 0x3B:  # trailer before any image
+                raise ValueError("GIF contains no image data")
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            ix, iy, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", content[pos + 1 : pos + 10]
+            )
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 0x07)
+                ct = content[pos : pos + 3 * size]
+                pos += 3 * size
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(data), mcs, iw * ih)
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            idx = np.array(indices, dtype=np.int32)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            frame = pal[idx].reshape(ih, iw, 3)
+            if ipacked & 0x40:  # interlaced: reorder rows in 4 passes
+                out = np.empty_like(frame)
+                src = 0
+                for first, step in _GIF_INTERLACE:
+                    for row in range(first, ih, step):
+                        out[row] = frame[src]
+                        src += 1
+                frame = out
+            # composite the (first) frame onto the logical screen
+            if (ix, iy, iw, ih) == (0, 0, w, h):
+                return frame.astype(np.float64) / 255.0
+            screen = np.zeros((h, w, 3), dtype=np.uint8)
+            screen[iy : iy + ih, ix : ix + iw] = frame
+            return screen.astype(np.float64) / 255.0
+        raise ValueError("GIF ended without image data")
+    except ValueError:
+        raise
+    except Exception as exc:  # struct/index errors on corrupt payloads
+        raise ValueError(f"undecodable GIF payload: {exc}") from None
+
+
+def _lzw_decode(data: bytes, mcs: int, expect: int) -> list[int]:
+    """GIF-variant LZW decode (LSB-first codes, CLEAR/END, 12-bit cap,
+    the cScSc next-free special case). Stops at END or once ``expect``
+    pixels are produced."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(1 << mcs)}
+
+    table = fresh()
+    next_code = end + 1
+    width = mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = n = bytepos = 0
+    while len(out) < expect:
+        while n < width:
+            if bytepos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[bytepos] << n
+            bytepos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = fresh()
+            next_code = end + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code <= 4095:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:expect]
+
+
 def decode_image(content: bytes, use_pil: bool | None = None) -> np.ndarray:
     """bytes -> HxWx3 float64 pixel array in [0, 1].
 
     ``use_pil=None`` auto-selects the decode tier: real PIL decode when
-    installed; else the pure-stdlib PNG decoder for PNG payloads
-    (:func:`_decode_png_stdlib` — real pixels with no codec
-    dependency); else the deterministic sha-seeded stub. Both real
-    tiers raise ValueError on an undecodable payload (callers surface
-    it as a NULL output row — a corrupt image must be visible, never
-    silently replaced with fake pixels). ``use_pil=False`` forces the
-    stub (deterministic-fixture mode for non-PNG payloads and tests).
+    installed; else the pure-stdlib decoders for PNG / BMP / GIF
+    payloads (:func:`_decode_png_stdlib` / :func:`_decode_bmp_stdlib` /
+    :func:`_decode_gif_stdlib` — real pixels with no codec dependency;
+    r12 extends r11's PNG tier with uncompressed BMP and real-LZW GIF);
+    else the deterministic sha-seeded stub (JPEG/video remain
+    env-gated — no stdlib DCT). All real tiers raise ValueError on an
+    undecodable payload (callers surface it as a NULL output row — a
+    corrupt image must be visible, never silently replaced with fake
+    pixels). ``use_pil=False`` forces the stub (deterministic-fixture
+    mode for opaque payloads and tests).
     """
     pil = pil_available() if use_pil is None else use_pil
     if pil:
@@ -330,6 +630,10 @@ def decode_image(content: bytes, use_pil: bool | None = None) -> np.ndarray:
         return np.asarray(img, dtype=np.float64) / 255.0
     if use_pil is None and content.startswith(_PNG_MAGIC):
         return _decode_png_stdlib(content)
+    if use_pil is None and content.startswith(_BMP_MAGIC):
+        return _decode_bmp_stdlib(content)
+    if use_pil is None and content[:6] in _GIF_MAGICS:
+        return _decode_gif_stdlib(content)
     return _decode_image_stub(content)
 
 

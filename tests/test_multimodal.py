@@ -796,3 +796,198 @@ def test_png_roundtrip_property_random_shapes():
         assert np.array_equal(
             (back * 255).round().astype(np.uint8), arr
         ), (h, w)
+
+
+class TestBmpGifStdlibCodecs:
+    """r12: the BMP + GIF real-decode tier next to r11's PNG — exact
+    round-trips through the pure-stdlib codecs, LZW code-width growth
+    and table reset, interlace reordering, top-down BMPs, and the
+    corrupt-stays-visible contract."""
+
+    def test_bmp_roundtrip_exact(self):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        for shape in [(1, 1), (3, 5), (16, 16), (7, 2), (5, 3)]:
+            px = rng.randint(0, 256, (*shape, 3), dtype=np.uint8)
+            got = mm._decode_bmp_stdlib(mm.encode_bmp(px))
+            assert got.shape == (*shape, 3)
+            assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_bmp_row_padding_widths(self):
+        """Widths 1..8 cover every 4-byte stride padding case."""
+        import numpy as np
+
+        rng = np.random.RandomState(8)
+        for w in range(1, 9):
+            px = rng.randint(0, 256, (3, w, 3), dtype=np.uint8)
+            got = mm._decode_bmp_stdlib(mm.encode_bmp(px))
+            assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_bmp_top_down_and_32bit(self):
+        import struct
+
+        import numpy as np
+
+        px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        # hand-build a TOP-DOWN 32-bit BMP (BGRA rows, no padding)
+        rows = b"".join(
+            bytes([px[r, c, 2], px[r, c, 1], px[r, c, 0], 0xFF])
+            for r in range(2)
+            for c in range(3)
+        )
+        info = struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 32, 0, len(rows), 0, 0, 0, 0)
+        data = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 54) + info + rows
+        got = mm._decode_bmp_stdlib(data)
+        assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_gif_roundtrip_exact_small_palette(self):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [12, 34, 56]])
+        for shape in [(1, 1), (4, 7), (16, 16), (3, 11)]:
+            px = palette[rng.randint(0, 4, shape)].astype(np.uint8)
+            got = mm._decode_gif_stdlib(mm.encode_gif(px))
+            assert got.shape == (*shape, 3)
+            assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_gif_roundtrip_code_width_growth_and_reset(self):
+        """A large 256-color noise image pushes the LZW table through
+        every code width up to 12 bits AND past 4096 entries, forcing
+        the clear-and-reset path on both encode and decode."""
+        import numpy as np
+
+        rng = np.random.RandomState(10)
+        px = rng.randint(0, 256, (80, 80), dtype=np.uint8)
+        px = np.stack([px, px // 2, 255 - px], axis=2)  # 256 unique colors
+        got = mm._decode_gif_stdlib(mm.encode_gif(px))
+        assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_gif_interlaced_rows_reordered(self):
+        """Hand-build an interlaced GIF: rows stored in 8/8/4/2 pass
+        order with the interlace flag set must come back in display
+        order."""
+        import numpy as np
+
+        h, w = 11, 2
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for r in range(h):
+            px[r] = [r * 20, 0, 0]
+        plain = bytearray(mm.encode_gif(px))
+        # re-encode with rows permuted into interlace storage order
+        order = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                 for r in range(first, h, step)]
+        stored = px[order]
+        data = bytearray(mm.encode_gif(stored))
+        # image descriptor starts after header(13) + GCT; find 0x2c
+        gct_bits = (plain[10] & 0x07) + 1
+        desc = 13 + 3 * (1 << gct_bits)
+        assert data[desc] == 0x2C
+        data[desc + 9] |= 0x40  # set interlace flag
+        got = mm._decode_gif_stdlib(bytes(data))
+        assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_gif_skips_extensions(self):
+        import numpy as np
+
+        px = np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)
+        raw = mm.encode_gif(px)
+        # splice a Graphic Control Extension between GCT and image
+        gct_bits = (raw[10] & 0x07) + 1
+        cut = 13 + 3 * (1 << gct_bits)
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        got = mm._decode_gif_stdlib(raw[:cut] + gce + raw[cut:])
+        assert np.array_equal((got * 255).round().astype(np.uint8), px)
+
+    def test_encode_gif_rejects_too_many_colors(self):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        px = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        assert len({tuple(c) for c in px.reshape(-1, 3)}) > 256
+        with pytest.raises(ValueError, match="256 unique colors"):
+            mm.encode_gif(px)
+
+    def test_corrupt_and_truncated_stay_visible(self):
+        import numpy as np
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        bmp, gif = mm.encode_bmp(px), mm.encode_gif(px)
+        for payload in (bmp[:30], bmp[:-5], gif[:12], gif[:-4]):
+            with pytest.raises(ValueError):
+                (mm._decode_bmp_stdlib if payload[:2] == b"BM"
+                 else mm._decode_gif_stdlib)(payload)
+        with pytest.raises(ValueError, match="not a BMP"):
+            mm._decode_bmp_stdlib(b"nope")
+        with pytest.raises(ValueError, match="not a GIF"):
+            mm._decode_gif_stdlib(b"nope")
+        # compressed/unsupported BMPs refuse rather than mis-decode
+        import struct
+
+        rle = bytearray(bmp)
+        rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        with pytest.raises(ValueError, match="unsupported BMP"):
+            mm._decode_bmp_stdlib(bytes(rle))
+
+    def test_decode_image_auto_routes_all_stdlib_tiers(self):
+        """decode_image(None-auto) must route PNG/BMP/GIF payloads to
+        the REAL decoders (identical pixels) and everything else to the
+        stub, without PIL."""
+        import numpy as np
+
+        if mm.pil_available():
+            pytest.skip("stdlib-tier routing is the no-PIL path")
+        px = np.array([[[9, 8, 7], [6, 5, 4]]], dtype=np.uint8)
+        for enc in (mm.encode_png, mm.encode_bmp, mm.encode_gif):
+            got = mm.decode_image(enc(px))
+            assert np.array_equal((got * 255).round().astype(np.uint8), px), enc
+        stub = mm.decode_image(b"opaque-jpeg-like-payload")
+        assert stub.shape == (8, 8, 3)
+
+    def test_matches_pil_when_available(self):
+        pil = pytest.importorskip("PIL")  # noqa: F841
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        rng = np.random.RandomState(12)
+        px = rng.randint(0, 4, (9, 5), dtype=np.uint8) * 60
+        px = np.stack([px, px, px], axis=2)
+        for fmt, dec in (("BMP", mm._decode_bmp_stdlib), ("GIF", mm._decode_gif_stdlib)):
+            buf = io.BytesIO()
+            Image.fromarray(px).save(buf, format=fmt)
+            got = dec(buf.getvalue())
+            want = np.asarray(
+                Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+            )
+            assert np.array_equal((got * 255).round().astype(np.uint8), want)
+
+
+def test_cross_format_neardup_same_pixels_pair_up(spark):
+    """The mixed-crawl payoff of the r12 BMP/GIF tier: the SAME image
+    crawled as PNG, BMP and GIF decodes to identical pixels on the
+    stdlib tiers, so the aHash signatures collide and the banded
+    Hamming join pairs all three — while a genuinely different image
+    pairs with none of them."""
+    import numpy as np
+
+    if mm.pil_available():
+        pytest.skip("stdlib-tier routing is the no-PIL path")
+    rng = np.random.RandomState(21)
+    palette = np.array([[0, 0, 0], [250, 10, 10], [10, 250, 10], [99, 99, 99]])
+    px = palette[rng.randint(0, 4, (16, 16))].astype(np.uint8)
+    other = palette[rng.randint(0, 4, (16, 16))].astype(np.uint8)
+    rows = [
+        (1, mm.encode_png(px)),
+        (2, mm.encode_bmp(px)),
+        (3, mm.encode_gif(px)),
+        (4, mm.encode_png(other)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in mm.image_neardup_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
