@@ -1989,6 +1989,72 @@ def _q_domain_cap(spark, sf):
     ).select("doc_id", "domain", "quality")
 
 
+def _q_image_dimensions(spark, sf):
+    """Mixed-format image header triage (NEW r12-late — the
+    `multimodal.image_dimensions` dispatcher as a FULL-oracle query:
+    format + width/height parsed from GIF/BMP/PNG/JPEG headers with
+    pure Column byte algebra, zero Python, zero decode). The fixture
+    synthesizes REAL header bytes per doc as hex-string concat ->
+    unhex — GIF89a little-endian screen descriptors, BMP signed
+    little-endian info headers (negative = top-down for doc_id%8==5,
+    reported abs), PNG big-endian IHDR, JPEG SOI+APP0+SOF0 marker
+    chains the bounded walk must traverse — with dims derived from
+    doc_id arithmetic, so the DuckDB oracle states the expected output
+    ANALYTICALLY (the q_url_canonical pattern: ground truth
+    independent of any parser). doc_id%20==19 rows carry garbage
+    bytes and must yield NULLs. Registered PAST-CAP for an r13 spare
+    slot per the growth policy; pytest-compared every round."""
+    from real_estate_bigdata_spark.operators.multimodal import (
+        image_dimensions,
+    )
+
+    d = F.col("doc_id")
+    w = (d % 640 + 16).cast("long")
+    h = (d % 480 + 16).cast("long")
+
+    def be(v, nbytes):
+        return F.lpad(F.hex(v), 2 * nbytes, "0")
+
+    def le(v, nbytes):
+        parts = [
+            F.lpad(F.hex((v / (256 ** i)).cast("long") % 256), 2, "0")
+            for i in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    h_bmp = F.when(d % 8 == 5, F.lit(2**32) - h).otherwise(h)
+    gif = F.concat(
+        F.lit("474946383961"), le(w, 2), le(h, 2), F.lit("000000" + "3B")
+    )
+    bmp = F.concat(
+        F.lit("424D"), le(F.lit(100).cast("long"), 4), F.lit("00000000"),
+        le(F.lit(54).cast("long"), 4), le(F.lit(40).cast("long"), 4),
+        le(w, 4), le(h_bmp, 4), F.lit("01001800"),
+    )
+    png = F.concat(
+        F.lit("89504E470D0A1A0A"), F.lit("0000000D"), F.lit("49484452"),
+        be(w, 4), be(h, 4), F.lit("08020000"),
+    )
+    jpeg = F.concat(
+        F.lit("FFD8"),
+        F.lit("FFE0" + "0010" + "4A46494600010100000048004800"),  # APP0
+        F.lit("FFDB" + "0007" + "00FFC01122"),  # DQT trap: FF C0 inside
+        F.lit("FFC0" + "000B" + "08"), be(h, 2), be(w, 2), F.lit("010111"),
+        F.lit("FFD9"),
+    )
+    hexstr = (
+        F.when(d % 20 == 19, F.lit("DEADBEEF"))
+        .when(d % 4 == 0, gif)
+        .when(d % 4 == 1, bmp)
+        .when(d % 4 == 2, png)
+        .otherwise(jpeg)
+    )
+    media = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"), F.unhex(hexstr).alias("content")
+    )
+    return image_dimensions(media)
+
+
 def _q_credit_card_audit(spark, sf):
     """Luhn-validated credit-card audit (NEW r11): deterministic card
     numbers are injected per doc — a VALID one (check digit computed
@@ -2295,7 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 152 queries: 138 oracle-bearing + 14 rows-only
+    The registry holds 153 queries: 139 oracle-bearing + 14 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2424,6 +2490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past-cap: NEW r12-late, rows-only (power-iteration
         # fixpoint; mirror- and hand-graph-pinned) ----
         "q_pagerank": _q_pagerank,
+        # ---- past-cap: NEW r12-late, full ANALYTICAL oracle (the
+        # q_url_canonical pattern); r13 spare slot per the policy ----
+        "q_image_dimensions": _q_image_dimensions,
         # ---- past-cap: r10-verified (two rounds stale after r12 —
         # the r13 MANDATORY block) ----
         "q_media_stats": _q_media_stats,
@@ -3011,6 +3080,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT doc_id, domain, quality FROM ranked WHERE rn <= 40
+        """,
+        "q_image_dimensions": r"""
+            -- expected triage output stated ANALYTICALLY from the
+            -- fixture arithmetic (the q_url_canonical pattern): the
+            -- Spark side parses real synthesized header BYTES; the
+            -- oracle states what those headers were built to say.
+            -- doc_id%8==5 BMPs store a NEGATIVE (top-down) height,
+            -- reported abs; doc_id%20==19 rows are garbage -> NULLs.
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 20 = 19 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN 'gif'
+                        WHEN doc_id % 4 = 1 THEN 'bmp'
+                        WHEN doc_id % 4 = 2 THEN 'png'
+                        ELSE 'jpeg' END AS format,
+                   (CASE WHEN doc_id % 20 = 19 THEN NULL
+                         ELSE doc_id % 640 + 16 END)::BIGINT AS width,
+                   (CASE WHEN doc_id % 20 = 19 THEN NULL
+                         ELSE doc_id % 480 + 16 END)::BIGINT AS height
+            FROM documents
         """,
         "q_credit_card_audit": r"""
             WITH base AS (
