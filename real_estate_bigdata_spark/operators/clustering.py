@@ -438,6 +438,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float | None = 1e-6,
+    weight_col: str | None = None,
     small_edges_threshold: int = PAGERANK_SMALL_EDGES,
 ) -> DataFrame:
     """PageRank (Page et al. 1999) over a directed edge list —
@@ -448,8 +449,13 @@ def pagerank(
     the same way the text/gopher scores do (the reference crawls one
     portal and has no graph surface — north-star ABSENT category).
 
-    Semantics: NULL endpoints dropped, self-loops dropped, parallel
-    edges deduplicated (unweighted classic formulation); the node set
+    Semantics: NULL endpoints dropped, self-loops dropped; without
+    ``weight_col`` parallel edges deduplicate (unweighted classic
+    formulation), with it they SUM into one weighted edge and each
+    node's mass splits proportionally to edge weight over its total
+    out-strength (link multiplicity as strength — the crawl-graph
+    reality; NULL / non-positive weights are invalid rows, dropped
+    like NULL endpoints); the node set
     is the union of endpoints; dangling nodes (no out-edges)
     redistribute their mass uniformly each round — so the invariant
     ``sum(rank) == 1`` holds exactly at every iteration. ``tol`` stops
@@ -474,15 +480,27 @@ def pagerank(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
-    e = (
-        edges.filter(
-            F.col(src).isNotNull()
-            & F.col(dst).isNotNull()
-            & (F.col(src) != F.col(dst))
-        )
-        .select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-        .distinct()
-    ).localCheckpoint(eager=True)
+    base = edges.filter(
+        F.col(src).isNotNull()
+        & F.col(dst).isNotNull()
+        & (F.col(src) != F.col(dst))
+    )
+    if weight_col is None:
+        e = (
+            base.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+            .distinct()
+            .withColumn("__w", F.lit(1.0))
+        ).localCheckpoint(eager=True)
+    else:
+        e = (
+            base.filter(
+                F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+            )
+            .groupBy(
+                F.col(src).alias("__s"), F.col(dst).alias("__d")
+            )
+            .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
+        ).localCheckpoint(eager=True)
     spark = edges.sparkSession
     id_t = e.schema["__s"].dataType.simpleString()
     out_schema = f"node {id_t}, rank double"
@@ -501,7 +519,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
     n = nodes.count()
     deg = e.groupBy(F.col("__s").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("__deg")
+        F.sum("__w").alias("__deg")
     )
     # (node, deg) with 0 for dangling — reused every round
     nd = nodes.join(deg, "node", "left").select(
@@ -527,7 +545,7 @@ def pagerank(
                 "__s",
             )
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__c").alias("__in"))
+            .agg(F.sum(F.col("__c") * F.col("__w")).alias("__in"))
         )
         new_ranks = (
             nodes.join(inflow, "node", "left")
@@ -561,9 +579,10 @@ def pagerank(
 
 
 def _pagerank_numpy(rows, damping, max_iter, tol):
-    """Vectorized PageRank on collected ``(__s, __d)`` edge rows — the
-    bounded fast path of :func:`pagerank`; identical semantics (uniform
-    init, dangling redistribution, teleport, L1 ``tol``)."""
+    """Vectorized PageRank on collected ``(__s, __d, __w)`` edge rows —
+    the bounded fast path of :func:`pagerank`; identical semantics
+    (uniform init, weighted out-strength splits, dangling
+    redistribution, teleport, L1 ``tol``)."""
     import numpy as np
 
     nodes = sorted({r["__s"] for r in rows} | {r["__d"] for r in rows})
@@ -571,14 +590,15 @@ def _pagerank_numpy(rows, damping, max_iter, tol):
     n = len(nodes)
     s = np.array([idx[r["__s"]] for r in rows])
     d = np.array([idx[r["__d"]] for r in rows])
+    w = np.array([r["__w"] for r in rows])
     deg = np.zeros(n)
-    np.add.at(deg, s, 1.0)
+    np.add.at(deg, s, w)
     r = np.full(n, 1.0 / n)
     teleport = (1.0 - damping) / n
     for _ in range(max_iter):
         dangling = r[deg == 0.0].sum()
         contrib = np.zeros(n)
-        np.add.at(contrib, d, r[s] / deg[s])
+        np.add.at(contrib, d, r[s] * w / deg[s])
         new_r = teleport + damping * (contrib + dangling / n)
         l1 = float(np.abs(new_r - r).sum())
         r = new_r

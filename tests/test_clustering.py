@@ -427,3 +427,89 @@ class TestPagerank:
             pagerank(df, max_iter=0)
         with _pytest.raises(ValueError, match="damping"):
             pagerank(df, damping=1.0)
+
+
+class TestPagerankWeighted:
+    """r12: weighted edges — mass splits proportionally to out-strength;
+    parallel edges SUM under weight_col (vs deduping without it)."""
+
+    def test_weight_ratio_drives_rank_ratio(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        # A sends 3x more mass to B than to C; B and C both return to A
+        df = spark.createDataFrame(
+            [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, weight_col="w", tol=None, max_iter=60).collect()
+        }
+        assert got[2] > got[3]
+        # closed form at the fixpoint: in-flow(B) = 0.75*d*r_A vs
+        # in-flow(C) = 0.25*d*r_A, both + teleport
+        t, d = 0.15 / 3, 0.85
+        assert (got[2] - t) / (got[3] - t) == _pytest.approx(3.0, rel=1e-4)
+        assert sum(got.values()) == _pytest.approx(1.0, abs=1e-7)
+
+    def test_parallel_edges_sum_as_weights(self, spark):
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        # 3 parallel (1->2) edges with weight 1 == one edge with weight 3
+        multi = spark.createDataFrame(
+            [(1, 2, 1.0)] * 3 + [(1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        single = spark.createDataFrame(
+            [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double",
+        )
+        a = {r.node: r.rank for r in pagerank(multi, weight_col="w").collect()}
+        b = {r.node: r.rank for r in pagerank(single, weight_col="w").collect()}
+        assert a == b
+
+    def test_invalid_weights_dropped_and_unweighted_unchanged(self, spark):
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        dirty = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 1, 1.0), (1, 3, None), (1, 3, -5.0), (1, 3, 0.0)],
+            "src long, dst long, w double",
+        )
+        got = {r.node: r.rank for r in pagerank(dirty, weight_col="w").collect()}
+        assert got == {1: 0.5, 2: 0.5}  # the invalid 1->3 edges vanish
+        # without weight_col the same frame DEDUPES parallel edges
+        clean = {
+            r.node: r.rank
+            for r in pagerank(dirty.select("src", "dst")).collect()
+        }
+        assert set(clean) == {1, 2, 3}
+
+    def test_weighted_distributed_matches_fast(self, spark):
+        import random as _random
+
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.clustering import pagerank
+
+        rng = _random.Random(23)
+        rows = [
+            (rng.randrange(30), rng.randrange(30), float(rng.randint(1, 5)))
+            for _ in range(120)
+        ]
+        df = spark.createDataFrame(rows, "src long, dst long, w double")
+        fast = {
+            r.node: r.rank
+            for r in pagerank(df, weight_col="w", tol=None, max_iter=6).collect()
+        }
+        dist = {
+            r.node: r.rank
+            for r in pagerank(
+                df, weight_col="w", tol=None, max_iter=6,
+                small_edges_threshold=0,
+            ).collect()
+        }
+        assert set(fast) == set(dist)
+        for v in fast:
+            assert fast[v] == _pytest.approx(dist[v], abs=1e-7), v
