@@ -1989,6 +1989,26 @@ def _q_domain_cap(spark, sf):
     ).select("doc_id", "domain", "quality")
 
 
+def _q_time_split(spark, sf):
+    """Embargoed temporal split (NEW r12-late — the leakage-safe split
+    for time-ordered data, completing the family next to q_hash_split
+    (random content-keyed) and q_cluster_safe_split (near-dup-safe):
+    hard cutoff at Jan 20 with a 2-day embargo band excluded from
+    training, the purged split of Lopez de Prado 2018 ch. 7). Pure
+    map-only CASE over the events scan; full DuckDB oracle.
+    Registered PAST-CAP per the growth policy (family siblings
+    q_hash_split / q_cluster_safe_split are r12-verified in-cap);
+    pytest-compared every round, first driver row when a spare slot
+    opens (r13 map is already exactly 50)."""
+    from real_estate_bigdata_spark.operators.sampling import time_split
+
+    return time_split(
+        load_table(spark, sf, "events"),
+        "2024-01-20 00:00:00",
+        embargo_seconds=2 * 86400,
+    ).select("event_id", "split")
+
+
 def _q_image_dimensions(spark, sf):
     """Mixed-format image header triage (NEW r12-late — the
     `multimodal.image_dimensions` dispatcher as a FULL-oracle query:
@@ -2361,7 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale — 148 queries against the 50-slot cap cannot cycle faster).
     Full rotation map in COVERAGE.md.
 
-    The registry holds 153 queries: 139 oracle-bearing + 14 rows-only
+    The registry holds 154 queries: 140 oracle-bearing + 14 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene — each pinned against an independent
     mirror in pytest). Rows-only slot policy (VERDICT r10 task #7): a
@@ -2493,6 +2513,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past-cap: NEW r12-late, full ANALYTICAL oracle (the
         # q_url_canonical pattern); r13 spare slot per the policy ----
         "q_image_dimensions": _q_image_dimensions,
+        # ---- past-cap: NEW r12-late, full oracle; family siblings
+        # q_hash_split / q_cluster_safe_split r12-verified in-cap;
+        # first driver row at the next spare slot (r14 unless r13
+        # consolidates) ----
+        "q_time_split": _q_time_split,
         # ---- past-cap: r10-verified (two rounds stale after r12 —
         # the r13 MANDATORY block) ----
         "q_media_stats": _q_media_stats,
@@ -3080,6 +3105,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT doc_id, domain, quality FROM ranked WHERE rn <= 40
+        """,
+        "q_time_split": r"""
+            SELECT event_id,
+                   CASE WHEN ts IS NULL THEN NULL
+                        WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                            THEN 'test'
+                        WHEN ts >= TIMESTAMP '2024-01-18 00:00:00'
+                            THEN 'embargo'
+                        ELSE 'train' END AS split
+            FROM events
         """,
         "q_image_dimensions": r"""
             -- expected triage output stated ANALYTICALLY from the

@@ -901,3 +901,53 @@ def curriculum_phases(
             ).cast("int").alias("phase"),
         )
     )
+
+
+def time_split(
+    df: DataFrame,
+    cutoff,
+    time_col: str = "ts",
+    embargo_seconds: float = 0.0,
+    split_col: str = "split",
+    train_label: str = "train",
+    embargo_label: str = "embargo",
+    test_label: str = "test",
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap (r12) — the
+    leakage-safe split for TIME-ordered data, completing the family
+    next to :func:`hash_split` (random, content-keyed) and
+    :func:`~real_estate_bigdata_spark.operators.clustering.cluster_safe_split`
+    (near-dup-safe): when examples are autocorrelated in time (user
+    sessions, price series, crawl snapshots), a random split leaks the
+    test period's context into training, and rows immediately before
+    the cutoff leak label horizons across it — the standard fix is a
+    hard cutoff plus an embargo band excluded from training (the
+    purged/embargoed split of Lopez de Prado 2018, ch. 7).
+
+    Assignment: ``time < cutoff - embargo`` -> ``train_label``;
+    ``cutoff - embargo <= time < cutoff`` -> ``embargo_label``;
+    ``time >= cutoff`` -> ``test_label``; NULL time -> NULL split
+    (unmeasured, never guessed). ``cutoff`` is a timestamp literal
+    (string or datetime); ``embargo_seconds`` is decimal-capable
+    (the funnel make_interval lesson). Map-only pure Column expression
+    — one CASE over the scan, pushdown/pruning untouched.
+    """
+    if embargo_seconds < 0:
+        raise ValueError(
+            f"embargo_seconds must be >= 0, got {embargo_seconds}"
+        )
+    if split_col in df.columns:
+        raise ValueError(f"split_col {split_col!r} already exists")
+    labels = (train_label, embargo_label, test_label)
+    if len(set(labels)) != 3:
+        raise ValueError(f"split labels must be distinct, got {labels}")
+    t = F.col(time_col)
+    cut = F.lit(cutoff).cast("timestamp")
+    emb_start = cut - F.make_interval(secs=F.lit(float(embargo_seconds)))
+    return df.withColumn(
+        split_col,
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when(t >= cut, F.lit(test_label))
+        .when(t >= emb_start, F.lit(embargo_label))
+        .otherwise(F.lit(train_label)),
+    )

@@ -137,6 +137,17 @@ def test_every_query_has_oracle_or_is_documented():
         # fixpoint class; pinned against an independent numpy MM
         # mirror in tests/test_evaluation.py::TestPairwisePreference
         "q_bradley_terry",
+        # distributed PCA + whitening (NEW r12): the covariance
+        # eigendecomposition is not SQL-expressible; pinned against an
+        # independent numpy PCA mirror (allclose — reduction order
+        # varies) in tests/test_projection.py
+        "q_embed_pca",
+        # crawl-graph PageRank (NEW r12): the power-iteration fixpoint
+        # is the same non-SQL class as CC/BPE/Dawid-Skene; pinned
+        # against an independent dense power-iteration mirror plus
+        # hand-checkable graphs in
+        # tests/test_clustering.py::TestPagerank
+        "q_pagerank",
     }
     assert set(missing) <= allowed_rows_only
 

@@ -705,3 +705,86 @@ class TestCurriculumPhases:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan and "Sort " not in plan, plan[:2000]
         assert st.sortmerge_joins == 0
+
+
+class TestTimeSplit:
+    """r12: embargoed temporal split — boundary inclusivity, NULL
+    contract, zero-embargo degeneration, validation, map-only plan."""
+
+    def _df(self, spark):
+        import datetime as dt
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1)),          # train
+            (2, dt.datetime(2024, 1, 9, 23, 59)),  # train (just before band)
+            (3, dt.datetime(2024, 1, 10)),         # embargo start (inclusive)
+            (4, dt.datetime(2024, 1, 11, 12)),     # embargo
+            (5, dt.datetime(2024, 1, 12)),         # test (cutoff inclusive)
+            (6, dt.datetime(2024, 2, 1)),          # test
+            (7, None),                             # NULL -> NULL
+        ]
+        return spark.createDataFrame(rows, "id long, ts timestamp")
+
+    def test_bands_and_boundaries(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import time_split
+
+        got = {
+            r.id: r.split
+            for r in time_split(
+                self._df(spark), "2024-01-12", embargo_seconds=2 * 86400
+            ).collect()
+        }
+        assert got == {
+            1: "train", 2: "train", 3: "embargo", 4: "embargo",
+            5: "test", 6: "test", 7: None,
+        }
+
+    def test_zero_embargo_two_way(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import time_split
+
+        got = {
+            r.id: r.split
+            for r in time_split(self._df(spark), "2024-01-12").collect()
+        }
+        assert "embargo" not in got.values()
+        assert got[2] == "train" and got[5] == "test"
+
+    def test_fractional_embargo_not_truncated(self, spark):
+        """90-second embargo must really be 90 s (the make_interval
+        fractional-hours lesson applies to any duration argument)."""
+        import datetime as dt
+
+        from real_estate_bigdata_spark.operators.sampling import time_split
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 11, 58, 29)),   # train (91 s out)
+             (2, dt.datetime(2024, 1, 1, 11, 58, 31))],  # embargo (89 s)
+            "id long, ts timestamp",
+        )
+        got = {
+            r.id: r.split
+            for r in time_split(
+                df, "2024-01-01 12:00:00", embargo_seconds=90.0
+            ).collect()
+        }
+        assert got == {1: "train", 2: "embargo"}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from real_estate_bigdata_spark.operators.sampling import time_split
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError, match="embargo_seconds"):
+            time_split(df, "2024-01-12", embargo_seconds=-1)
+        with _pytest.raises(ValueError, match="already exists"):
+            time_split(df.withColumn("split", F.lit("x")), "2024-01-12")
+        with _pytest.raises(ValueError, match="distinct"):
+            time_split(df, "2024-01-12", train_label="x", test_label="x")
+
+    def test_map_only_plan(self, spark):
+        from real_estate_bigdata_spark.operators.sampling import time_split
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        out = time_split(self._df(spark), "2024-01-12", embargo_seconds=3600)
+        assert_plan(out, max_shuffles=0, forbid_python=True)
