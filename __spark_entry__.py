@@ -2417,21 +2417,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         family) is in-cap, and it stays DuckDB-compared on every
         pytest run meanwhile.
 
-    Past slot 50: (i) q_rolling_activity (r13, first driver row) and
-    q_domain_cap (NEW r12-late — registered_domain feeding
-    cap_per_group, the composition VERDICT r11 task #7 named;
-    registered past-cap for an r13 spare slot per the growth policy,
-    full oracle, pytest-compared every round);
+    Past slot 50: (i) the r12-late newcomers — q_rolling_activity
+    (r11-late, deferred once by the displacement rule), q_domain_cap
+    (registered_domain feeding cap_per_group — the VERDICT r11 task
+    #7 composition), q_image_dimensions (mixed-format header triage
+    under a full analytical oracle), q_time_split (embargoed temporal
+    split), all full oracles pytest-compared every round and
+    scheduled into the r13 map; plus rows-only q_embed_pca
+    (distributed PCA/whitening) and q_pagerank (crawl-graph link
+    analysis), mirror-pinned, in the rows-only spare pool;
     (ii) the 48 queries whose latest driver row is r10 (two rounds
     stale after r12 — the r13 MANDATORY block: 47 oracle-bearing +
-    rows-only q_ann_recall, which under the rows-only policy occupies
-    a spare slot only, so the block fits the cap with room to spare);
+    rows-only q_ann_recall);
     (iii) the 50 r11-verified queries (one round stale; the r14
     block). Registry-growth policy (VERDICT r11 task #5) is written
     in COVERAGE.md: strict three-round rotation over ORACLE-BEARING
     queries only, <= 4 new oracle queries per round on average
-    (150-slot cycle vs 138 oracles), consolidation before
-    displacement.
+    (150-slot cycle vs 140 oracles), consolidation before
+    displacement; the r13 map is 47 returners + q_rolling_activity +
+    q_domain_cap + q_image_dimensions = exactly 50, with q_time_split
+    at the next spare.
     Union invariant: r11 ∪ r12 driver rows cover every registry query
     except the 48 r13-scheduled r10-verified returners, and every
     oracle-bearing query is additionally DuckDB-compared on every
