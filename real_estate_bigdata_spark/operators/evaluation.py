@@ -1255,12 +1255,18 @@ def dawid_skene(
     )
     probe = valid.limit(small_votes_threshold + 1).count()
     if probe <= small_votes_threshold:
-        rows = valid.collect()
         # dense-state budget: theta is raters*classes^2 doubles and the
         # vectorized E-step expands votes*classes — cap the sum at
-        # ~48M doubles (~400 MB of temporaries) before going dense
-        n_raters = len({r["__r"] for r in rows})
-        if n_raters * n_cats * n_cats + len(rows) * n_cats <= 48_000_000:
+        # ~48M doubles (~400 MB of temporaries) before going dense.
+        # Checked BEFORE the collect (ADVICE r12): probe already counts
+        # every vote row, and the rater cardinality comes from one cheap
+        # aggregate, so the multi-hundred-MB collect only happens once
+        # the numpy path is committed.
+        n_raters = valid.select(
+            F.countDistinct("__r").alias("__nr")
+        ).first()["__nr"]
+        if n_raters * n_cats * n_cats + probe * n_cats <= 48_000_000:
+            rows = valid.collect()
             return spark.createDataFrame(
                 _dawid_skene_numpy(
                     rows, cats, max_iter=max_iter, tol=tol,

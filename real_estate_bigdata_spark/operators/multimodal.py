@@ -1337,7 +1337,15 @@ def image_dimensions(media: DataFrame) -> DataFrame:
     is_gif = F.hex(F.substring(c, 1, 6)).isin("474946383761", "474946383961") & (
         n >= 10
     )
-    is_bmp = (F.hex(F.substring(c, 1, 2)) == "424D") & (n >= 26)
+    # gate on the info-header size dword: a BITMAPCOREHEADER (biSize
+    # 12, 16-bit dims at other offsets) or OS/2 variant would read
+    # garbage at the INFOHEADER offsets — NULL instead (the corrupt-
+    # media visibility contract, matching _decode_bmp_stdlib's reject)
+    is_bmp = (
+        (F.hex(F.substring(c, 1, 2)) == "424D")
+        & (n >= 26)
+        & (_le(c, 15, 4) >= 40)
+    )
     is_jpeg = (F.hex(F.substring(c, 1, 2)) == "FFD8") & (n >= 4)
     # BMP width/height are signed little-endian int32 (negative height
     # = top-down row order); fold the two's complement back

@@ -39,9 +39,10 @@ allclose, never bit-exact (the linear-probe contract), and the driver
 query is rows-only at the oracle gate (eigendecomposition is not
 ANSI-SQL-expressible — the BPE/Dawid-Skene class).
 
-NULL contract: NULL / wrong-width vectors are EXCLUDED from the fit;
-``apply_pca`` propagates NULL for NULL inputs (unmeasured, never
-guessed).
+NULL contract: NULL vectors are EXCLUDED from the fit; a corpus with
+MIXED vector widths raises unless ``dim=`` states which width to fit
+on (then other widths are excluded); ``apply_pca`` propagates NULL
+for NULL / wrong-width inputs (unmeasured, never guessed).
 """
 
 from __future__ import annotations
@@ -91,23 +92,47 @@ def fit_pca(
     vec_col: str = "embedding",
     whiten: bool = False,
     eps: float = 1e-9,
+    dim: int | None = None,
 ) -> PcaModel:
     """Fit a :class:`PcaModel` in one distributed pass (see module doc).
 
     Eager at call time (the linear-probe precedent): the corpus pass
     runs NOW and the returned model is plain driver data, so frames
-    built from it are map-only scans."""
+    built from it are map-only scans.
+
+    ``dim`` pins the embedding width explicitly; when None it is
+    DERIVED from the corpus with one bounded aggregate, and a corpus
+    holding MORE THAN ONE vector width raises instead of fitting on
+    whichever width a scan happened to surface first (ADVICE r12: a
+    ``limit(1)`` probe made the fitted model — and which rows were
+    silently excluded — depend on partition order). Mixed widths are
+    a data bug; fail loudly or state the width you mean."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    dim_row = (
-        emb.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d"))
-        .limit(1)
-        .collect()
-    )
-    if not dim_row:
-        raise ValueError("fit_pca: no non-null vectors to fit on")
-    d = dim_row[0]["d"]
+    if dim is None:
+        widths = sorted(
+            r["d"]
+            for r in (
+                emb.filter(F.col(vec_col).isNotNull())
+                .select(F.size(vec_col).alias("d"))
+                .distinct()
+                .limit(17)
+                .collect()
+            )  # bounded: width cardinality, not rows
+        )
+        if not widths:
+            raise ValueError("fit_pca: no non-null vectors to fit on")
+        if len(widths) > 1:
+            raise ValueError(
+                f"fit_pca: corpus holds {len(widths)} distinct vector "
+                f"widths {widths[:16]} — pass dim= to state which one "
+                f"to fit on (rows of other widths are excluded)"
+            )
+        d = widths[0]
+    else:
+        if dim < 1:
+            raise ValueError(f"dim must be >= 1, got {dim}")
+        d = dim
     if k > d:
         raise ValueError(f"k={k} exceeds embedding width d={d}")
 

@@ -3,9 +3,10 @@ fingerprint — the bookkeeping layer of an incremental curation
 pipeline (which docs did the latest crawl add, drop, or rewrite, so
 downstream dedup/decontamination/indexing only reprocesses the delta).
 
-The reference has no analogue — its pipeline is overwrite-only
-(`kafka_cc/consumer/consumer_datalake.py` rewrites partitions; SURVEY
-§2.1 S6/S8). This is north-star training-pipeline surface like the
+The reference has no analogue — its pipeline is append-only with no
+delta tracking (`kafka_cc/consumer/kafka_to_hdfs_consumer.py:104`
+drops each micro-batch as a new JSONL file, ``overwrite=False``;
+SURVEY §2.1 S6/S8). This is north-star training-pipeline surface like the
 dedup family: at 100 TB you cannot afford to re-curate the whole
 corpus per crawl; you diff and reprocess the changed slice.
 

@@ -696,6 +696,17 @@ def _bmp_bytes(w, h):
     return b"BM" + struct.pack("<I", 54 + 16) + b"\x00" * 4 + struct.pack("<I", 54) + info
 
 
+def _core_bmp_bytes(w, h):
+    """BITMAPCOREHEADER BMP (biSize=12, UNSIGNED 16-bit dims right
+    after the size dword): valid per the original OS/2 spec, but the
+    INFOHEADER field offsets read into the wrong bytes — the
+    dispatcher must refuse it (NULLs), like _decode_bmp_stdlib."""
+    import struct
+
+    core = struct.pack("<IHHHH", 12, w, h, 1, 24)
+    return b"BM" + struct.pack("<I", 14 + 12) + b"\x00" * 4 + struct.pack("<I", 26) + core
+
+
 def _jpeg_header_bytes(w, h, marker=0xC0, dqt_trap=True, fill=0):
     """Synthesized JPEG header: SOI + APP0(JFIF) + DQT + SOFn + SOS +
     EOI. ``dqt_trap`` plants a literal FF C0 byte pair INSIDE the DQT
@@ -736,6 +747,9 @@ def test_image_dimensions_dispatcher_all_formats(spark):
         (5, _jpeg_header_bytes(1024, 768)),  # SOF0 + DQT trap bytes
         (6, _jpeg_header_bytes(50, 60, marker=0xC2)),   # progressive
         (7, _jpeg_header_bytes(12, 34, fill=3)),        # FF padding
+        # BITMAPCOREHEADER (biSize=12, 16-bit dims): the INFOHEADER
+        # offsets would read garbage — must yield NULLs, not numbers
+        (8, _core_bmp_bytes(100, 50)),
         (90, b"not an image at all....."),
         (91, None),
         (92, _gif_bytes(320, 200)[:8]),      # truncated GIF
@@ -752,6 +766,7 @@ def test_image_dimensions_dispatcher_all_formats(spark):
     assert got[5] == ("jpeg", 1024, 768)
     assert got[6] == ("jpeg", 50, 60)
     assert got[7] == ("jpeg", 12, 34)
+    assert got[8] == (None, None, None)
     assert got[90] == (None, None, None)
     assert got[91] == (None, None, None)
     assert got[92] == (None, None, None)

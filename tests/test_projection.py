@@ -70,7 +70,9 @@ class TestFitPca:
         ev = list(m.explained_variance)
         assert ev == sorted(ev, reverse=True)
 
-    def test_nulls_and_wrong_width_excluded_from_fit(self, spark):
+    def test_nulls_excluded_and_explicit_dim_excludes_other_widths(
+        self, spark
+    ):
         x = _fixture(n=100, d=6)
         df = _df(spark, x).unionByName(
             spark.createDataFrame(
@@ -79,9 +81,23 @@ class TestFitPca:
             )
         )
         clean = fit_pca(_df(spark, x), k=2)
-        dirty = fit_pca(df, k=2)
+        # dim=6 states the width: NULLs and the width-2 row excluded
+        dirty = fit_pca(df, k=2, dim=6)
         assert dirty.n_rows == clean.n_rows == 100
         assert np.allclose(dirty.components, clean.components, atol=1e-10)
+
+    def test_mixed_widths_raise_without_explicit_dim(self, spark):
+        """ADVICE r12: which width a limit(1) probe surfaced depended
+        on scan order — mixed widths must fail loudly instead."""
+        df = _df(spark, _fixture(n=20, d=6)).unionByName(
+            spark.createDataFrame(
+                [(901, [1.0, 2.0])], "vec_id long, embedding array<double>"
+            )
+        )
+        with pytest.raises(ValueError, match="distinct vector widths"):
+            fit_pca(df, k=2)
+        with pytest.raises(ValueError, match="dim must be"):
+            fit_pca(df, k=2, dim=0)
 
     def test_validation(self, spark):
         df = _df(spark, _fixture(n=10, d=4))

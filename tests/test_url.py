@@ -104,6 +104,112 @@ class TestRegisteredDomain:
         assert got == "co.uk"  # without the list, naive last-two
 
 
+class TestSuffixTable:
+    """r13 (VERDICT r12 task #6): the public-suffix set as DATA — a
+    broadcast-joined one-column table instead of the literal list."""
+
+    URLS = [
+        "http://WWW.Site0.Example.COM/p",
+        "https://a.b.site.example.co.uk/x",
+        "https://deep.sub.example.org/x",
+        "http://example.net/x",
+        "http://localhost/x",
+        "http://co.uk/x",
+        "https://shop.example.com.au/y",
+        None,
+        "%%%",
+    ]
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(i, u) for i, u in enumerate(self.URLS)], "id long, url string"
+        )
+
+    def test_suffix_table_matches_literal_on_defaults(self, spark):
+        """Table form == literal form when the table holds exactly the
+        default 16 suffixes — row-identical, the consolidation-grade
+        parity pin."""
+        from real_estate_bigdata_spark.functions.url import (
+            DEFAULT_MULTI_SUFFIXES,
+            with_registered_domain,
+        )
+
+        df = self._frame(spark)
+        sfx = spark.createDataFrame(
+            [(s,) for s in DEFAULT_MULTI_SUFFIXES], "suffix string"
+        )
+        lit = {
+            (r.id, r.domain)
+            for r in with_registered_domain(df, "url").collect()
+        }
+        tab = {
+            (r.id, r.domain)
+            for r in with_registered_domain(
+                df, "url", suffixes_df=sfx
+            ).collect()
+        }
+        assert tab == lit
+
+    def test_fuller_table_resolves_what_the_literal_misses(self, spark):
+        """gov.au-class: absent from the deliberately small literal
+        list (which therefore returns the bare public suffix — wrong),
+        present in a fuller table (which returns the registrable
+        three-label domain) — the exact case the data-not-code design
+        exists for."""
+        from real_estate_bigdata_spark.functions.url import (
+            DEFAULT_MULTI_SUFFIXES,
+            with_registered_domain,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "https://portal.agency.gov.au/x")], "id long, url string"
+        )
+        assert "gov.au" not in DEFAULT_MULTI_SUFFIXES
+        lit = with_registered_domain(df, "url").collect()[0].domain
+        assert lit == "gov.au"  # the literal list's documented miss
+        sfx = spark.createDataFrame(
+            [(s,) for s in DEFAULT_MULTI_SUFFIXES + ("gov.au",)],
+            "suffix string",
+        )
+        tab = with_registered_domain(df, "url", suffixes_df=sfx).collect()[
+            0
+        ].domain
+        assert tab == "agency.gov.au"
+
+    def test_duplicate_and_cased_suffix_rows_do_not_fan_out(self, spark):
+        """A messy suffix table (dup rows, mixed case, NULL/empty) must
+        neither duplicate output rows nor miss the match."""
+        from real_estate_bigdata_spark.functions.url import (
+            with_registered_domain,
+        )
+
+        df = self._frame(spark)
+        sfx = spark.createDataFrame(
+            [("co.uk",), ("CO.UK",), ("co.uk",), (None,), ("",)],
+            "suffix string",
+        )
+        out = with_registered_domain(df, "url", suffixes_df=sfx)
+        rows = out.collect()
+        assert len(rows) == len(self.URLS)
+        got = {r.id: r.domain for r in rows}
+        assert got[1] == "example.co.uk"
+
+    def test_table_form_is_one_broadcast_join_no_python(self, spark):
+        from real_estate_bigdata_spark.functions.url import (
+            with_registered_domain,
+        )
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        sfx = spark.createDataFrame([("co.uk",)], "suffix string")
+        out = with_registered_domain(
+            self._frame(spark), "url", suffixes_df=sfx
+        )
+        # budget 1: the only exchange is the dedup of the SUFFIX table
+        # (bounded by the public-suffix list, never the corpus); the
+        # corpus side stays map-only against the broadcast
+        assert_plan(out, max_shuffles=1, forbid_python=True)
+
+
 class TestProperties:
     """Hypothesis invariants over random well-formed URLs (r12): a
     mutation that canonicalization is DEFINED to erase — scheme/host
