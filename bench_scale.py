@@ -170,6 +170,11 @@ EXTRA_TABLES: dict[int, tuple[str, ...]] = {
 }
 N_PASSES = 2
 QUADRATIC_ALARM = 1.7
+#: operators whose per-scale shuffle-WRITE bytes are recorded next to
+#: wall-time (r13, VERDICT r12 task #4: the PCA candidate stage's
+#: byte claim must be measured, not asserted — its raw-dim twin is
+#: tracked for the side-by-side delta)
+TRACK_SHUFFLE = {"pca_embedding_neardup", "ivf_embedding_neardup"}
 #: operators whose super-linear exponent is BY DESIGN and bounded, not a
 #: 100 TB scale failure — recorded but not flagged
 ALARM_EXEMPT = {
@@ -760,10 +765,42 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         "source_overlap": lambda: dd.source_overlap_matrix(
             docs(), dd.minhash_lsh_pairs(docs())
         ),
+        # r13 (VERDICT r12 task #4): the PCA-candidates pair generator
+        # next to its raw-64-dim twin ivf_embedding_neardup — both in
+        # TRACK_SHUFFLE so BENCH_SCALE.json records the measured
+        # shuffle-byte delta (the projected float32 candidate stage
+        # moves ~2x fewer vector bytes per list replica; wall-time at
+        # 64 raw dims is overhead-dominated — the honest trade is in
+        # the operator docstring)
+        "pca_embedding_neardup": lambda: dd.embedding_neardup_pairs_pca(
+            emb(), n_lists=n_lists
+        ),
     }
     if names is not None:
         return {k: defs[k] for k in names}
     return defs
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all completed stages of
+    this application, via the live UI REST API (the only place local
+    mode exposes stage metrics without a listener jar). Deltas around
+    a run isolate that run's shuffle volume — the battery runs one
+    thunk at a time, so nothing else writes between snapshots."""
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = _json.load(resp)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return -1  # UI disabled/unreachable: record absence visibly
 
 
 def fit_exponent(scales, secs):
@@ -796,16 +833,25 @@ def main() -> int:
 
     def run_one(scale: int, name, thunk) -> None:
         rec = results.setdefault(name, {"sec": {}, "rows": {}})
-        best, rows = None, None
+        best, rows, sw = None, None, None
         for _ in range(N_PASSES):
+            sw0 = shuffle_write_bytes(spark) if name in TRACK_SHUFFLE else 0
             t0 = time.perf_counter()
             rows = thunk().count()
             dt = time.perf_counter() - t0
+            if name in TRACK_SHUFFLE:
+                d = shuffle_write_bytes(spark) - sw0
+                sw = d if sw is None else min(sw, d)  # min like wall-time
             best = dt if best is None else min(best, dt)
         rec["sec"][str(scale)] = round(best, 4)
         rec["rows"][str(scale)] = rows
+        if sw is not None:
+            rec.setdefault("shuffle_write_mb", {})[str(scale)] = round(
+                sw / 1e6, 3
+            )
         print(
-            f"\nx{scale} {name}: {best:.2f}s rows={rows}",
+            f"\nx{scale} {name}: {best:.2f}s rows={rows}"
+            + (f" shuffle={sw/1e6:.1f}MB" if sw is not None else ""),
             file=sys.stderr,
             flush=True,
         )

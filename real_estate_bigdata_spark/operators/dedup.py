@@ -1077,6 +1077,126 @@ def embedding_neardup_pairs_ivf(
     )
 
 
+def embedding_neardup_pairs_pca(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int = 32,
+    candidate_threshold: float = 0.3,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model=None,
+    max_list_rows: int = 65_536,
+) -> DataFrame:
+    """Embedding near-dup pairs via PCA-projected CANDIDATES + exact
+    verify (NEW r13, VERDICT r12 task #4 — the projection tier wired
+    into the pair-generation path): project the corpus onto the top-k
+    principal directions (:mod:`operators.projection`, non-whitened —
+    whitening rescales directions and distorts cosine), generate
+    candidate pairs with the IVF-blocked generator IN THE PROJECTED
+    SPACE at a deliberately permissive ``candidate_threshold``, then
+    verify every candidate on the RAW vectors with the shared
+    ``cosine_from_norms`` kernel — so every emitted pair carries the
+    EXACT cosine, bit-identical to :func:`embedding_neardup_pairs`,
+    and precision is 1.0 by construction.
+
+    Approximation lives only in candidate RECALL: a true pair is
+    missed iff its projected cosine falls below ``candidate_threshold``
+    (PCA drops tail variance, so projected cosine of a true near-dup
+    can sag below its raw cosine) or its members' IVF probe sets are
+    disjoint. The defaults are a MEASURED operating point on the synth
+    corpus (k=32, candidate 0.3 vs raw threshold 0.4: end-to-end
+    recall 0.963 at sf0.1 with the IVF stage's own miss multiplied
+    in), and tests/test_dedup_similarity.py pins end-to-end recall
+    >= 0.9 against the exact generator. Rows-only at the oracle gate
+    (the ANN class).
+
+    Scale posture (measured in BENCH_SCALE.json
+    ``pca_embedding_neardup``): the candidate stage — the only stage
+    that shuffles vectors by IVF list — moves k-dim FLOAT projections
+    (32 float32 dims vs the raw 64 = 2x fewer vector bytes per replica
+    across the n_probe-way explode; candidate scoring is approximate
+    by role, so float32 costs nothing), and the k-dim frame is
+    materialized ONCE (localCheckpoint) because the IVF stage scans
+    its input several times — k-means sampling, probe assignment,
+    list build — and would otherwise re-evaluate the k x d projection
+    expression per scan (measured 5x at sf0.1). The raw payload is
+    touched only by the map-only projection scan and the final
+    candidate-sized verify join.
+
+    Wall-time honesty: on THIS corpus (64-dim vectors, where the raw
+    IVF generator is already cheap) the fit + materialize + verify
+    stages make the PCA path ~3x the raw path's wall-time at sf0.1 —
+    the byte/flop reduction cannot pay for its overhead at 64 dims.
+    The operator's target is fat embeddings (768-1536 dims), where
+    the quadratic BLAS and the list shuffle dominate and the same
+    k/d ratio shrinks both ~20-50x; the BENCH_SCALE entry records the
+    measured shuffle-byte delta so the trade is visible, not asserted.
+    Fit is one corpus pass (``fit_pca``); pass a prefit ``model`` to
+    amortize it across runs (the persisted-index pattern)."""
+    from real_estate_bigdata_spark.operators.projection import apply_pca, fit_pca
+
+    if model is None:
+        model = fit_pca(embeddings, k=k, vec_col=vec_col, whiten=False)
+    # materialize the k-dim projections ONCE (float32 — candidate
+    # scoring is approximate by role, and float halves the bytes the
+    # list shuffle moves): the IVF stage scans its input several times
+    # (k-means sampling, probe assignment, list build) and would
+    # otherwise re-evaluate the k x d projection expression per scan
+    # (measured 5x at sf0.1); the checkpoint holds k-dim rows only —
+    # the exact artifact a production pipeline persists between fit
+    # and serve
+    proj = (
+        apply_pca(embeddings, model, vec_col=vec_col, out_col="__pca")
+        .select(
+            F.col(id_col),
+            F.col("__pca").cast("array<float>").alias(vec_col),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cand = embedding_neardup_pairs_ivf(
+        proj,
+        threshold=candidate_threshold,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_list_rows=max_list_rows,
+    ).select("id_a", "id_b")
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    return (
+        cand.join(
+            e.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__v").alias("__va"),
+                F.col("__nrm").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            e.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__nrm").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            cosine_from_norms(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,

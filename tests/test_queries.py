@@ -148,6 +148,12 @@ def test_every_query_has_oracle_or_is_documented():
         # hand-checkable graphs in
         # tests/test_clustering.py::TestPagerank
         "q_pagerank",
+        # PCA-candidates + exact-verify near-dup pairs (NEW r13): the
+        # candidate stage is approximate by construction (the ANN
+        # class); recall >= 0.9 and bit-parity of surviving cosines
+        # vs the exact generator are pinned in
+        # tests/test_dedup_similarity.py
+        "q_dedup_embedding_pca",
     }
     assert set(missing) <= allowed_rows_only
 

@@ -501,6 +501,28 @@ class TestBm25Index:
             ]
             assert indexed == one_shot, q  # same ids, same scores, same order
 
+    def test_registry_bm25_consolidation_parity(self, spark):
+        """r13 consolidation pin (VERDICT r12 task #2, growth-policy
+        rule 2): q_bm25_index_search was folded into q_bm25_search's
+        registry slot BECAUSE the two registry callables are
+        bit-identical on the real testdata — this test IS that claim,
+        run on the exact registry-shaped query bodies (persisted
+        artifact path, same fixed query string) so the persisted-index
+        serve path keeps driver-fixture-level coverage."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        one_shot = [
+            (r.doc_id, r.score)
+            for r in entry._q_bm25_search(spark, sf).collect()
+        ]
+        indexed = [
+            (r.doc_id, r.score)
+            for r in entry._q_bm25_index_search(spark, sf).collect()
+        ]
+        assert indexed == one_shot
+        assert one_shot, "expected non-empty BM25 top-k on testdata"
+
     def test_only_queried_term_partitions_scan(self, spark, tmp_path):
         """The __tp filter prunes posting directories at the scan: the
         files actually read for a query are a strict subset of the full
