@@ -786,19 +786,37 @@ def shuffle_write_bytes(spark) -> int:
     this application, via the live UI REST API (the only place local
     mode exposes stage metrics without a listener jar). Deltas around
     a run isolate that run's shuffle volume — the battery runs one
-    thunk at a time, so nothing else writes between snapshots."""
+    thunk at a time, so nothing else writes between snapshots.
+
+    The UI listener is ASYNC: stages can register as complete a
+    moment after the driver action returns, so a raw snapshot
+    undercounts (r13: an x3 delta read below its x1 twin). Poll until
+    two consecutive reads agree (0.5 s apart, <= 6 s) before trusting
+    the number."""
     import json as _json
+    import time as _time
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
-    try:
+
+    def snap() -> int:
         with urllib.request.urlopen(
             f"{ui}/api/v1/applications/{app}/stages?status=complete",
             timeout=10,
         ) as resp:
             stages = _json.load(resp)
         return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+    try:
+        prev = snap()
+        for _ in range(12):
+            _time.sleep(0.5)
+            cur = snap()
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
     except Exception:
         return -1  # UI disabled/unreachable: record absence visibly
 
@@ -841,7 +859,10 @@ def main() -> int:
             dt = time.perf_counter() - t0
             if name in TRACK_SHUFFLE:
                 d = shuffle_write_bytes(spark) - sw0
-                sw = d if sw is None else min(sw, d)  # min like wall-time
+                # MAX over passes: identical plans move identical bytes,
+                # so any disagreement is listener lag UNDERcounting —
+                # the largest complete observation is the true volume
+                sw = d if sw is None else max(sw, d)
             best = dt if best is None else min(best, dt)
         rec["sec"][str(scale)] = round(best, 4)
         rec["rows"][str(scale)] = rows

@@ -490,7 +490,7 @@ def pagerank(
             base.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
             .distinct()
             .withColumn("__w", F.lit(1.0))
-        ).localCheckpoint(eager=True)
+        )
     else:
         e = (
             base.filter(
@@ -500,10 +500,16 @@ def pagerank(
                 F.col(src).alias("__s"), F.col(dst).alias("__d")
             )
             .agg(F.sum(F.col(weight_col).cast("double")).alias("__w"))
-        ).localCheckpoint(eager=True)
+        )
     spark = edges.sparkSession
     id_t = e.schema["__s"].dataType.simpleString()
     out_schema = f"node {id_t}, rank double"
+    # r13: the eager checkpoint moves BELOW the branch — the fast path
+    # scans e twice (count probe + collect; a count-only probe keeps
+    # the over-threshold case from hauling 2M edge rows to the driver
+    # just to discard them — the dawid_skene budget-commit rule), so
+    # materializing it first was one pure-overhead job; only the
+    # distributed loop's repeated per-round scans need the checkpoint
     probe = e.limit(small_edges_threshold + 1).count()
     if probe <= small_edges_threshold:
         rows = e.collect()
@@ -512,6 +518,7 @@ def pagerank(
         return spark.createDataFrame(
             _pagerank_numpy(rows, damping, max_iter, tol), out_schema
         )
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))

@@ -885,10 +885,14 @@ def embedding_neardup_pairs_blocked(
     )
 
 
-def _expand_hot_lists(assigned: DataFrame, max_list_rows: int) -> DataFrame:
+def _expand_hot_lists(
+    assigned: DataFrame, max_list_rows: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Sub-partition over-sized probed lists for bounded GEMM tasks.
 
-    Input: (__plist, vid, v). Each list over ``max_list_rows`` rows is
+    Input: (__plist, vid, v) plus any ``extra_cols`` carried through
+    verbatim (r13: the PCA variant rides both the raw and the
+    projected vector through the same replication). Each list over ``max_list_rows`` rows is
     hash-split on ``vid`` into ``ceil(rows / max_list_rows)`` sub-blocks;
     every row is replicated once per sub-block pair it participates in,
     keyed (__plist, __sx <= __sy). Within one list, every vector pair
@@ -915,6 +919,7 @@ def _expand_hot_lists(assigned: DataFrame, max_list_rows: int) -> DataFrame:
             "__plist",
             "vid",
             "v",
+            *extra_cols,
             "__sub",
             F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1)).alias("__other"),
         )
@@ -925,6 +930,7 @@ def _expand_hot_lists(assigned: DataFrame, max_list_rows: int) -> DataFrame:
             "__sub",
             "vid",
             "v",
+            *extra_cols,
         )
     )
 
@@ -1077,6 +1083,16 @@ def embedding_neardup_pairs_ivf(
     )
 
 
+#: masked-pair fraction of a chunk above which the PCA kernel's exact
+#: verify switches from gather+einsum on the masked sparse set to one
+#: full raw-dim GEMM for the chunk: fancy-indexed gathers move
+#: ~2 x d x 8 bytes per masked pair, so past ~1/4 density the dense
+#: multiply is cheaper AND recovers the mask's candidate misses for
+#: free (r13 measurement: dense within-list masks made gather traffic
+#: the bottleneck on the 64-dim synth corpus)
+_DENSE_MASK_FRAC = 0.25
+
+
 def embedding_neardup_pairs_pca(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -1090,112 +1106,174 @@ def embedding_neardup_pairs_pca(
     model=None,
     max_list_rows: int = 65_536,
 ) -> DataFrame:
-    """Embedding near-dup pairs via PCA-projected CANDIDATES + exact
-    verify (NEW r13, VERDICT r12 task #4 — the projection tier wired
-    into the pair-generation path): project the corpus onto the top-k
-    principal directions (:mod:`operators.projection`, non-whitened —
-    whitening rescales directions and distorts cosine), generate
-    candidate pairs with the IVF-blocked generator IN THE PROJECTED
-    SPACE at a deliberately permissive ``candidate_threshold``, then
-    verify every candidate on the RAW vectors with the shared
-    ``cosine_from_norms`` kernel — so every emitted pair carries the
-    EXACT cosine, bit-identical to :func:`embedding_neardup_pairs`,
-    and precision is 1.0 by construction.
+    """Embedding near-dup pairs via PCA-masked IVF lists (NEW r13,
+    VERDICT r12 task #4 — the projection tier wired into the pair
+    path): project the corpus onto the top-k principal directions
+    (:mod:`operators.projection`, non-whitened — whitening rescales
+    directions and distorts cosine), bucket by an IVF built in the
+    PROJECTED space, and inside each list task compute the pair MASK
+    with a k-dim float32 GEMM at a permissive ``candidate_threshold``
+    — then evaluate the EXACT d-dim cosine only for masked pairs and
+    emit those at or above ``threshold``. Every emitted pair carries
+    the exact round-6 cosine (the blocked-GEMM bit-parity class), and
+    precision is 1.0 by construction.
 
     Approximation lives only in candidate RECALL: a true pair is
     missed iff its projected cosine falls below ``candidate_threshold``
-    (PCA drops tail variance, so projected cosine of a true near-dup
-    can sag below its raw cosine) or its members' IVF probe sets are
-    disjoint. The defaults are a MEASURED operating point on the synth
-    corpus (k=32, candidate 0.3 vs raw threshold 0.4: end-to-end
-    recall 0.963 at sf0.1 with the IVF stage's own miss multiplied
-    in), and tests/test_dedup_similarity.py pins end-to-end recall
-    >= 0.9 against the exact generator. Rows-only at the oracle gate
+    (PCA drops tail variance, so a true near-dup's projected cosine
+    can sag below its raw cosine) or its members' probe sets are
+    disjoint. Defaults are a MEASURED operating point on the synth
+    corpus (k=32, candidate 0.3 vs raw threshold 0.4 — end-to-end
+    recall 0.963 at sf0.1), pinned >= 0.9 against the exact generator
+    in tests/test_dedup_similarity.py. Rows-only at the oracle gate
     (the ANN class).
 
-    Scale posture (measured in BENCH_SCALE.json
-    ``pca_embedding_neardup``): the candidate stage — the only stage
-    that shuffles vectors by IVF list — moves k-dim FLOAT projections
-    (32 float32 dims vs the raw 64 = 2x fewer vector bytes per replica
-    across the n_probe-way explode; candidate scoring is approximate
-    by role, so float32 costs nothing), and the k-dim frame is
-    materialized ONCE (localCheckpoint) because the IVF stage scans
-    its input several times — k-means sampling, probe assignment,
-    list build — and would otherwise re-evaluate the k x d projection
-    expression per scan (measured 5x at sf0.1). The raw payload is
-    touched only by the map-only projection scan and the final
-    candidate-sized verify join.
+    Why IN-LIST verify (r13 second design — the first emitted
+    projected candidates and verified via joins, and the measured
+    x10 scale point moved 2.8x MORE shuffle bytes than the raw path:
+    at a permissive threshold the candidate-pair stream dwarfs the
+    vector bytes it saved, then paid groupBy + two verify joins on
+    top): here the candidate mask never leaves the task — no
+    candidate shuffle, no verify joins, output is true-pair-sized.
+    The costs and wins, honestly (BENCH_SCALE.json
+    ``pca_embedding_neardup`` vs ``ivf_embedding_neardup``):
 
-    Wall-time honesty: on THIS corpus (64-dim vectors, where the raw
-    IVF generator is already cheap) the fit + materialize + verify
-    stages make the PCA path ~3x the raw path's wall-time at sf0.1 —
-    the byte/flop reduction cannot pay for its overhead at 64 dims.
-    The operator's target is fat embeddings (768-1536 dims), where
-    the quadratic BLAS and the list shuffle dominate and the same
-    k/d ratio shrinks both ~20-50x; the BENCH_SCALE entry records the
-    measured shuffle-byte delta so the trade is visible, not asserted.
-    Fit is one corpus pass (``fit_pca``); pass a prefit ``model`` to
-    amortize it across runs (the persisted-index pattern)."""
+    * list-shuffle bytes = raw + k-dim float32 replicas, (d + k/2)/d
+      of the raw path (~1.25x at d=64/k=32; ~1.02x at d=1536/k=64) —
+      a small, bounded byte REGRESSION;
+    * quadratic-stage flops = k-dim float32 mask vs the raw path's
+      full d-dim float64 gram + round: ~4x less at d=64/k=32, ~50x
+      at d=1536/k=64, with exact d-dim dots only for the masked
+      sparse set. On THIS 64-dim corpus the win is modest by
+      construction; the operator's target is fat embeddings, where
+      the quadratic stage dominates everything.
+
+    The k-means fit and probing also run in k dims. Fit is one corpus
+    pass (``fit_pca``); pass a prefit ``model`` to amortize it across
+    runs (the persisted-index pattern)."""
+    import numpy as np
+    import pandas as pd
+
     from real_estate_bigdata_spark.operators.projection import apply_pca, fit_pca
+    from real_estate_bigdata_spark.operators.similarity import (
+        _deterministic_vector_sample,
+        _kmeans_fit,
+        _probe_lists_udf,
+    )
 
+    if max_list_rows < 1:
+        raise ValueError(f"max_list_rows must be >= 1, got {max_list_rows}")
     if model is None:
         model = fit_pca(embeddings, k=k, vec_col=vec_col, whiten=False)
-    # materialize the k-dim projections ONCE (float32 — candidate
-    # scoring is approximate by role, and float halves the bytes the
-    # list shuffle moves): the IVF stage scans its input several times
-    # (k-means sampling, probe assignment, list build) and would
-    # otherwise re-evaluate the k x d projection expression per scan
-    # (measured 5x at sf0.1); the checkpoint holds k-dim rows only —
-    # the exact artifact a production pipeline persists between fit
-    # and serve
-    proj = (
+    # materialize (id, raw, projected) ONCE: the sample pass and the
+    # probe/assignment pass both scan it, and re-evaluating the k x d
+    # projection expression per scan measured 5x at sf0.1
+    both = (
         apply_pca(embeddings, model, vec_col=vec_col, out_col="__pca")
         .select(
-            F.col(id_col),
-            F.col("__pca").cast("array<float>").alias(vec_col),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col("__pca").cast("array<float>").alias("__pv"),
+        )
+        .filter(
+            F.col("v").isNotNull()
+            & (F.size("v") == model.dim)
+            & F.col("__pv").isNotNull()
         )
         .localCheckpoint(eager=False)
     )
-    cand = embedding_neardup_pairs_ivf(
-        proj,
-        threshold=candidate_threshold,
-        n_lists=n_lists,
-        n_probe=n_probe,
-        seed=seed,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_list_rows=max_list_rows,
-    ).select("id_a", "id_b")
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    ).withColumn("__nrm", l2_norm(F.col("__v")))
-    return (
-        cand.join(
-            e.select(
-                F.col(id_col).alias("id_a"),
-                F.col("__v").alias("__va"),
-                F.col("__nrm").alias("__na"),
-            ),
-            "id_a",
-        )
-        .join(
-            e.select(
-                F.col(id_col).alias("id_b"),
-                F.col("__v").alias("__vb"),
-                F.col("__nrm").alias("__nb"),
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            cosine_from_norms(
-                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    sample, _ = _deterministic_vector_sample(
+        both, "vid", "__pv", seed, 100_000, caller="embedding_neardup_pairs_pca"
+    )
+    centers = _kmeans_fit(
+        sample, k=min(n_lists, len(sample)), seed=seed, max_iter=10
+    )
+    probe = _probe_lists_udf(centers, min(n_probe, len(centers)))
+    assigned = both.select(
+        "vid", "v", "__pv", F.explode(probe(F.col("__pv"))).alias("__plist")
     )
 
+    def _normed_pair(rows: pd.DataFrame):
+        ids = rows["vid"].to_numpy()
+        V = np.stack(rows["v"].to_numpy())
+        P = np.stack(rows["__pv"].to_numpy()).astype(np.float32)
+        nv = np.linalg.norm(V, axis=1)
+        nv = np.where(nv == 0.0, np.inf, nv)
+        npr = np.linalg.norm(P, axis=1)
+        npr = np.where(npr == 0.0, np.inf, npr)
+        return ids, V / nv[:, None], P / npr[:, None]
+
+    def _list_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        sx, sy = int(pdf["__sx"].iat[0]), int(pdf["__sy"].iat[0])
+        out_a, out_b, out_c = [], [], []
+        step = 2048  # bounds the per-chunk mask slab at ~step x |rows|
+
+        def emit(ii_ids, jj_ids, Va, Vb, same_block):
+            # exact d-dim cosines for the masked sparse set only
+            ex = np.round(np.einsum("ij,ij->i", Va, Vb), 6)
+            if same_block:
+                keep = (ii_ids < jj_ids) & (ex >= threshold)
+            else:
+                keep = ex >= threshold
+            out_a.append(np.minimum(ii_ids[keep], jj_ids[keep]))
+            out_b.append(np.maximum(ii_ids[keep], jj_ids[keep]))
+            out_c.append(ex[keep])
+
+        # adaptive chunk kernel: when the projected mask is SPARSE the
+        # masked pairs gather into one einsum of exact d-dim dots; when
+        # it is DENSE (> _DENSE_MASK_FRAC of the chunk — IVF lists
+        # concentrate similarity, so a permissive candidate bar can
+        # pass most of a list) the gather traffic costs more than just
+        # multiplying everything, so the chunk falls back to the raw
+        # full GEMM — identical arithmetic to the raw-IVF kernel, and
+        # strictly HIGHER recall for that chunk (no candidate misses).
+        # The branch is a pure function of the list content, so output
+        # stays deterministic.
+        def chunk(ids_l, Vl, Pl, ids_r, Vr, Pr, s, same):
+            Cp = Pl[s : s + step] @ Pr.T
+            ii, jj = np.nonzero(Cp >= candidate_threshold)
+            if not len(ii):
+                return
+            if len(ii) > _DENSE_MASK_FRAC * Cp.size:
+                C = np.round(Vl[s : s + step] @ Vr.T, 6)
+                ii, jj = np.nonzero(C >= threshold)
+                if not len(ii):
+                    return
+                ga, gb, ex = ids_l[s + ii], ids_r[jj], C[ii, jj]
+                keep = (ga < gb) if same else np.ones(len(ga), dtype=bool)
+                out_a.append(np.minimum(ga[keep], gb[keep]))
+                out_b.append(np.maximum(ga[keep], gb[keep]))
+                out_c.append(ex[keep])
+            else:
+                emit(ids_l[s + ii], ids_r[jj], Vl[s + ii], Vr[jj], same)
+
+        if sx == sy:
+            ids, Vn, Pn = _normed_pair(pdf)
+            for s in range(0, len(ids), step):
+                chunk(ids, Vn, Pn, ids, Vn, Pn, s, True)
+        else:
+            a_rows = pdf[pdf["__sub"] == sx]
+            b_rows = pdf[pdf["__sub"] == sy]
+            if len(a_rows) and len(b_rows):
+                ids_a, Va, Pa = _normed_pair(a_rows)
+                ids_b, Vb, Pb = _normed_pair(b_rows)
+                for s in range(0, len(ids_a), step):
+                    chunk(ids_a, Va, Pa, ids_b, Vb, Pb, s, False)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([]),
+            }
+        )
+
+    return (
+        _expand_hot_lists(assigned, max_list_rows, extra_cols=("__pv",))
+        .groupBy("__plist", "__sx", "__sy")
+        .applyInPandas(_list_pairs, "id_a long, id_b long, cosine double")
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
 
 def semantic_dedup(
     embeddings: DataFrame,

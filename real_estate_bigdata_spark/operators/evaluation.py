@@ -2066,10 +2066,15 @@ def bradley_terry(
             F.count(F.lit(1)).cast("double").alias("__n"),
             F.sum("__wi").alias("__w"),
         )
-    ).localCheckpoint(eager=True)
-    # bounded fast path (the CC union-find precedent): LIMIT-probe the
-    # distinct-pair count; when it fits, iterate in vectorized numpy on
-    # the collected counts — strengths only, the payload never moves
+    )
+    # bounded fast path (the CC union-find precedent): when the
+    # aggregated pair table fits, iterate in vectorized numpy on the
+    # collected counts — strengths only, the payload never moves. The
+    # checkpoint moves to the distributed branch (r13): the fast path
+    # scans pairs twice (count probe + committed collect — a count-only
+    # probe keeps the over-threshold case from hauling the pair table
+    # to the driver just to discard it), so materializing first was
+    # one pure-overhead job
     spark = comparisons.sparkSession
     probe = pairs.limit(small_pairs_threshold + 1).count()
     if probe <= small_pairs_threshold:
@@ -2103,6 +2108,8 @@ def bradley_terry(
             f"item {valid.schema[a_col].dataType.simpleString()}, "
             f"strength double, n_games long",
         )
+    # distributed loop scans the pair table every round — materialize
+    pairs = pairs.localCheckpoint(eager=True)
     wins = (
         pairs.select(F.col("__i").alias("item"), F.col("__w").alias("w"))
         .unionByName(
