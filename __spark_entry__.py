@@ -421,7 +421,7 @@ def _q_dedup_embedding_pca(spark, sf):
     if model is None:
         from real_estate_bigdata_spark.operators.projection import fit_pca
 
-        model = fit_pca(emb, k=32, whiten=False)
+        model = fit_pca(emb, k=32, whiten=False, center=False)
         _PCA_MODEL_CACHE[key] = model
     return dd.embedding_neardup_pairs_pca(emb, threshold=0.4, model=model)
 

@@ -1109,8 +1109,8 @@ def embedding_neardup_pairs_pca(
     """Embedding near-dup pairs via PCA-masked IVF lists (NEW r13,
     VERDICT r12 task #4 — the projection tier wired into the pair
     path): project the corpus onto the top-k principal directions
-    (:mod:`operators.projection`, non-whitened — whitening rescales
-    directions and distorts cosine), bucket by an IVF built in the
+    (:mod:`operators.projection`, UNCENTERED and non-whitened — both
+    centering and whitening distort cosine; see fit_pca's center doc), bucket by an IVF built in the
     PROJECTED space, and inside each list task compute the pair MASK
     with a k-dim float32 GEMM at a permissive ``candidate_threshold``
     — then evaluate the EXACT d-dim cosine only for masked pairs and
@@ -1124,7 +1124,7 @@ def embedding_neardup_pairs_pca(
     can sag below its raw cosine) or its members' probe sets are
     disjoint. Defaults are a MEASURED operating point on the synth
     corpus (k=32, candidate 0.3 vs raw threshold 0.4 — end-to-end
-    recall 0.963 at sf0.1), pinned >= 0.9 against the exact generator
+    recall 0.970 at sf0.1, uncentered fit), pinned >= 0.9 against the exact generator
     in tests/test_dedup_similarity.py. Rows-only at the oracle gate
     (the ANN class).
 
@@ -1164,7 +1164,16 @@ def embedding_neardup_pairs_pca(
     if max_list_rows < 1:
         raise ValueError(f"max_list_rows must be >= 1, got {max_list_rows}")
     if model is None:
-        model = fit_pca(embeddings, k=k, vec_col=vec_col, whiten=False)
+        # UNCENTERED fit (center=False): the mask must preserve raw
+        # cosines, and the top-k eigenvectors of E[xx^T] are the
+        # least-squares dot-product preserver; centered PCA subtracts
+        # the corpus mean first, and when the mean carries the signal
+        # (a tight cluster) the centered projections of near-identical
+        # vectors are just their noise components — decorrelated from
+        # the raw cosine (pinned by the dense-cluster regression test)
+        model = fit_pca(
+            embeddings, k=k, vec_col=vec_col, whiten=False, center=False
+        )
     # materialize (id, raw, projected) ONCE: the sample pass and the
     # probe/assignment pass both scan it, and re-evaluating the k x d
     # projection expression per scan measured 5x at sf0.1

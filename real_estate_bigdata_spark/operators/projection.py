@@ -31,6 +31,11 @@ ABSENT category):
   a registry query built on a prefit model needs NO plan-audit
   whitelist entry.
 
+Two fit modes: classic CENTERED PCA (covariance — variance analysis,
+whitening, feature work) and ``center=False`` (uncentered second
+moment — the dot-product/cosine-preserving mode the similarity-mask
+kernels use; see :func:`fit_pca`).
+
 Determinism: component SIGNS are fixed at fit time (the coordinate
 with the largest |value| is made positive — eigenvector sign is
 otherwise arbitrary and numpy returns either). Float reduction order
@@ -93,12 +98,26 @@ def fit_pca(
     whiten: bool = False,
     eps: float = 1e-9,
     dim: int | None = None,
+    center: bool = True,
 ) -> PcaModel:
     """Fit a :class:`PcaModel` in one distributed pass (see module doc).
 
     Eager at call time (the linear-probe precedent): the corpus pass
     runs NOW and the returned model is plain driver data, so frames
     built from it are map-only scans.
+
+    ``center=False`` fits the UNCENTERED second-moment matrix instead
+    of the covariance (model mean = zero vector; apply is then a pure
+    rotation/truncation of x itself). That is the right mode when the
+    projection must preserve DOT PRODUCTS / cosines — the top-k
+    eigenvectors of E[xx^T] are the least-squares dot-product
+    preserver, while classic centered PCA subtracts the corpus mean
+    first, and when the mean carries the signal (a tight cluster) the
+    centered projections of two near-identical vectors are just their
+    NOISE components — decorrelated from the raw cosine (r13: found
+    by the dense-cluster regression test of the PCA-masked near-dup
+    kernel). Keep center=True for variance analysis / whitening /
+    feature work; use center=False for similarity masking.
 
     ``dim`` pins the embedding width explicitly; when None it is
     DERIVED from the corpus with one bounded aggregate, and a corpus
@@ -167,7 +186,11 @@ def fit_pca(
         gram += np.array(r["g"]).reshape(d, d)
         ssum += np.array(r["s"])
     mean = ssum / n
-    cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    if center:
+        cov = (gram - n * np.outer(mean, mean)) / (n - 1)
+    else:
+        cov = gram / max(n - 1, 1)
+        mean = np.zeros_like(mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     top_vals = np.maximum(evals[order], 0.0)

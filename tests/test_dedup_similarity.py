@@ -605,6 +605,68 @@ def test_embedding_neardup_pairs_ivf_recall_vs_exact(spark):
     assert len(got_rows) == len(got)
 
 
+def test_embedding_neardup_pairs_pca_dense_fallback_equals_exact(spark):
+    """r13 adaptive kernel, DENSE branch: a single tight cluster makes
+    the projected mask pass nearly every pair (> the 25% density bar),
+    so every chunk falls back to the full raw GEMM — and with
+    n_lists=1 there is no probe-set miss either, so the output must
+    EQUAL the exact generator bit-for-bit (pairs AND cosines): the
+    dense branch has zero candidate misses by construction."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = [
+        (i, [float(v) for v in (base + 0.05 * rng.standard_normal(16))])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs_pca(
+            df, threshold=0.9, k=8, candidate_threshold=0.3, n_lists=1
+        ).collect()
+    }
+    assert exact and got == exact
+
+
+def test_embedding_neardup_pairs_pca_sparse_mask_path(spark):
+    """r13 adaptive kernel, SPARSE branch: near-orthogonal scattered
+    vectors plus a few planted near-dup pairs keep mask density far
+    below the dense bar, so pairs flow through the masked
+    gather+einsum path — planted pairs must surface with exact
+    cosines and nothing spurious may appear."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        v = rng.standard_normal(32)
+        rows.append((i, [float(x) for x in v]))
+        if i % 40 == 0:  # plant a near-copy
+            rows.append(
+                (10_000 + i, [float(x) for x in v + 0.01 * rng.standard_normal(32)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs_pca(
+            df, threshold=0.9, k=16, candidate_threshold=0.3, n_lists=1
+        ).collect()
+    }
+    planted = {(i, 10_000 + i) for i in range(0, 200, 40)}
+    assert planted <= set(exact)
+    assert got == exact  # n_lists=1: only the mask could lose a pair
+
+
 def test_embedding_neardup_pairs_pca_recall_and_exact_verify(spark):
     """r13 (VERDICT r12 task #4): the PCA-candidates + exact-verify
     generator must (a) recover >= 0.9 of the exact generator's pairs
@@ -635,7 +697,7 @@ def test_embedding_neardup_pairs_pca_prefit_model_reused(spark):
     from real_estate_bigdata_spark.operators.projection import fit_pca
 
     emb = load_table(spark, SF, "embeddings")
-    model = fit_pca(emb, k=32, whiten=False)
+    model = fit_pca(emb, k=32, whiten=False, center=False)
     a = {
         (r.id_a, r.id_b, r.cosine)
         for r in dd.embedding_neardup_pairs_pca(emb, model=model).collect()

@@ -99,6 +99,36 @@ class TestFitPca:
         with pytest.raises(ValueError, match="dim must be"):
             fit_pca(df, k=2, dim=0)
 
+    def test_uncentered_mode_preserves_cluster_cosine(self, spark):
+        """r13 (found by the PCA-masked near-dup dense-cluster test):
+        center=False fits E[xx^T] with a zero mean, so a tight
+        cluster's projected cosines track the raw ones — centered PCA
+        would subtract the mean and leave decorrelated noise."""
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(12)
+        x = base + 0.05 * rng.standard_normal((80, 12))
+        df = _df(spark, x)
+        m = fit_pca(df, k=4, center=False)
+        assert all(v == 0.0 for v in m.mean)
+        from real_estate_bigdata_spark.operators.projection import apply_pca
+
+        out = apply_pca(df, m).orderBy("vec_id").collect()
+        P = np.array([r.projected for r in out])
+        pn = P / np.linalg.norm(P, axis=1)[:, None]
+        xn = x / np.linalg.norm(x, axis=1)[:, None]
+        # raw cluster cosines ~0.99+; uncentered projection keeps them
+        raw = xn @ xn.T
+        proj = pn @ pn.T
+        iu = np.triu_indices(len(x), 1)
+        assert raw[iu].min() > 0.95
+        assert proj[iu].min() > 0.9
+        # the CENTERED fit on the same cluster decorrelates them
+        mc = fit_pca(df, k=4, center=True)
+        outc = apply_pca(df, mc).orderBy("vec_id").collect()
+        Pc = np.array([r.projected for r in outc])
+        pcn = Pc / np.linalg.norm(Pc, axis=1)[:, None]
+        assert (pcn @ pcn.T)[iu].min() < 0.5
+
     def test_validation(self, spark):
         df = _df(spark, _fixture(n=10, d=4))
         with pytest.raises(ValueError, match="k must be"):
