@@ -1988,6 +1988,53 @@ def _q_url_canonical(spark, sf):
     )
 
 
+def _q_url_blocklist(spark, sf):
+    """UT1-style domain blocklist tagging (NEW r13 — the RefinedWeb/C4
+    web-curation stage next to q_domain_cap's anti-dominance cap:
+    every doc's registered domain is matched against a category
+    blocklist; subdomains match their listed registrable domain, a
+    domain listed under several categories resolves to the
+    lexicographically first, clean docs tag NULL). Fixture: the
+    q_domain_cap URL arithmetic (registrable domains example.com/org/
+    co.uk/net by doc_id%4) against a 3-row blocklist that lists
+    example.org twice (category tie-break exercised) and the
+    multi-part-suffix example.co.uk. One forced-broadcast left join —
+    the corpus side stays map-only. Full ANALYTICAL oracle (the
+    q_url_canonical pattern). Registered PAST-CAP per the growth
+    policy; first driver row at an r14 spare slot."""
+    from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (d % 7).cast("string"),
+        F.lit(".example"),
+        F.when(d % 4 == 0, F.lit(".com"))
+        .when(d % 4 == 1, F.lit(".org"))
+        .when(d % 4 == 2, F.lit(".co.uk"))
+        .otherwise(F.lit(".net")),
+        F.lit("/p/"),
+        (d % 50).cast("string"),
+    )
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("example.org", "adult"),
+            ("EXAMPLE.org", "ads"),
+            ("example.co.uk", "gambling"),
+        ],
+        "domain string, category string",
+    )
+    return domain_blocklist(docs, blocklist).select(
+        "doc_id", "block_category"
+    )
+
+
 def _q_domain_cap(spark, sf):
     """Per-DOMAIN crawl cap (NEW r12-late — the composition VERDICT r11
     task #7 named: ``registered_domain`` feeding ``cap_per_group`` so
@@ -2494,7 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     most two rounds stale). Full rotation map + the binding
     registry-growth policy in COVERAGE.md.
 
-    The registry holds 155 queries: 140 oracle-bearing + 15 rows-only
+    The registry holds 156 queries: 141 oracle-bearing + 15 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene, PCA, PageRank, and the r13 PCA-
     candidates pair generator — each pinned against an independent
@@ -2530,6 +2577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     at the r14 spare slots (the r14 mandatory block is 48 oracle
     queries, leaving 2 spares; growth-policy rule 4 bounds any new
     oracle query's first-row latency at two rounds);
+    A second r13-late oracle query, q_url_blocklist (UT1-style domain
+    blocklist tagging, full analytical oracle), takes the SECOND r14
+    spare — rows-only q_dedup_embedding_pca yields its
+    first-registration slot (rows-only rows carry no hash signal and
+    are exempt from the rule-4 latency bound; its pytest pins stand).
     (iii) the 50 r11-verified queries (the r14 block); (iv) the 50
     r12-verified queries (the r15 block); (v) the rows-only spare pool
     (q_embed_pca, q_pagerank — continuously mirror-pinned).
@@ -2612,6 +2664,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family; recall-vs-exact pinned at the projected dimension
         # by pytest) ----
         "q_dedup_embedding_pca": _q_dedup_embedding_pca,
+        # ---- past-cap: NEW r13-late, full analytical oracle (UT1-
+        # style domain blocklist tagging); first driver row at the
+        # SECOND r14 spare — rows-only q_dedup_embedding_pca yields
+        # its first-registration slot (rows-only rows carry no hash
+        # signal and are exempt from the latency bound) ----
+        "q_url_blocklist": _q_url_blocklist,
         # ---- past-cap: r11-verified (one round stale; r14 block) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
@@ -3204,6 +3262,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM tagged
             )
             SELECT doc_id, domain, quality FROM ranked WHERE rn <= 40
+        """,
+        "q_url_blocklist": r"""
+            -- blocklist verdict stated analytically from the fixture
+            -- arithmetic: domain = example.{com,org,co.uk,net} by
+            -- doc_id%4; example.org double-listed -> lexicographically
+            -- first category wins; com/net unlisted -> NULL
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1 THEN 'ads'
+                        WHEN doc_id % 4 = 2 THEN 'gambling'
+                        ELSE NULL END AS block_category
+            FROM documents
         """,
         "q_domain_authority_cap": r"""
             -- the pagerank fixpoint stated EXACTLY: the fixture graph

@@ -136,6 +136,72 @@ def registered_domain(
         .otherwise(last2)
 
 
+def domain_blocklist(
+    df,
+    blocklist_df,
+    url_col: str = "url",
+    mode: str = "tag",
+    domain_col: str | None = None,
+    list_domain_col: str = "domain",
+    category_col: str = "category",
+    out_col: str = "block_category",
+    suffixes_df=None,
+):
+    """Apply a UT1-style domain blocklist (the RefinedWeb/C4 web-
+    curation stage the reference's single-portal crawl never needed —
+    north-star ABSENT category): each row's REGISTRABLE domain is
+    matched against ``blocklist_df`` (``list_domain_col`` +
+    ``category_col`` rows, e.g. the Université Toulouse 1 category
+    lists), and the row is either tagged (``mode="tag"``: ``out_col``
+    carries the category, NULL when clean — the auditable form every
+    accounting readout composes with) or dropped (``mode="drop"``:
+    blocked rows removed; no new column).
+
+    Matching is by :func:`registered_domain` (``sub.example.com``
+    matches a listed ``example.com`` — public blocklists list
+    registrable domains), with the blocklist side lowered and
+    deduplicated; a domain listed under several categories resolves
+    to the lexicographically FIRST (deterministic, engine-independent).
+    ``domain_col`` skips the URL parse when the frame already carries
+    the registered domain; ``suffixes_df`` threads through to
+    :func:`with_registered_domain` for the public-suffix-as-data form.
+
+    Scale shape: ONE BROADCAST left join keyed on the registered
+    domain (forced — the join side is the blocklist, and even the
+    full UT1 adult list is ~4M short strings, 10s of MB, inside the
+    broadcast comfort zone; a stats-less list frame would otherwise
+    sort-merge and shuffle the whole corpus). The corpus side stays
+    map-only; the only exchange is the blocklist-side category dedup,
+    bounded by the list. NULL /
+    unparseable URLs have no domain and are never blocked (visible,
+    not guessed — quarantine them upstream via canonicalize_url)."""
+    if mode not in ("tag", "drop"):
+        raise ValueError(f"mode must be 'tag' or 'drop', got {mode!r}")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
+    bl = (
+        blocklist_df.select(
+            F.lower(F.col(list_domain_col)).alias("__bl_dom"),
+            F.col(category_col).cast("string").alias("__bl_cat"),
+        )
+        .where(F.col("__bl_dom").isNotNull() & (F.col("__bl_dom") != ""))
+        .groupBy("__bl_dom")
+        .agg(F.min("__bl_cat").alias("__bl_cat"))  # deterministic pick
+    )
+    if domain_col is None:
+        tagged = with_registered_domain(
+            df, url_col, out_col="__dom", suffixes_df=suffixes_df
+        )
+    else:
+        tagged = df.withColumn("__dom", F.lower(F.col(domain_col)))
+    joined = tagged.join(
+        F.broadcast(bl), tagged["__dom"] == bl["__bl_dom"], "left"
+    ).drop("__dom", "__bl_dom")
+    if mode == "drop":
+        return joined.filter(F.col("__bl_cat").isNull()).drop("__bl_cat")
+    return joined.withColumnRenamed("__bl_cat", out_col)
+
+
 def with_registered_domain(
     df,
     url_col: str = "url",

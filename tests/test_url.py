@@ -210,6 +210,81 @@ class TestSuffixTable:
         assert_plan(out, max_shuffles=1, forbid_python=True)
 
 
+class TestDomainBlocklist:
+    """r13: UT1-style domain blocklist — tag/drop by registered
+    domain (subdomains match their listed registrable domain)."""
+
+    ROWS = [
+        (0, "https://sub.bad.com/x"),        # subdomain of a listed dom
+        (1, "http://WWW.Bad.COM/y"),         # case/www still matches
+        (2, "https://good.org/z"),           # clean
+        (3, "http://worse.co.uk/w"),         # multi-part suffix listed
+        (4, None),                           # no domain -> never blocked
+        (5, "%%%"),                          # unparseable -> never blocked
+    ]
+    BL = [("bad.com", "adult"), ("BAD.com", "ads"), ("worse.co.uk", "gambling"),
+          (None, "x"), ("", "y")]
+
+    def _frames(self, spark):
+        docs = spark.createDataFrame(self.ROWS, "id long, url string")
+        bl = spark.createDataFrame(self.BL, "domain string, category string")
+        return docs, bl
+
+    def test_tag_mode(self, spark):
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+        docs, bl = self._frames(spark)
+        got = {
+            r.id: r.block_category
+            for r in domain_blocklist(docs, bl).collect()
+        }
+        # bad.com listed twice -> lexicographically first category
+        assert got == {0: "ads", 1: "ads", 2: None, 3: "gambling",
+                       4: None, 5: None}
+
+    def test_drop_mode(self, spark):
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+        docs, bl = self._frames(spark)
+        out = domain_blocklist(docs, bl, mode="drop")
+        assert "block_category" not in out.columns
+        assert {r.id for r in out.collect()} == {2, 4, 5}
+
+    def test_precomputed_domain_col(self, spark):
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+        docs = spark.createDataFrame(
+            [(0, "BAD.com"), (1, "good.org")], "id long, dom string"
+        )
+        bl = spark.createDataFrame([("bad.com", "adult")],
+                                   "domain string, category string")
+        got = {
+            r.id: r.block_category
+            for r in domain_blocklist(docs, bl, domain_col="dom").collect()
+        }
+        assert got == {0: "adult", 1: None}
+
+    def test_validation(self, spark):
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+        docs, bl = self._frames(spark)
+        with pytest.raises(ValueError, match="mode must be"):
+            domain_blocklist(docs, bl, mode="purge")
+        with pytest.raises(ValueError, match="already exists"):
+            domain_blocklist(docs.withColumn("block_category", F.lit("")), bl)
+
+    def test_no_python_in_plan(self, spark):
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        docs, bl = self._frames(spark)
+        # budget 1 exchange: the blocklist-side category dedup
+        # aggregate (bounded by the blocklist); the corpus side stays
+        # map-only against the broadcast join
+        assert_plan(domain_blocklist(docs, bl), max_shuffles=1,
+                    forbid_python=True)
+
+
 class TestProperties:
     """Hypothesis invariants over random well-formed URLs (r12): a
     mutation that canonicalization is DEFINED to erase — scheme/host
@@ -294,6 +369,68 @@ class TestProperties:
                 assert r.c1 == r.c0, (r.c0, r.c1)
                 assert r.c2 == r.c1  # idempotent
                 assert r.d1 == r.d0
+
+        run()
+
+    def test_suffix_table_parity_property(self, spark):
+        """r13: on random well-formed URLs, the broadcast-join suffix
+        form must agree with the literal-list form whenever the table
+        holds exactly the default suffixes — the TestSuffixTable
+        parity pin generalized beyond hand-picked hosts."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from real_estate_bigdata_spark.functions.url import (
+            DEFAULT_MULTI_SUFFIXES,
+            with_registered_domain,
+        )
+
+        label = st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            min_size=1,
+            max_size=8,
+        )
+        url_s = st.builds(
+            lambda subs, dom, tld, www: "http://"
+            + ("www." if www else "")
+            + ".".join(subs + [dom])
+            + "."
+            + tld,
+            st.lists(label, min_size=0, max_size=2),
+            label,
+            st.sampled_from(
+                ["com", "io", "co.uk", "com.au", "gov.uk", "ne.jp", "uk"]
+            ),
+            st.booleans(),
+        )
+        sfx = spark.createDataFrame(
+            [(s,) for s in DEFAULT_MULTI_SUFFIXES], "suffix string"
+        )
+
+        @settings(
+            max_examples=10,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.function_scoped_fixture,
+                HealthCheck.too_slow,
+            ],
+        )
+        @given(st.lists(url_s, min_size=1, max_size=12))
+        def run(urls):
+            df = spark.createDataFrame(
+                [(i, u) for i, u in enumerate(urls)], "id long, url string"
+            )
+            lit = {
+                (r.id, r.domain)
+                for r in with_registered_domain(df, "url").collect()
+            }
+            tab = {
+                (r.id, r.domain)
+                for r in with_registered_domain(
+                    df, "url", suffixes_df=sfx
+                ).collect()
+            }
+            assert tab == lit
 
         run()
 
