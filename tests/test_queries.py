@@ -158,6 +158,41 @@ def test_every_query_has_oracle_or_is_documented():
     assert set(missing) <= allowed_rows_only
 
 
+def test_r13_in_cap_window_matches_slot_map():
+    """The driver records exactly the FIRST 50 queries() entries, so an
+    accidental registry reorder silently de-schedules a mandatory
+    returner. Pin the r13 in-cap window structurally: slots 1-46 are
+    the oracle-bearing r10-returners (CORRECTNESS_r10 minus r11 minus
+    r12, minus the consolidated q_bm25_index_search) and slots 47-50
+    are the four late first-row queries, exactly as COVERAGE.md's
+    written map states. Update alongside each round's rotation."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def names(r):
+        with open(os.path.join(here, f"CORRECTNESS_r{r}.json")) as fh:
+            return set(json.load(fh))
+
+    import __spark_entry__ as entry
+
+    oracles = set(entry.oracle_sql())
+    mandatory = {
+        q
+        for q in names("10") - names("11") - names("12")
+        if q in oracles and q != "q_bm25_index_search"
+    }
+    in_cap = list(QUERIES)[:50]
+    assert set(in_cap[:46]) == mandatory
+    assert in_cap[46:] == [
+        "q_rolling_activity",
+        "q_domain_cap",
+        "q_image_dimensions",
+        "q_time_split",
+    ]
+
+
 def test_bench_baseline_covers_every_query():
     """The bench regression guard silently skips queries missing from
     BENCH_BASELINE.json (r2 shipped two such gaps); pin exact key
