@@ -273,6 +273,20 @@ class TestDomainBlocklist:
         with pytest.raises(ValueError, match="already exists"):
             domain_blocklist(docs.withColumn("block_category", F.lit("")), bl)
 
+    def test_drop_equals_tag_filtered(self, spark):
+        """Mode consistency: drop-mode output is exactly the tag-mode
+        rows whose category is NULL — one definition, two readouts."""
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+        docs, bl = self._frames(spark)
+        dropped = {r.id for r in domain_blocklist(docs, bl, mode="drop").collect()}
+        tagged = {
+            r.id
+            for r in domain_blocklist(docs, bl).collect()
+            if r.block_category is None
+        }
+        assert dropped == tagged
+
     def test_no_python_in_plan(self, spark):
         from real_estate_bigdata_spark.functions.url import domain_blocklist
         from real_estate_bigdata_spark.plans import assert_plan
