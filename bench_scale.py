@@ -416,6 +416,66 @@ def _union(parts):
     return out
 
 
+def _domain_blocklist_scaled(spark, docs):
+    """The q_url_blocklist shape over a scaled corpus: analytic URLs
+    from doc_id, drop mode against a 3-row category list."""
+    from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 7).cast("string"), F.lit(".example"),
+        F.when(d % 4 == 0, F.lit(".com")).when(d % 4 == 1, F.lit(".org"))
+        .when(d % 4 == 2, F.lit(".co.uk")).otherwise(F.lit(".net")),
+        F.lit("/p/"), (d % 50).cast("string"),
+    )
+    bl = spark.createDataFrame(
+        [("example.org", "adult"), ("example.co.uk", "gambling"),
+         ("example.net", "ads")],
+        "domain string, category string",
+    )
+    return domain_blocklist(docs.select("doc_id", url.alias("url")), bl,
+                            mode="drop")
+
+
+def _domain_authority_cap_scaled(spark, docs):
+    """The q_domain_authority_cap composition over a scaled corpus:
+    spokes-into-a-hub-cycle pagerank -> authority-ordered per-source
+    cap (numpy fast path under the 2M-edge bound — the shape the
+    driver query runs)."""
+    from real_estate_bigdata_spark.functions.url import registered_domain
+    from real_estate_bigdata_spark.operators.clustering import pagerank
+    from real_estate_bigdata_spark.operators.sampling import cap_per_group
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"), (d % 7).cast("string"), F.lit(".example"),
+        F.when(d % 8 < 4, F.lit(".com")).when(d % 8 < 6, F.lit(".org"))
+        .when(d % 8 == 6, F.lit(".co.uk")).otherwise(F.lit(".net")),
+        F.lit("/p/"), (d % 50).cast("string"),
+    )
+    tagged = docs.select(
+        "doc_id", "source", registered_domain(url).alias("domain")
+    )
+    spokes = tagged.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("domain").alias("dst"),
+    )
+    hubs = spark.createDataFrame(
+        [("example.com", "example.org"), ("example.org", "example.co.uk"),
+         ("example.co.uk", "example.net"), ("example.net", "example.com")],
+        "src string, dst string",
+    )
+    ranks = pagerank(spokes.unionByName(hubs), max_iter=8, tol=None)
+    authority = ranks.filter(~F.col("node").startswith("doc")).select(
+        F.col("node").alias("domain"), F.round("rank", 6).alias("authority")
+    )
+    return cap_per_group(
+        tagged.join(F.broadcast(authority), "domain"),
+        max_rows=15, group_col="source", order_col="authority",
+        prefilter_counts=True,
+    )
+
+
 def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
     """name -> thunk building the DataFrame to execute (count action).
 
@@ -764,6 +824,16 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         # source-pair taxonomy
         "source_overlap": lambda: dd.source_overlap_matrix(
             docs(), dd.minhash_lsh_pairs(docs())
+        ),
+        # r13-late: the two URL-keyed curation compositions — the
+        # blocklist is one broadcast join (linear by construction,
+        # measured to prove it); the authority cap is edge synthesis +
+        # the bounded numpy pagerank + one broadcast + one window
+        "domain_blocklist_drop": lambda: _domain_blocklist_scaled(
+            spark, docs()
+        ),
+        "domain_authority_cap": lambda: _domain_authority_cap_scaled(
+            spark, docs()
         ),
         # r13 (VERDICT r12 task #4): the PCA-candidates pair generator
         # next to its raw-64-dim twin ivf_embedding_neardup — both in
