@@ -177,7 +177,7 @@ def domain_blocklist(
     not guessed — quarantine them upstream via canonicalize_url)."""
     if mode not in ("tag", "drop"):
         raise ValueError(f"mode must be 'tag' or 'drop', got {mode!r}")
-    if out_col in df.columns:
+    if mode == "tag" and out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists")
     bl = (
         blocklist_df.select(
@@ -232,6 +232,8 @@ def with_registered_domain(
     (tests/test_url.py::test_suffix_table_matches_literal_on_defaults).
     NULL/unparseable URLs yield NULL, both paths.
     """
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists")
     url = F.col(url_col)
     if suffixes_df is None:
         return df.withColumn(out_col, registered_domain(url))
