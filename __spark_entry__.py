@@ -2550,127 +2550,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     returner and enter the cap only on first registration, on an
     implementation/fixture CHANGE, or in spare slots.
 
-    Round-13 rotation (VERDICT r12 tasks #1/#2, executed exactly as the
-    COVERAGE.md r13 slot map written at r12 close, plus the task-#2
-    consolidation). In-cap slots 1-50:
-    (a) slots 1-46 — the r13 MANDATORY block: every oracle-bearing
-        query whose latest driver row is r10, at the two-round
-        staleness maximum (computed from CORRECTNESS_r10 minus r11
-        minus r12; 47 queries, minus q_bm25_index_search which r13
-        CONSOLIDATES into q_bm25_search — growth-policy rule 2: the
-        two share the _bm25_rank kernel by pinned bit-parity, so one
-        query + a registry-shaped parity test carries both paths);
-    (b) slot 47 — q_rolling_activity (r11-late, deferred once by the
-        r12 displacement rule; FIRST driver row);
-    (c) slots 48-49 — q_domain_cap + q_image_dimensions (r12-late,
-        FIRST driver rows);
-    (d) slot 50 — q_time_split (r12-late, FIRST driver row — seated in
-        the slot the consolidation freed, closing VERDICT r12 task #2).
-
-    Past slot 50: (i) rows-only q_ann_recall (r10-block member, outside
-    the rotation); (ii) the NEW r13 queries — q_domain_authority_cap
-    (full oracle: edges -> pagerank -> registered_domain ->
-    authority-ordered cap_per_group; the fixture graph's fixpoint is
-    ANSI-expressible as a recursive CTE, so no rows-only concession)
-    and rows-only q_dedup_embedding_pca (PCA-candidates + exact-verify
-    pair generator, recall- and bit-parity-pinned) — first driver rows
-    at the r14 spare slots (the r14 mandatory block is 48 oracle
-    queries, leaving 2 spares; growth-policy rule 4 bounds any new
-    oracle query's first-row latency at two rounds);
-    A second r13-late oracle query, q_url_blocklist (UT1-style domain
-    blocklist tagging, full analytical oracle), takes the SECOND r14
-    spare — rows-only q_dedup_embedding_pca yields its
-    first-registration slot (rows-only rows carry no hash signal and
-    are exempt from the rule-4 latency bound; its pytest pins stand).
-    (iii) the 50 r11-verified queries (the r14 block); (iv) the 50
-    r12-verified queries (the r15 block); (v) the rows-only spare pool
-    (q_embed_pca, q_pagerank — continuously mirror-pinned).
-    Union invariant: r12 ∪ r13 driver rows cover every registry query
-    except the 48-member r14 block, and every oracle-bearing query is
-    additionally DuckDB-compared on every pytest run
-    (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
+    Round-14 rotation (VERDICT r13 tasks #1/#6, executed exactly as the
+    COVERAGE.md r14 slot map written at r13 close — and from this round
+    DERIVED, not hand-written: ``rotation_map.py`` computes each round's
+    mandatory block and spare seating from the CORRECTNESS_r*.json
+    history plus the growth-policy rules, and is the single source this
+    window, the structural pin
+    (tests/test_queries.py::test_r14_in_cap_window_matches_slot_map)
+    and COVERAGE.md all cite). In-cap slots 1-50:
+    (a) slots 1-48 — the r14 MANDATORY block: every oracle-bearing
+        query whose latest driver row is r11, at the two-round
+        staleness maximum (CORRECTNESS_r11 minus its two rows-only
+        members q_image_neardup/q_bradley_terry, which are outside the
+        rotation and continuously mirror-pinned);
+    (b) slots 49-50 — q_domain_authority_cap + q_url_blocklist
+        (r13-new oracles, FIRST driver rows at the two spare slots;
+        growth-policy rule-4 first-row latency 1 round).
+    Past slot 50: (i) the 50 r12-verified queries (the r15 mandatory
+    block; its 9 rows-only members are outside the rotation); (ii) the
+    50 r13-verified queries (the r16 block); (iii) the rows-only spare
+    pool (q_ann_recall, q_dedup_embedding_pca, q_image_neardup,
+    q_bradley_terry, q_embed_pca, q_pagerank — continuously
+    mirror-/recall-pinned by pytest).
+    Union invariant: r13 ∪ r14 driver rows cover every registry query
+    except the 50-member r15 block's oracle-bearing members, and every
+    oracle-bearing query is additionally DuckDB-compared on every
+    pytest run (tests/test_queries.py::test_query_matches_oracle),
+    in-cap or not.
     """
     return {
-        # ---- slots 1-46: the r13 MANDATORY block (oracle-bearing
-        # r10-verified returners at the two-round staleness maximum;
-        # 47 minus q_bm25_index_search, consolidated this round into
-        # q_bm25_search per growth-policy rule 2 — see docstring) ----
-        "q_media_stats": _q_media_stats,
-        "q_union_all_tagged": _q_union_all_tagged,
-        "q_dedup_containment": _q_dedup_containment,
-        "q_label_alpha": _q_label_alpha,
-        "q_ranking_rbo": _q_ranking_rbo,
-        "q_bloom_contamination": _q_bloom_contamination,
-        "q_token_budget": _q_token_budget,
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q08_market_share": _q08_market_share,
-        "q09_product_profit": _q09_product_profit,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_sessionize": _q_sessionize,
-        "q_dsir_weights": _q_dsir_weights,
-        "q_dsir_select": _q_dsir_select,
-        "q_gopher_quality": _q_gopher_quality,
-        "q_c4_quality": _q_c4_quality,
-        "q_prototype_scores": _q_prototype_scores,
-        "q_prototype_prune": _q_prototype_prune,
-        "q03_shipping_priority": _q03_shipping_priority,
-        "q04_order_priority": _q04_order_priority,
-        "q_bucket_batches": _q_bucket_batches,
-        "q_scalar_gallery": _q_scalar_gallery,
-        "q_tfidf": _q_tfidf,
-        "q_lang_id": _q_lang_id,
-        "q_weighted_sample": _q_weighted_sample,
-        "q_decontaminate": _q_decontaminate,
-        "q_item_disagreement": _q_item_disagreement,
-        "q_rater_reliability": _q_rater_reliability,
-        "q_consensus_labels": _q_consensus_labels,
-        # ---- slot 47: r11-late, deferred once by the r12
-        # displacement rule; FIRST driver row ----
-        "q_rolling_activity": _q_rolling_activity,
-        # ---- slots 48-49: r12-late, FIRST driver rows ----
-        "q_domain_cap": _q_domain_cap,
-        "q_image_dimensions": _q_image_dimensions,
-        # ---- slot 50: r12-late, FIRST driver row — seated via the
-        # q_bm25_index_search consolidation (VERDICT r12 task #2) ----
-        "q_time_split": _q_time_split,
-        # ---- past-cap: rows-only member of the r10-returner set
-        # (outside the rotation; recall-pinned by pytest; a driver
-        # rows-only row carries no hash signal) ----
-        "q_ann_recall": _q_ann_recall,
-        # ---- past-cap: NEW r13 — first driver rows at the r14 spare
-        # slots (the r14 mandatory block is 48 oracle queries, so two
-        # spares exist by construction; <= 2-round first-row latency
-        # per growth-policy rule 4). Family siblings in-cap:
-        # q_domain_cap (capping/url), q_media_stats (r10 block) ----
-        "q_domain_authority_cap": _q_domain_authority_cap,
-        # ---- past-cap: NEW r13, rows-only (approximate-recall ANN
-        # family; recall-vs-exact pinned at the projected dimension
-        # by pytest) ----
-        "q_dedup_embedding_pca": _q_dedup_embedding_pca,
-        # ---- past-cap: NEW r13-late, full analytical oracle (UT1-
-        # style domain blocklist tagging); first driver row at the
-        # SECOND r14 spare — rows-only q_dedup_embedding_pca yields
-        # its first-registration slot (rows-only rows carry no hash
-        # signal and are exempt from the latency bound) ----
-        "q_url_blocklist": _q_url_blocklist,
-        # ---- past-cap: r11-verified (one round stale; r14 block) ----
+        # ---- slots 1-48: the r14 MANDATORY block (oracle-bearing
+        # r11-verified returners at the two-round staleness maximum;
+        # CORRECTNESS_r11 key order, minus its two rows-only members
+        # q_image_neardup/q_bradley_terry which are outside the
+        # rotation). Derived by rotation_map.py — the single source
+        # this window, the structural test, and COVERAGE.md cite ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
@@ -2713,15 +2627,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": _q_source_overlap,
         "q_credit_card_audit": _q_credit_card_audit,
         "q_curriculum_phases": _q_curriculum_phases,
-        "q_image_neardup": _q_image_neardup,
         "q_auc_fixed": _q_auc_fixed,
         "q_calibration_bins": _q_calibration_bins,
         "q_confusion_probe": _q_confusion_probe,
         "q_pairwise_winrate": _q_pairwise_winrate,
-        "q_bradley_terry": _q_bradley_terry,
         "q_funnel_conversion": _q_funnel_conversion,
         "q_cohort_retention": _q_cohort_retention,
-        # ---- past-cap: r12-verified (r15 block) ----
+        # ---- slots 49-50: NEW r13 oracle queries, FIRST driver rows
+        # at the two spare slots (growth-policy rule 4: first-row
+        # latency 1 round) ----
+        "q_domain_authority_cap": _q_domain_authority_cap,
+        "q_url_blocklist": _q_url_blocklist,
+        # ---- past-cap: r12-verified (the r15 mandatory block; the 9
+        # rows-only members — BPE/ANN/probe/Dawid-Skene, each
+        # mirror-pinned by pytest — sit outside the rotation) ----
         "q_precision_at_k": _q_precision_at_k,
         "q_auc_by_slice": _q_auc_by_slice,
         "q_ranking_eval": _q_ranking_eval,
@@ -2772,8 +2691,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": _q_url_canonical,
         "q_vocab_coverage": _q_vocab_coverage,
         "q_resample_ffill": _q_resample_ffill,
-        # ---- past-cap: rows-only spare pool (r12-late; mirror-pinned
-        # by pytest every run; outside the rotation) ----
+        # ---- past-cap: r13-verified (the r16 mandatory block) ----
+        "q_media_stats": _q_media_stats,
+        "q_union_all_tagged": _q_union_all_tagged,
+        "q_dedup_containment": _q_dedup_containment,
+        "q_label_alpha": _q_label_alpha,
+        "q_ranking_rbo": _q_ranking_rbo,
+        "q_bloom_contamination": _q_bloom_contamination,
+        "q_token_budget": _q_token_budget,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dsir_weights": _q_dsir_weights,
+        "q_dsir_select": _q_dsir_select,
+        "q_gopher_quality": _q_gopher_quality,
+        "q_c4_quality": _q_c4_quality,
+        "q_prototype_scores": _q_prototype_scores,
+        "q_prototype_prune": _q_prototype_prune,
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q04_order_priority": _q04_order_priority,
+        "q_bucket_batches": _q_bucket_batches,
+        "q_scalar_gallery": _q_scalar_gallery,
+        "q_tfidf": _q_tfidf,
+        "q_lang_id": _q_lang_id,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_decontaminate": _q_decontaminate,
+        "q_item_disagreement": _q_item_disagreement,
+        "q_rater_reliability": _q_rater_reliability,
+        "q_consensus_labels": _q_consensus_labels,
+        "q_rolling_activity": _q_rolling_activity,
+        "q_domain_cap": _q_domain_cap,
+        "q_image_dimensions": _q_image_dimensions,
+        "q_time_split": _q_time_split,
+        # ---- past-cap: rows-only spare pool (outside the rotation;
+        # mirror-/recall-pinned by pytest every run; a driver
+        # rows-only row carries no hash signal) ----
+        "q_ann_recall": _q_ann_recall,
+        "q_dedup_embedding_pca": _q_dedup_embedding_pca,
+        "q_image_neardup": _q_image_neardup,
+        "q_bradley_terry": _q_bradley_terry,
         "q_embed_pca": _q_embed_pca,
         "q_pagerank": _q_pagerank,
     }

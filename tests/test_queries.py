@@ -158,39 +158,28 @@ def test_every_query_has_oracle_or_is_documented():
     assert set(missing) <= allowed_rows_only
 
 
-def test_r13_in_cap_window_matches_slot_map():
+def test_r14_in_cap_window_matches_slot_map():
     """The driver records exactly the FIRST 50 queries() entries, so an
     accidental registry reorder silently de-schedules a mandatory
-    returner. Pin the r13 in-cap window structurally: slots 1-46 are
-    the oracle-bearing r10-returners (CORRECTNESS_r10 minus r11 minus
-    r12, minus the consolidated q_bm25_index_search) and slots 47-50
-    are the four late first-row queries, exactly as COVERAGE.md's
-    written map states. Update alongside each round's rotation."""
-    import json
-    import os
+    returner. From r14 the slot map is DERIVED, not hand-written:
+    rotation_map.py computes the round's mandatory block (oracle
+    queries whose latest driver row is three rounds old) and spare
+    seating (pending first-row oracles) from the CORRECTNESS_r*.json
+    history + the growth-policy rules, and this test pins the live
+    registry's first-50 window to that derivation EXACTLY (order
+    included) — plus asserts the policy itself holds (no staleness or
+    capacity violation). COVERAGE.md's r14 section cites the same tool.
+    """
+    import rotation_map
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-    def names(r):
-        with open(os.path.join(here, f"CORRECTNESS_r{r}.json")) as fh:
-            return set(json.load(fh))
-
-    import __spark_entry__ as entry
-
-    oracles = set(entry.oracle_sql())
-    mandatory = {
-        q
-        for q in names("10") - names("11") - names("12")
-        if q in oracles and q != "q_bm25_index_search"
-    }
-    in_cap = list(QUERIES)[:50]
-    assert set(in_cap[:46]) == mandatory
-    assert in_cap[46:] == [
-        "q_rolling_activity",
-        "q_domain_cap",
-        "q_image_dimensions",
-        "q_time_split",
-    ]
+    m = rotation_map.current_slot_map(14)
+    assert m["violations"] == []
+    assert len(m["in_cap"]) == 50
+    # r14 specifics, stated once as a cross-check on the derivation:
+    # 48 r11-verified oracle returners + the two r13-new oracles.
+    assert len(m["mandatory"]) == 48
+    assert m["seated"] == ["q_domain_authority_cap", "q_url_blocklist"]
+    assert list(QUERIES)[:50] == m["in_cap"]
 
 
 def test_bench_baseline_covers_every_query():
