@@ -47,6 +47,11 @@ from pyspark.sql import functions as F
 #: common click-id params. A param is its full "name=value" token.
 TRACKING_PARAM_PATTERN = r"^(utm_|fbclid(=|$)|gclid(=|$))"
 
+#: hard cap on suffix-table size: the published public-suffix list is
+#: ~10k rules; the table is collected driver-side (count-probed first)
+#: so the per-label-count rule frames join as broadcast LocalRelations
+MAX_SUFFIX_RULES = 200_000
+
 #: common two-level public suffixes under which the registrable domain
 #: is three labels (site.co.uk), not two (co.uk). Deliberately small:
 #: the long tail belongs in a broadcast-joined suffix table, not code.
@@ -136,6 +141,74 @@ def registered_domain(
         .otherwise(last2)
 
 
+def _guard_internal_cols(df, names):
+    """Raise when ``df`` already carries one of the internal working
+    column names an operator is about to inject — a pre-existing column
+    would be silently overwritten then dropped (the dbb8fae ``out_col``
+    guard class, extended to the internal names per VERDICT r13 #3)."""
+    clash = sorted(set(names) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"frame already carries internal working column(s) {clash}; "
+            "rename them before calling"
+        )
+
+
+def _parse_psl_rules(
+    suffixes_df, suffix_col: str, max_rules: int
+) -> dict[int, list[tuple[str, bool, bool, bool]]]:
+    """Collect + parse a public-suffix table into per-label-count rule
+    rows ``(tail, is_normal, is_wildcard, is_exception)``.
+
+    PSL grammar (publicsuffix.org): a plain rule is its own suffix;
+    ``*.example`` matches any single label in the wildcard position
+    (stored under its FIXED tail ``example``); ``!city.example``
+    exempts that exact tail from a covering wildcard. Comment (``//``)
+    and blank lines are skipped so a raw list file loads as-is.
+
+    The table is bounded by contract (the published list is ~10k
+    rules) and by ``max_rules``, checked with a count-only probe
+    BEFORE the collect commits.
+    """
+    n_rules = suffixes_df.count()
+    if n_rules > max_rules:
+        raise ValueError(
+            f"suffix table has {n_rules} rows > max_rules={max_rules}; "
+            "the public-suffix list is ~10k rules — this frame is "
+            "probably not a suffix table (a category blocklist belongs "
+            "in domain_blocklist's blocklist_df, which is never collected)"
+        )
+    parsed: dict[tuple[int, str], list[bool]] = {}
+    for row in (
+        suffixes_df.select(
+            F.lower(F.trim(F.col(suffix_col))).alias("rule")
+        ).collect()
+    ):
+        rule = row.rule
+        if not rule or rule.startswith("//"):
+            continue
+        is_exc = rule.startswith("!")
+        if is_exc:
+            rule = rule[1:]
+        is_wild = rule.startswith("*.")
+        if is_wild:
+            rule = rule[2:]
+        if not rule or rule == "*":
+            continue  # the implicit default rule — already the fallback
+        k = rule.count(".") + 1
+        flags = parsed.setdefault((k, rule), [False, False, False])
+        if is_exc:
+            flags[2] = True
+        elif is_wild:
+            flags[1] = True
+        else:
+            flags[0] = True
+    by_k: dict[int, list[tuple[str, bool, bool, bool]]] = {}
+    for (k, tail), (norm, wild, exc) in sorted(parsed.items()):
+        by_k.setdefault(k, []).append((tail, norm, wild, exc))
+    return by_k
+
+
 def domain_blocklist(
     df,
     blocklist_df,
@@ -179,6 +252,7 @@ def domain_blocklist(
         raise ValueError(f"mode must be 'tag' or 'drop', got {mode!r}")
     if mode == "tag" and out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists")
+    _guard_internal_cols(df, ["__dom", "__bl_dom", "__bl_cat"])
     bl = (
         blocklist_df.select(
             F.lower(F.col(list_domain_col)).alias("__bl_dom"),
@@ -208,24 +282,41 @@ def with_registered_domain(
     out_col: str = "domain",
     suffixes_df=None,
     suffix_col: str = "suffix",
+    max_rules: int = MAX_SUFFIX_RULES,
 ):
     """``df`` plus an ``out_col`` registered-domain column — the
     DataFrame-level form of :func:`registered_domain`, with the
-    multi-part public-suffix set AS DATA (r13, VERDICT r12 task #6:
-    the full public-suffix list is ~10k entries and changes monthly —
-    that's a table you refresh, not code you redeploy).
+    public-suffix set AS DATA (r13, VERDICT r12 task #6: the full
+    public-suffix list is ~10k entries and changes monthly — that's a
+    table you refresh, not code you redeploy).
 
     * ``suffixes_df=None`` — map-only pure-Column path using the
       built-in :data:`DEFAULT_MULTI_SUFFIXES` literal (identical to
       ``registered_domain``; zero exchanges).
-    * ``suffixes_df`` given — one BROADCAST left join of the host's
-      last-two-label tail against the (deduplicated, lowered) suffix
-      table; a match promotes the registrable domain to three labels.
-      Loading the published public-suffix list into a one-column frame
-      makes ``site.gov.au``-class hosts (absent from the deliberately
-      small literal) resolve correctly with no code change. The join
-      is broadcast by construction (the PSL is ~10k rows), so the op
-      stays a map-side lookup at any corpus scale.
+    * ``suffixes_df`` given — FULL PSL rule semantics (r14, VERDICT
+      r13 task #2: the r13 form keyed on the last-two-label tail only,
+      so 3+-label entries and wildcard/exception rules silently did
+      nothing). Rules are parsed per the publicsuffix.org algorithm:
+      plain rules of ANY label count (``pvt.k12.ma.us`` promotes to a
+      five-label registrable domain), ``*.kawasaki.jp`` wildcards
+      (one host label stands in for ``*``), and ``!city.kawasaki.jp``
+      exceptions (which prevail over the covering wildcard and make
+      that exact tail registrable). Prevailing rule = the matching
+      exception if any, else the match with the most labels, else the
+      implicit ``*`` default (registrable = last two labels).
+      One DIVERGENCE from strict PSL, shared with the literal path: a
+      host that IS a public suffix (``co.uk``, ``city.kawasaki.jp``
+      under the wildcard-only list) passes through lowered instead of
+      yielding NULL — the cap/mixture key must cover every row, and a
+      bare-suffix host groups with itself.
+
+    Scale shape: the suffix table is collected driver-side (count-only
+    probe against ``max_rules`` BEFORE the collect — the PSL is ~10k
+    rules; a corpus-sized frame here is a usage error and raises) and
+    re-emitted as one broadcast LocalRelation per distinct rule label
+    count, so the corpus side is a chain of at most ~5 broadcast hash
+    joins — map-only, ZERO exchanges in the registered plan at any
+    corpus scale.
 
     Parity: with a table holding exactly the default 16 suffixes the
     two paths are row-identical
@@ -237,34 +328,67 @@ def with_registered_domain(
     url = F.col(url_col)
     if suffixes_df is None:
         return df.withColumn(out_col, registered_domain(url))
+    by_k = _parse_psl_rules(suffixes_df, suffix_col, max_rules)
+    ks = sorted(by_k)
+    internal = ["__host"]
+    for k in ks:
+        internal += [
+            f"__psl{k}_t", f"__psl{k}_tail", f"__psl{k}_norm",
+            f"__psl{k}_wild", f"__psl{k}_exc",
+        ]
+    _guard_internal_cols(df, internal)
     host = F.regexp_replace(_lower_host(url), r"^www\.", "")
-    labels = F.split(host, r"\.")
+    out = df.withColumn("__host", host)
+    labels = F.split(F.col("__host"), r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    sfx = (
-        suffixes_df.select(F.lower(F.col(suffix_col)).alias("__sfx"))
-        .where(F.col("__sfx").isNotNull() & (F.col("__sfx") != ""))
-        .distinct()  # duplicate suffix rows must not fan rows out
-    )
-    tagged = df.withColumn("__host", host).withColumn("__last2", last2)
-    joined = tagged.join(
-        F.broadcast(sfx), tagged["__last2"] == sfx["__sfx"], "left"
-    )
+    spark = df.sparkSession
+    for k in ks:
+        rules_k = spark.createDataFrame(
+            by_k[k],
+            f"__psl{k}_tail string, __psl{k}_norm boolean, "
+            f"__psl{k}_wild boolean, __psl{k}_exc boolean",
+        )
+        tail_k = F.concat_ws(
+            ".", F.slice(labels, F.greatest(n - k + 1, F.lit(1)), F.lit(k))
+        )
+        out = out.withColumn(f"__psl{k}_t", tail_k)
+        out = out.join(
+            F.broadcast(rules_k),
+            out[f"__psl{k}_t"] == rules_k[f"__psl{k}_tail"],
+            "left",
+        )
+    # prevailing rule -> registrable-domain label count: a matching
+    # exception (longest first) yields its own label count; otherwise
+    # the most-labeled match (wildcard = fixed tail + 1) plus one;
+    # otherwise the implicit "*" default (two labels)
+    flag = lambda c: F.coalesce(F.col(c), F.lit(False))  # noqa: E731
+    candidates = [F.lit(2)]
+    for k in ks:
+        candidates.append(
+            F.when(flag(f"__psl{k}_norm") & (n >= k), F.lit(k + 1))
+            .otherwise(F.lit(0))
+        )
+        candidates.append(
+            F.when(flag(f"__psl{k}_wild") & (n >= k + 1), F.lit(k + 2))
+            .otherwise(F.lit(0))
+        )
+    reg = F.greatest(*candidates)
+    exc_chain = None
+    for k in sorted(ks, reverse=True):
+        cond = flag(f"__psl{k}_exc") & (n >= k)
+        exc_chain = (
+            F.when(cond, F.lit(k))
+            if exc_chain is None
+            else exc_chain.when(cond, F.lit(k))
+        )
+    if exc_chain is not None:
+        reg = exc_chain.otherwise(reg)
+    reg = F.least(reg, n)  # host IS (or is inside) a suffix: pass through
     domain = (
         F.when(
             F.col("__host").isNull() | (F.col("__host") == ""),
             F.lit(None).cast("string"),
         )
-        .when(n <= 2, F.col("__host"))
-        .when(F.col("__sfx").isNotNull() & (n >= 3), last3)
-        .otherwise(F.col("__last2"))
+        .otherwise(F.concat_ws(".", F.slice(labels, n - reg + 1, reg)))
     )
-    return joined.withColumn(out_col, domain).drop(
-        "__host", "__last2", "__sfx"
-    )
+    return out.withColumn(out_col, domain).drop(*internal)

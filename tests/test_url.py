@@ -204,10 +204,149 @@ class TestSuffixTable:
         out = with_registered_domain(
             self._frame(spark), "url", suffixes_df=sfx
         )
-        # budget 1: the only exchange is the dedup of the SUFFIX table
-        # (bounded by the public-suffix list, never the corpus); the
-        # corpus side stays map-only against the broadcast
-        assert_plan(out, max_shuffles=1, forbid_python=True)
+        # budget 0 (r14): rules are probed+collected driver-side and
+        # re-emitted as broadcast LocalRelations, so the registered
+        # plan is pure map-side broadcast joins — zero exchanges at
+        # any corpus scale
+        assert_plan(out, max_shuffles=0, forbid_python=True)
+
+
+class TestSuffixTablePsl:
+    """r14 (VERDICT r13 task #2): the suffix-table form carries FULL
+    publicsuffix.org rule semantics — multi-label plain rules,
+    ``*.`` wildcards, ``!`` exceptions — not just 2-label tails."""
+
+    def _domains(self, spark, hosts, rules):
+        from real_estate_bigdata_spark.functions.url import (
+            with_registered_domain,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"https://{h}/x") for i, h in enumerate(hosts)],
+            "id long, url string",
+        )
+        sfx = spark.createDataFrame([(r,) for r in rules], "suffix string")
+        rows = with_registered_domain(df, "url", suffixes_df=sfx).collect()
+        return [r.domain for r in sorted(rows, key=lambda r: r.id)]
+
+    def test_three_label_plain_rule(self, spark):
+        """pvt.k12.ma.us-class: a 4-label plain rule promotes the
+        registrable domain to five labels (the r13 form silently
+        ignored anything past two labels)."""
+        got = self._domains(
+            spark,
+            ["school.pvt.k12.ma.us", "deep.sub.school.pvt.k12.ma.us",
+             "other.ma.us"],
+            ["pvt.k12.ma.us", "co.uk"],
+        )
+        assert got == [
+            "school.pvt.k12.ma.us", "school.pvt.k12.ma.us", "ma.us",
+        ]
+
+    def test_wildcard_rule(self, spark):
+        """*.kawasaki.jp: one host label stands in for the wildcard,
+        so the registrable domain is wildcard-suffix + one more."""
+        got = self._domains(
+            spark,
+            ["foo.city.kawasaki.jp", "a.b.city.kawasaki.jp",
+             "city.kawasaki.jp",      # IS the public suffix: pass-through
+             "kawasaki.jp"],          # wildcard needs a label: default
+            ["*.kawasaki.jp"],
+        )
+        assert got == [
+            "foo.city.kawasaki.jp", "b.city.kawasaki.jp",
+            "city.kawasaki.jp", "kawasaki.jp",
+        ]
+
+    def test_exception_rule_prevails_over_wildcard(self, spark):
+        """!city.kawasaki.jp punches through *.kawasaki.jp: that exact
+        tail is registrable, while sibling labels stay wildcarded."""
+        rules = ["*.kawasaki.jp", "!city.kawasaki.jp"]
+        got = self._domains(
+            spark,
+            ["foo.city.kawasaki.jp", "city.kawasaki.jp",
+             "foo.other.kawasaki.jp"],
+            rules,
+        )
+        assert got == [
+            "city.kawasaki.jp", "city.kawasaki.jp", "foo.other.kawasaki.jp",
+        ]
+
+    def test_longest_match_wins(self, spark):
+        """Prevailing-rule selection: the most-labeled match, per the
+        PSL algorithm — a 3-label rule beats a 2-label one."""
+        got = self._domains(
+            spark,
+            ["site.living.co.uk", "site.other.co.uk"],
+            ["co.uk", "living.co.uk"],
+        )
+        # living.co.uk (3 labels) prevails for the first host, so its
+        # registrable domain is FOUR labels; the second host only
+        # matches co.uk and stays at the usual three
+        assert got == ["site.living.co.uk", "other.co.uk"]
+
+    def test_comment_and_blank_rows_skipped(self, spark):
+        """A raw PSL file loaded line-per-row works as-is: comments,
+        blanks, and the bare '*' default rule are ignored."""
+        got = self._domains(
+            spark,
+            ["a.example.co.uk"],
+            ["// comment line", "", "*", "co.uk"],
+        )
+        assert got == ["example.co.uk"]
+
+    def test_plan_stays_map_only_with_all_rule_kinds(self, spark):
+        from real_estate_bigdata_spark.functions.url import (
+            with_registered_domain,
+        )
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        df = spark.createDataFrame(
+            [(0, "https://foo.city.kawasaki.jp/x")], "id long, url string"
+        )
+        sfx = spark.createDataFrame(
+            [(s,) for s in
+             ("co.uk", "pvt.k12.ma.us", "*.kawasaki.jp",
+              "!city.kawasaki.jp")],
+            "suffix string",
+        )
+        out = with_registered_domain(df, "url", suffixes_df=sfx)
+        assert_plan(out, max_shuffles=0, forbid_python=True)
+
+    def test_oversized_table_raises_before_collect(self, spark):
+        from real_estate_bigdata_spark.functions.url import (
+            with_registered_domain,
+        )
+
+        df = spark.createDataFrame([(0, "https://a.b/x")], "id long, url string")
+        sfx = spark.range(10).selectExpr("cast(id as string) as suffix")
+        with pytest.raises(ValueError, match="max_rules"):
+            with_registered_domain(df, "url", suffixes_df=sfx, max_rules=5)
+
+    def test_internal_column_collision_raises(self, spark):
+        """VERDICT r13 #3: a frame already carrying an internal working
+        column must raise, not get it silently overwritten+dropped."""
+        from real_estate_bigdata_spark.functions.url import (
+            domain_blocklist,
+            with_registered_domain,
+        )
+
+        sfx = spark.createDataFrame([("co.uk",)], "suffix string")
+        df = spark.createDataFrame(
+            [(0, "https://a.example.co.uk/x", "keep-me")],
+            "id long, url string, __host string",
+        )
+        with pytest.raises(ValueError, match="__host"):
+            with_registered_domain(df, "url", suffixes_df=sfx)
+        bl = spark.createDataFrame(
+            [("bad.com", "adult")], "domain string, category string"
+        )
+        df2 = spark.createDataFrame(
+            [(0, "https://bad.com/x", "keep-me")],
+            "id long, url string, __dom string",
+        )
+        with pytest.raises(ValueError, match="__dom"):
+            domain_blocklist(df2, bl)
 
 
 class TestDomainBlocklist:
