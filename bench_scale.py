@@ -851,7 +851,7 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
     return defs
 
 
-def shuffle_write_bytes(spark) -> int:
+def shuffle_write_bytes(spark) -> int | None:
     """Cumulative shuffle-write bytes across all completed stages of
     this application, via the live UI REST API (the only place local
     mode exposes stage metrics without a listener jar). Deltas around
@@ -888,7 +888,10 @@ def shuffle_write_bytes(spark) -> int:
             prev = cur
         return prev
     except Exception:
-        return -1  # UI disabled/unreachable: record absence visibly
+        # UI disabled/unreachable: report absence as None — folding a
+        # sentinel into a delta would write a nonsense negative into
+        # BENCH_SCALE.json (ADVICE r13)
+        return None
 
 
 def fit_exponent(scales, secs):
@@ -923,16 +926,20 @@ def main() -> int:
         rec = results.setdefault(name, {"sec": {}, "rows": {}})
         best, rows, sw = None, None, None
         for _ in range(N_PASSES):
-            sw0 = shuffle_write_bytes(spark) if name in TRACK_SHUFFLE else 0
+            sw0 = shuffle_write_bytes(spark) if name in TRACK_SHUFFLE else None
             t0 = time.perf_counter()
             rows = thunk().count()
             dt = time.perf_counter() - t0
-            if name in TRACK_SHUFFLE:
-                d = shuffle_write_bytes(spark) - sw0
-                # MAX over passes: identical plans move identical bytes,
-                # so any disagreement is listener lag UNDERcounting —
-                # the largest complete observation is the true volume
-                sw = d if sw is None else max(sw, d)
+            if name in TRACK_SHUFFLE and sw0 is not None:
+                cur = shuffle_write_bytes(spark)
+                if cur is not None:
+                    d = cur - sw0
+                    # MAX over passes: identical plans move identical
+                    # bytes, so any disagreement is listener lag
+                    # UNDERcounting — the largest complete observation
+                    # is the true volume. A pass whose UI read failed
+                    # (None) is skipped rather than folded in.
+                    sw = d if sw is None else max(sw, d)
             best = dt if best is None else min(best, dt)
         rec["sec"][str(scale)] = round(best, 4)
         rec["rows"][str(scale)] = rows

@@ -1202,24 +1202,39 @@ def embedding_neardup_pairs_pca(
         "vid", "v", "__pv", F.explode(probe(F.col("__pv"))).alias("__plist")
     )
 
-    def _normed_pair(rows: pd.DataFrame):
+    def _sorted_rows(rows: pd.DataFrame):
+        # sort by vid BEFORE chunking: chunk membership — and with it
+        # the sparse/dense branch choice below — becomes a pure
+        # function of the list CONTENT, not of shuffle arrival order
+        # (unsorted, a borderline pair could be emitted or not
+        # depending on which chunk its rows landed in across runs)
         ids = rows["vid"].to_numpy()
-        V = np.stack(rows["v"].to_numpy())
-        P = np.stack(rows["__pv"].to_numpy()).astype(np.float32)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.stack(rows["v"].to_numpy())[order]
+        P = np.stack(rows["__pv"].to_numpy())[order].astype(np.float32)
+        # raw vectors + norms kept separate: the exact verify divides
+        # the dot by the norm PRODUCT, matching the exact generator's
+        # dot-then-divide order (normalize-then-dot differs in the
+        # last ulp; parity with the exact generator is pinned at the
+        # round-6 readout). A zero vector gets an inf norm -> cosine 0.
         nv = np.linalg.norm(V, axis=1)
         nv = np.where(nv == 0.0, np.inf, nv)
         npr = np.linalg.norm(P, axis=1)
         npr = np.where(npr == 0.0, np.inf, npr)
-        return ids, V / nv[:, None], P / npr[:, None]
+        return ids, V, nv, P / npr[:, None]
 
     def _list_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         sx, sy = int(pdf["__sx"].iat[0]), int(pdf["__sy"].iat[0])
         out_a, out_b, out_c = [], [], []
         step = 2048  # bounds the per-chunk mask slab at ~step x |rows|
 
-        def emit(ii_ids, jj_ids, Va, Vb, same_block):
-            # exact d-dim cosines for the masked sparse set only
-            ex = np.round(np.einsum("ij,ij->i", Va, Vb), 6)
+        def emit(ii_ids, jj_ids, Va, Vb, na, nb, same_block):
+            # exact d-dim cosines for the masked sparse set only —
+            # dot-then-divide, the exact generator's order
+            ex = np.round(
+                np.einsum("ij,ij->i", Va, Vb) / (na * nb), 6
+            )
             if same_block:
                 keep = (ii_ids < jj_ids) & (ex >= threshold)
             else:
@@ -1233,41 +1248,53 @@ def embedding_neardup_pairs_pca(
         # it is DENSE (> _DENSE_MASK_FRAC of the chunk — IVF lists
         # concentrate similarity, so a permissive candidate bar can
         # pass most of a list) the gather traffic costs more than just
-        # multiplying everything, so the chunk falls back to the raw
-        # full GEMM — identical arithmetic to the raw-IVF kernel, and
-        # strictly HIGHER recall for that chunk (no candidate misses).
-        # The branch is a pure function of the list content, so output
-        # stays deterministic.
-        def chunk(ids_l, Vl, Pl, ids_r, Vr, Pr, s, same):
+        # multiplying everything, so the chunk falls back to a full
+        # GEMM over the raw vectors (the raw-IVF kernel's shape, with
+        # the cosine computed dot-then-divide to match the exact
+        # generator) — recall for that chunk is >= the sparse path's
+        # for every pair orientation: both (a,b) and (b,a) emit
+        # canonicalized, and the final groupBy(max) dedups them.
+        def chunk(ids_l, Vl, nl, Pl, ids_r, Vr, nr, Pr, s, same):
             Cp = Pl[s : s + step] @ Pr.T
             ii, jj = np.nonzero(Cp >= candidate_threshold)
             if not len(ii):
                 return
             if len(ii) > _DENSE_MASK_FRAC * Cp.size:
-                C = np.round(Vl[s : s + step] @ Vr.T, 6)
+                C = np.round(
+                    (Vl[s : s + step] @ Vr.T)
+                    / np.outer(nl[s : s + step], nr),
+                    6,
+                )
                 ii, jj = np.nonzero(C >= threshold)
                 if not len(ii):
                     return
                 ga, gb, ex = ids_l[s + ii], ids_r[jj], C[ii, jj]
-                keep = (ga < gb) if same else np.ones(len(ga), dtype=bool)
+                # drop only SELF pairs: keeping ga < gb here lost the
+                # recovered pair whose lower-id row sat in a sparse
+                # chunk that masked it out — min/max emission + the
+                # final groupBy dedups the mirrored orientation instead
+                keep = (ga != gb) if same else np.ones(len(ga), dtype=bool)
                 out_a.append(np.minimum(ga[keep], gb[keep]))
                 out_b.append(np.maximum(ga[keep], gb[keep]))
                 out_c.append(ex[keep])
             else:
-                emit(ids_l[s + ii], ids_r[jj], Vl[s + ii], Vr[jj], same)
+                emit(
+                    ids_l[s + ii], ids_r[jj], Vl[s + ii], Vr[jj],
+                    nl[s + ii], nr[jj], same,
+                )
 
         if sx == sy:
-            ids, Vn, Pn = _normed_pair(pdf)
+            ids, V, nv, Pn = _sorted_rows(pdf)
             for s in range(0, len(ids), step):
-                chunk(ids, Vn, Pn, ids, Vn, Pn, s, True)
+                chunk(ids, V, nv, Pn, ids, V, nv, Pn, s, True)
         else:
             a_rows = pdf[pdf["__sub"] == sx]
             b_rows = pdf[pdf["__sub"] == sy]
             if len(a_rows) and len(b_rows):
-                ids_a, Va, Pa = _normed_pair(a_rows)
-                ids_b, Vb, Pb = _normed_pair(b_rows)
+                ids_a, Va, na, Pa = _sorted_rows(a_rows)
+                ids_b, Vb, nb, Pb = _sorted_rows(b_rows)
                 for s in range(0, len(ids_a), step):
-                    chunk(ids_a, Va, Pa, ids_b, Vb, Pb, s, False)
+                    chunk(ids_a, Va, na, Pa, ids_b, Vb, nb, Pb, s, False)
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),

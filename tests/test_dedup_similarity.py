@@ -667,6 +667,70 @@ def test_embedding_neardup_pairs_pca_sparse_mask_path(spark):
     assert got == exact  # n_lists=1: only the mask could lose a pair
 
 
+def test_embedding_neardup_pairs_pca_chunk_order_invariance(spark):
+    """r14 (ADVICE r13): the emitted pair SET must be a pure function
+    of the list CONTENT — rows are sorted by vid before chunking, so a
+    borderline pair (raw cosine >= threshold, projected cosine below
+    the candidate bar — recoverable only through a dense-fallback
+    chunk) is emitted or not identically across input partitionings;
+    and a pair recovered by a dense chunk that holds only its
+    HIGHER-id row survives (min/max emission — the old ga<gb filter
+    dropped that orientation).
+
+    Fixture geometry (> one 2048-row chunk, mixed branches): corpus
+    variance is concentrated in dims 0-7 (big cluster + big scattered
+    filler), so the top-8 uncentered directions span dims 0-7 exactly
+    and the planted pairs — living in dims 8-31 with LOW ids paired to
+    HIGH ids — project to ~zero: invisible to the mask. Sorted by vid,
+    the low-id partners land in the sparse scattered chunk and the
+    high-id partners in the dense cluster chunk, so each planted pair
+    is recovered ONLY via the dense chunk that contains its higher id.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # 300 low-id planted partners: unit vectors in dims 8-31 only
+    ws = []
+    for i in range(300):
+        w = np.zeros(32)
+        w[8:] = rng.standard_normal(24)
+        w /= np.linalg.norm(w)
+        ws.append(w)
+        rows.append((i, [float(x) for x in w]))
+    # scattered filler in dims 0-7, amplitude x10 (ids 1000..2747)
+    for i in range(1748):
+        v = np.zeros(32)
+        v[:8] = 10.0 * rng.standard_normal(8)
+        rows.append((1_000 + i, [float(x) for x in v]))
+    # tight cluster in dims 0-7, amplitude x10 (ids 10000..11699)
+    base = np.zeros(32)
+    base[:8] = 10.0 * rng.standard_normal(8)
+    for i in range(1700):
+        v = base.copy()
+        v[:8] += 0.05 * rng.standard_normal(8)
+        rows.append((10_000 + i, [float(x) for x in v]))
+    # 300 high-id planted rows: near-copies of the low-id partners
+    for i in range(300):
+        w2 = ws[i] + 0.01 * rng.standard_normal(32)
+        rows.append((20_000 + i, [float(x) for x in w2]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(frame):
+        out = dd.embedding_neardup_pairs_pca(
+            frame, threshold=0.9, k=8, candidate_threshold=0.6, n_lists=1
+        ).collect()
+        return {(r.id_a, r.id_b): r.cosine for r in out}
+
+    got = run(df)
+    planted = {(i, 20_000 + i) for i in range(300)}
+    missing = planted - set(got)
+    assert not missing, f"{len(missing)} dense-recovered pairs lost"
+    # identical output across opposite input orders and partitionings
+    reshuffled = df.orderBy(F.col("vec_id").desc()).repartition(7)
+    assert run(reshuffled) == got
+
+
 def test_embedding_neardup_pairs_pca_recall_and_exact_verify(spark):
     """r13 (VERDICT r12 task #4): the PCA-candidates + exact-verify
     generator must (a) recover >= 0.9 of the exact generator's pairs
