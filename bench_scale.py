@@ -174,7 +174,10 @@ QUADRATIC_ALARM = 1.7
 #: wall-time (r13, VERDICT r12 task #4: the PCA candidate stage's
 #: byte claim must be measured, not asserted — its raw-dim twin is
 #: tracked for the side-by-side delta)
-TRACK_SHUFFLE = {"pca_embedding_neardup", "ivf_embedding_neardup"}
+TRACK_SHUFFLE = {
+    "pca_embedding_neardup", "ivf_embedding_neardup",
+    "pca_embedding_neardup_fat", "ivf_embedding_neardup_fat",
+}
 #: operators whose super-linear exponent is BY DESIGN and bounded, not a
 #: 100 TB scale failure — recorded but not flagged
 ALARM_EXEMPT = {
@@ -233,6 +236,70 @@ def _synth_embeddings(emb, k):
     )
 
 
+#: fat-embedding width for the PCA-mask crossover battery (VERDICT r13
+#: task #4): the operator's flop-cut claim targets fat embeddings —
+#: 768 is the ubiquitous sentence-embedding width and 12x the synth 64
+FAT_DIM = 768
+
+
+#: planted fat near-copies get vec_id + this offset (the image_neardup
+#: fixture pattern); far above any k-copy stride so ids never collide
+FAT_DUP_OFFSET = 1_000_000_000
+
+
+def _synth_embeddings_fat(emb, k, dim=FAT_DIM):
+    """Widen a scaled 64-dim synth copy to ``dim`` dims: each source
+    dim tiles across ``dim/64`` blocks at 1/(1+block) gain — a rank-64
+    signal whose top-64 uncentered directions are exactly recoverable —
+    plus deterministic per-(row,dim) noise at 0.02 amplitude, the tail
+    variance a PCA mask drops. Noise energy dilutes every cosine by
+    the same factor, so pair structure carries over and both fat twins
+    see the same task at the same threshold.
+
+    Every 10th row additionally gets a PLANTED near-copy at
+    ``vec_id + FAT_DUP_OFFSET`` (cosine ~0.99): the base corpus's max
+    pairwise cosine is ~0.56, so without planting, the near-dup
+    operating point (threshold 0.9) the fat battery twins measure at
+    would have an empty answer set — real crawls are mostly-unique
+    PLUS duplicate clusters, which is exactly this shape."""
+    base = _synth_embeddings(emb, k)
+    d0 = 64
+    jj = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def widen(j):
+        sig = F.element_at(
+            F.col("embedding"), (F.pmod(j, F.lit(d0)) + 1).cast("int")
+        ).cast("double") / (F.floor(j / d0) + 1.0)
+        h = (
+            F.sin(F.col("vec_id").cast("double") * 12.9898
+                  + j.cast("double") * 78.233)
+            * 43758.5453
+        )
+        return sig + (h - F.floor(h) - 0.5) * 0.04
+
+    widened = base.select(
+        "vec_id",
+        F.transform(jj, widen).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    nid = F.col("vec_id") + F.lit(FAT_DUP_OFFSET)
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double") + (
+            lambda h: (h - F.floor(h) - 0.5) * 0.02
+        )(
+            F.sin(nid.cast("double") * 7.77 + i.cast("double") * 3.33)
+            * 43758.5453
+        ),
+    )
+    planted = widened.filter(F.pmod("vec_id", F.lit(10)) == 0).select(
+        nid.alias("vec_id"),
+        jitter.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    return widened.unionByName(planted)
+
+
 def synthesize(spark, base_dir: str, out_dir: str) -> None:
     """Write the scaled corpora, one table at a time, each guarded by
     its own parquet ``_SUCCESS`` marker — so adding a table to an
@@ -250,6 +317,9 @@ def synthesize(spark, base_dir: str, out_dir: str) -> None:
         "embeddings": lambda s: _union(
             [_synth_embeddings(emb, k) for k in range(s)]
         ),
+        "embeddings_fat": lambda s: _union(
+            [_synth_embeddings_fat(emb, k) for k in range(s)]
+        ),
         "lineitem": lambda s: _union(
             [_synth_facts(li, ords, k)[0] for k in range(s)]
         ),
@@ -261,7 +331,8 @@ def synthesize(spark, base_dir: str, out_dir: str) -> None:
     for scale in sorted(set(SCALES) | extra):
         sdir = f"{out_dir}/x{scale}"
         tables = (
-            ("documents", "embeddings", "lineitem", "orders")
+            ("documents", "embeddings", "embeddings_fat", "lineitem",
+             "orders")
             if scale in SCALES
             else EXTRA_TABLES[scale]  # extra points' batteries
         )
@@ -437,6 +508,34 @@ def _domain_blocklist_scaled(spark, docs):
                             mode="drop")
 
 
+def _domain_blocklist_1m_scaled(spark, docs):
+    """VERDICT r13 task #5: the blocklist broadcast claim at UT1
+    magnitude — a 1,000,000-row category list forced through the same
+    broadcast join as the 3-row toy. The measured sec INCLUDES the
+    list-side dedup + broadcast build; the corpus side stays map-only.
+    Corpus domains spread over 200k registrable keys (half of them
+    listed) so the join probes a real hash table, not 4 hot keys."""
+    from real_estate_bigdata_spark.functions.url import domain_blocklist
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub.dom"), (d % 200_000).cast("string"),
+        F.lit(".com/p/"), (d % 50).cast("string"),
+    )
+    bl = spark.range(1_000_000).select(
+        F.concat(
+            F.lit("dom"), (F.col("id") * 2).cast("string"), F.lit(".com")
+        ).alias("domain"),
+        F.when(F.col("id") % 3 == 0, F.lit("adult"))
+        .when(F.col("id") % 3 == 1, F.lit("ads"))
+        .otherwise(F.lit("gambling"))
+        .alias("category"),
+    )
+    return domain_blocklist(
+        docs.select("doc_id", url.alias("url")), bl, mode="drop"
+    )
+
+
 def _domain_authority_cap_scaled(spark, docs):
     """The q_domain_authority_cap composition over a scaled corpus:
     spokes-into-a-hub-cycle pagerank -> authority-ordered per-source
@@ -487,6 +586,7 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
     li = lambda: spark.read.parquet(f"{sdir}/lineitem.parquet")  # noqa: E731
     ords = lambda: spark.read.parquet(f"{sdir}/orders.parquet")  # noqa: E731
     emb = lambda: spark.read.parquet(f"{sdir}/embeddings.parquet")  # noqa: E731
+    emb_fat = lambda: spark.read.parquet(f"{sdir}/embeddings_fat.parquet")  # noqa: E731
     part = lambda: load_table(spark, base_dir, "part")  # noqa: E731
     supplier = lambda: load_table(spark, base_dir, "supplier")  # noqa: E731
     # a FIXED-size benchmark set as the corpus grows — the realistic
@@ -844,6 +944,31 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         # the operator docstring)
         "pca_embedding_neardup": lambda: dd.embedding_neardup_pairs_pca(
             emb(), n_lists=n_lists
+        ),
+        # r14 (VERDICT r13 task #4): the fat-width twins — d=768
+        # corpus with planted ~0.99 duplicate clusters, k=64
+        # projection, at the SemDeDup-class near-dup operating point
+        # (threshold 0.9, candidate 0.75): the mask only pays off when
+        # the candidate bar sits ABOVE the corpus's random-pair cosine
+        # band (~N(0, 1/8) here, max 0.56) — at a permissive bar every
+        # row of every list participates and the kernel rightly falls
+        # back to the raw GEMM everywhere (measured r14: 0.3-candidate
+        # fat twins tie). Byte ratio bound at this width: (d + k/2)/d
+        # = 1.042 (vs 1.25 at d=64/k=32); the quadratic-stage cut is
+        # the mask's f32 k-dim gram + participant-only sub-GEMMs vs
+        # the raw path's full f64 d-dim gram. Both in TRACK_SHUFFLE.
+        "ivf_embedding_neardup_fat": lambda: dd.embedding_neardup_pairs_ivf(
+            emb_fat(), threshold=0.9, n_lists=n_lists
+        ),
+        "pca_embedding_neardup_fat": lambda: dd.embedding_neardup_pairs_pca(
+            emb_fat(), threshold=0.9, candidate_threshold=0.75, k=64,
+            n_lists=n_lists
+        ),
+        # r14 (VERDICT r13 task #5): the UT1-magnitude blocklist point
+        # — 1M-row list, fixed as the corpus scales (lists don't grow
+        # with pretraining data); sec includes the broadcast build
+        "domain_blocklist_1m": lambda: _domain_blocklist_1m_scaled(
+            spark, docs()
         ),
     }
     if names is not None:

@@ -1083,13 +1083,15 @@ def embedding_neardup_pairs_ivf(
     )
 
 
-#: masked-pair fraction of a chunk above which the PCA kernel's exact
-#: verify switches from gather+einsum on the masked sparse set to one
-#: full raw-dim GEMM for the chunk: fancy-indexed gathers move
-#: ~2 x d x 8 bytes per masked pair, so past ~1/4 density the dense
-#: multiply is cheaper AND recovers the mask's candidate misses for
-#: free (r13 measurement: dense within-list masks made gather traffic
-#: the bottleneck on the 64-dim synth corpus)
+#: participating-cell fraction of a chunk (unique masked rows x unique
+#: masked cols / chunk cells) above which the PCA kernel's exact
+#: verify switches from a participants-only sub-GEMM to one full
+#: raw-dim GEMM for the chunk: near-full participation makes the
+#: sub-GEMM gather and multiply nearly everything anyway, and the
+#: dense multiply additionally recovers the mask's candidate misses
+#: for free (r13: dense within-list masks made per-pair gather traffic
+#: the bottleneck; r14 replaced per-pair gathers with the sub-GEMM —
+#: allocation scales with participants, never with masked pairs)
 _DENSE_MASK_FRAC = 0.25
 
 
@@ -1154,7 +1156,10 @@ def embedding_neardup_pairs_pca(
     import numpy as np
     import pandas as pd
 
-    from real_estate_bigdata_spark.operators.projection import apply_pca, fit_pca
+    from real_estate_bigdata_spark.operators.projection import (
+        apply_pca_arrow,
+        fit_pca,
+    )
     from real_estate_bigdata_spark.operators.similarity import (
         _deterministic_vector_sample,
         _kmeans_fit,
@@ -1178,7 +1183,11 @@ def embedding_neardup_pairs_pca(
     # probe/assignment pass both scan it, and re-evaluating the k x d
     # projection expression per scan measured 5x at sf0.1
     both = (
-        apply_pca(embeddings, model, vec_col=vec_col, out_col="__pca")
+        # Arrow/BLAS projection, not the Column-HOF form: Catalyst
+        # interprets HOF lambdas per element, which at fat widths
+        # (d=768/k=64) measured ~30 s per 2000 rows vs milliseconds
+        # here — this operator is already Python-whitelisted (r14)
+        apply_pca_arrow(embeddings, model, vec_col=vec_col, out_col="__pca")
         .select(
             F.col(id_col).alias("vid"),
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -1229,12 +1238,20 @@ def embedding_neardup_pairs_pca(
         out_a, out_b, out_c = [], [], []
         step = 2048  # bounds the per-chunk mask slab at ~step x |rows|
 
-        def emit(ii_ids, jj_ids, Va, Vb, na, nb, same_block):
-            # exact d-dim cosines for the masked sparse set only —
-            # dot-then-divide, the exact generator's order
-            ex = np.round(
-                np.einsum("ij,ij->i", Va, Vb) / (na * nb), 6
-            )
+        def emit(ii, jj, ids_l, ids_r, Vl, nl, Vr, nr, s, same_block):
+            # exact d-dim cosines for the masked set via a sub-GEMM
+            # over the PARTICIPATING rows only, then a per-pair SCALAR
+            # readout. Never gather d-wide rows per pair: the masked
+            # pair stream times d dwarfs the participants (r14
+            # measurement at d=768: a 39k-pair gather+einsum cost 4.7 s
+            # where the full 2048x2350 GEMM cost 0.18 s — fresh-page
+            # allocation, not flops, is the binding cost). Cosine is
+            # dot-then-divide, the exact generator's order.
+            iu, i_inv = np.unique(ii, return_inverse=True)
+            ju, j_inv = np.unique(jj, return_inverse=True)
+            S = (Vl[s + iu] @ Vr[ju].T) / np.outer(nl[s + iu], nr[ju])
+            ex = np.round(S[i_inv, j_inv], 6)
+            ii_ids, jj_ids = ids_l[s + ii], ids_r[jj]
             if same_block:
                 keep = (ii_ids < jj_ids) & (ex >= threshold)
             else:
@@ -1243,23 +1260,27 @@ def embedding_neardup_pairs_pca(
             out_b.append(np.maximum(ii_ids[keep], jj_ids[keep]))
             out_c.append(ex[keep])
 
-        # adaptive chunk kernel: when the projected mask is SPARSE the
-        # masked pairs gather into one einsum of exact d-dim dots; when
-        # it is DENSE (> _DENSE_MASK_FRAC of the chunk — IVF lists
-        # concentrate similarity, so a permissive candidate bar can
-        # pass most of a list) the gather traffic costs more than just
-        # multiplying everything, so the chunk falls back to a full
-        # GEMM over the raw vectors (the raw-IVF kernel's shape, with
-        # the cosine computed dot-then-divide to match the exact
-        # generator) — recall for that chunk is >= the sparse path's
-        # for every pair orientation: both (a,b) and (b,a) emit
+        # adaptive chunk kernel: when few ROWS participate in the
+        # projected mask, the masked pairs resolve through a sub-GEMM
+        # over just those rows; when participation is DENSE (unique
+        # rows x unique cols > _DENSE_MASK_FRAC of the chunk — IVF
+        # lists concentrate similarity, so a permissive candidate bar
+        # can pass most of a list) the sub-GEMM would gather and
+        # multiply nearly everything anyway, so the chunk falls back
+        # to a full GEMM over the raw vectors (the raw-IVF kernel's
+        # shape, with the cosine computed dot-then-divide to match the
+        # exact generator) — recall for that chunk is >= the sparse
+        # path's for every pair orientation: both (a,b) and (b,a) emit
         # canonicalized, and the final groupBy(max) dedups them.
         def chunk(ids_l, Vl, nl, Pl, ids_r, Vr, nr, Pr, s, same):
             Cp = Pl[s : s + step] @ Pr.T
             ii, jj = np.nonzero(Cp >= candidate_threshold)
             if not len(ii):
                 return
-            if len(ii) > _DENSE_MASK_FRAC * Cp.size:
+            if (
+                len(np.unique(ii)) * len(np.unique(jj))
+                > _DENSE_MASK_FRAC * Cp.size
+            ):
                 C = np.round(
                     (Vl[s : s + step] @ Vr.T)
                     / np.outer(nl[s : s + step], nr),
@@ -1278,10 +1299,7 @@ def embedding_neardup_pairs_pca(
                 out_b.append(np.maximum(ga[keep], gb[keep]))
                 out_c.append(ex[keep])
             else:
-                emit(
-                    ids_l[s + ii], ids_r[jj], Vl[s + ii], Vr[jj],
-                    nl[s + ii], nr[jj], same,
-                )
+                emit(ii, jj, ids_l, ids_r, Vl, nl, Vr, nr, s, same)
 
         if sx == sy:
             ids, V, nv, Pn = _sorted_rows(pdf)

@@ -731,6 +731,61 @@ def test_embedding_neardup_pairs_pca_chunk_order_invariance(spark):
     assert run(reshuffled) == got
 
 
+def test_embedding_neardup_pairs_pca_fat_width_recall_and_parity(spark):
+    """r14 (VERDICT r13 task #4): the operator's stated target is FAT
+    embeddings, so pin recall and surviving-cosine parity at d=768 —
+    the same synthesis the scale battery measures the crossover with
+    (bench_scale._synth_embeddings_fat: rank-64 block signal + 0.02
+    tail noise widened from the sf0.001 corpus), k=64 projection."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from bench_scale import _synth_embeddings_fat
+
+    emb = load_table(spark, SF, "embeddings")
+    fat = _synth_embeddings_fat(emb, 0).localCheckpoint(eager=False)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs(fat, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs_pca(
+            fat, threshold=0.4, k=64
+        ).collect()
+    }
+    assert exact, "expected above-threshold pairs in the fat corpus"
+    recall = len(got.keys() & exact.keys()) / len(exact)
+    assert recall >= 0.9, f"fat-width recall {recall:.3f} < 0.9 ({len(exact)})"
+    assert set(got) <= set(exact)
+    assert all(got[p] == exact[p] for p in got)
+    # the battery's near-dup operating point (threshold 0.9, candidate
+    # 0.75): the planted ~0.99 duplicate clusters must be recovered
+    # EXACTLY — the corpus's random-pair band tops out ~0.56, so the
+    # answer set is precisely the planted pairs, both generators
+    from bench_scale import FAT_DUP_OFFSET
+
+    hi = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs_pca(
+            fat, threshold=0.9, candidate_threshold=0.75, k=64
+        ).collect()
+    }
+    exact_hi = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dd.embedding_neardup_pairs(fat, threshold=0.9).collect()
+    }
+    planted = {
+        (r.vec_id, r.vec_id + FAT_DUP_OFFSET)
+        for r in fat.where(F.pmod("vec_id", F.lit(10)) == 0)
+        .where(F.col("vec_id") < FAT_DUP_OFFSET)
+        .select("vec_id")
+        .collect()
+    }
+    assert set(exact_hi) == planted
+    assert hi == exact_hi
+
+
 def test_embedding_neardup_pairs_pca_recall_and_exact_verify(spark):
     """r13 (VERDICT r12 task #4): the PCA-candidates + exact-verify
     generator must (a) recover >= 0.9 of the exact generator's pairs

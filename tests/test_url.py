@@ -437,6 +437,27 @@ class TestDomainBlocklist:
         assert_plan(domain_blocklist(docs, bl), max_shuffles=1,
                     forbid_python=True)
 
+    def test_million_row_list_still_broadcasts(self, spark):
+        """r14 (VERDICT r13 task #5): at UT1 magnitude — a 1M-row
+        category list — the plan must STILL be a BroadcastHashJoin
+        with the corpus map-only (the forced broadcast hint survives
+        the stats-less 1M-row frame); the wall-clock/memory side is
+        the scale battery's domain_blocklist_1m point."""
+        from real_estate_bigdata_spark.functions.url import domain_blocklist
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        docs, _ = self._frames(spark)
+        bl = spark.range(1_000_000).select(
+            F.concat(
+                F.lit("dom"), F.col("id").cast("string"), F.lit(".com")
+            ).alias("domain"),
+            F.lit("adult").alias("category"),
+        )
+        out = domain_blocklist(docs, bl, mode="drop")
+        stats = assert_plan(out, max_shuffles=1, forbid_python=True)
+        assert stats.broadcast_joins >= 1, stats
+        assert stats.sortmerge_joins == 0, stats
+
 
 class TestProperties:
     """Hypothesis invariants over random well-formed URLs (r12): a
