@@ -399,17 +399,17 @@ def _q_dedup_embedding_pca(spark, sf):
     #4 — the projection tier wired into the pair path): IVF lists
     bucket by 32-dim float32 projections; inside each list task a
     k-dim mask at a permissive candidate threshold gates which pairs
-    pay the exact d-dim cosine (adaptive: a dense mask chunk falls
-    back to the full raw GEMM — cheaper than gathering, and zero
-    candidate misses there). Emitted pairs carry the exact round-6
-    cosine. Rows-only: candidate recall is approximate by
-    construction (the ANN class); end-to-end recall >= 0.9 plus
-    exact-value bit-parity vs the exact generator are pinned in
-    tests/test_dedup_similarity.py, and the shuffle-byte /
-    wall-time delta vs the raw-dim twin is measured in
-    BENCH_SCALE.json (pca_embedding_neardup; the 64-dim honesty note
-    is in the operator docstring). Registered PAST-CAP per the
-    rows-only policy.
+    pay the exact d-dim cosine (r14 kernel: vid-sorted chunking, a
+    participants-only sub-GEMM for sparse masks, full-GEMM fallback
+    past the participation bar — zero candidate misses there).
+    Emitted pairs carry the exact round-6 cosine. Rows-only:
+    candidate recall is approximate by construction (the ANN class);
+    end-to-end recall >= 0.9 plus surviving-cosine parity vs the
+    exact generator are pinned at d=64 AND d=768 in
+    tests/test_dedup_similarity.py, and the shuffle-byte / wall-time
+    delta vs the raw-dim twin is measured in BENCH_SCALE.json
+    (pca/ivf_embedding_neardup + the _fat twins at the 0.9 operating
+    point). Registered PAST-CAP per the rows-only policy.
 
     The PcaModel is memoized per (applicationId, sf) — the
     _ann_serving_index build-once/serve-many precedent (a PcaModel is
