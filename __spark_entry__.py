@@ -2035,6 +2035,45 @@ def _q_url_blocklist(spark, sf):
     )
 
 
+def _q_cms_token_counts(spark, sf):
+    """Count-Min sketch token frequencies (NEW r14 — bounded-memory
+    counting, north-star ABSENT category; the reference's exact
+    groupBy counting carries cardinality-sized state,
+    `mapreduce/reducer.py:8-15`): build a depth=3 x width=1024 CMS
+    over the corpus's whitespace tokens (one aggregation whose
+    map-side combine bounds shuffle volume at depth x width per task,
+    never cardinality), then estimate the 20 most frequent tokens
+    (exact top, count desc / token asc — the q_vocab_top_tokens
+    convention) against their exact counts. est_cnt >= exact_cnt
+    always (CMS only overestimates, and only under collisions). FULL
+    DuckDB oracle — the sketch hashes with the engine's portable
+    md5-prefix convention (the bloom-screen precedent), so the oracle
+    rebuilds the identical cell grid and the same min-over-rows
+    estimates. Registered PAST-CAP per growth-policy rule 4; first
+    driver row at an r15 spare (rotation_map.py carries it as the
+    deferred pending entry)."""
+    from real_estate_bigdata_spark.functions.text import tokenize
+    from real_estate_bigdata_spark.operators import sketches as sk
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    sketch = sk.count_min_sketch(toks, "token", width=1024, depth=3)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    est = sk.cms_estimate(
+        sketch, top, "token", width=1024, depth=3, out_col="est_cnt"
+    )
+    return (
+        top.join(est, "token")
+        .select("token", "exact_cnt", "est_cnt")
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
 def _q_domain_cap(spark, sf):
     """Per-DOMAIN crawl cap (NEW r12-late — the composition VERDICT r11
     task #7 named: ``registered_domain`` feeding ``cap_per_group`` so
@@ -2541,7 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     most two rounds stale). Full rotation map + the binding
     registry-growth policy in COVERAGE.md.
 
-    The registry holds 156 queries: 141 oracle-bearing + 15 rows-only
+    The registry holds 157 queries: 142 oracle-bearing + 15 rows-only
     (the approximate/iterative family — ANN top-k, BPE, linear probe,
     image near-dup, Dawid-Skene, PCA, PageRank, and the r13 PCA-
     candidates pair generator — each pinned against an independent
@@ -2638,6 +2677,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latency 1 round) ----
         "q_domain_authority_cap": _q_domain_authority_cap,
         "q_url_blocklist": _q_url_blocklist,
+        # ---- past-cap: NEW r14 oracle query (growth-policy rule 4:
+        # first driver row at an r15 spare — the r15 mandatory block
+        # is the 41 oracle-bearing r12-verified queries, leaving 9
+        # spares; rotation_map.py lists it as the deferred pending
+        # entry, so it seats FIRST next round). Family sibling in-cap:
+        # the token-counting family via the r11-returner q_tfidf and
+        # the bloom-screen portable-hash class via
+        # q_bloom_contamination ----
+        "q_cms_token_counts": _q_cms_token_counts,
         # ---- past-cap: r12-verified (the r15 mandatory block; the 9
         # rows-only members — BPE/ANN/probe/Dawid-Skene, each
         # mirror-pinned by pytest — sit outside the rotation) ----
@@ -3248,6 +3296,42 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 4 = 2 THEN 'gambling'
                         ELSE NULL END AS block_category
             FROM documents
+        """,
+        "q_cms_token_counts": r"""
+            -- the Count-Min sketch rebuilt BIT-IDENTICALLY: same
+            -- portable md5-prefix bucket (value || ':' || d, 60-bit
+            -- prefix, mod 1024), same depth-3 cell grid, same
+            -- min-over-rows estimate with absent cells counting 0;
+            -- exact top-20 tokens by count desc / token asc
+            WITH toks AS (
+                SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                              ELSE string_split_regex(trim(text), '\s+') END
+                       ) AS token
+                FROM documents
+            ), grid AS (
+                SELECT unnest([0, 1, 2]) AS d
+            ), cells AS (
+                SELECT d,
+                       ('0x' || substr(md5(token || ':' || d::VARCHAR), 1, 15)
+                       )::BIGINT % 1024 AS bucket,
+                       count(*)::BIGINT AS cnt
+                FROM toks CROSS JOIN grid
+                GROUP BY 1, 2
+            ), top AS (
+                SELECT token, count(*)::BIGINT AS exact_cnt
+                FROM toks GROUP BY token
+                ORDER BY exact_cnt DESC, token ASC LIMIT 20
+            ), probes AS (
+                SELECT t.token, t.exact_cnt, g.d,
+                       ('0x' || substr(md5(t.token || ':' || g.d::VARCHAR), 1, 15)
+                       )::BIGINT % 1024 AS bucket
+                FROM top t CROSS JOIN grid g
+            )
+            SELECT p.token, p.exact_cnt,
+                   min(coalesce(c.cnt, 0))::BIGINT AS est_cnt
+            FROM probes p LEFT JOIN cells c USING (d, bucket)
+            GROUP BY p.token, p.exact_cnt
+            ORDER BY exact_cnt DESC, token
         """,
         "q_domain_authority_cap": r"""
             -- the pagerank fixpoint stated EXACTLY: the fixture graph

@@ -536,6 +536,25 @@ def _domain_blocklist_1m_scaled(spark, docs):
     )
 
 
+def _cms_token_counts_scaled(spark, docs):
+    """The q_cms_token_counts shape over a scaled corpus: CMS build
+    (one bounded hash aggregate) + exact top-20 + broadcast estimate."""
+    from real_estate_bigdata_spark.functions.text import tokenize
+    from real_estate_bigdata_spark.operators import sketches as sk
+
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    sketch = sk.count_min_sketch(toks, "token", width=1024, depth=3)
+    top = (
+        toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc()).limit(20)
+    )
+    return top.join(
+        sk.cms_estimate(sketch, top, "token", width=1024, depth=3,
+                        out_col="est_cnt"),
+        "token",
+    )
+
+
 def _domain_authority_cap_scaled(spark, docs):
     """The q_domain_authority_cap composition over a scaled corpus:
     spokes-into-a-hub-cycle pagerank -> authority-ordered per-source
@@ -970,6 +989,11 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         "domain_blocklist_1m": lambda: _domain_blocklist_1m_scaled(
             spark, docs()
         ),
+        # r14: Count-Min token counting — the sketch state is a fixed
+        # depth x width grid however large the corpus or its
+        # cardinality grows, so the curve should track the linear
+        # tokenize/explode pass, never the distinct-token count
+        "cms_token_counts": lambda: _cms_token_counts_scaled(spark, docs()),
     }
     if names is not None:
         return {k: defs[k] for k in names}

@@ -61,14 +61,18 @@ def compute_slot_map(
 ) -> dict:
     """Derive round ``rnd``'s in-cap window (defaults to max history round + 1).
 
-    Returns {round, mandatory, pending, seated, in_cap, free_slots,
-    violations}: ``mandatory`` = oracle-bearing queries whose latest
-    driver row is rnd-3 (rule 1), in that file's key order; ``pending`` =
-    oracle-bearing queries with NO driver row yet, registry order;
-    ``seated`` = the pending prefix that fits the spare slots;
-    ``in_cap`` = mandatory + seated (the required queries() prefix);
-    ``violations`` = rule breaches (stale oracle rows older than rnd-3,
-    pending queries that exceed the rule-4 bound, capacity overflow).
+    Returns {round, mandatory, pending, seated, deferred, in_cap,
+    free_slots, violations, warnings}: ``mandatory`` = oracle-bearing
+    queries whose latest driver row is rnd-3 (rule 1), in that file's
+    key order; ``pending`` = oracle-bearing queries with NO driver row
+    yet, registry order; ``seated`` = the pending prefix that fits the
+    spare slots; ``deferred`` = pending queries waiting for the next
+    round's spares (legitimate under rule 4's two-round bound — they
+    seat FIRST next round because pending precedes everything but the
+    mandatory block); ``in_cap`` = mandatory + seated (the required
+    queries() prefix); ``violations`` = hard rule breaches (stale
+    oracle rows older than rnd-3, capacity overflow); ``warnings`` =
+    the deferral notice.
     """
     if rnd is None:
         rnd = max(hist) + 1
@@ -102,9 +106,11 @@ def compute_slot_map(
         )
         spare = 0
     seated, deferred = pending[:spare], pending[spare:]
+    warnings = []
     if deferred:
-        violations.append(
-            f"rule-4 risk: pending oracle queries with no spare slot this round: {deferred}"
+        warnings.append(
+            "rule-4 deferral (must seat at an r%d spare): %s"
+            % (rnd + 1, deferred)
         )
     in_cap = mandatory + seated
     return {
@@ -112,9 +118,11 @@ def compute_slot_map(
         "mandatory": mandatory,
         "pending": pending,
         "seated": seated,
+        "deferred": deferred,
         "in_cap": in_cap,
         "free_slots": CAP - len(in_cap),
         "violations": violations,
+        "warnings": warnings,
     }
 
 
@@ -144,6 +152,8 @@ def main(argv: list[str]) -> int:
             file=sys.stderr,
         )
         ok = False
+    for w in m["warnings"]:
+        print(f"WARNING: {w}", file=sys.stderr)
     for v in m["violations"]:
         print(f"VIOLATION: {v}", file=sys.stderr)
         ok = False

@@ -62,7 +62,11 @@ class TestComputeSlotMap:
         hist = {1: big, 2: [], 3: []}
         m = rm.compute_slot_map(registry, set(registry), hist, rnd=4)
         assert any("rule-2" in v for v in m["violations"])
-        assert any("rule-4" in v and "p0" in v for v in m["violations"])
+        # deferral is a WARNING (legitimate under the two-round bound;
+        # deferred queries seat first at the next round's spares), not
+        # a hard violation
+        assert m["deferred"] == pending
+        assert any("rule-4" in w and "p0" in w for w in m["warnings"])
         assert len(m["in_cap"]) == len(m["mandatory"])  # nothing seated
 
     def test_deregistered_queries_are_ignored(self):
