@@ -34,10 +34,19 @@ screen.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["count_min_sketch", "cms_estimate", "cms_bucket"]
+__all__ = [
+    "count_min_sketch",
+    "cms_estimate",
+    "cms_bucket",
+    "CmsIndex",
+    "save_cms",
+    "load_cms",
+]
 
 
 def cms_bucket(value: Column, d: int, width: int) -> Column:
@@ -84,6 +93,52 @@ def count_min_sketch(
         .select(F.posexplode(cells).alias("d", "bucket"), w.alias("__w"))
         .groupBy("d", "bucket")
         .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+@dataclass(frozen=True)
+class CmsIndex:
+    """A loaded sketch artifact: the cells plus the geometry they were
+    built with. ``cms_estimate`` probes must hash with the SAME
+    width/depth as the build — mismatched geometry silently produces
+    garbage (an absent probe cell reads 0, breaking even the
+    overestimate guarantee) — so the persisted form carries its
+    geometry as a meta tier (the IVF/BM25 index-lifecycle pattern) and
+    the serve path can never drift from the build."""
+
+    cells: DataFrame
+    width: int
+    depth: int
+
+    def estimate(self, queries: DataFrame, col: str, out_col: str = "est"):
+        return cms_estimate(
+            self.cells, queries, col,
+            width=self.width, depth=self.depth, out_col=out_col,
+        )
+
+
+def save_cms(
+    sketch: DataFrame, path: str, width: int, depth: int
+) -> None:
+    """Persist a sketch built by :func:`count_min_sketch` at
+    ``width``/``depth``: cells as parquet (bounded at depth x width
+    rows) + a one-row meta tier recording the geometry."""
+    _validate(width, depth)
+    spark = sketch.sparkSession
+    sketch.coalesce(1).write.mode("overwrite").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(int(width), int(depth))], "width int, depth int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_cms(spark, path: str) -> CmsIndex:
+    """Load a persisted sketch with its geometry; the cells stay a lazy
+    scan (they broadcast at estimate time)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    return CmsIndex(
+        cells=spark.read.parquet(f"{path}/cells"),
+        width=int(meta.width),
+        depth=int(meta.depth),
     )
 
 

@@ -110,6 +110,35 @@ class TestCountMinSketch:
         ).fetchall()
         assert {(d, b): c for d, b, c in got} == cells
 
+    def test_save_load_roundtrip_serves_identically(self, spark, tmp_path):
+        """The persisted artifact (cells + geometry meta, the IVF/BM25
+        lifecycle pattern) must serve the same estimates as the live
+        build — and carry its own width/depth so the serve path cannot
+        hash with mismatched geometry."""
+        toks = _tokens(spark).localCheckpoint(eager=False)
+        sketch = sk.count_min_sketch(toks, "token", width=256, depth=3)
+        path = str(tmp_path / "cms")
+        sk.save_cms(sketch, path, width=256, depth=3)
+        idx = sk.load_cms(spark, path)
+        assert (idx.width, idx.depth) == (256, 3)
+        queries = toks.limit(40)
+        live = {
+            (r.token, r.est)
+            for r in sk.cms_estimate(
+                sketch, queries, "token", width=256, depth=3
+            ).collect()
+        }
+        served = {
+            (r.token, r.est) for r in idx.estimate(queries, "token").collect()
+        }
+        assert served == live
+
+    def test_save_validates_geometry(self, spark):
+        df = spark.createDataFrame([("a",)], "v string")
+        sketch = sk.count_min_sketch(df, "v", width=8, depth=2)
+        with pytest.raises(ValueError, match="width"):
+            sk.save_cms(sketch, "/tmp/never-written-cms", width=0, depth=2)
+
     def test_build_plan_is_one_bounded_aggregation(self, spark):
         from real_estate_bigdata_spark.plans import assert_plan
 
