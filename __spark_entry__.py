@@ -2074,6 +2074,113 @@ def _q_cms_token_counts(spark, sf):
     )
 
 
+def _q_hll_distinct(spark, sf):
+    """HyperLogLog distinct counting (NEW r14 — the cardinality twin of
+    the Count-Min sketch, north-star ABSENT category; the reference's
+    exact `count distinct` class carries cardinality-sized state): per
+    return flag, estimate the number of distinct orders in lineitem
+    with a p=8 (256-register) HLL sketch — ONE hash aggregation whose
+    map-side combine bounds every task's shuffle contribution at 2^p
+    rows per group, corpus cardinality never reaching the exchange —
+    and read it out against the exact distinct count with the signed
+    relative error. FULL DuckDB oracle: registers rebuild
+    BIT-IDENTICALLY from the portable md5-prefix hash (rank via exact
+    base-2 STRING length, no float log), and the Flajolet readout's
+    harmonic sum is an exact INTEGER (sum of 2^(53-rho)) so the
+    estimate is one deterministic double division in either engine.
+    Registered PAST-CAP per growth-policy rule 4; first driver row at
+    an r15 spare."""
+    from real_estate_bigdata_spark.operators import sketches as sk
+
+    li = load_table(spark, sf, "lineitem")
+    regs = sk.hll_registers(li, "l_orderkey", p=8, group_cols=["l_returnflag"])
+    est = sk.hll_estimate(
+        regs, p=8, group_cols=["l_returnflag"], out_col="hll_distinct"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_distinct",
+            "hll_distinct",
+            F.round(
+                (F.col("hll_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_fuzzy_name_pairs(spark, sf):
+    """Typo-tolerant entity resolution (NEW r14 — north-star ABSENT
+    category: the reference joins listings only on exact normalized
+    keys, but a crawled corpus carries the same name/address/title with
+    one character off): all customer-name pairs within Levenshtein
+    distance 1, via k-deletion-neighborhood blocking (FastSS) + exact
+    JVM-side levenshtein verification — EXACT pair semantics (complete
+    and precise), achieved with a map-only variant explode + one
+    variant-key equi-join + one pair-dedup aggregate; nothing quadratic
+    in the corpus (segment blocking would degenerate to all-pairs on
+    the shared `Customer#...` prefix — see operators/fuzzy.py). FULL
+    DuckDB oracle: brute-force levenshtein self-join (the oracle may be
+    quadratic; the engine must not). Registered PAST-CAP per
+    growth-policy rule 4; first driver row at an r15 spare."""
+    from real_estate_bigdata_spark.operators import fuzzy as fz
+
+    cust = load_table(spark, sf, "customer")
+    return fz.edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_distance=1
+    ).orderBy("id_a", "id_b")
+
+
+def _q_geo_comps(spark, sf):
+    """Geospatial comparables (NEW r14 — north-star ABSENT category:
+    the reference treats listing location as TEXT, splitting address
+    strings into district/city; a real-estate engine wants geometric
+    comps — every pair of listings within 2 km): grid-cell blocked
+    radius self-join (operators/geo.py — fixed equirectangular grid,
+    map-only 3x3 probe fan-out, one cell-key equi-join + exact
+    haversine verify; candidate volume is the sum of squared cell
+    populations, never the corpus square). The testdata carries no
+    coordinates, so each customer gets DETERMINISTIC city-box coords
+    from the engine's portable md5-prefix hash (a ~133 x 153 km
+    Ho-Chi-Minh-City-scale box; a plain modular synthetic is NOT used
+    — linear-in-key coordinates put all points on a 1-D lattice whose
+    pair-deltas take ~n distinct values and can miss every radius,
+    measured 0 pairs at sf0.01). FULL DuckDB oracle: brute-force
+    all-pairs haversine with the same expression shape (the oracle may
+    be quadratic; the engine must not — filter on the RAW distance,
+    round-6 for display). Registered PAST-CAP per growth-policy rule
+    4; first driver row at an r15 spare."""
+    from real_estate_bigdata_spark.operators import geo
+
+    def h(salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cust = load_table(spark, sf, "customer")
+    pts = cust.select(
+        "c_custkey",
+        (F.lit(10.3) + (h(":lat") % 12000) / 10000.0).alias("lat"),
+        (F.lit(106.2) + (h(":lon") % 14000) / 10000.0).alias("lon"),
+    )
+    return geo.geo_radius_pairs(
+        pts, "c_custkey", "lat", "lon", radius_km=2.0, max_abs_lat=15.0
+    ).orderBy("id_a", "id_b")
+
+
 def _q_domain_cap(spark, sf):
     """Per-DOMAIN crawl cap (NEW r12-late — the composition VERDICT r11
     task #7 named: ``registered_domain`` feeding ``cap_per_group`` so
@@ -2686,6 +2793,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the bloom-screen portable-hash class via
         # q_bloom_contamination ----
         "q_cms_token_counts": _q_cms_token_counts,
+        # ---- past-cap: NEW r14-late oracle queries (growth-policy
+        # rule 4: first driver rows at r15 spares, seated after
+        # q_cms_token_counts in registry order — 9 spares exist).
+        # Family siblings in-cap: the sketch/portable-hash class via
+        # q_bloom_contamination, the distinct/agg class via q01 ----
+        "q_hll_distinct": _q_hll_distinct,
+        "q_fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "q_geo_comps": _q_geo_comps,
         # ---- past-cap: r12-verified (the r15 mandatory block; the 9
         # rows-only members — BPE/ANN/probe/Dawid-Skene, each
         # mirror-pinned by pytest — sit outside the rotation) ----
@@ -3332,6 +3447,98 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p LEFT JOIN cells c USING (d, bucket)
             GROUP BY p.token, p.exact_cnt
             ORDER BY exact_cnt DESC, token
+        """,
+        "q_hll_distinct": r"""
+            -- the HLL sketch rebuilt BIT-IDENTICALLY: same 60-bit
+            -- md5-prefix hash, low 8 bits -> register, rank from the
+            -- exact base-2 STRING length of the high 52 bits (no
+            -- float log anywhere); the Flajolet readout's harmonic
+            -- sum is the exact integer sum(2^(53 - rho)) with
+            -- untouched registers contributing 2^53 each, so the
+            -- estimate is ONE double division with inlined constants
+            -- (alpha_256 * 256^2 * 2^53 as a single Python-computed
+            -- double literal) — engine-identical at round-6
+            WITH h AS (
+                SELECT l_returnflag,
+                       ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15)
+                       )::BIGINT AS hv
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+            ), regs AS (
+                SELECT l_returnflag, (hv & 255)::BIGINT AS bucket,
+                       max(CASE WHEN (hv >> 8) = 0 THEN 53
+                            ELSE 52 - length(bin(hv >> 8)) + 1
+                           END) AS max_rho
+                FROM h GROUP BY 1, 2
+            ), agg AS (
+                SELECT l_returnflag,
+                       sum((1::BIGINT << (53 - max_rho)))::BIGINT AS hsum_nz,
+                       count(*)::BIGINT AS nz
+                FROM regs GROUP BY 1
+            ), readout AS (
+                SELECT l_returnflag,
+                       (hsum_nz + (256 - nz) * 9007199254740992.0
+                       )::DOUBLE AS hsum,
+                       (256 - nz) AS zeros
+                FROM agg
+            ), est AS (
+                SELECT l_returnflag,
+                       round(CASE WHEN (4.2399330249068963e+20 / hsum)
+                                       <= 640.0 AND zeros > 0
+                             THEN 256.0 * ln(256.0 / zeros::DOUBLE)
+                             ELSE 4.2399330249068963e+20 / hsum
+                             END, 6) AS hll_distinct
+                FROM readout
+            ), exact AS (
+                SELECT l_returnflag,
+                       count(DISTINCT l_orderkey)::BIGINT AS exact_distinct
+                FROM lineitem GROUP BY 1
+            )
+            SELECT x.l_returnflag, x.exact_distinct, e.hll_distinct,
+                   round((e.hll_distinct - x.exact_distinct)
+                         / x.exact_distinct::DOUBLE, 6) AS rel_err
+            FROM exact x JOIN est e USING (l_returnflag)
+            ORDER BY l_returnflag
+        """,
+        "q_fuzzy_name_pairs": r"""
+            -- brute-force ground truth: the oracle may be quadratic
+            -- (the length filter only prunes), the ENGINE must not —
+            -- its FastSS blocking is complete by the deletion-
+            -- neighborhood lemma, so the pair sets agree exactly
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name)::INT AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+             AND levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
+        """,
+        "q_geo_comps": r"""
+            -- brute-force ground truth with the SAME haversine
+            -- expression shape (difference -> radians -> sin/cos ->
+            -- asin; filter on the RAW distance, round-6 for display);
+            -- coordinates derive from the portable md5-prefix hash,
+            -- bit-identical across engines
+            WITH pts AS (
+                SELECT c_custkey,
+                       10.3 + (('0x' || substr(md5(c_custkey::VARCHAR
+                               || ':lat'), 1, 15))::BIGINT % 12000)
+                              / 10000.0 AS lat,
+                       106.2 + (('0x' || substr(md5(c_custkey::VARCHAR
+                               || ':lon'), 1, 15))::BIGINT % 14000)
+                              / 10000.0 AS lon
+                FROM customer
+            ), pd AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                       2 * 6371.0088 * asin(sqrt(
+                           pow(sin(radians(b.lat - a.lat) / 2), 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * pow(sin(radians(b.lon - a.lon) / 2), 2)
+                       )) AS raw
+                FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+            )
+            SELECT id_a, id_b, round(raw, 6) AS dist_km
+            FROM pd WHERE raw <= 2.0
+            ORDER BY id_a, id_b
         """,
         "q_domain_authority_cap": r"""
             -- the pagerank fixpoint stated EXACTLY: the fixture graph

@@ -555,6 +555,79 @@ def _cms_token_counts_scaled(spark, docs):
     )
 
 
+def _hll_distinct_scaled(spark, li):
+    """The q_hll_distinct sketch shape over the scaled fact table: HLL
+    register build (one bounded hash aggregate, <= 2^p rows per group
+    past the map-side combine) + the Flajolet readout. The exact
+    countDistinct the driver query carries as its verification readout
+    is deliberately NOT in the point — its state grows with key
+    cardinality, which is exactly what the sketch exists to avoid."""
+    from real_estate_bigdata_spark.operators import sketches as sk
+
+    regs = sk.hll_registers(li, "l_orderkey", p=8, group_cols=["l_returnflag"])
+    return sk.hll_estimate(regs, p=8, group_cols=["l_returnflag"])
+
+
+def _fuzzy_pairs_scaled(spark, ords):
+    """The q_fuzzy_name_pairs shape at realistic entity-resolution
+    density: diverse md5-derived names (random 12-hex strings collide
+    at ed<=1 with negligible probability) + 1-in-100 PLANTED one-char
+    typos (the image_neardup planted-pair pattern) — output grows
+    linearly with the corpus, so the curve measures the BLOCKING
+    machinery, not result materialization. (A first cut used dense
+    zero-padded sequential keys: every row paired with ~22 neighbors,
+    3.3M output rows at x1 — an output-bound point that says nothing
+    about the join's scaling.)"""
+    from real_estate_bigdata_spark.operators import fuzzy as fz
+
+    named = ords.select(
+        "o_orderkey",
+        F.upper(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12)
+        ).alias("name"),
+    )
+    planted = named.where(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(10 ** 12)).alias("o_orderkey"),
+        F.concat(F.lit("Z"), F.substring(F.col("name"), 2, 11)).alias("name"),
+    )
+    corpus = named.unionByName(planted)
+    return fz.edit_distance_pairs(corpus, "o_orderkey", "name", max_distance=1)
+
+
+def _geo_radius_pairs_scaled(spark, ords, scale):
+    """The q_geo_comps shape at constant spatial density: md5-scattered
+    coordinates in a box whose AREA grows linearly with the corpus
+    (each axis ~sqrt(scale)), so expected neighbors per point — and the
+    output per row — stay fixed while the corpus grows."""
+    import math as _math
+
+    from real_estate_bigdata_spark.operators import geo
+
+    side = _math.sqrt(scale)
+    lat_mod = int(12000 * side)
+    lon_mod = int(14000 * side)
+
+    def h(salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    pts = ords.select(
+        "o_orderkey",
+        (F.lit(5.0) + (h(":lat") % lat_mod) / 10000.0).alias("lat"),
+        (F.lit(100.0) + (h(":lon") % lon_mod) / 10000.0).alias("lon"),
+    )
+    return geo.geo_radius_pairs(
+        pts, "o_orderkey", "lat", "lon", radius_km=2.0, max_abs_lat=20.0
+    )
+
+
 def _domain_authority_cap_scaled(spark, docs):
     """The q_domain_authority_cap composition over a scaled corpus:
     spokes-into-a-hub-cycle pagerank -> authority-ordered per-source
@@ -994,6 +1067,22 @@ def battery(spark, base_dir: str, sdir: str, scale: int, names=None):
         # cardinality grows, so the curve should track the linear
         # tokenize/explode pass, never the distinct-token count
         "cms_token_counts": lambda: _cms_token_counts_scaled(spark, docs()),
+        # r14-late: HLL distinct counting — register state is a fixed
+        # 2^p grid per group however large the corpus cardinality
+        # grows, so the curve should track the linear hash pass
+        "hll_distinct": lambda: _hll_distinct_scaled(spark, li()),
+        # r14-late: FastSS fuzzy pairs — candidate volume is the sum of
+        # squared variant-block sizes (near-dup density), never the
+        # corpus square; the result itself grows ~n log n on dense
+        # sequential keys, so watch sec_per_1k_rows, not just sec
+        "fuzzy_pairs": lambda: _fuzzy_pairs_scaled(spark, ords()),
+        # r14-late: grid-blocked geo radius join — the box AREA grows
+        # with the corpus (more listings = more cities; density, and
+        # with it pairs-per-point, stays constant — the 100 TB regime),
+        # so the curve should track the linear cell pass, not x^2
+        "geo_radius_pairs": lambda: _geo_radius_pairs_scaled(
+            spark, ords(), scale
+        ),
     }
     if names is not None:
         return {k: defs[k] for k in names}

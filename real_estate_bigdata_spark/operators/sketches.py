@@ -1,10 +1,11 @@
-"""Count-Min sketch — bounded-memory frequency estimation at corpus
-scale (NEW r14; north-star ABSENT category: the reference counts by
-full groupBy — `mapreduce/reducer.py:8-15`-class exact aggregation —
-which carries state proportional to the key CARDINALITY; at 100 TB a
-token/URL/n-gram frequency pass wants a sketch whose state is a fixed
-``depth x width`` grid regardless of how many distinct keys exist;
-Cormode & Muthukrishnan 2005).
+"""Bounded-memory sketches — Count-Min (frequency) and HyperLogLog
+(cardinality) at corpus scale (NEW r14; north-star ABSENT category:
+the reference counts by full groupBy — `mapreduce/reducer.py:8-15`-class
+exact aggregation — which carries state proportional to the key
+CARDINALITY; at 100 TB a token/URL/n-gram frequency or distinct-count
+pass wants a sketch whose state is fixed regardless of how many
+distinct keys exist; Cormode & Muthukrishnan 2005; Flajolet et al.
+2007).
 
 Spark-first shape:
 
@@ -21,6 +22,22 @@ Spark-first shape:
   its ``depth`` cells, and the estimate is the MIN over them; absent
   cells count 0. One broadcast join + one bounded aggregate; the query
   frame never shuffles whole.
+* :func:`hll_registers` — ONE aggregation: each value hashes once, the
+  low ``p`` bits pick a register and the remaining 60-p bits yield the
+  leading-zero rank rho; ``groupBy(bucket).max(rho)`` collapses every
+  task's contribution to at most ``m = 2^p`` registers BEFORE the
+  shuffle (map-side combine), so a distinct-count over any cardinality
+  shuffles at most ``m`` rows per task. Per-group sketches via
+  ``group_cols`` (distinct users per domain — the 100 TB workhorse).
+* :func:`hll_estimate` — the Flajolet HLL readout over the register
+  frame. The harmonic sum is computed in INTEGER space
+  (``sum(2^(S - rho))`` as bigint, exact in both engines) so the
+  estimate is one deterministic double division — no order-dependent
+  float accumulation — and the small-range linear-counting branch
+  selects on identical doubles in any engine.
+* :func:`hll_merge` — register-wise MAX: sketches of shards union into
+  the sketch of the union (the mergeability that makes HLL a
+  cluster-scale operator).
 
 Estimates are deterministic upper bounds: ``est >= true`` always (no
 deletions), with the classic (eps = e/width, delta = e^-depth) error
@@ -46,6 +63,12 @@ __all__ = [
     "CmsIndex",
     "save_cms",
     "load_cms",
+    "hll_registers",
+    "hll_estimate",
+    "hll_merge",
+    "HllIndex",
+    "save_hll",
+    "load_hll",
 ]
 
 
@@ -172,4 +195,177 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — bounded-memory cardinality estimation (Flajolet et al. 2007)
+# --------------------------------------------------------------------------
+
+#: md5-prefix hashes carry 60 bits; with ``p`` of them spent on the
+#: register index, the rank rho ranges over [1, 60 - p + 1].
+_HLL_HASH_BITS = 60
+
+
+def _hll_validate(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant (exact literal —
+    inlined into both the Spark plan and any oracle, so the estimate
+    arithmetic is engine-identical)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 11,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build the HLL register frame for the distinct non-NULL values of
+    ``df[col]``: one row per TOUCHED register, ``(bucket, max_rho)``
+    (an absent bucket is register value 0). With ``group_cols``, one
+    independent sketch per group — ``(*group_cols, bucket, max_rho)``,
+    the distinct-users-per-domain shape.
+
+    Portable hashing (the bloom/CMS md5-prefix convention): the 60-bit
+    hash's LOW ``p`` bits index the register and the HIGH ``60 - p``
+    bits ``w`` give ``rho = (60 - p) - bitlen(w) + 1`` (``w == 0`` ->
+    ``60 - p + 1``) — ``bitlen`` via the exact base-2 STRING length, no
+    float log anywhere, so an ANSI oracle (``bin()`` / ``>>`` / ``&``)
+    rebuilds the registers BIT-IDENTICALLY.
+
+    Scale shape: one hash projection + one groupBy whose map-side
+    combine bounds each task's shuffle contribution at ``2^p`` rows per
+    group — corpus cardinality never reaches the exchange."""
+    _hll_validate(p)
+    m = 1 << p
+    tail_bits = _HLL_HASH_BITS - p
+    value = F.col(col)
+    h = F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits) - F.length(F.conv(w.cast("string"), 10, 2)) + 1
+    )
+    keys = list(group_cols or [])
+    return (
+        df.where(value.isNotNull())
+        .select(
+            *keys,
+            h.bitwiseAND(m - 1).alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME ``p`` (and group columns):
+    register-wise max, so ``merge(sketch(A), sketch(B)) ==
+    sketch(A UNION B)`` exactly — shard locally, merge globally."""
+    if not register_frames:
+        raise ValueError("hll_merge needs at least one register frame")
+    out = register_frames[0]
+    for other in register_frames[1:]:
+        out = out.unionByName(other)
+    keys = [c for c in out.columns if c != "max_rho"]
+    return out.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int,
+    group_cols: list[str] | None = None,
+    out_col: str = "est",
+) -> DataFrame:
+    """Cardinality estimate from a register frame built at the same
+    ``p`` (geometry must match the build — persist it via the meta
+    tier, :class:`HllIndex`). Returns one row per group (a single row
+    without ``group_cols``) with the rounded estimate in ``out_col``.
+
+    Determinism across engines: the harmonic sum ``sum(2^-rho)`` over
+    all ``m`` registers is accumulated as the EXACT integer
+    ``sum(2^(S - rho))`` with ``S = 61 - p`` (max term ``2^(60-p)``
+    times ``2^p`` registers < 2^63 — no overflow, no float
+    accumulation order), untouched registers contributing ``2^S``
+    each; the estimate is then a single double expression. The
+    small-range branch (raw <= 2.5 m with empty registers) uses
+    linear counting ``m * ln(m / V)``; branch selection compares
+    doubles derived from exact integers, so every engine takes the
+    same branch."""
+    _hll_validate(p)
+    m = 1 << p
+    s_bits = _HLL_HASH_BITS + 1 - p
+    alpha = _hll_alpha(m)
+    keys = list(group_cols or [])
+    if out_col in keys:
+        raise ValueError(f"out_col {out_col!r} collides with a group column")
+    agg = registers.groupBy(*keys).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_bits} - max_rho)")
+        ).alias("__hsum"),
+        F.count("*").alias("__nz"),
+    )
+    zeros = F.lit(m) - F.col("__nz")
+    hsum = (F.col("__hsum") + zeros * F.lit(float(2**s_bits))).cast("double")
+    raw = F.lit(alpha * m * m * float(2**s_bits)) / hsum
+    small = (raw <= F.lit(2.5 * m)) & (zeros > 0)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.round(F.when(small, linear).otherwise(raw), 6)
+    return agg.select(*keys, est.alias(out_col))
+
+
+@dataclass(frozen=True)
+class HllIndex:
+    """A loaded HLL artifact: registers plus the precision they were
+    built with (the CMS geometry-meta-tier pattern — estimating at a
+    different ``p`` than the build silently produces garbage, so the
+    persisted form carries ``p`` and the serve path can never drift)."""
+
+    registers: DataFrame
+    p: int
+    group_cols: tuple[str, ...] = ()
+
+    def estimate(self, out_col: str = "est") -> DataFrame:
+        return hll_estimate(
+            self.registers, self.p,
+            group_cols=list(self.group_cols), out_col=out_col,
+        )
+
+
+def save_hll(
+    registers: DataFrame, path: str, p: int,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Persist registers (bounded at ``2^p`` rows per group) + a
+    one-row meta tier recording the geometry."""
+    _hll_validate(p)
+    spark = registers.sparkSession
+    registers.write.mode("overwrite").parquet(f"{path}/registers")
+    spark.createDataFrame(
+        [(int(p), ",".join(group_cols or []))], "p int, group_cols string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_hll(spark, path: str) -> HllIndex:
+    """Load a persisted sketch with its geometry; registers stay a lazy
+    scan."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    cols = tuple(c for c in meta.group_cols.split(",") if c)
+    return HllIndex(
+        registers=spark.read.parquet(f"{path}/registers"),
+        p=int(meta.p),
+        group_cols=cols,
     )

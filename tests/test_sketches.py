@@ -161,3 +161,139 @@ class TestCountMinSketch:
         stats = assert_plan(est, max_shuffles=4, forbid_python=True)
         assert stats.broadcast_joins >= 1, stats
         assert stats.sortmerge_joins == 0, stats
+
+
+class TestHyperLogLog:
+    def test_estimate_within_theory_bound(self, spark):
+        """p=11 (m=2048): the Flajolet standard error is 1.04/sqrt(m)
+        ~= 2.3%; pin the 10k-key estimate inside 3 sigma."""
+        df = spark.range(10_000).select(
+            F.concat(F.lit("key_"), F.col("id")).alias("k")
+        )
+        regs = sk.hll_registers(df, "k", p=11)
+        est = sk.hll_estimate(regs, p=11).collect()[0].est
+        assert abs(est - 10_000) / 10_000 < 3 * 1.04 / (2048 ** 0.5), est
+
+    def test_small_range_linear_counting_near_exact(self, spark):
+        """n << m lands in the linear-counting branch, which is
+        near-exact when almost every register is empty."""
+        df = spark.range(30).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+        est = sk.hll_estimate(sk.hll_registers(df, "k", p=11), p=11).collect()[0].est
+        assert abs(est - 30) < 2, est
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        """Register-wise max is EXACTLY the sketch of the union — the
+        mergeability that lets shards sketch locally and combine
+        globally without re-reading data."""
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.concat(F.lit("key_"), F.col("id")).alias("k")
+        )
+        merged = sk.hll_merge(
+            sk.hll_registers(mk(0, 6_000), "k", p=11),
+            sk.hll_registers(mk(4_000, 10_000), "k", p=11),
+        )
+        whole = sk.hll_registers(mk(0, 10_000), "k", p=11)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_grouped_sketches_are_independent(self, spark):
+        """group_cols builds one sketch per group: each group's
+        registers equal the ungrouped sketch of just that group's
+        rows."""
+        df = spark.createDataFrame(
+            [("g1", f"v{i}") for i in range(50)]
+            + [("g2", f"v{i}") for i in range(200)],
+            "g string, v string",
+        )
+        grouped = sk.hll_registers(df, "v", p=8, group_cols=["g"])
+        solo_g2 = sk.hll_registers(df.where(F.col("g") == "g2"), "v", p=8)
+        got = sorted(
+            (r.bucket, r.max_rho)
+            for r in grouped.where(F.col("g") == "g2").collect()
+        )
+        assert got == sorted((r.bucket, r.max_rho) for r in solo_g2.collect())
+
+    def test_null_keys_skipped(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+        regs = sk.hll_registers(df, "v", p=8)
+        assert regs.count() <= 2
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([("a",)], "v string")
+        with pytest.raises(ValueError, match="p must be"):
+            sk.hll_registers(df, "v", p=3)
+        with pytest.raises(ValueError, match="p must be"):
+            sk.hll_estimate(df, p=17)
+        with pytest.raises(ValueError, match="at least one"):
+            sk.hll_merge()
+        regs = sk.hll_registers(df, "v", p=8)
+        with pytest.raises(ValueError, match="collides"):
+            sk.hll_estimate(regs, p=8, group_cols=["g"], out_col="g")
+
+    def test_duckdb_register_parity(self, spark):
+        """The portable contract directly: DuckDB rebuilds the exact
+        register frame (same md5-prefix hash, same bucket split, same
+        string-length rank) — the q_hll_distinct oracle rests on
+        this."""
+        duckdb = pytest.importorskip("duckdb")
+
+        rows = [(f"u{i}",) for i in range(300)]
+        df = spark.createDataFrame(rows, "v string")
+        regs = {
+            (r.bucket, r.max_rho)
+            for r in sk.hll_registers(df, "v", p=8).collect()
+        }
+        con = duckdb.connect()
+        got = con.execute(
+            """
+            WITH vals AS (
+                SELECT 'u' || g::VARCHAR AS v FROM generate_series(0, 299) t(g)
+            ), h AS (
+                SELECT ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv FROM vals
+            )
+            SELECT (hv & 255)::BIGINT AS bucket,
+                   max(CASE WHEN (hv >> 8) = 0 THEN 53
+                        ELSE 52 - length(bin(hv >> 8)) + 1 END) AS max_rho
+            FROM h GROUP BY 1
+            """
+        ).fetchall()
+        assert {(int(b), int(r)) for b, r in got} == regs
+
+    def test_save_load_roundtrip_serves_identically(self, spark, tmp_path):
+        """The persisted artifact (registers + p/group_cols meta — the
+        CMS geometry-tier pattern) must estimate identically to the
+        live build."""
+        df = spark.createDataFrame(
+            [("g1", f"v{i}") for i in range(400)]
+            + [("g2", f"w{i}") for i in range(40)],
+            "g string, v string",
+        )
+        regs = sk.hll_registers(df, "v", p=9, group_cols=["g"])
+        path = str(tmp_path / "hll")
+        sk.save_hll(regs, path, p=9, group_cols=["g"])
+        idx = sk.load_hll(spark, path)
+        assert idx.p == 9 and idx.group_cols == ("g",)
+        live = sorted(
+            map(tuple, sk.hll_estimate(regs, p=9, group_cols=["g"]).collect())
+        )
+        assert sorted(map(tuple, idx.estimate().collect())) == live
+
+    def test_build_plan_is_one_bounded_aggregation(self, spark):
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        toks = _tokens(spark)
+        regs = sk.hll_registers(toks, "token", p=11)
+        # one exchange: the bucket hash aggregate — map-side combine
+        # bounds each task's contribution at 2^p registers
+        assert_plan(regs, max_shuffles=1, forbid_python=True)
+
+    def test_estimate_plan_stays_bounded(self, spark):
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        docs = load_table(spark, SF, "documents")
+        regs = sk.hll_registers(docs, "text", p=11, group_cols=["source"])
+        est = sk.hll_estimate(regs, p=11, group_cols=["source"])
+        # register build + the per-group readout aggregate; the second
+        # exchange carries at most one row per (group, bucket)
+        assert_plan(est, max_shuffles=2, forbid_python=True)
