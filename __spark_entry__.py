@@ -2181,6 +2181,47 @@ def _q_geo_comps(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+def _q_geo_nearest(spark, sf):
+    """Nearest-POI join (NEW r14 — the second geo composition: "the
+    closest school/metro/market to each listing"): every customer's
+    nearest supplier within 10 km, via the same grid blocking as
+    q_geo_comps with the argmin as ONE min(struct(raw_dist, id))
+    aggregate — per-point candidates reduce inside their task, ties
+    break on the id deterministically in any engine. Coordinates are
+    the same md5-scattered city box (distinct salts per table). FULL
+    DuckDB oracle: brute-force cross join + row_number over (raw
+    distance, id). Registered PAST-CAP per growth-policy rule 4;
+    first driver row at an r15 spare."""
+    from real_estate_bigdata_spark.operators import geo
+
+    def h(keycol, salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(keycol).cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cust = load_table(spark, sf, "customer")
+    supp = load_table(spark, sf, "supplier")
+    pts = cust.select(
+        "c_custkey",
+        (F.lit(10.3) + (h("c_custkey", ":lat") % 12000) / 10000.0).alias("lat"),
+        (F.lit(106.2) + (h("c_custkey", ":lon") % 14000) / 10000.0).alias("lon"),
+    )
+    ctr = supp.select(
+        "s_suppkey",
+        (F.lit(10.3) + (h("s_suppkey", ":slat") % 12000) / 10000.0).alias("lat"),
+        (F.lit(106.2) + (h("s_suppkey", ":slon") % 14000) / 10000.0).alias("lon"),
+    )
+    return geo.geo_nearest(
+        pts, ctr, "c_custkey", "s_suppkey", radius_km=10.0, max_abs_lat=15.0
+    ).orderBy("c_custkey")
+
+
 def _q_domain_cap(spark, sf):
     """Per-DOMAIN crawl cap (NEW r12-late — the composition VERDICT r11
     task #7 named: ``registered_domain`` feeding ``cap_per_group`` so
@@ -2801,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": _q_hll_distinct,
         "q_fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "q_geo_comps": _q_geo_comps,
+        "q_geo_nearest": _q_geo_nearest,
         # ---- past-cap: r12-verified (the r15 mandatory block; the 9
         # rows-only members — BPE/ANN/probe/Dawid-Skene, each
         # mirror-pinned by pytest — sit outside the rotation) ----
@@ -3539,6 +3581,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(raw, 6) AS dist_km
             FROM pd WHERE raw <= 2.0
             ORDER BY id_a, id_b
+        """,
+        "q_geo_nearest": r"""
+            -- brute-force argmin ground truth: cross join + one
+            -- row_number over (raw distance, supplier id) — the same
+            -- (dist, id) ordering the engine's min(struct) reduces;
+            -- filter on the RAW distance, round-6 for display
+            WITH pts AS (
+                SELECT c_custkey,
+                       10.3 + (('0x' || substr(md5(c_custkey::VARCHAR
+                               || ':lat'), 1, 15))::BIGINT % 12000)
+                              / 10000.0 AS lat,
+                       106.2 + (('0x' || substr(md5(c_custkey::VARCHAR
+                               || ':lon'), 1, 15))::BIGINT % 14000)
+                              / 10000.0 AS lon
+                FROM customer
+            ), ctr AS (
+                SELECT s_suppkey,
+                       10.3 + (('0x' || substr(md5(s_suppkey::VARCHAR
+                               || ':slat'), 1, 15))::BIGINT % 12000)
+                              / 10000.0 AS lat,
+                       106.2 + (('0x' || substr(md5(s_suppkey::VARCHAR
+                               || ':slon'), 1, 15))::BIGINT % 14000)
+                              / 10000.0 AS lon
+                FROM supplier
+            ), pd AS (
+                SELECT p.c_custkey, c.s_suppkey,
+                       2 * 6371.0088 * asin(sqrt(
+                           pow(sin(radians(c.lat - p.lat) / 2), 2)
+                           + cos(radians(p.lat)) * cos(radians(c.lat))
+                             * pow(sin(radians(c.lon - p.lon) / 2), 2)
+                       )) AS raw,
+                       row_number() OVER (
+                           PARTITION BY p.c_custkey ORDER BY
+                           2 * 6371.0088 * asin(sqrt(
+                               pow(sin(radians(c.lat - p.lat) / 2), 2)
+                               + cos(radians(p.lat)) * cos(radians(c.lat))
+                                 * pow(sin(radians(c.lon - p.lon) / 2), 2)
+                           )), c.s_suppkey
+                       ) AS rn
+                FROM pts p JOIN ctr c ON TRUE
+            )
+            SELECT c_custkey, s_suppkey, round(raw, 6) AS dist_km
+            FROM pd WHERE rn = 1 AND raw <= 10.0
+            ORDER BY c_custkey
         """,
         "q_domain_authority_cap": r"""
             -- the pagerank fixpoint stated EXACTLY: the fixture graph

@@ -43,6 +43,7 @@ from real_estate_bigdata_spark.util import ensure_min_parallelism
 __all__ = [
     "haversine_km",
     "geo_radius_pairs",
+    "geo_nearest",
 ]
 
 #: km per degree of latitude (WGS-84 mean); lon shrinks by cos(lat)
@@ -72,7 +73,7 @@ def _guarded_lat(lat: Column, max_abs_lat: float) -> Column:
     return F.when(F.abs(lat) <= max_abs_lat, lat).otherwise(
         F.raise_error(
             F.concat(
-                F.lit("geo_radius_pairs saw |lat| = "),
+                F.lit("geo grid blocking saw |lat| = "),
                 F.abs(lat).cast("string"),
                 F.lit(
                     f" > max_abs_lat={max_abs_lat} — the lon cell width is"
@@ -155,4 +156,105 @@ def geo_radius_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .where(dist <= radius_km)
         .select("id_a", "id_b", F.round(dist, 6).alias("dist_km"))
+    )
+
+
+def geo_nearest(
+    points: DataFrame,
+    centers: DataFrame,
+    point_id: str,
+    center_id: str,
+    radius_km: float,
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+    center_lat: str = "lat",
+    center_lon: str = "lon",
+    max_abs_lat: float = 75.0,
+) -> DataFrame:
+    """For every point, the NEAREST center within ``radius_km`` —
+    the nearest-POI join ("closest school/metro/market to each
+    listing"). Returns ``(point_id, center_id, dist_km)``; points with
+    no center in range are absent (left-join against the points frame
+    to keep them). Ties on the raw distance break by ``center_id``
+    ascending — deterministic in any engine.
+
+    Same grid as :func:`geo_radius_pairs`: centers register at their
+    own cell (build side — a typical POI table is small, and AQE
+    broadcasts it), points explode to the 3x3 neighborhood; the
+    argmin is one ``min(struct(raw_dist, center_id))`` aggregate, so
+    the per-point candidate set (bounded by the centers' cell
+    density) never leaves its task unreduced. Bounded-radius by
+    design: an unbounded nearest-neighbor needs expanding-ring
+    probes; a curation pipeline always has a locality bound, and the
+    radius is it."""
+    if not 0 < radius_km:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    if not 0 < max_abs_lat < 85.0:
+        raise ValueError(
+            f"max_abs_lat must be in (0, 85), got {max_abs_lat} — polar"
+            " cells degenerate as cos(lat) -> 0"
+        )
+    if point_id == center_id:
+        raise ValueError(
+            f"point_id and center_id are both {point_id!r} — alias one,"
+            " the output carries both"
+        )
+    cell_lat = radius_km / _KM_PER_LAT_DEG
+    cell_lon = radius_km / (
+        _KM_PER_LON_DEG_EQ * math.cos(math.radians(max_abs_lat))
+    )
+
+    def _cells(df, id_c, lat_c, lon_c, prefix):
+        lat, lon = F.col(lat_c), F.col(lon_c)
+        return df.where(lat.isNotNull() & lon.isNotNull()).select(
+            F.col(id_c).alias(f"{prefix}id"),
+            _guarded_lat(lat, max_abs_lat).alias(f"{prefix}lat"),
+            lon.alias(f"{prefix}lon"),
+            F.floor(lat / cell_lat).cast("long").alias("__gcy"),
+            F.floor(lon / cell_lon).cast("long").alias("__gcx"),
+        )
+
+    build = _cells(centers, center_id, center_lat, center_lon, "__c")
+    nine = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    probe = _cells(
+        ensure_min_parallelism(points), point_id, point_lat, point_lon, "__p"
+    ).select(
+        "__pid",
+        "__plat",
+        "__plon",
+        F.explode(nine).alias("__goff"),
+        "__gcy",
+        "__gcx",
+    ).select(
+        "__pid",
+        "__plat",
+        "__plon",
+        (F.col("__gcy") + F.col("__goff.dy")).alias("__gcy"),
+        (F.col("__gcx") + F.col("__goff.dx")).alias("__gcx"),
+    )
+    dist = haversine_km(
+        F.col("__plat"), F.col("__plon"), F.col("__clat"), F.col("__clon")
+    )
+    best = (
+        probe.join(build, ["__gcy", "__gcx"])
+        .where(dist <= radius_km)
+        .groupBy("__pid")
+        .agg(
+            F.min(
+                F.struct(
+                    dist.alias("d"), F.col("__cid").alias("c")
+                )
+            ).alias("__best")
+        )
+    )
+    return best.select(
+        F.col("__pid").alias(point_id),
+        F.col("__best.c").alias(center_id),
+        F.round(F.col("__best.d"), 6).alias("dist_km"),
     )

@@ -178,3 +178,104 @@ class TestGeoRadiusPairs:
         # no aggregate; verification is a codegen filter
         stats = assert_plan(pairs, max_shuffles=3, forbid_python=True)
         assert stats.sortmerge_joins + stats.broadcast_joins >= 1, stats
+
+
+class TestGeoNearest:
+    def _centers(self, spark):
+        return spark.createDataFrame(
+            [(100, 10.5000, 106.5000), (200, 10.5100, 106.5000), (300, 11.0, 107.0)],
+            "cid long, lat double, lon double",
+        )
+
+    def test_nearest_within_radius(self, spark):
+        """Point at 10.5020 is ~0.22 km from center 100 and ~0.89 km
+        from center 200 — nearest wins; center 300 is ~80 km away and
+        never matches at r=2."""
+        pts = spark.createDataFrame(
+            [(1, 10.5020, 106.5000), (2, 10.5090, 106.5000)],
+            "id long, lat double, lon double",
+        )
+        got = {
+            r.id: (r.cid, r.dist_km)
+            for r in geo.geo_nearest(
+                pts, self._centers(spark), "id", "cid", 2.0, max_abs_lat=15.0
+            ).collect()
+        }
+        assert got[1][0] == 100 and abs(got[1][1] - 0.221) < 0.01
+        assert got[2][0] == 200 and abs(got[2][1] - 0.111) < 0.01
+
+    def test_out_of_range_point_absent(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 10.8, 106.8)], "id long, lat double, lon double"
+        )  # ~40 km from everything
+        assert (
+            geo.geo_nearest(
+                pts, self._centers(spark), "id", "cid", 2.0, max_abs_lat=15.0
+            ).count()
+            == 0
+        )
+
+    def test_tie_breaks_on_center_id(self, spark):
+        """Two centers at the IDENTICAL location: the lower id wins
+        deterministically (the oracle's (dist, id) row_number order)."""
+        pts = spark.createDataFrame(
+            [(1, 10.5, 106.5)], "id long, lat double, lon double"
+        )
+        ctrs = spark.createDataFrame(
+            [(9, 10.5005, 106.5), (5, 10.5005, 106.5)],
+            "cid long, lat double, lon double",
+        )
+        got = geo.geo_nearest(pts, ctrs, "id", "cid", 2.0, max_abs_lat=15.0).collect()
+        assert [(r.id, r.cid) for r in got] == [(1, 5)]
+
+    def test_matches_bruteforce_argmin(self, spark):
+        """End-to-end vs driver-side argmin over scattered points and
+        centers — exact, including the cross-cell cases."""
+        pts = _city_points(spark, 400)
+        ctrs = _city_points(spark, 40, seed_salt="c").select(
+            F.col("id").alias("cid"), "lat", "lon"
+        )
+        got = {
+            (r.id, r.cid)
+            for r in geo.geo_nearest(
+                pts, ctrs, "id", "cid", 8.0, max_abs_lat=15.0
+            ).collect()
+        }
+        import math as _m
+
+        def hav(a, b):
+            la1, lo1, la2, lo2 = map(_m.radians, (a[1], a[2], b[1], b[2]))
+            h = (
+                _m.sin((la2 - la1) / 2) ** 2
+                + _m.cos(la1) * _m.cos(la2) * _m.sin((lo2 - lo1) / 2) ** 2
+            )
+            return 2 * 6371.0088 * _m.asin(_m.sqrt(h))
+
+        p_rows = [(r.id, r.lat, r.lon) for r in pts.collect()]
+        c_rows = [(r.cid, r.lat, r.lon) for r in ctrs.collect()]
+        want = set()
+        for p in p_rows:
+            cands = sorted(
+                ((hav(p, c), c[0]) for c in c_rows if hav(p, c) <= 8.0)
+            )
+            if cands:
+                want.add((p[0], cands[0][1]))
+        assert got == want
+
+    def test_validation(self, spark):
+        pts = spark.createDataFrame([(1, 10.5, 106.5)], "id long, lat double, lon double")
+        with pytest.raises(ValueError, match="radius_km"):
+            geo.geo_nearest(pts, pts, "id", "id2", -1.0)
+        with pytest.raises(ValueError, match="point_id and center_id"):
+            geo.geo_nearest(pts, pts, "id", "id", 2.0)
+
+    def test_plan_no_python(self, spark):
+        from real_estate_bigdata_spark.plans import assert_plan
+
+        pts = _city_points(spark, 400)
+        ctrs = _city_points(spark, 40, seed_salt="c").select(
+            F.col("id").alias("cid"), "lat", "lon"
+        )
+        near = geo.geo_nearest(pts, ctrs, "id", "cid", 8.0, max_abs_lat=15.0)
+        # cell join + the per-point argmin aggregate
+        assert_plan(near, max_shuffles=4, forbid_python=True)
