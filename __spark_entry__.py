@@ -2222,6 +2222,50 @@ def _q_geo_nearest(spark, sf):
     ).orderBy("c_custkey")
 
 
+def _q_record_linkage(spark, sf):
+    """Record linkage (NEW r14 — the composition the fuzzy and geo
+    tiers exist FOR: 'the same listing crawled twice' is near-identical
+    TEXT at a near-identical LOCATION, the classic two-evidence entity
+    resolution): customer pairs whose names are within Levenshtein 1
+    AND whose (md5-scattered city-box) coordinates are within 5 km —
+    one equi-join of the two blocked pair streams on the canonical
+    (id_a, id_b) key, so neither evidence channel ever goes all-pairs.
+    FULL DuckDB oracle: brute-force both predicates. Registered
+    PAST-CAP per growth-policy rule 4; first driver row at an r15
+    spare."""
+    from real_estate_bigdata_spark.operators import fuzzy as fz
+    from real_estate_bigdata_spark.operators import geo
+
+    def h(salt):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    cust = load_table(spark, sf, "customer")
+    name_pairs = fz.edit_distance_pairs(
+        cust, "c_custkey", "c_name", max_distance=1
+    )
+    pts = cust.select(
+        "c_custkey",
+        (F.lit(10.3) + (h(":lat") % 12000) / 10000.0).alias("lat"),
+        (F.lit(106.2) + (h(":lon") % 14000) / 10000.0).alias("lon"),
+    )
+    geo_pairs = geo.geo_radius_pairs(
+        pts, "c_custkey", "lat", "lon", radius_km=5.0, max_abs_lat=15.0
+    )
+    return (
+        name_pairs.join(geo_pairs, ["id_a", "id_b"])
+        .select("id_a", "id_b", "dist", "dist_km")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_domain_cap(spark, sf):
     """Per-DOMAIN crawl cap (NEW r12-late — the composition VERDICT r11
     task #7 named: ``registered_domain`` feeding ``cap_per_group`` so
@@ -2843,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "q_geo_comps": _q_geo_comps,
         "q_geo_nearest": _q_geo_nearest,
+        "q_record_linkage": _q_record_linkage,
         # ---- past-cap: r12-verified (the r15 mandatory block; the 9
         # rows-only members — BPE/ANN/probe/Dawid-Skene, each
         # mirror-pinned by pytest — sit outside the rotation) ----
@@ -3625,6 +3670,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, s_suppkey, round(raw, 6) AS dist_km
             FROM pd WHERE rn = 1 AND raw <= 10.0
             ORDER BY c_custkey
+        """,
+        "q_record_linkage": r"""
+            -- brute-force ground truth for BOTH evidence channels:
+            -- levenshtein(name) <= 1 AND haversine(coords) <= 5 km
+            -- (raw-distance filter, round-6 display — the q_geo_comps
+            -- shape); coordinates from the portable md5 hash
+            WITH pts AS (
+                SELECT c_custkey, c_name,
+                       10.3 + (('0x' || substr(md5(c_custkey::VARCHAR
+                               || ':lat'), 1, 15))::BIGINT % 12000)
+                              / 10000.0 AS lat,
+                       106.2 + (('0x' || substr(md5(c_custkey::VARCHAR
+                               || ':lon'), 1, 15))::BIGINT % 14000)
+                              / 10000.0 AS lon
+                FROM customer
+            ), pd AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                       levenshtein(a.c_name, b.c_name)::INT AS dist,
+                       2 * 6371.0088 * asin(sqrt(
+                           pow(sin(radians(b.lat - a.lat) / 2), 2)
+                           + cos(radians(a.lat)) * cos(radians(b.lat))
+                             * pow(sin(radians(b.lon - a.lon) / 2), 2)
+                       )) AS raw
+                FROM pts a JOIN pts b
+                  ON a.c_custkey < b.c_custkey
+                 AND abs(length(a.c_name) - length(b.c_name)) <= 1
+                 AND levenshtein(a.c_name, b.c_name) <= 1
+            )
+            SELECT id_a, id_b, dist, round(raw, 6) AS dist_km
+            FROM pd WHERE raw <= 5.0
+            ORDER BY id_a, id_b
         """,
         "q_domain_authority_cap": r"""
             -- the pagerank fixpoint stated EXACTLY: the fixture graph

@@ -189,3 +189,23 @@ class TestEditDistanceJoin:
             )
         )
         assert got == [(1, 9, 1)]
+
+
+class TestRecordLinkageComposition:
+    def test_both_evidence_channels_required(self, spark):
+        """The linkage join keeps a pair only when BOTH hold: names
+        within distance 1 AND coordinates within radius — text-close/
+        geo-far and geo-close/text-far pairs are excluded."""
+        from real_estate_bigdata_spark.operators import geo
+
+        rows = [
+            (1, "villa saigon 9", 10.5000, 106.5000),
+            (2, "villa saigon 8", 10.5010, 106.5000),  # both close to 1
+            (3, "villa saigon 7", 11.4000, 107.3000),  # text-close, geo-far
+            (4, "totally different", 10.5005, 106.5000),  # geo-close, text-far
+        ]
+        df = spark.createDataFrame(rows, "id long, s string, lat double, lon double")
+        name_pairs = fz.edit_distance_pairs(df, "id", "s", 1)
+        geo_pairs = geo.geo_radius_pairs(df, "id", "lat", "lon", 2.0, max_abs_lat=15.0)
+        linked = name_pairs.join(geo_pairs, ["id_a", "id_b"])
+        assert [(r.id_a, r.id_b) for r in linked.collect()] == [(1, 2)]
