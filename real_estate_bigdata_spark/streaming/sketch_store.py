@@ -49,6 +49,10 @@ __all__ = [
     "load_streaming_hll",
     "streaming_hll_estimate",
     "compact_hll_store",
+    "run_cms_ingest",
+    "load_streaming_cms",
+    "streaming_cms_estimate",
+    "compact_cms_store",
 ]
 
 
@@ -167,3 +171,189 @@ def compact_hll_store(spark: SparkSession, store_dir: str) -> int:
     if fs.exists(path):
         fs.delete(path, True)
     return n
+
+
+# --------------------------------------------------------------------------
+# Count-Min streaming store — the DELIBERATE contrast with the HLL store
+# --------------------------------------------------------------------------
+# Cell counts merge by SUM, and sum is not idempotent: where the HLL fold
+# could leave base + folded epochs lying around and let max() absorb the
+# redundancy, a CMS fold that re-reads an already-folded epoch DOUBLE
+# COUNTS it. So this store pays for what HLL got free: the folded base is
+# VERSIONED (``base/v{F}``, gated on its parquet _SUCCESS — a torn write
+# is simply not the newest committed version) and carries its fold
+# fencepost F in the directory name; the loader sums the newest committed
+# base with only the epochs STRICTLY ABOVE F. A crash between base
+# publish and epoch delete leaves epochs <= F on disk, and the fencepost
+# filter ignores them — redundancy on disk, never in the counts. (The
+# same reasoning as the BM25/fingerprint ``_retracted_through``/versioned
+# compaction tiers; see ingest.compact_fingerprint_store.)
+
+import re as _re
+
+
+def run_cms_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    col: str,
+    schema: StructType,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+    available_now: bool = True,
+    processing_time: str = "60 seconds",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Maintain a Count-Min cell store over a JSONL drop directory:
+    each micro-batch sketches its own rows (one bounded hash
+    aggregate, <= depth x width cells) and dynamic-overwrites its
+    epoch partition — a replayed epoch recomputes identical cells and
+    converges. Frequencies accumulate by SUM at load time."""
+    from real_estate_bigdata_spark.operators.sketches import count_min_sketch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sess.createDataFrame(
+            [(int(width), int(depth))], "width int, depth int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
+        cells = count_min_sketch(
+            batch_df, col, width=width, depth=depth, weight_col=weight_col
+        )
+        (
+            cells.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(f"{store_dir}/epochs")
+        )
+
+    raw = file_stream_ingest(
+        spark, src_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
+    )
+    writer = raw.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def _newest_cms_base(
+    spark: SparkSession, store_dir: str
+) -> tuple[int, DataFrame | None]:
+    """(fencepost, cells) of the newest COMMITTED base version —
+    (-1, None) when no version has published (_SUCCESS present)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/base")
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return -1, None
+    best = -1
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        m = _re.fullmatch(r"v(\d+)", name)
+        if not m:
+            continue
+        ok = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/base/{name}/_SUCCESS"
+        )
+        if fs.exists(ok):
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        return -1, None
+    return best, spark.read.parquet(f"{store_dir}/base/v{best}")
+
+
+def load_streaming_cms(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The summed cell frame: newest committed base + epochs STRICTLY
+    ABOVE its fencepost (a crash-leftover folded epoch is ignored, so
+    counts never double). Raises on an empty store — a silently-empty
+    sketch reads every frequency as 0."""
+    from pyspark.errors import AnalysisException
+
+    fencepost, base = _newest_cms_base(spark, store_dir)
+    tiers = [] if base is None else [base]
+    try:
+        epochs = spark.read.parquet(f"{store_dir}/epochs").filter(
+            F.col("ingest_batch") > F.lit(fencepost)
+        ).drop("ingest_batch")
+        tiers.append(epochs)
+    except AnalysisException:
+        pass
+    if not tiers:
+        raise FileNotFoundError(
+            f"no CMS store tiers under {store_dir!r} — has the ingest ever"
+            " committed a batch?"
+        )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def streaming_cms_estimate(
+    spark: SparkSession, store_dir: str, queries: DataFrame, col: str,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates from the store at its OWN persisted
+    geometry — est >= true total over everything ever ingested."""
+    from real_estate_bigdata_spark.operators.sketches import cms_estimate
+
+    meta = spark.read.parquet(f"{store_dir}/meta").collect()[0]
+    return cms_estimate(
+        load_streaming_cms(spark, store_dir), queries, col,
+        width=int(meta.width), depth=int(meta.depth), out_col=out_col,
+    )
+
+
+def compact_cms_store(
+    spark: SparkSession, store_dir: str, up_to_batch: int | None = None
+) -> int:
+    """Fold epochs <= ``up_to_batch`` (default: everything below the
+    NEWEST epoch present — the restarted stream can only replay the
+    newest, same contract as compact_fingerprint_store; run while the
+    stream is STOPPED) into a fresh versioned base ``base/v{F}``. The
+    publish is gated on the parquet _SUCCESS marker; folded epoch
+    partitions are then deleted (a crash in between leaves them
+    ignored by the fencepost filter, never double-counted). Returns
+    the fencepost F, or -1 if there was nothing to fold."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        epochs = spark.read.parquet(f"{store_dir}/epochs")
+    except AnalysisException:
+        return -1
+    batches = sorted(
+        r.ingest_batch for r in epochs.select("ingest_batch").distinct().collect()
+    )
+    if up_to_batch is None:
+        up_to_batch = batches[-1] - 1 if len(batches) > 1 else -1
+    fencepost, base = _newest_cms_base(spark, store_dir)
+    fold = [b for b in batches if fencepost < b <= up_to_batch]
+    if not fold:
+        return -1
+    new_f = max(fold)
+    tiers = [] if base is None else [base]
+    tiers.append(
+        epochs.filter(F.col("ingest_batch").isin(fold)).drop("ingest_batch")
+    )
+    out = tiers[0]
+    for t in tiers[1:]:
+        out = out.unionByName(t)
+    merged = out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    merged.write.mode("overwrite").parquet(f"{store_dir}/base/v{new_f}")
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(hconf)
+    for b in fold:
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{store_dir}/epochs/ingest_batch={b}"
+        )
+        if fs.exists(p):
+            fs.delete(p, True)
+    return new_f

@@ -159,3 +159,118 @@ class TestHllIngest:
         epochs = spark.read.parquet(str(store / "epochs"))
         per = epochs.groupBy("ingest_batch", "domain").count().collect()
         assert all(r["count"] <= 512 for r in per)
+
+
+def _run_cms(spark, src, store, ckpt, **kw):
+    q = ss.run_cms_ingest(
+        spark, str(src), str(store), str(ckpt), "domain",
+        schema=_schema(), width=256, depth=3, **kw
+    )
+    q.awaitTermination(120)
+
+
+def _batch_cells(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return sk.count_min_sketch(df, "domain", width=256, depth=3)
+
+
+class TestCmsIngest:
+    def test_store_sums_to_batch_sketch_of_everything(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+        b1 = [(i, "a.com") for i in range(100)] + [(i, "b.com") for i in range(30)]
+        _write_jsonl(src / "b1.jsonl", b1)
+        _run_cms(spark, src, store, ckpt)
+        b2 = [(i, "a.com") for i in range(50)]
+        _write_jsonl(src / "b2.jsonl", b2)
+        _run_cms(spark, src, store, ckpt)  # restart, same checkpoint
+        got = sorted(map(tuple, ss.load_streaming_cms(spark, str(store)).collect()))
+        want = sorted(map(tuple, _batch_cells(spark, b1 + b2).collect()))
+        assert got == want
+
+    def test_estimate_counts_full_history(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+        _write_jsonl(src / "b1.jsonl", [(i, "a.com") for i in range(100)])
+        _run_cms(spark, src, store, ckpt)
+        _write_jsonl(src / "b2.jsonl", [(i, "a.com") for i in range(50)])
+        _run_cms(spark, src, store, ckpt)
+        q = spark.createDataFrame([("a.com",)], "domain string")
+        got = ss.streaming_cms_estimate(spark, str(store), q, "domain").collect()
+        assert got[0].est >= 150  # overestimate-only, across both epochs
+
+    def test_compaction_fencepost_never_double_counts(self, spark, tmp_path):
+        """The load-bearing contrast with the HLL store: fold epochs
+        into a versioned base, then leave the folded epoch partitions
+        ON DISK (the interrupted-delete crash) — the fencepost filter
+        must ignore them, keeping every count exact."""
+        import shutil
+
+        src = tmp_path / "drop"
+        src.mkdir()
+        store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+        b1 = [(i, "a.com") for i in range(100)]
+        _write_jsonl(src / "b1.jsonl", b1)
+        _run_cms(spark, src, store, ckpt)
+        b2 = [(i, "b.com") for i in range(40)]
+        _write_jsonl(src / "b2.jsonl", b2)
+        _run_cms(spark, src, store, ckpt)
+        before = sorted(map(tuple, ss.load_streaming_cms(spark, str(store)).collect()))
+
+        # snapshot epoch 0, fold it, then RESTORE it = interrupted delete
+        ep0 = store / "epochs" / "ingest_batch=0"
+        saved = tmp_path / "ep0_copy"
+        shutil.copytree(str(ep0), str(saved))
+        f = ss.compact_cms_store(spark, str(store))
+        assert f == 0
+        shutil.copytree(str(saved), str(ep0))
+        after = sorted(map(tuple, ss.load_streaming_cms(spark, str(store)).collect()))
+        assert after == before  # epoch 0 on disk AND in base -> counted once
+
+    def test_ingest_after_compaction_keeps_accumulating(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+        b1 = [(i, "a.com") for i in range(100)]
+        b2 = [(i, "b.com") for i in range(40)]
+        _write_jsonl(src / "b1.jsonl", b1)
+        _run_cms(spark, src, store, ckpt)
+        _write_jsonl(src / "b2.jsonl", b2)
+        _run_cms(spark, src, store, ckpt)
+        ss.compact_cms_store(spark, str(store))  # folds epoch 0 only
+        b3 = [(i, "a.com") for i in range(25)]
+        _write_jsonl(src / "b3.jsonl", b3)
+        _run_cms(spark, src, store, ckpt)
+        got = sorted(map(tuple, ss.load_streaming_cms(spark, str(store)).collect()))
+        want = sorted(map(tuple, _batch_cells(spark, b1 + b2 + b3).collect()))
+        assert got == want
+
+    def test_repeated_compaction_versions_advance(self, spark, tmp_path):
+        src = tmp_path / "drop"
+        src.mkdir()
+        store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+        for n, batch in enumerate(
+            ([(i, "a.com") for i in range(60)],
+             [(i, "b.com") for i in range(30)],
+             [(i, "c.com") for i in range(10)])
+        ):
+            _write_jsonl(src / f"b{n}.jsonl", batch)
+            _run_cms(spark, src, store, ckpt)
+        f1 = ss.compact_cms_store(spark, str(store))  # folds 0..1
+        assert f1 == 1
+        f2 = ss.compact_cms_store(spark, str(store))  # nothing new below newest
+        assert f2 == -1
+        got = sorted(map(tuple, ss.load_streaming_cms(spark, str(store)).collect()))
+        want = sorted(map(tuple, _batch_cells(
+            spark,
+            [(i, "a.com") for i in range(60)]
+            + [(i, "b.com") for i in range(30)]
+            + [(i, "c.com") for i in range(10)],
+        ).collect()))
+        assert got == want
+
+    def test_empty_store_raises(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError, match="CMS store"):
+            ss.load_streaming_cms(spark, str(tmp_path / "nope"))
