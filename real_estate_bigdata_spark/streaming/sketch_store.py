@@ -328,6 +328,8 @@ def compact_cms_store(
         epochs = spark.read.parquet(f"{store_dir}/epochs")
     except AnalysisException:
         return -1
+    # bounded collect: one row per micro-batch epoch (partition values,
+    # not data) — the _staged_epoch_dirs / partition-count-sized class
     batches = sorted(
         r.ingest_batch for r in epochs.select("ingest_batch").distinct().collect()
     )
