@@ -2134,6 +2134,31 @@ def _q_hll_distinct(spark, sf):
     )
 
 
+def _q_hll_overlap(spark, sf):
+    """Sketch-algebra audience overlap (NEW r14 — the two-sketch
+    question exact distinct-joins cannot afford at 100 TB: how many
+    keys are in BOTH sets?): orders containing a return-flag-A line vs
+    orders containing a flag-R line — a genuinely PARTIAL overlap at
+    every SF (an order's lines carry mixed flags). Two p=9 register
+    builds + one register-max union (exact sketch algebra) + the
+    inclusion-exclusion readout; nothing joins the raw key sets. FULL
+    DuckDB oracle: the registers rebuild bit-identically and every
+    estimate is one deterministic double expression over exact
+    integers, with the intersection differenced from the ROUND-6
+    estimates in a fixed order. Registered PAST-CAP per growth-policy
+    rule 4; first driver row at an r15 spare."""
+    from real_estate_bigdata_spark.operators import sketches as sk
+
+    li = load_table(spark, sf, "lineitem")
+    ra = sk.hll_registers(
+        li.where(F.col("l_returnflag") == "A"), "l_orderkey", p=9
+    )
+    rr = sk.hll_registers(
+        li.where(F.col("l_returnflag") == "R"), "l_orderkey", p=9
+    )
+    return sk.hll_overlap_estimate(ra, rr, p=9, label_a="A", label_b="R")
+
+
 def _q_fuzzy_name_pairs(spark, sf):
     """Typo-tolerant entity resolution (NEW r14 — north-star ABSENT
     category: the reference joins listings only on exact normalized
@@ -2902,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Family siblings in-cap: the sketch/portable-hash class via
         # q_bloom_contamination, the distinct/agg class via q01 ----
         "q_hll_distinct": _q_hll_distinct,
+        "q_hll_overlap": _q_hll_overlap,
         "q_fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "q_geo_comps": _q_geo_comps,
         "q_geo_nearest": _q_geo_nearest,
@@ -3603,6 +3629,54 @@ def oracle_sql() -> dict[str, str]:
                          / x.exact_distinct::DOUBLE, 6) AS rel_err
             FROM exact x JOIN est e USING (l_returnflag)
             ORDER BY l_returnflag
+        """,
+        "q_hll_overlap": r"""
+            -- three p=9 register sets (A rows, R rows, A-or-R rows =
+            -- the register-max union by construction), each read out
+            -- with the exact-integer Flajolet arithmetic (inlined
+            -- alpha_512 * 512^2 * 2^52 double constant), intersection
+            -- differenced from the ROUND-6 estimates in fixed order
+            WITH h AS (
+                SELECT l_returnflag,
+                       ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15)
+                       )::BIGINT AS hv
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_returnflag IN ('A', 'R')
+            ), sets(s) AS (VALUES ('A'), ('R'), ('U')
+            ), regs AS (
+                SELECT s.s, (h.hv & 511)::BIGINT AS bucket,
+                       max(CASE WHEN (h.hv >> 9) = 0 THEN 52
+                            ELSE 51 - length(bin(h.hv >> 9)) + 1
+                           END) AS max_rho
+                FROM h JOIN sets s
+                  ON s.s = 'U' OR h.l_returnflag = s.s
+                GROUP BY 1, 2
+            ), agg AS (
+                SELECT s,
+                       sum((1::BIGINT << (52 - max_rho)))::BIGINT AS hsum_nz,
+                       count(*)::BIGINT AS nz
+                FROM regs GROUP BY 1
+            ), readout AS (
+                SELECT s,
+                       (hsum_nz + (512 - nz) * 4503599627370496.0
+                       )::DOUBLE AS hsum,
+                       (512 - nz) AS zeros
+                FROM agg
+            ), est AS (
+                SELECT s,
+                       round(CASE WHEN (8.497699123215257e+20 / hsum)
+                                       <= 1280.0 AND zeros > 0
+                             THEN 512.0 * ln(512.0 / zeros::DOUBLE)
+                             ELSE 8.497699123215257e+20 / hsum
+                             END, 6) AS e
+                FROM readout
+            )
+            SELECT 'A' AS label_a, 'R' AS label_b,
+                   a.e AS est_a, r.e AS est_b, u.e AS est_union,
+                   round(a.e + r.e - u.e, 6) AS est_intersection
+            FROM (SELECT e FROM est WHERE s = 'A') a,
+                 (SELECT e FROM est WHERE s = 'R') r,
+                 (SELECT e FROM est WHERE s = 'U') u
         """,
         "q_fuzzy_name_pairs": r"""
             -- brute-force ground truth: the oracle may be quadratic

@@ -66,6 +66,7 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_merge",
+    "hll_overlap_estimate",
     "HllIndex",
     "save_hll",
     "load_hll",
@@ -368,4 +369,46 @@ def load_hll(spark, path: str) -> HllIndex:
         registers=spark.read.parquet(f"{path}/registers"),
         p=int(meta.p),
         group_cols=cols,
+    )
+
+
+def hll_overlap_estimate(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    p: int,
+    label_a: str = "a",
+    label_b: str = "b",
+) -> DataFrame:
+    """Audience-overlap readout from two UNGROUPED register frames
+    built at the same ``p``: one row with ``est_a``, ``est_b``,
+    ``est_union`` (the merge's estimate — exact sketch algebra, since
+    ``merge(A, B) == sketch(A UNION B)``) and ``est_intersection`` by
+    inclusion-exclusion, plus the labels. The classic two-sketch
+    question ("distinct users in BOTH audiences") answered without
+    ever joining the raw sets.
+
+    Intersection has no sketch of its own — inclusion-exclusion
+    differences two noisy estimates, so its error is the UNION of the
+    operands' (and a small true overlap can read slightly negative;
+    returned as computed, not clamped — a clamped 0 would hide the
+    noise floor the caller should see). All arithmetic is over the
+    round-6 estimates in a fixed order, so an ANSI oracle reproduces
+    it bit-for-bit."""
+    _hll_validate(p)
+    ea = hll_estimate(regs_a, p, out_col="est_a")
+    eb = hll_estimate(regs_b, p, out_col="est_b")
+    eu = hll_estimate(hll_merge(regs_a, regs_b), p, out_col="est_union")
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            F.lit(label_a).alias("label_a"),
+            F.lit(label_b).alias("label_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 6
+            ).alias("est_intersection"),
+        )
     )

@@ -297,3 +297,41 @@ class TestHyperLogLog:
         # register build + the per-group readout aggregate; the second
         # exchange carries at most one row per (group, bucket)
         assert_plan(est, max_shuffles=2, forbid_python=True)
+
+
+class TestHllOverlap:
+    def test_inclusion_exclusion_accuracy(self, spark):
+        """Planted overlap: |A|=3000, |B|=4000, |A∩B|=1000 — union
+        estimate from the register-max merge, intersection by
+        inclusion-exclusion; error is the UNION of the operands'
+        (3-sigma at p=11 on each, summed conservatively)."""
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("k")
+        )
+        ra = sk.hll_registers(mk(0, 3000), "k", p=11)
+        rb = sk.hll_registers(mk(2000, 6000), "k", p=11)
+        row = sk.hll_overlap_estimate(ra, rb, 11, "A", "B").collect()[0]
+        assert (row.label_a, row.label_b) == ("A", "B")
+        assert abs(row.est_union - 6000) / 6000 < 3 * 1.04 / (2048 ** 0.5)
+        # intersection differences three noisy estimates
+        assert abs(row.est_intersection - 1000) < 3 * 3 * 1.04 / (2048 ** 0.5) * 6000
+        assert row.est_intersection == round(
+            row.est_a + row.est_b - row.est_union, 6
+        )
+
+    def test_disjoint_sets_read_near_zero(self, spark):
+        mk = lambda lo, hi: spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("k")
+        )
+        ra = sk.hll_registers(mk(0, 2000), "k", p=11)
+        rb = sk.hll_registers(mk(50_000, 52_000), "k", p=11)
+        row = sk.hll_overlap_estimate(ra, rb, 11).collect()[0]
+        # may be slightly negative (documented noise floor, not clamped)
+        assert abs(row.est_intersection) < 400
+
+    def test_identical_sets_intersection_equals_estimate(self, spark):
+        df = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+        r = sk.hll_registers(df, "k", p=11)
+        row = sk.hll_overlap_estimate(r, r, 11).collect()[0]
+        assert row.est_a == row.est_b == row.est_union
+        assert row.est_intersection == round(row.est_a, 6)
