@@ -2824,41 +2824,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     returner and enter the cap only on first registration, on an
     implementation/fixture CHANGE, or in spare slots.
 
-    Round-14 rotation (VERDICT r13 tasks #1/#6, executed exactly as the
-    COVERAGE.md r14 slot map written at r13 close — and from this round
-    DERIVED, not hand-written: ``rotation_map.py`` computes each round's
-    mandatory block and spare seating from the CORRECTNESS_r*.json
-    history plus the growth-policy rules, and is the single source this
-    window, the structural pin
-    (tests/test_queries.py::test_r14_in_cap_window_matches_slot_map)
-    and COVERAGE.md all cite). In-cap slots 1-50:
-    (a) slots 1-48 — the r14 MANDATORY block: every oracle-bearing
-        query whose latest driver row is r11, at the two-round
-        staleness maximum (CORRECTNESS_r11 minus its two rows-only
-        members q_image_neardup/q_bradley_terry, which are outside the
-        rotation and continuously mirror-pinned);
-    (b) slots 49-50 — q_domain_authority_cap + q_url_blocklist
-        (r13-new oracles, FIRST driver rows at the two spare slots;
-        growth-policy rule-4 first-row latency 1 round).
-    Past slot 50: (i) the 50 r12-verified queries (the r15 mandatory
-    block; its 9 rows-only members are outside the rotation); (ii) the
-    50 r13-verified queries (the r16 block); (iii) the rows-only spare
-    pool (q_ann_recall, q_dedup_embedding_pca, q_image_neardup,
-    q_bradley_terry, q_embed_pca, q_pagerank — continuously
-    mirror-/recall-pinned by pytest).
-    Union invariant: r13 ∪ r14 driver rows cover every registry query
-    except the 50-member r15 block's oracle-bearing members, and every
-    oracle-bearing query is additionally DuckDB-compared on every
-    pytest run (tests/test_queries.py::test_query_matches_oracle),
-    in-cap or not.
+    Round-15 rotation (VERDICT r14 tasks #1/#2 — DERIVED by
+    ``rotation_map.py`` from the CORRECTNESS_r*.json history plus the
+    growth-policy rules, now correctly excluding round N's own driver
+    artifact from the derivation so the pin survives the artifact
+    landing; the single source this window, the structural pin
+    (tests/test_queries.py::test_r15_in_cap_window_matches_slot_map)
+    and COVERAGE.md all cite). In-cap slots 1-48 (2 free):
+    (a) slots 1-41 — the r15 MANDATORY block: every oracle-bearing
+        query whose latest driver row is r12, at the two-round
+        staleness maximum (CORRECTNESS_r12 minus its nine rows-only
+        members, which are outside the rotation and continuously
+        mirror-pinned);
+    (b) slots 42-48 — the seven r14-late oracles (q_cms_token_counts,
+        q_hll_distinct, q_hll_overlap, q_fuzzy_name_pairs, q_geo_comps,
+        q_geo_nearest, q_record_linkage): FIRST driver rows at r15
+        spares (growth-policy rule 4; each judge-verified green at
+        r14).
+    Past slot 48: the r14-verified block (the r17 mandatory
+    candidates), the r13-verified block (the r16 mandatory block), and
+    the rows-only spare pool (q_ann_recall, q_dedup_embedding_pca,
+    q_image_neardup, q_bradley_terry, q_embed_pca, q_pagerank —
+    continuously mirror-/recall-pinned by pytest).
+    Union invariant: r13 ∪ r14 driver rows + the seven judge-verified
+    r14-late oracles cover every registry query except the r15
+    mandatory block itself, and every oracle-bearing query is
+    additionally DuckDB-compared on every pytest run
+    (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
     """
     return {
-        # ---- slots 1-48: the r14 MANDATORY block (oracle-bearing
-        # r11-verified returners at the two-round staleness maximum;
-        # CORRECTNESS_r11 key order, minus its two rows-only members
-        # q_image_neardup/q_bradley_terry which are outside the
-        # rotation). Derived by rotation_map.py — the single source
-        # this window, the structural test, and COVERAGE.md cite ----
+        # ---- slots 1-41: the r15 MANDATORY block (oracle-bearing
+        # r12-verified returners at the two-round staleness maximum;
+        # CORRECTNESS_r12 key order, minus its nine rows-only members
+        # which are outside the rotation). Derived by rotation_map.py
+        # — the single source this window, the structural test, and
+        # COVERAGE.md cite ----
+        "q_precision_at_k": _q_precision_at_k,
+        "q_auc_by_slice": _q_auc_by_slice,
+        "q_ranking_eval": _q_ranking_eval,
+        "q_ranking_summary": _q_ranking_summary,
+        "q_calibration_ece": _q_calibration_ece,
+        "q_cohens_kappa": _q_cohens_kappa,
+        "q_auc_bootstrap": _q_auc_bootstrap,
+        "q_ranking_compare": _q_ranking_compare,
+        "q_pair_set_quality": _q_pair_set_quality,
+        "q_fleiss_kappa": _q_fleiss_kappa,
+        "q_auc_weighted": _q_auc_weighted,
+        "q01_pricing_summary": _q01_pricing_summary,
+        "q02_count_by_event_type": _q02_count_by_event_type,
+        "q_normalize_listings": _q_normalize_listings,
+        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "q_hybrid_search": _q_hybrid_search,
+        "q_dedup_embedding": _q_dedup_embedding,
+        "q_dedup_simhash": _q_dedup_simhash,
+        "q_cap_per_source_best": _q_cap_per_source_best,
+        "q_cap_per_source": _q_cap_per_source,
+        "q_remove_boilerplate": _q_remove_boilerplate,
+        "q_semantic_dedup": _q_semantic_dedup,
+        "q_bigram_logprob": _q_bigram_logprob,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_redact_spans": _q_redact_spans,
+        "q_redact_dup_spans": _q_redact_dup_spans,
+        "q_shuffle_shard": _q_shuffle_shard,
+        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
+        "q_cluster_safe_split": _q_cluster_safe_split,
+        "q_dedup_clusters": _q_dedup_clusters,
+        "q_label_agreement": _q_label_agreement,
+        "q_text_quality": _q_text_quality,
+        "q_dedup_exact_docs": _q_dedup_exact_docs,
+        "q_quality_floor": _q_quality_floor,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_semantic_decontaminate": _q_semantic_decontaminate,
+        "q_token_accounting": _q_token_accounting,
+        "q_url_canonical": _q_url_canonical,
+        "q_vocab_coverage": _q_vocab_coverage,
+        "q_resample_ffill": _q_resample_ffill,
+        # ---- slots 42-48: the seven r14-late oracle queries, FIRST
+        # driver rows at r15 spares (growth-policy rule 4; each was
+        # judge-verified green at r14), in registry order ----
+        "q_cms_token_counts": _q_cms_token_counts,
+        "q_hll_distinct": _q_hll_distinct,
+        "q_hll_overlap": _q_hll_overlap,
+        "q_fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "q_geo_comps": _q_geo_comps,
+        "q_geo_nearest": _q_geo_nearest,
+        "q_record_linkage": _q_record_linkage,
+        # ---- past-cap (order not driver-visible): the r14-verified
+        # block (r17 mandatory candidates), the r13-verified block
+        # (r16 mandatory), and the rows-only spare pool (outside the
+        # rotation; mirror-/recall-pinned by pytest every run) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
@@ -2907,45 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pairwise_winrate": _q_pairwise_winrate,
         "q_funnel_conversion": _q_funnel_conversion,
         "q_cohort_retention": _q_cohort_retention,
-        # ---- slots 49-50: NEW r13 oracle queries, FIRST driver rows
-        # at the two spare slots (growth-policy rule 4: first-row
-        # latency 1 round) ----
         "q_domain_authority_cap": _q_domain_authority_cap,
         "q_url_blocklist": _q_url_blocklist,
-        # ---- past-cap: NEW r14 oracle query (growth-policy rule 4:
-        # first driver row at an r15 spare — the r15 mandatory block
-        # is the 41 oracle-bearing r12-verified queries, leaving 9
-        # spares; rotation_map.py lists it as the deferred pending
-        # entry, so it seats FIRST next round). Family sibling in-cap:
-        # the token-counting family via the r11-returner q_tfidf and
-        # the bloom-screen portable-hash class via
-        # q_bloom_contamination ----
-        "q_cms_token_counts": _q_cms_token_counts,
-        # ---- past-cap: NEW r14-late oracle queries (growth-policy
-        # rule 4: first driver rows at r15 spares, seated after
-        # q_cms_token_counts in registry order — 9 spares exist).
-        # Family siblings in-cap: the sketch/portable-hash class via
-        # q_bloom_contamination, the distinct/agg class via q01 ----
-        "q_hll_distinct": _q_hll_distinct,
-        "q_hll_overlap": _q_hll_overlap,
-        "q_fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "q_geo_comps": _q_geo_comps,
-        "q_geo_nearest": _q_geo_nearest,
-        "q_record_linkage": _q_record_linkage,
-        # ---- past-cap: r12-verified (the r15 mandatory block; the 9
-        # rows-only members — BPE/ANN/probe/Dawid-Skene, each
-        # mirror-pinned by pytest — sit outside the rotation) ----
-        "q_precision_at_k": _q_precision_at_k,
-        "q_auc_by_slice": _q_auc_by_slice,
-        "q_ranking_eval": _q_ranking_eval,
-        "q_ranking_summary": _q_ranking_summary,
-        "q_calibration_ece": _q_calibration_ece,
-        "q_cohens_kappa": _q_cohens_kappa,
-        "q_auc_bootstrap": _q_auc_bootstrap,
-        "q_ranking_compare": _q_ranking_compare,
-        "q_pair_set_quality": _q_pair_set_quality,
-        "q_fleiss_kappa": _q_fleiss_kappa,
-        "q_auc_weighted": _q_auc_weighted,
         "q_bpe_merges": _q_bpe_merges,
         "q_embed_lsh_topk": _q_embed_lsh_topk,
         "q_embed_ivf_topk": _q_embed_ivf_topk,
@@ -2954,38 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_ivfpq_topk": _q_embed_ivfpq_topk,
         "q_linear_probe": _q_linear_probe,
         "q_probe_auc": _q_probe_auc,
-        "q01_pricing_summary": _q01_pricing_summary,
-        "q02_count_by_event_type": _q02_count_by_event_type,
-        "q_normalize_listings": _q_normalize_listings,
-        "q_dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "q_hybrid_search": _q_hybrid_search,
-        "q_dedup_embedding": _q_dedup_embedding,
-        "q_dedup_simhash": _q_dedup_simhash,
-        "q_cap_per_source_best": _q_cap_per_source_best,
-        "q_cap_per_source": _q_cap_per_source,
-        "q_remove_boilerplate": _q_remove_boilerplate,
-        "q_semantic_dedup": _q_semantic_dedup,
-        "q_bigram_logprob": _q_bigram_logprob,
-        "q_pack_sequences": _q_pack_sequences,
-        "q_redact_spans": _q_redact_spans,
-        "q_redact_dup_spans": _q_redact_dup_spans,
-        "q_shuffle_shard": _q_shuffle_shard,
-        "q_dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "q_dedup_embedding_gemm": _q_dedup_embedding_gemm,
-        "q_cluster_safe_split": _q_cluster_safe_split,
-        "q_dedup_clusters": _q_dedup_clusters,
-        "q_label_agreement": _q_label_agreement,
-        "q_text_quality": _q_text_quality,
-        "q_dedup_exact_docs": _q_dedup_exact_docs,
-        "q_quality_floor": _q_quality_floor,
-        "q_stratified_sample": _q_stratified_sample,
-        "q_semantic_decontaminate": _q_semantic_decontaminate,
-        "q_token_accounting": _q_token_accounting,
         "q_dawid_skene": _q_dawid_skene,
-        "q_url_canonical": _q_url_canonical,
-        "q_vocab_coverage": _q_vocab_coverage,
-        "q_resample_ffill": _q_resample_ffill,
-        # ---- past-cap: r13-verified (the r16 mandatory block) ----
         "q_media_stats": _q_media_stats,
         "q_union_all_tagged": _q_union_all_tagged,
         "q_dedup_containment": _q_dedup_containment,
@@ -3036,9 +3023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": _q_domain_cap,
         "q_image_dimensions": _q_image_dimensions,
         "q_time_split": _q_time_split,
-        # ---- past-cap: rows-only spare pool (outside the rotation;
-        # mirror-/recall-pinned by pytest every run; a driver
-        # rows-only row carries no hash signal) ----
         "q_ann_recall": _q_ann_recall,
         "q_dedup_embedding_pca": _q_dedup_embedding_pca,
         "q_image_neardup": _q_image_neardup,

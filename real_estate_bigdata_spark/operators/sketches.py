@@ -319,8 +319,15 @@ def hll_estimate(
         ).alias("__hsum"),
         F.count("*").alias("__nz"),
     )
+    # An EMPTY ungrouped frame (all-NULL or zero-row input) reaches the
+    # global aggregate as one row with sum=NULL/count=0; coalescing the
+    # sum to 0 makes zeros == m drive the linear-counting branch to
+    # m*ln(m/m) = 0 instead of propagating NULL (ADVICE r14).
     zeros = F.lit(m) - F.col("__nz")
-    hsum = (F.col("__hsum") + zeros * F.lit(float(2**s_bits))).cast("double")
+    hsum = (
+        F.coalesce(F.col("__hsum"), F.lit(0))
+        + zeros * F.lit(float(2**s_bits))
+    ).cast("double")
     raw = F.lit(alpha * m * m * float(2**s_bits)) / hsum
     small = (raw <= F.lit(2.5 * m)) & (zeros > 0)
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))

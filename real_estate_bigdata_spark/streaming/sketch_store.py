@@ -21,8 +21,10 @@ Layout (the index-lifecycle meta-tier pattern):
 * ``<store>/meta`` — one row: p + group_cols; the serve path can never
   hash with mismatched geometry.
 * ``<store>/epochs/ingest_batch=N`` — per-micro-batch register deltas.
-* ``<store>/base`` — the folded tier written by
-  :func:`compact_hll_store` (run while the stream is stopped).
+* ``<store>/base/v{N}`` — the folded tier written by
+  :func:`compact_hll_store` (run while the stream is stopped);
+  versioned + ``_SUCCESS``-gated so a torn fold write can never lose
+  previously-compacted registers (ADVICE r14).
 
 Scale posture: each micro-batch ships at most ``2^p`` register rows per
 group into the store regardless of batch size; the serving merge reads
@@ -31,6 +33,8 @@ the epoch-tier file count.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +60,21 @@ __all__ = [
 ]
 
 
+def _meta_committed(spark: SparkSession, store_dir: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    ok = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/meta/_SUCCESS")
+    return ok.getFileSystem(hconf).exists(ok)
+
+
 def _write_meta(spark: SparkSession, store_dir: str, p: int, group_cols):
+    # Geometry is immutable for a store's lifetime, so write meta only
+    # when absent (ADVICE r14): the per-batch overwrite bought nothing
+    # and its delete/rewrite window could transiently fail a concurrent
+    # estimate read (or, crashed mid-overwrite, leave the store
+    # geometry-less until the next batch).
+    if _meta_committed(spark, store_dir):
+        return
     spark.createDataFrame(
         [(int(p), ",".join(group_cols or []))], "p int, group_cols string"
     ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
@@ -84,7 +102,7 @@ def run_hll_distinct_ingest(
     micro-batch sketches ITS OWN rows (one bounded hash aggregate) and
     writes the delta as its epoch partition — dynamic overwrite, so a
     replayed epoch converges byte-for-byte. The geometry meta tier is
-    (re)written idempotently every batch."""
+    written once, on the first batch that finds it absent."""
     keys = list(group_cols or [])
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -112,16 +130,50 @@ def run_hll_distinct_ingest(
     return writer.start()
 
 
+def _newest_committed_base(
+    spark: SparkSession, store_dir: str
+) -> tuple[int, DataFrame | None]:
+    """(version, cells) of the newest COMMITTED ``base/v{N}`` tier —
+    a version counts only when its parquet ``_SUCCESS`` marker exists,
+    so a torn base write is simply not the newest committed version.
+    Falls back to a legacy FLAT ``base`` tier (pre-r15 layout, files
+    directly under ``base/`` with their own ``_SUCCESS``) as version 0.
+    Returns (-1, None) when no committed base exists."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/base")
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return -1, None
+    best = -1
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        m = _re.fullmatch(r"v(\d+)", name)
+        if not m:
+            continue
+        ok = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/base/{name}/_SUCCESS")
+        if fs.exists(ok):
+            best = max(best, int(m.group(1)))
+    if best >= 0:
+        return best, spark.read.parquet(f"{store_dir}/base/v{best}")
+    flat_ok = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/base/_SUCCESS")
+    if fs.exists(flat_ok):
+        return 0, spark.read.parquet(f"{store_dir}/base")
+    return -1, None
+
+
 def _tier_frames(spark: SparkSession, store_dir: str) -> list[DataFrame]:
     from pyspark.errors import AnalysisException
 
     out = []
-    for sub in ("base", "epochs"):
-        try:
-            df = spark.read.parquet(f"{store_dir}/{sub}")
-        except AnalysisException:
-            continue
-        out.append(df.drop("ingest_batch") if "ingest_batch" in df.columns else df)
+    _, base = _newest_committed_base(spark, store_dir)
+    if base is not None:
+        out.append(base)
+    try:
+        df = spark.read.parquet(f"{store_dir}/epochs")
+    except AnalysisException:
+        return out
+    out.append(df.drop("ingest_batch") if "ingest_batch" in df.columns else df)
     return out
 
 
@@ -158,18 +210,35 @@ def compact_hll_store(spark: SparkSession, store_dir: str) -> int:
     compaction contract). Crash-safe WITHOUT a ledger: the fold is a
     max-merge, so if the epoch delete below never runs, the next load
     merges base with the already-folded epochs and gets the identical
-    registers — redundancy, never wrongness. Returns the number of
+    registers — redundancy, never wrongness. The base itself is
+    VERSIONED (``base/v{N}``, gated on its parquet ``_SUCCESS`` — the
+    loader picks the newest committed version), because an in-place
+    overwrite deletes the only copy before committing the new one: a
+    crash mid-overwrite after a prior compaction would silently lose
+    all previously-folded registers (ADVICE r14). Stale older versions
+    are deleted best-effort after the publish. Returns the number of
     register rows in the folded base."""
     merged = load_streaming_hll(spark, store_dir).localCheckpoint(eager=True)
     n = merged.count()
-    merged.write.mode("overwrite").parquet(f"{store_dir}/base")
-    # drop the folded epoch tier (best-effort; see crash-safety note)
+    prior, _ = _newest_committed_base(spark, store_dir)
+    new_v = prior + 1
+    merged.write.mode("overwrite").parquet(f"{store_dir}/base/v{new_v}")
+    # drop the folded epoch tier and superseded base versions
+    # (best-effort; see crash-safety note — leftovers re-merge to
+    # identical registers / are simply not the newest committed base)
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/epochs")
-    fs = path.getFileSystem(hconf)
-    if fs.exists(path):
-        fs.delete(path, True)
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(hconf)
+    epochs = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/epochs")
+    if fs.exists(epochs):
+        fs.delete(epochs, True)
+    base_root = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/base")
+    for status in fs.listStatus(base_root):
+        name = status.getPath().getName()
+        m = _re.fullmatch(r"v(\d+)", name)
+        if (m and int(m.group(1)) < new_v) or (not m and name != f"v{new_v}"):
+            fs.delete(status.getPath(), True)
     return n
 
 
@@ -188,8 +257,6 @@ def compact_hll_store(spark: SparkSession, store_dir: str) -> int:
 # filter ignores them — redundancy on disk, never in the counts. (The
 # same reasoning as the BM25/fingerprint ``_retracted_through``/versioned
 # compaction tiers; see ingest.compact_fingerprint_store.)
-
-import re as _re
 
 
 def run_cms_ingest(
@@ -215,9 +282,12 @@ def run_cms_ingest(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        sess.createDataFrame(
-            [(int(width), int(depth))], "width int, depth int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
+        # write-once: geometry is immutable for the store's lifetime
+        # (same ADVICE-r14 rationale as the HLL meta tier)
+        if not _meta_committed(sess, store_dir):
+            sess.createDataFrame(
+                [(int(width), int(depth))], "width int, depth int"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{store_dir}/meta")
         cells = count_min_sketch(
             batch_df, col, width=width, depth=depth, weight_col=weight_col
         )

@@ -76,6 +76,13 @@ def compute_slot_map(
     """
     if rnd is None:
         rnd = max(hist) + 1
+    # Round N's map is derived from what the driver had verified BEFORE
+    # round N ran: rounds >= N are that round's own (or future) driver
+    # artifacts and must not count as history, or the map silently
+    # changes the moment the driver file lands (VERDICT r14 what's-wrong
+    # #1 — the r14 pin broke when CORRECTNESS_r14.json appeared because
+    # the 48 r11-returners' "latest" row became r14).
+    hist = {r: names for r, names in hist.items() if r < rnd}
     registered = set(registry_names)
     oracles = oracle_names & registered
     latest: dict[str, int] = {}
@@ -92,6 +99,16 @@ def compute_slot_map(
     pending = [q for q in registry_names if q in oracles and q not in latest]
 
     violations: list[str] = []
+    # Rule-2 capacity arithmetic, checked at registration time (VERDICT
+    # r14 task #4): 50 slots x 3 rounds bounds how many oracle queries
+    # the staleness contract can sustain. Breaching it here fails the
+    # structural pin BEFORE a stale row can appear two rounds later.
+    if len(oracles) > CAP * 3:
+        violations.append(
+            f"rule-2 capacity breach: {len(oracles)} oracle queries > "
+            f"{CAP} slots x 3 rounds = {CAP * 3} — consolidate before "
+            f"registering more"
+        )
     overdue = sorted(
         q for q in oracles if q in latest and latest[q] < base_round
     )

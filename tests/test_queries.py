@@ -158,7 +158,7 @@ def test_every_query_has_oracle_or_is_documented():
     assert set(missing) <= allowed_rows_only
 
 
-def test_r14_in_cap_window_matches_slot_map():
+def test_r15_in_cap_window_matches_slot_map():
     """The driver records exactly the FIRST 50 queries() entries, so an
     accidental registry reorder silently de-schedules a mandatory
     returner. From r14 the slot map is DERIVED, not hand-written:
@@ -166,20 +166,48 @@ def test_r14_in_cap_window_matches_slot_map():
     queries whose latest driver row is three rounds old) and spare
     seating (pending first-row oracles) from the CORRECTNESS_r*.json
     history + the growth-policy rules, and this test pins the live
-    registry's first-50 window to that derivation EXACTLY (order
+    registry's leading window to that derivation EXACTLY (order
     included) — plus asserts the policy itself holds (no staleness or
-    capacity violation). COVERAGE.md's r14 section cites the same tool.
+    capacity violation). The derivation is taken at the DEFAULT round
+    (max history round + 1) so the pin targets whichever round the
+    driver runs next and survives that round's own CORRECTNESS file
+    landing (rounds >= N are excluded from round N's history — VERDICT
+    r14 what's-wrong #1). COVERAGE.md's rotation section cites the
+    same tool.
     """
     import rotation_map
 
-    m = rotation_map.current_slot_map(14)
+    m = rotation_map.current_slot_map()
     assert m["violations"] == []
-    assert len(m["in_cap"]) == 50
-    # r14 specifics, stated once as a cross-check on the derivation:
-    # 48 r11-verified oracle returners + the two r13-new oracles.
-    assert len(m["mandatory"]) == 48
-    assert m["seated"] == ["q_domain_authority_cap", "q_url_blocklist"]
-    assert list(QUERIES)[:50] == m["in_cap"]
+    assert len(m["in_cap"]) <= 50
+    assert list(QUERIES)[: len(m["in_cap"])] == m["in_cap"]
+    # r15 specifics, stated once as a cross-check on the derivation
+    # (drop these three lines when re-deriving for a later round):
+    # 41 r12-verified oracle returners + the seven r14-late oracles.
+    assert m["round"] == 15
+    assert len(m["mandatory"]) == 41
+    assert m["seated"] == [
+        "q_cms_token_counts", "q_hll_distinct", "q_hll_overlap",
+        "q_fuzzy_name_pairs", "q_geo_comps", "q_geo_nearest",
+        "q_record_linkage",
+    ]
+    # The r14 window must still be reproducible from pre-r14 history
+    # even with CORRECTNESS_r14.json on disk (the round-exclusion fix).
+    # Pending ORDER follows the live registry (reordered for r15), so
+    # assert the order-independent facts: the 48-query mandatory block
+    # is exactly the executed window's leading keys, and the two
+    # executed spare-seats were pending at r14.
+    m14 = rotation_map.current_slot_map(14)
+    assert m14["violations"] == []
+    import json, os
+    r14_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_r14.json")
+    with open(r14_path) as fh:
+        executed = list(json.load(fh))
+    assert m14["mandatory"] == executed[:48]
+    assert set(executed[48:]) == {"q_domain_authority_cap", "q_url_blocklist"}
+    assert set(executed[48:]) <= set(m14["pending"])
 
 
 def test_bench_baseline_covers_every_query():

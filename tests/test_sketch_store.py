@@ -142,6 +142,40 @@ class TestHllIngest:
         want = sorted(map(tuple, _batch_regs(spark, b1 + b2).collect()))
         assert merged == want
 
+    def test_torn_base_write_serves_prior_compaction(self, spark, tmp_path):
+        """ADVICE r14: a second compaction that crashes MID base write
+        (new version dir present, no _SUCCESS) must not lose the
+        previously-compacted registers — the loader serves the newest
+        COMMITTED base version."""
+        src = tmp_path / "drop"
+        src.mkdir()
+        store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+        b1 = [(i, "a.com") for i in range(300)]
+        _write_jsonl(src / "b1.jsonl", b1)
+        _run(spark, src, store, ckpt)
+        ss.compact_hll_store(spark, str(store))  # -> base/v0, epochs gone
+        before = sorted(
+            map(tuple, ss.load_streaming_hll(spark, str(store)).collect())
+        )
+        # simulate a torn v1 write: directory + a junk file, NO _SUCCESS
+        torn = store / "base" / "v1"
+        torn.mkdir(parents=True)
+        (torn / "part-00000.parquet").write_bytes(b"torn")
+        after = sorted(
+            map(tuple, ss.load_streaming_hll(spark, str(store)).collect())
+        )
+        assert after == before
+        # and the NEXT compaction publishes past the torn version
+        b2 = [(i, "a.com") for i in range(250, 500)]
+        _write_jsonl(src / "b2.jsonl", b2)
+        _run(spark, src, store, ckpt)
+        ss.compact_hll_store(spark, str(store))
+        merged = sorted(
+            map(tuple, ss.load_streaming_hll(spark, str(store)).collect())
+        )
+        want = sorted(map(tuple, _batch_regs(spark, b1 + b2).collect()))
+        assert merged == want
+
     def test_empty_store_raises(self, spark, tmp_path):
         with pytest.raises(FileNotFoundError, match="HLL store"):
             ss.load_streaming_hll(spark, str(tmp_path / "nope"))
