@@ -486,23 +486,19 @@ def _q_label_agreement(spark, sf):
     """Label-noise audit: exact 1-NN label consistency over the labeled
     embeddings table (NEW r3; exploits the `label` column).
 
-    The audit frame is memoized per (applicationId, sf) — the
-    _ann_serving_index / PcaModel build-once/serve-many precedent: the
-    operator snapshots the labeled set driver-side and bakes it into a
-    mapInPandas closure PER CALL, and that driver-side bake (bounded
-    count probe + collect + closure pickling, ~8 sub-second jobs) is
-    exactly the volatility BENCH_GUARDS has tracked on this query since
-    r11 (r14-late measured the same call swinging 1.1 <-> 10.4 s on
-    identical code in one session). The labeled set is static per sf,
-    so rebuilding it per bench pass measured only jitter; the memoized
-    frame re-executes its executor-side GEMM every pass (the noop write
-    is never cached) while the bake runs once per session."""
-    key = (spark.sparkContext.applicationId, sf, "label_agreement")
-    out = _LA_RESULT_CACHE.get(key)
-    if out is None:
-        out = sim.label_agreement(load_table(spark, sf, "embeddings"))
-        _LA_RESULT_CACHE[key] = out
-    return out
+    r15: the r14 entry-level result memoization is GONE. It only
+    skipped re-PLANNING — the operator still baked the ~5 MB snapshot
+    into the mapInPandas closure, so every execution re-serialized and
+    re-shipped it into a session already carrying 163 queries of
+    broadcast blocks (VERDICT r14 what's-wrong #2: 0.45 s isolated vs
+    11.1 s in-bench on the memoized plan). The operator now snapshots
+    once into a sparkContext.broadcast referenced by a thin closure,
+    which makes re-planning per call cheap (bounded count probe +
+    collect + one torrent broadcast) and the per-execution cost just
+    the executor-side GEMM — so the honest rebuild-per-call form is
+    also the fast one, and the stale-cache hazard the fingerprint-keyed
+    caches guard against (ADVICE r14 #2) disappears with the cache."""
+    return sim.label_agreement(load_table(spark, sf, "embeddings"))
 
 
 def _q_embed_ivf_topk(spark, sf):
@@ -847,19 +843,18 @@ def _q_label_alpha(spark, sf):
     near-miss disagreements nominal charges in full. One row per
     metric; items with a single rating are excluded and visible via
     n_items. FULL DuckDB oracle (the pair-form algebra is plain joins +
-    one category-bounded window)."""
+    one category-bounded window). r15: the three metrics share ONE
+    coincidence-cell materialization via krippendorff_alpha_metrics —
+    the per-metric calls re-built identical cells three times (40
+    driver-visible jobs for ~1.2 s of task time; rows unchanged)."""
     from real_estate_bigdata_spark.operators.evaluation import (
-        krippendorff_alpha,
+        krippendorff_alpha_metrics,
     )
 
-    ratings = _alpha_ratings(spark, sf)
-    out = None
-    for metric in ("nominal", "interval", "ordinal"):
-        row = krippendorff_alpha(
-            ratings, "vec_id", "rating", metric=metric
-        ).select(F.lit(metric).alias("metric"), "*")
-        out = row if out is None else out.unionByName(row)
-    return out
+    return krippendorff_alpha_metrics(
+        _alpha_ratings(spark, sf), "vec_id", "rating",
+        metrics=("nominal", "interval", "ordinal"),
+    )
 
 
 def _q_item_disagreement(spark, sf):
@@ -1017,7 +1012,6 @@ _ANN_PINNED_N_PROBE = 16
 #: DataFrames from leaking into a new one (pytest spins several)
 _ANN_INDEX_CACHE: dict = {}
 _PCA_MODEL_CACHE: dict = {}
-_LA_RESULT_CACHE: dict = {}
 
 
 def _embeddings_fingerprint(sf) -> str:
@@ -1337,7 +1331,10 @@ def _q_dsir_weights(spark, sf):
     pretraining data-selection method with zero model passes."""
     docs = load_table(spark, sf, "documents")
     target = docs.filter(F.col("doc_id") % 7 == 0)
-    return ds.dsir_logweights(docs, target)
+    # target is literally a filtered sub-frame of docs, so the target
+    # fit derives from the raw featurization (r15 — one less
+    # tokenize+hash pass; identical counts by construction)
+    return ds.dsir_logweights(docs, target, target_within_raw=True)
 
 
 def _q_dsir_select(spark, sf):
@@ -1347,7 +1344,7 @@ def _q_dsir_select(spark, sf):
     'random' resample replayable and oracle-checkable."""
     docs = load_table(spark, sf, "documents")
     target = docs.filter(F.col("doc_id") % 7 == 0)
-    return ds.dsir_select(docs, target, k=100)
+    return ds.dsir_select(docs, target, k=100, target_within_raw=True)
 
 
 def _q_bpe_merges(spark, sf):
@@ -1360,13 +1357,19 @@ def _q_bpe_merges(spark, sf):
     same testdata table."""
     from real_estate_bigdata_spark.operators.bpe import (
         bpe_merge_table,
-        train_bpe,
+        train_bpe_batched,
     )
 
-    # 12 merges: enough to exercise the full loop (several checkpoint
-    # cycles, early-stop guard live) at ~0.2 s/iteration of local-mode
-    # job overhead; the pytest mirror pins 30 merges on this same table
-    merges = train_bpe(load_table(spark, sf, "documents"), n_merges=12)
+    # r15: the BATCHED trainer (r8) — BIT-IDENTICAL merge sequence to
+    # train_bpe (disjoint-prefix batching, pinned equal in
+    # tests/test_bpe.py) at a fraction of the driver round-trips: the
+    # sequential loop paid ~2.5 driver-visible jobs per merge (30 jobs
+    # for 12 merges, ~0.1 s/job of local-mode scheduling); the pytest
+    # mirror still pins the SEQUENTIAL trainer at 30 merges on this
+    # same table, so the full loop stays exercised every run
+    merges = train_bpe_batched(
+        load_table(spark, sf, "documents"), n_merges=12
+    )
     return bpe_merge_table(spark, merges)
 
 
@@ -2712,10 +2715,32 @@ def _png_media_fixture(spark, sf, with_copies: bool = True):
     docs = load_table(spark, sf, "documents").select(
         "doc_id", F.col("text").isNull().alias("null_text"), "source"
     )
+    # r15: copies are planted on the SKINNY id rows, BEFORE the encode.
+    # The r14 form unioned `base` with a filtered copy of itself, and a
+    # filter on mapInPandas OUTPUT cannot push below the opaque Python
+    # stage — so the union's second branch re-ran the full encode pass
+    # over the whole corpus to keep 10% of it (2.0x encode volume; now
+    # 1.1x). The copy's pixels are seeded by the ORIGINAL doc_id and
+    # encode_png is deterministic, so the planted payload stays
+    # byte-identical to its original.
+    every_row = F.array(F.col("doc_id"))
+    with_copy = F.array(
+        F.col("doc_id"), F.col("doc_id") + F.lit(_MEDIA_COPY_OFFSET)
+    )
+    ids = (
+        F.when(F.pmod(F.col("doc_id"), F.lit(10)) == 0, with_copy).otherwise(
+            every_row
+        )
+        if with_copies
+        else every_row
+    )
+    docs = docs.select(
+        F.explode(ids).alias("media_id"), "doc_id", "null_text", "source"
+    )
     # the testdata documents scan is 1-2 parquet files; the synthesis
     # (encode) and the downstream decode are the dominant per-row CPU,
     # so spread them across the session's cores (the shuffled payload
-    # is 3 skinny columns — at production scale the source would
+    # is 4 skinny columns — at production scale the source would
     # already be well-partitioned and this repartition drops out)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     side = _PNG_FIXTURE_SIDE
@@ -2735,13 +2760,13 @@ def _png_media_fixture(spark, sf, with_copies: bool = True):
                 contents.append(encode_png(px))
             yield _pd.DataFrame(
                 {
-                    "media_id": pdf["doc_id"],
+                    "media_id": pdf["media_id"],
                     "content": contents,
                     "source_uri": pdf["source"],
                 }
             )
 
-    base = docs.mapInPandas(
+    return docs.mapInPandas(
         batches, schema="media_id long, content binary, source_uri string"
     ).select(
         "media_id",
@@ -2754,17 +2779,6 @@ def _png_media_fixture(spark, sf, with_copies: bool = True):
             F.col("source_uri").alias("source_uri"),
         ).alias("meta"),
     )
-    if with_copies:
-        base = base.unionByName(
-            base.filter(F.pmod(F.col("media_id"), F.lit(10)) == 0).select(
-                (F.col("media_id") + F.lit(_MEDIA_COPY_OFFSET)).alias(
-                    "media_id"
-                ),
-                "content",
-                "meta",
-            )
-        )
-    return base
 
 
 def _q_image_neardup(spark, sf):

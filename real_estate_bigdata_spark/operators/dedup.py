@@ -285,9 +285,22 @@ def _posting_pairs(
     """
     if max_posting_len is not None and max_posting_len < 2:
         raise ValueError(f"max_posting_len must be >= 2, got {max_posting_len}")
+    carry = [c for c in exploded.columns if c not in (id_col, "g")]
+    # Optional per-id payload columns (e.g. the shingle-set size) ride
+    # the posting structs so downstream scoring never has to join back
+    # to — and re-evaluate — the expensive shingle pipeline (r15: the
+    # size join re-ran the full tokenize+hash pass once PER SIDE; plan
+    # showed 3 corpus scans for ngram_jaccard_pairs). array_sort on
+    # structs orders by the leading id field, so pair emission order is
+    # unchanged (per-id payloads are constant by construction).
+    entry = (
+        F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in carry])
+        if carry
+        else F.col(id_col)
+    )
     post = (
         exploded.groupBy("g")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .agg(F.array_sort(F.collect_list(entry)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_posting_len is not None:
@@ -303,14 +316,34 @@ def _posting_pairs(
                     lambda i: F.transform(
                         F.slice("ids", i + 1, F.size("ids") - i),
                         lambda y: F.struct(
-                            F.element_at("ids", i).alias("id_a"), y.alias("id_b")
+                            F.element_at("ids", i).alias("a"), y.alias("b")
                         ),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    if not carry:
+        return (
+            pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    return (
+        pairs.select(
+            F.col("p.a.i").alias("id_a"),
+            F.col("p.b.i").alias("id_b"),
+            *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
+            *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
+        )
+        .groupBy(
+            "id_a",
+            "id_b",
+            *[f"{c}_a" for c in carry],
+            *[f"{c}_b" for c in carry],
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -336,25 +369,23 @@ def ngram_jaccard_pairs(
     pairs sharing ultra-common shingles (no false positives enter).
     """
     hsh = _hashed_shingles(docs, n, id_col, text_col)
-    sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
-    exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
-    inter = _posting_pairs(exploded, id_col, max_posting_len)
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    # set sizes RIDE the exploded posting stream (two extra ints per
+    # pair) instead of re-deriving via broadcast joins whose build
+    # sides re-ran the whole tokenize+hash pipeline — one corpus pass
+    # and zero joins where the r14 plan had three passes and two joins
+    exploded = hsh.select(
+        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("g")
     )
+    inter = _posting_pairs(exploded, id_col, max_posting_len)
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def ngram_containment_pairs(
@@ -390,25 +421,20 @@ def ngram_containment_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     hsh = _hashed_shingles(docs, n, id_col, text_col)
-    sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
-    exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
-    inter = _posting_pairs(exploded, id_col, max_posting_len)
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a"),
-            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b"),
-            F.round(
-                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
-            ).alias("overlap"),
-        )
-        .filter(F.col("overlap") >= threshold)
+    # sizes ride the posting stream — see ngram_jaccard_pairs
+    exploded = hsh.select(
+        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("g")
     )
+    inter = _posting_pairs(exploded, id_col, max_posting_len)
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("n_inter") / F.col("n_sh_a"), 6).alias("containment_a"),
+        F.round(F.col("n_inter") / F.col("n_sh_b"), 6).alias("containment_b"),
+        F.round(
+            F.col("n_inter") / F.least(F.col("n_sh_a"), F.col("n_sh_b")), 6
+        ).alias("overlap"),
+    ).filter(F.col("overlap") >= threshold)
 
 
 def _minhash_signatures(
@@ -530,7 +556,12 @@ def minhash_lsh_pairs(
     # NOTE: no size(hs)>0 pre-filter — a Filter on a computed array column
     # gets pushed below the Project and re-evaluates the whole shingle
     # expression per row; explode() drops empty arrays on its own.
-    hsh = _hashed_shingles(docs, n, id_col, text_col)
+    # r15: the shingle table feeds THREE consumers (the signature
+    # aggregate and both verify sides), and unmaterialized lineage ran
+    # the tokenize+hash pipeline once per consumer — checkpoint once.
+    hsh = _hashed_shingles(docs, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     sig = _minhash_signatures(hsh, num_hashes, id_col)
     banded = _band_keys(sig, bands, rows_per_band, id_col)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -687,9 +718,13 @@ def simhash_pairs(
     collided in every band and recall claims were quietly weaker than
     documented. Callers that hit the new ValueError were relying on
     that lossy behavior, not a valid configuration."""
+    # eager checkpoint (r15): the banded self-join references the
+    # signature frame twice, and unmaterialized lineage planned the
+    # whole shingle + 64-sum pipeline once per side (4 corpus scans, 2
+    # signature aggregations). The frame is (id, int64) — 16 bytes/row.
     sig = simhash_signatures(
         docs, n=n, id_col=id_col, text_col=text_col, portable=portable
-    )
+    ).localCheckpoint(eager=True)
     return hamming_banded_pairs(
         sig, sig_col="sim", max_hamming=max_hamming, bands=bands, id_col=id_col
     )
@@ -710,7 +745,16 @@ def hamming_banded_pairs(
     than bands forces one identical band), approximate beyond. One
     shuffle on (band, key); only same-key signatures ever pair.
     NULL-signature rows never pair (band keys of NULL are NULL, and a
-    join key never equals NULL)."""
+    join key never equals NULL).
+
+    The self-join references ``sig`` twice, so the planner materializes
+    its upstream pipeline once PER SIDE — callers whose signature is
+    expensive to compute (``simhash_pairs``: shingle + 64-sum
+    aggregation; ``image_neardup_pairs``: a full decode pass) must pass
+    an eagerly localCheckpoint-ed frame, as both do. (The posting-list
+    rewrite that removes the join entirely was measured SLOWER at
+    sf0.1 — Catalyst HOF upper-triangle expansion is interpreted per
+    element — and was rejected; see OPTIMIZATION_r15.md.)"""
     if not 1 <= bands <= 64 or 64 % bands != 0:
         raise ValueError(f"bands must divide 64 with 1 <= bands <= 64, got {bands}")
     width = 64 // bands
@@ -1622,8 +1666,15 @@ def cross_corpus_lsh_pairs(
             f"got bands={bands}, num_hashes={num_hashes}"
         )
     rows_per_band = num_hashes // bands
-    hsh_a = _hashed_shingles(a, n, id_col, text_col)
-    hsh_b = _hashed_shingles(b, n, id_col, text_col)
+    # each side's shingle table feeds its signature aggregate AND its
+    # verify join — checkpoint so the tokenize+hash pipeline runs once
+    # per side (r15; the minhash_lsh_pairs rationale)
+    hsh_a = _hashed_shingles(a, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
+    hsh_b = _hashed_shingles(b, n, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     bands_a = _band_keys(
         _minhash_signatures(hsh_a, num_hashes, id_col), bands, rows_per_band, id_col
     ).select(F.col(id_col).alias("id_a"), "band", "bucket")
@@ -1656,40 +1707,55 @@ def novelty_scores(
     novelty; NULL-id docs are excluded entirely (they cannot own a
     first occurrence, and a NULL id is unusable downstream).
 
-    Plan: the same two bounded shuffles as the gram-dedup family — one
-    per-gram min-id aggregate (map-side combinable), one per-doc count
-    aggregate; the gram stream is hashed 64-bit ids, never strings,
-    and the oracle's string-gram grouping matches up to xxhash64
-    collisions (~|grams|^2 x 2^-64, immaterial — same argument as the
-    Jaccard family).
+    Plan (r15 rework): one per-gram min-id aggregate (map-side
+    combinable) over the exploded hashed-gram stream, then — instead
+    of joining that result BACK against the gram stream (a second
+    full shingle evaluation feeding a gram-stream-sized shuffle join)
+    — ``n_novel`` is read straight off the bounded first-occurrence
+    table (``groupBy(min_owner).count()``: a doc owns exactly the
+    grams whose global min id is it) and ``n_grams`` is
+    ``size(hs)`` carried on the pre-explode frame. The gram stream is
+    hashed 64-bit ids, never strings, and the oracle's string-gram
+    grouping matches up to xxhash64 collisions (~|grams|^2 x 2^-64,
+    immaterial — same argument as the Jaccard family).
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     base = corpus.filter(F.col(id_col).isNotNull())
-    grams = _hashed_shingles(base, n, id_col, text_col).select(
-        F.col(id_col), F.explode("hs").alias("g")
+    # (id, n_grams, hs) materialized ONCE: both the gram stream and the
+    # per-doc sizes read it, where the r14 plan ran the tokenize+hash
+    # pipeline once per consumer
+    hsh = _hashed_shingles(base, n, id_col, text_col).localCheckpoint(
+        eager=True
     )
+    grams = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
     first = grams.groupBy("g").agg(F.min(id_col).alias("__first_id"))
-    per_doc = (
-        grams.join(first, "g")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("__first_id") == F.col(id_col), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = first.groupBy(F.col("__first_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
+    # explicit NULL branch: with ANSI off, size(NULL) is -1 (legacy
+    # sizeOfNull), not NULL — a NULL-text doc must report 0 grams as
+    # the exploded form did
+    sizes = hsh.select(
+        F.col(id_col),
+        F.when(F.col("hs").isNull(), F.lit(0))
+        .otherwise(F.size("hs"))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    # n_novel must coalesce BEFORE the ratio: the first-occurrence
+    # table has no row for a doc that owns zero grams, and the old
+    # exploded form scored such docs 0/n_grams, never NULL
+    n_novel = F.coalesce("n_novel", F.lit(0)).cast("bigint")
     return (
-        base.select(id_col)
-        .join(per_doc, id_col, "left")
+        sizes.join(novel, id_col, "left")
         .select(
             F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
-            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            "n_grams",
+            n_novel.alias("n_novel"),
             F.when(
                 F.col("n_grams") > 0,
-                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+                F.round(n_novel / F.col("n_grams"), 6),
             ).alias("novelty"),
         )
     )

@@ -89,6 +89,7 @@ def dsir_logweights(
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weights of ``raw`` against
     ``target``: (``id_col``, ``dsir_logweight`` round-6, higher =
@@ -108,7 +109,17 @@ def dsir_logweights(
     ANN builds).
 
     Both bucket tables are <= ``n_buckets`` rows and BROADCAST; the
-    only doc-sized shuffle is the per-id weight sum."""
+    only doc-sized shuffle is the per-id weight sum.
+
+    ``target_within_raw=True`` (r15) declares that ``target`` is a
+    row-subset of ``raw`` (same ids, same text — the common "exemplar
+    slice of the pool" setting): the target fit is then derived from
+    the already-materialized raw featurization by a broadcast semi-join
+    on the target ids, instead of re-running tokenize+hash over the
+    target rows — identical counts by construction, one less corpus
+    featurization pass. The caller asserts the subset property;
+    duplicate target ids would double-count in the direct fit and are
+    equally a contract violation here."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if smoothing <= 0:
@@ -132,11 +143,21 @@ def dsir_logweights(
     raw_cnt = occ.groupBy("__bucket").agg(
         F.sum("__cnt").alias("__q_cnt")
     )
-    tgt_cnt = (
-        _gram_buckets(target, id_col, text_col, n_buckets)
-        .groupBy("__bucket")
-        .agg(F.count("*").cast("double").alias("__p_cnt"))
-    )
+    if target_within_raw:
+        tgt_ids = target.select(F.col(id_col)).filter(
+            F.col(id_col).isNotNull()
+        )
+        tgt_cnt = (
+            occ.join(F.broadcast(tgt_ids), id_col, "left_semi")
+            .groupBy("__bucket")
+            .agg(F.sum("__cnt").alias("__p_cnt"))
+        )
+    else:
+        tgt_cnt = (
+            _gram_buckets(target, id_col, text_col, n_buckets)
+            .groupBy("__bucket")
+            .agg(F.count("*").cast("double").alias("__p_cnt"))
+        )
     # totals ride as literals-by-aggregation: two scalar frames crossed
     # in — one job each at most n_buckets rows upstream
     raw_tot = raw_cnt.agg(F.sum("__q_cnt").alias("__q_tot"))
@@ -192,6 +213,7 @@ def dsir_select(
     n_buckets: int = DSIR_BUCKETS,
     smoothing: float = 1.0,
     salt: str = "",
+    target_within_raw: bool = False,
 ) -> DataFrame:
     """Gumbel-top-k DSIR selection: the ``k`` raw documents with the
     largest ``dsir_logweight + Gumbel`` — an exact without-replacement
@@ -218,7 +240,8 @@ def dsir_select(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = dsir_logweights(
-        raw, target, id_col, text_col, n_buckets, smoothing
+        raw, target, id_col, text_col, n_buckets, smoothing,
+        target_within_raw=target_within_raw,
     ).filter(F.col("dsir_logweight").isNotNull())
     u = (bucket_of(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
         float(_U_BUCKETS)

@@ -55,6 +55,7 @@ __all__ = [
     "fleiss_kappa",
     "item_disagreement",
     "krippendorff_alpha",
+    "krippendorff_alpha_metrics",
     "pair_set_metrics",
     "pairwise_win_rates",
     "rater_reliability",
@@ -665,6 +666,40 @@ def krippendorff_alpha(
     frame, so the corpus of ratings is touched exactly once per call —
     the same posture as :func:`fleiss_kappa`/:func:`cohens_kappa`.
     """
+    _alpha_validate(df, category_col, metric)
+    cells = _alpha_cells(df, item_col, category_col)
+    return _alpha_from_cells(cells, metric)
+
+
+def krippendorff_alpha_metrics(
+    df: DataFrame,
+    item_col: str,
+    category_col: str,
+    metrics: tuple[str, ...] = ("nominal", "interval", "ordinal"),
+) -> DataFrame:
+    """All requested alpha metrics over ONE shared coincidence-cell
+    materialization — one row per metric, leading ``metric`` column
+    (r15: the three-metric driver query called
+    :func:`krippendorff_alpha` per metric, re-aggregating and
+    re-checkpointing the identical cells frame three times — 40
+    driver-visible jobs for ~1.2 s of task time; the cells depend only
+    on (df, item, category), never on the metric). Rows are identical
+    to calling :func:`krippendorff_alpha` per metric."""
+    if not metrics:
+        raise ValueError("metrics must be non-empty")
+    for m in metrics:
+        _alpha_validate(df, category_col, m)
+    cells = _alpha_cells(df, item_col, category_col)
+    out = None
+    for m in metrics:
+        row = _alpha_from_cells(cells, m).select(
+            F.lit(m).alias("metric"), "*"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _alpha_validate(df: DataFrame, category_col: str, metric: str) -> None:
     if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
             f"metric must be nominal|interval|ordinal, got {metric!r}"
@@ -677,6 +712,9 @@ def krippendorff_alpha(
                 f"{metric} alpha needs a numeric {category_col!r} column, "
                 f"got {df.schema[category_col].dataType.simpleString()}"
             )
+
+
+def _alpha_cells(df: DataFrame, item_col: str, category_col: str) -> DataFrame:
     # the coincidence cells are referenced by every downstream frame
     # (units, marginals, pair sides, totals) — materialize them ONCE so
     # the ratings corpus is aggregated exactly once per call instead of
@@ -685,7 +723,7 @@ def krippendorff_alpha(
     # driver query before this). localCheckpoint, not persist, for the
     # same session-lifetime reason as image_neardup_pairs; the frame is
     # bounded by items x categories, strictly <= the ratings count.
-    cells = (
+    return (
         df.filter(
             F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
         )
@@ -694,6 +732,9 @@ def krippendorff_alpha(
         )
         .agg(F.count(F.lit(1)).cast("double").alias("__c"))
     ).localCheckpoint(eager=True)
+
+
+def _alpha_from_cells(cells: DataFrame, metric: str) -> DataFrame:
     units = (
         cells.groupBy("__i")
         .agg(

@@ -26,8 +26,11 @@ negatives; false positives are removed by one exact
 
 Scale shape: variant generation is MAP-ONLY chained ``explode`` over
 position sequences (sum_{j<=k} C(len, j) variants per row — 19 for an
-18-char string at k=1); the only exchanges are the variant-key
-equi-join and one pair-dedup aggregate. Nothing is quadratic in the
+18-char string at k=1), run ONCE into an eager localCheckpoint (r15 —
+the self-join otherwise plans the pipeline once per side); the only
+exchanges are the variant-hash equi-join (``xxhash64(variant)``, a
+bigint key instead of the raw string) and one pair-dedup aggregate.
+Nothing is quadratic in the
 corpus — candidate volume is sum of squared BLOCK sizes, bounded by
 near-duplicate density. Variant count grows O(len^k), which is why this
 is a SHORT-STRING operator (names, titles, addresses, domains):
@@ -159,12 +162,27 @@ def edit_distance_pairs(
     MinHash-pair idiom)."""
     k = max_distance
     max_len = _validate(k, max_len)
-    vars_df = _variants(df, id_col, col, k, max_len)
+    # r15: variants are generated ONCE into an eager localCheckpoint —
+    # the self-join otherwise plans the whole scan+explode pipeline
+    # once per side — and the join key is the variant's xxhash64, not
+    # the raw string (a bigint compare and ~60% fewer candidate-side
+    # bytes). Hash collisions can only ADD candidate pairs, every
+    # candidate passes the exact levenshtein verify below, and every
+    # true pair shares a REAL common variant (the FastSS lemma) hence
+    # also its hash — so the verified output is bit-identical. (The
+    # join-free posting-list form was measured ~40% SLOWER at sf0.1 —
+    # interpreted HOF pair expansion — and rejected; see
+    # OPTIMIZATION_r15.md.)
+    vars_df = (
+        _variants(df, id_col, col, k, max_len)
+        .select("__fid", "__fs", F.xxhash64("__fv").alias("__fh"))
+        .localCheckpoint(eager=True)
+    )
     a, b = vars_df.alias("a"), vars_df.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.__fv") == F.col("b.__fv"))
+            (F.col("a.__fh") == F.col("b.__fh"))
             & (F.col("a.__fid") < F.col("b.__fid")),
         )
         .groupBy(

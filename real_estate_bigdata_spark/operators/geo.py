@@ -111,6 +111,11 @@ def geo_radius_pairs(
         _KM_PER_LON_DEG_EQ * math.cos(math.radians(max_abs_lat))
     )
     lat, lon = F.col(lat_col), F.col(lon_col)
+    # eager checkpoint (r15): probe and build are BOTH derived from
+    # this frame, and unmaterialized lineage evaluates the upstream
+    # scan + coordinate expressions once per join side (the entry
+    # fixtures synthesize coordinates with md5 arithmetic — paying it
+    # twice was measurable). Five skinny columns per point.
     pts = ensure_min_parallelism(
         df.where(lat.isNotNull() & lon.isNotNull())
     ).select(
@@ -119,7 +124,7 @@ def geo_radius_pairs(
         lon.alias("__glon"),
         F.floor(lat / cell_lat).cast("long").alias("__gcy"),
         F.floor(lon / cell_lon).cast("long").alias("__gcx"),
-    )
+    ).localCheckpoint(eager=True)
     nine = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))

@@ -197,3 +197,34 @@ def test_empty_target_is_uniformly_negative(spark):
             assert got[i] == 0.0
         else:
             assert got[i] is not None and got[i] < 0 and math.isfinite(got[i])
+
+
+def test_target_within_raw_matches_direct_fit(spark):
+    """r15 subset fast path: deriving the target fit from the raw
+    featurization (broadcast semi-join on target ids) must produce
+    BIT-IDENTICAL weights to re-featurizing the target rows, whenever
+    target is a row-subset of raw."""
+    raw = _df(spark, RAW)
+    target = raw.filter((F.col("doc_id") % 2) == 1)
+    direct = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir.dsir_logweights(raw, target, n_buckets=64).collect()
+    }
+    fast = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir.dsir_logweights(
+            raw, target, n_buckets=64, target_within_raw=True
+        ).collect()
+    }
+    assert direct == fast
+    sel_direct = [
+        tuple(r)
+        for r in dsir.dsir_select(raw, target, k=4, n_buckets=64).collect()
+    ]
+    sel_fast = [
+        tuple(r)
+        for r in dsir.dsir_select(
+            raw, target, k=4, n_buckets=64, target_within_raw=True
+        ).collect()
+    ]
+    assert sel_direct == sel_fast

@@ -132,8 +132,10 @@ class TestEditDistancePairs:
         pairs = fz.edit_distance_pairs(
             load_table(spark, SF, "customer"), "c_custkey", "c_name", 1
         )
-        # exchanges: the variant-key join's two sides + the pair-dedup
-        # aggregate; variant generation itself is map-only explode
+        # exchanges: the variant-hash join's two sides + the pair-dedup
+        # aggregate; variant generation (map-only explode + the
+        # min-parallelism repartition) runs ONCE into a localCheckpoint
+        # (r15), so its exchange is not in this plan
         stats = assert_plan(pairs, max_shuffles=4, forbid_python=True)
         assert stats.sortmerge_joins + stats.broadcast_joins >= 1, stats
 
