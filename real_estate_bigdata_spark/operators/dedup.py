@@ -285,29 +285,20 @@ def _posting_pairs(
     """
     if max_posting_len is not None and max_posting_len < 2:
         raise ValueError(f"max_posting_len must be >= 2, got {max_posting_len}")
-    carry = [c for c in exploded.columns if c not in (id_col, "g")]
-    # Optional per-id payload columns (e.g. the shingle-set size) ride
-    # the posting structs so downstream scoring never has to join back
-    # to — and re-evaluate — the expensive shingle pipeline (r15: the
-    # size join re-ran the full tokenize+hash pass once PER SIDE; plan
-    # showed 3 corpus scans for ngram_jaccard_pairs). array_sort on
-    # structs orders by the leading id field, so pair emission order is
-    # unchanged (per-id payloads are constant by construction).
-    entry = (
-        F.struct(F.col(id_col).alias("i"), *[F.col(c) for c in carry])
-        if carry
-        else F.col(id_col)
-    )
     post = (
         exploded.groupBy("g")
-        .agg(F.array_sort(F.collect_list(entry)).alias("ids"))
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_posting_len is not None:
         post = post.filter(F.size("ids") <= max_posting_len)
     # sorted ids -> emit ONLY the upper triangle (ids[i] pairs with the
     # strictly-later suffix), never the full n^2 product + filter: a
-    # k-doc posting materializes k(k-1)/2 structs, not k^2
+    # k-doc posting materializes k(k-1)/2 structs, not k^2. (An r15
+    # experiment carried per-id payload structs through the postings to
+    # kill the size joins; interpreted struct array_sort + the wider
+    # pair aggregate measured slower than the joins it saved — the
+    # shared-checkpoint form in ngram_jaccard_pairs won instead.)
     pairs = post.select(
         F.explode(
             F.flatten(
@@ -316,34 +307,14 @@ def _posting_pairs(
                     lambda i: F.transform(
                         F.slice("ids", i + 1, F.size("ids") - i),
                         lambda y: F.struct(
-                            F.element_at("ids", i).alias("a"), y.alias("b")
+                            F.element_at("ids", i).alias("id_a"), y.alias("id_b")
                         ),
                     ),
                 )
             )
         ).alias("p")
-    )
-    if not carry:
-        return (
-            pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_inter"))
-        )
-    return (
-        pairs.select(
-            F.col("p.a.i").alias("id_a"),
-            F.col("p.b.i").alias("id_b"),
-            *[F.col(f"p.a.{c}").alias(f"{c}_a") for c in carry],
-            *[F.col(f"p.b.{c}").alias(f"{c}_b") for c in carry],
-        )
-        .groupBy(
-            "id_a",
-            "id_b",
-            *[f"{c}_a" for c in carry],
-            *[f"{c}_b" for c in carry],
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
+    ).select("p.id_a", "p.id_b")
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
 
 
 def ngram_jaccard_pairs(
@@ -368,24 +339,34 @@ def ngram_jaccard_pairs(
     semantics; when set, jaccard is conservatively underestimated for
     pairs sharing ultra-common shingles (no false positives enter).
     """
-    hsh = _hashed_shingles(docs, n, id_col, text_col)
-    # set sizes RIDE the exploded posting stream (two extra ints per
-    # pair) instead of re-deriving via broadcast joins whose build
-    # sides re-ran the whole tokenize+hash pipeline — one corpus pass
-    # and zero joins where the r14 plan had three passes and two joins
-    exploded = hsh.select(
-        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("g")
+    # ONE corpus tokenize+hash pass (r15): the r14 plan re-ran the full
+    # shingle pipeline once per size-join build side (3 corpus scans);
+    # checkpointing the (id, hs) frame keeps the posting arrays
+    # primitive longs (a struct-carried size variant measured slower —
+    # interpreted struct array_sort) while both the posting stream and
+    # the broadcast size sides read the materialization.
+    hsh = _hashed_shingles(docs, n, id_col, text_col).localCheckpoint(
+        eager=True
     )
+    sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
+    exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
     inter = _posting_pairs(exploded, id_col, max_posting_len)
-    return inter.select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.col("n_inter")
-            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter")),
-            6,
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_containment_pairs(
@@ -420,21 +401,30 @@ def ngram_containment_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    hsh = _hashed_shingles(docs, n, id_col, text_col)
-    # sizes ride the posting stream — see ngram_jaccard_pairs
-    exploded = hsh.select(
-        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("g")
+    # one tokenize+hash pass via the shared checkpoint — see
+    # ngram_jaccard_pairs
+    hsh = _hashed_shingles(docs, n, id_col, text_col).localCheckpoint(
+        eager=True
     )
+    sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
+    exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
     inter = _posting_pairs(exploded, id_col, max_posting_len)
-    return inter.select(
-        "id_a",
-        "id_b",
-        F.round(F.col("n_inter") / F.col("n_sh_a"), 6).alias("containment_a"),
-        F.round(F.col("n_inter") / F.col("n_sh_b"), 6).alias("containment_b"),
-        F.round(
-            F.col("n_inter") / F.least(F.col("n_sh_a"), F.col("n_sh_b")), 6
-        ).alias("overlap"),
-    ).filter(F.col("overlap") >= threshold)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_inter") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_inter") / F.col("n_b"), 6).alias("containment_b"),
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )
 
 
 def _minhash_signatures(
