@@ -2838,41 +2838,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     returner and enter the cap only on first registration, on an
     implementation/fixture CHANGE, or in spare slots.
 
-    Round-15 rotation (VERDICT r14 tasks #1/#2 — DERIVED by
+    Round-16 rotation (VERDICT r15 task #8 — DERIVED by
     ``rotation_map.py`` from the CORRECTNESS_r*.json history plus the
-    growth-policy rules, now correctly excluding round N's own driver
-    artifact from the derivation so the pin survives the artifact
-    landing; the single source this window, the structural pin
-    (tests/test_queries.py::test_r15_in_cap_window_matches_slot_map)
-    and COVERAGE.md all cite). In-cap slots 1-48 (2 free):
-    (a) slots 1-41 — the r15 MANDATORY block: every oracle-bearing
-        query whose latest driver row is r12, at the two-round
-        staleness maximum (CORRECTNESS_r12 minus its nine rows-only
-        members, which are outside the rotation and continuously
-        mirror-pinned);
-    (b) slots 42-48 — the seven r14-late oracles (q_cms_token_counts,
-        q_hll_distinct, q_hll_overlap, q_fuzzy_name_pairs, q_geo_comps,
-        q_geo_nearest, q_record_linkage): FIRST driver rows at r15
-        spares (growth-policy rule 4; each judge-verified green at
-        r14).
-    Past slot 48: the r14-verified block (the r17 mandatory
-    candidates), the r13-verified block (the r16 mandatory block), and
-    the rows-only spare pool (q_ann_recall, q_dedup_embedding_pca,
-    q_image_neardup, q_bradley_terry, q_embed_pca, q_pagerank —
-    continuously mirror-/recall-pinned by pytest).
-    Union invariant: r13 ∪ r14 driver rows + the seven judge-verified
-    r14-late oracles cover every registry query except the r15
-    mandatory block itself, and every oracle-bearing query is
-    additionally DuckDB-compared on every pytest run
+    growth-policy rules, excluding round N's own driver artifact from
+    the derivation; the single source this window, the structural pin
+    (tests/test_queries.py::test_r16_in_cap_window_matches_slot_map)
+    and COVERAGE.md all cite). In-cap slots 1-50 (0 free): the r16
+    MANDATORY block — every oracle-bearing query whose latest driver
+    row is r13, at the two-round staleness maximum (the full
+    CORRECTNESS_r13 key set: all 50 of its rows are oracle-bearing).
+    This window seats the r15 impl-changed queries q_dedup_containment,
+    q_label_alpha, q_dsir_weights and q_dsir_select for their post-
+    change driver rows; the remaining r15 impl-changed queries
+    (q_bpe_merges, q_novelty_scores, q_image_neardup,
+    q_cross_corpus_pairs, q_source_overlap, q_curate_corpus,
+    q_best_survivors) sit in later blocks (no free slots this round)
+    and stay mirror-/oracle-pinned by pytest every run.
+    Past slot 50: the r15-verified block (the r18 mandatory
+    candidates), the r14-verified block (the r17 mandatory
+    candidates), and the rows-only spare pool (q_ann_recall,
+    q_dedup_embedding_pca, q_image_neardup, q_bradley_terry,
+    q_embed_pca, q_pagerank — continuously mirror-/recall-pinned by
+    pytest).
+    Union invariant: r14 ∪ r15 driver rows cover every registry query
+    except the r16 mandatory block itself, and every oracle-bearing
+    query is additionally DuckDB-compared on every pytest run
     (tests/test_queries.py::test_query_matches_oracle), in-cap or not.
     """
     return {
-        # ---- slots 1-41: the r15 MANDATORY block (oracle-bearing
-        # r12-verified returners at the two-round staleness maximum;
-        # CORRECTNESS_r12 key order, minus its nine rows-only members
-        # which are outside the rotation). Derived by rotation_map.py
-        # — the single source this window, the structural test, and
-        # COVERAGE.md cite ----
+        # ---- slots 1-50: the r16 MANDATORY block (oracle-bearing
+        # r13-verified returners at the two-round staleness maximum;
+        # derived by rotation_map.py — the single source this window,
+        # the structural test, and COVERAGE.md cite). 50 mandatory,
+        # 0 free slots, 0 pending ----
+        "q_media_stats": _q_media_stats,
+        "q_union_all_tagged": _q_union_all_tagged,
+        "q_dedup_containment": _q_dedup_containment,
+        "q_label_alpha": _q_label_alpha,
+        "q_ranking_rbo": _q_ranking_rbo,
+        "q_bloom_contamination": _q_bloom_contamination,
+        "q_token_budget": _q_token_budget,
+        "q07_volume_shipping": _q07_volume_shipping,
+        "q08_market_share": _q08_market_share,
+        "q09_product_profit": _q09_product_profit,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_variety": _q16_supplier_variety,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "q_cube_lineitem": _q_cube_lineitem,
+        "q_doc_fingerprints": _q_doc_fingerprints,
+        "q_interval_signup_errors": _q_interval_signup_errors,
+        "q_window_top_customers": _q_window_top_customers,
+        "q_semi_active_customers": _q_semi_active_customers,
+        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
+        "q_corr_lineitem": _q_corr_lineitem,
+        "q_outer_customer_profile": _q_outer_customer_profile,
+        "q_tumbling_events": _q_tumbling_events,
+        "q_stats_profile_orders": _q_stats_profile_orders,
+        "q_groupingsets_orders": _q_groupingsets_orders,
+        "q_rank_dense_ntile": _q_rank_dense_ntile,
+        "q_sessionize": _q_sessionize,
+        "q_dsir_weights": _q_dsir_weights,
+        "q_dsir_select": _q_dsir_select,
+        "q_gopher_quality": _q_gopher_quality,
+        "q_c4_quality": _q_c4_quality,
+        "q_prototype_scores": _q_prototype_scores,
+        "q_prototype_prune": _q_prototype_prune,
+        "q03_shipping_priority": _q03_shipping_priority,
+        "q04_order_priority": _q04_order_priority,
+        "q_bucket_batches": _q_bucket_batches,
+        "q_scalar_gallery": _q_scalar_gallery,
+        "q_tfidf": _q_tfidf,
+        "q_lang_id": _q_lang_id,
+        "q_weighted_sample": _q_weighted_sample,
+        "q_decontaminate": _q_decontaminate,
+        "q_item_disagreement": _q_item_disagreement,
+        "q_rater_reliability": _q_rater_reliability,
+        "q_consensus_labels": _q_consensus_labels,
+        "q_rolling_activity": _q_rolling_activity,
+        "q_domain_cap": _q_domain_cap,
+        "q_image_dimensions": _q_image_dimensions,
+        "q_time_split": _q_time_split,
+        # ---- past-cap (order not driver-visible): the r15-verified
+        # block (r18 mandatory candidates), the r14-verified block
+        # (r17 mandatory candidates), and the rows-only spare pool
+        # (outside the rotation; mirror-/recall-pinned by pytest
+        # every run) ----
         "q_precision_at_k": _q_precision_at_k,
         "q_auc_by_slice": _q_auc_by_slice,
         "q_ranking_eval": _q_ranking_eval,
@@ -2914,9 +2967,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": _q_url_canonical,
         "q_vocab_coverage": _q_vocab_coverage,
         "q_resample_ffill": _q_resample_ffill,
-        # ---- slots 42-48: the seven r14-late oracle queries, FIRST
-        # driver rows at r15 spares (growth-policy rule 4; each was
-        # judge-verified green at r14), in registry order ----
         "q_cms_token_counts": _q_cms_token_counts,
         "q_hll_distinct": _q_hll_distinct,
         "q_hll_overlap": _q_hll_overlap,
@@ -2924,10 +2974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_geo_comps": _q_geo_comps,
         "q_geo_nearest": _q_geo_nearest,
         "q_record_linkage": _q_record_linkage,
-        # ---- past-cap (order not driver-visible): the r14-verified
-        # block (r17 mandatory candidates), the r13-verified block
-        # (r16 mandatory), and the rows-only spare pool (outside the
-        # rotation; mirror-/recall-pinned by pytest every run) ----
         "q_asof_view_purchase": _q_asof_view_purchase,
         "q_bm25_search": _q_bm25_search,
         "q_value_histogram": _q_value_histogram,
@@ -2987,56 +3033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_linear_probe": _q_linear_probe,
         "q_probe_auc": _q_probe_auc,
         "q_dawid_skene": _q_dawid_skene,
-        "q_media_stats": _q_media_stats,
-        "q_union_all_tagged": _q_union_all_tagged,
-        "q_dedup_containment": _q_dedup_containment,
-        "q_label_alpha": _q_label_alpha,
-        "q_ranking_rbo": _q_ranking_rbo,
-        "q_bloom_contamination": _q_bloom_contamination,
-        "q_token_budget": _q_token_budget,
-        "q07_volume_shipping": _q07_volume_shipping,
-        "q08_market_share": _q08_market_share,
-        "q09_product_profit": _q09_product_profit,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_variety": _q16_supplier_variety,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q21_waiting_suppliers": _q21_waiting_suppliers,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "q_cube_lineitem": _q_cube_lineitem,
-        "q_doc_fingerprints": _q_doc_fingerprints,
-        "q_interval_signup_errors": _q_interval_signup_errors,
-        "q_window_top_customers": _q_window_top_customers,
-        "q_semi_active_customers": _q_semi_active_customers,
-        "q_anti_customers_no_orders": _q_anti_customers_no_orders,
-        "q_corr_lineitem": _q_corr_lineitem,
-        "q_outer_customer_profile": _q_outer_customer_profile,
-        "q_tumbling_events": _q_tumbling_events,
-        "q_stats_profile_orders": _q_stats_profile_orders,
-        "q_groupingsets_orders": _q_groupingsets_orders,
-        "q_rank_dense_ntile": _q_rank_dense_ntile,
-        "q_sessionize": _q_sessionize,
-        "q_dsir_weights": _q_dsir_weights,
-        "q_dsir_select": _q_dsir_select,
-        "q_gopher_quality": _q_gopher_quality,
-        "q_c4_quality": _q_c4_quality,
-        "q_prototype_scores": _q_prototype_scores,
-        "q_prototype_prune": _q_prototype_prune,
-        "q03_shipping_priority": _q03_shipping_priority,
-        "q04_order_priority": _q04_order_priority,
-        "q_bucket_batches": _q_bucket_batches,
-        "q_scalar_gallery": _q_scalar_gallery,
-        "q_tfidf": _q_tfidf,
-        "q_lang_id": _q_lang_id,
-        "q_weighted_sample": _q_weighted_sample,
-        "q_decontaminate": _q_decontaminate,
-        "q_item_disagreement": _q_item_disagreement,
-        "q_rater_reliability": _q_rater_reliability,
-        "q_consensus_labels": _q_consensus_labels,
-        "q_rolling_activity": _q_rolling_activity,
-        "q_domain_cap": _q_domain_cap,
-        "q_image_dimensions": _q_image_dimensions,
-        "q_time_split": _q_time_split,
         "q_ann_recall": _q_ann_recall,
         "q_dedup_embedding_pca": _q_dedup_embedding_pca,
         "q_image_neardup": _q_image_neardup,
