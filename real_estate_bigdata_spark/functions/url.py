@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from real_estate_bigdata_spark.util import local_frame
+
 #: params dropped by canonicalization: utm_* prefix family + the two
 #: common click-id params. A param is its full "name=value" token.
 TRACKING_PARAM_PATTERN = r"^(utm_|fbclid(=|$)|gclid(=|$))"
@@ -343,7 +345,10 @@ def with_registered_domain(
     n = F.size(labels)
     spark = df.sparkSession
     for k in ks:
-        rules_k = spark.createDataFrame(
+        # Arrow-backed local frame: each broadcast build otherwise runs
+        # a Python worker to unpickle the rule rows on every execution
+        rules_k = local_frame(
+            spark,
             by_k[k],
             f"__psl{k}_tail string, __psl{k}_norm boolean, "
             f"__psl{k}_wild boolean, __psl{k}_exc boolean",

@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from real_estate_bigdata_spark.util import local_frame
+
 __all__ = [
     "connected_components",
     "near_dup_survivors",
@@ -112,12 +114,17 @@ def connected_components(
     a, b = F.col(src), F.col(dst)
     cp = pairs.select(a.alias("u"), b.alias("v")).localCheckpoint(eager=True)
 
-    if (
-        algorithm == "auto"
-        and small_graph_threshold > 0
-        and cp.limit(small_graph_threshold + 1).count() <= small_graph_threshold
-    ):
-        return _unionfind_labels(cp, out_id, out_label)
+    if algorithm == "auto" and small_graph_threshold > 0:
+        # ONE bounded collect replaces the r13 probe-count + collect
+        # pair (VERDICT r15 task #3): if LIMIT threshold+1 returns at
+        # most threshold rows, those rows ARE the whole edge set — the
+        # separate count job re-scanned the checkpoint for nothing. The
+        # over-threshold case hauls threshold+1 rows (a few MB at the
+        # default) to the driver and discards them; both scans read the
+        # already-materialized checkpoint, never the upstream plan.
+        rows = cp.limit(small_graph_threshold + 1).collect()
+        if len(rows) <= small_graph_threshold:
+            return _unionfind_labels(cp, rows, out_id, out_label)
 
     labels = None
     if algorithm in ("auto", "hashmin"):
@@ -133,12 +140,15 @@ def connected_components(
     return labels.select(F.col("id").alias(out_id), F.col("label").alias(out_label))
 
 
-def _unionfind_labels(cp: DataFrame, out_id: str, out_label: str) -> DataFrame:
+def _unionfind_labels(
+    cp: DataFrame, edges: list, out_id: str, out_label: str
+) -> DataFrame:
     """Driver-side union-find over a SMALL collected edge list ->
     (out_id, out_label = component min). Only called under the bounded
-    threshold probe in :func:`connected_components`; output vertex/label
-    types mirror the input edge type exactly (ids need not be longs)."""
-    edges = cp.collect()
+    threshold probe in :func:`connected_components`, which passes the
+    already-collected rows (``cp`` supplies schema/session only);
+    output vertex/label types mirror the input edge type exactly (ids
+    need not be longs)."""
     parent: dict = {}
 
     def find(x):
@@ -174,7 +184,10 @@ def _unionfind_labels(cp: DataFrame, out_id: str, out_label: str) -> DataFrame:
     schema = StructType(
         [StructField(out_id, id_type), StructField(out_label, id_type)]
     )
-    return cp.sparkSession.createDataFrame(rows, schema)
+    # Arrow-backed local frame: the label table is re-scanned by every
+    # downstream join; the pickled-RDD form paid a Python worker per
+    # task per scan (see util.local_frame)
+    return local_frame(cp.sparkSession, rows, schema)
 
 
 def _hashmin_labels(cp: DataFrame, max_iter: int) -> DataFrame | None:
@@ -504,19 +517,26 @@ def pagerank(
     spark = edges.sparkSession
     id_t = e.schema["__s"].dataType.simpleString()
     out_schema = f"node {id_t}, rank double"
-    # r13: the eager checkpoint moves BELOW the branch — the fast path
-    # scans e twice (count probe + collect; a count-only probe keeps
-    # the over-threshold case from hauling 2M edge rows to the driver
-    # just to discard them — the dawid_skene budget-commit rule), so
-    # materializing it first was one pure-overhead job; only the
-    # distributed loop's repeated per-round scans need the checkpoint
-    probe = e.limit(small_edges_threshold + 1).count()
-    if probe <= small_edges_threshold:
-        rows = e.collect()
+    # r16 (VERDICT r15 task #4): ONE bounded collect replaces the r13
+    # probe-count + collect pair — each of those evaluated the FULL
+    # edge-distinct aggregation (e is deliberately unmaterialized
+    # here), so the fast path paid the edge pipeline twice plus two
+    # driver round-trips. LIMIT threshold+1 returning <= threshold
+    # rows means those rows ARE the edge set. The price is the
+    # over-threshold case hauling threshold+1 rows to the driver to
+    # discard them (bounded by construction — the same LIMIT-k+1
+    # idiom as connected_components; at the 2M default that is a
+    # one-time ~tens-of-MB transfer on the path that then runs a
+    # multi-round distributed loop anyway).
+    rows = e.limit(small_edges_threshold + 1).collect()
+    if len(rows) <= small_edges_threshold:
         if not rows:
             return spark.createDataFrame([], out_schema)
-        return spark.createDataFrame(
-            _pagerank_numpy(rows, damping, max_iter, tol), out_schema
+        # Arrow-backed local frame: callers re-scan the rank table
+        # (filters + broadcast joins); the pickled-RDD form paid a
+        # Python worker per task per scan (see util.local_frame)
+        return local_frame(
+            spark, _pagerank_numpy(rows, damping, max_iter, tol), out_schema
         )
     e = e.localCheckpoint(eager=True)
     nodes = (

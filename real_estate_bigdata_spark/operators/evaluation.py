@@ -41,6 +41,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_estate_bigdata_spark.util import local_frame
+
 __all__ = [
     "auc_score",
     "bradley_terry",
@@ -1294,21 +1296,23 @@ def dawid_skene(
         f"label {valid.schema['__k'].dataType.simpleString()}, "
         f"confidence double, n_ratings long"
     )
-    probe = valid.limit(small_votes_threshold + 1).count()
-    if probe <= small_votes_threshold:
+    # ONE bounded collect replaces the r12 probe-count + countDistinct
+    # + collect triple (three jobs against the vote checkpoint): LIMIT
+    # threshold+1 returning <= threshold rows means those rows ARE the
+    # vote set, and the rater cardinality for the dense-state budget
+    # reads off the collected rows driver-side (identical value). The
+    # budget-fail case (many raters x classes) discards an
+    # already-hauled <= threshold+1-row collect — the LIMIT-k+1 trade
+    # connected_components/pagerank document, bounded by construction.
+    rows = valid.limit(small_votes_threshold + 1).collect()
+    if len(rows) <= small_votes_threshold:
         # dense-state budget: theta is raters*classes^2 doubles and the
         # vectorized E-step expands votes*classes — cap the sum at
         # ~48M doubles (~400 MB of temporaries) before going dense.
-        # Checked BEFORE the collect (ADVICE r12): probe already counts
-        # every vote row, and the rater cardinality comes from one cheap
-        # aggregate, so the multi-hundred-MB collect only happens once
-        # the numpy path is committed.
-        n_raters = valid.select(
-            F.countDistinct("__r").alias("__nr")
-        ).first()["__nr"]
-        if n_raters * n_cats * n_cats + probe * n_cats <= 48_000_000:
-            rows = valid.collect()
-            return spark.createDataFrame(
+        n_raters = len({r["__r"] for r in rows})
+        if n_raters * n_cats * n_cats + len(rows) * n_cats <= 48_000_000:
+            return local_frame(
+                spark,
                 _dawid_skene_numpy(
                     rows, cats, max_iter=max_iter, tol=tol,
                     smoothing=smoothing,
@@ -2111,15 +2115,16 @@ def bradley_terry(
     # bounded fast path (the CC union-find precedent): when the
     # aggregated pair table fits, iterate in vectorized numpy on the
     # collected counts — strengths only, the payload never moves. The
-    # checkpoint moves to the distributed branch (r13): the fast path
-    # scans pairs twice (count probe + committed collect — a count-only
-    # probe keeps the over-threshold case from hauling the pair table
-    # to the driver just to discard it), so materializing first was
-    # one pure-overhead job
+    # checkpoint stays on the distributed branch (r13); r16 collapses
+    # the r13 probe-count + collect pair (each evaluated the FULL pair
+    # aggregation) into ONE bounded collect: LIMIT threshold+1
+    # returning <= threshold rows means those rows ARE the pair table.
+    # The over-threshold case hauls threshold+1 aggregated rows to the
+    # driver and discards them — bounded by construction (the
+    # connected_components/pagerank LIMIT-k+1 trade).
     spark = comparisons.sparkSession
-    probe = pairs.limit(small_pairs_threshold + 1).count()
-    if probe <= small_pairs_threshold:
-        rows = pairs.collect()
+    rows = pairs.limit(small_pairs_threshold + 1).collect()
+    if len(rows) <= small_pairs_threshold:
         if not rows:
             return spark.createDataFrame(
                 [],
@@ -2141,7 +2146,8 @@ def bradley_terry(
         s = np.ones(len(items))
         for _ in range(max_iter):
             s = _bt_mm_update(s, i_idx, j_idx, n, wins_v, smoothing)
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [
                 (x, round(float(s[idx[x]]), 6), int(games_v[idx[x]]))
                 for x in items

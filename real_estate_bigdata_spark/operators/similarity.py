@@ -100,6 +100,14 @@ def brute_force_topk(
     )
 
 
+#: last label_agreement snapshot broadcast per applicationId — NOT a
+#: result cache (every call re-collects and re-broadcasts its own
+#: snapshot); only tracked so the superseded handle can be unpersisted
+#: instead of accumulating executor-cached blocks for the session's
+#: lifetime (ADVICE r15).
+_LA_PREV_BROADCAST: dict = {}
+
+
 def label_agreement(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -159,18 +167,23 @@ def label_agreement(
                 f"(got {dt.simpleString()}); map string ids/labels to "
                 f"integers first"
             )
-    if emb.limit(max_rows + 1).count() > max_rows:
+    # ONE bounded TopK collect replaces the probe-count + collect pair
+    # (r16): orderBy + LIMIT max_rows+1 is a TakeOrdered, so an
+    # oversized input still fails after a bounded scan (the extra row
+    # proves the overflow), and the in-bound case pays one job, not two.
+    snap = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"), F.col(label_col))
+        .orderBy(id_col)
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(snap) > max_rows:
         raise ValueError(
             f"label_agreement snapshots the labeled set driver-side; "
             f"input exceeds max_rows={max_rows}. Use label_agreement_ivf "
             f"for corpus-scale sets (same audit, IVF-blocked 1-NN, no "
             f"driver snapshot)."
         )
-    snap = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"), F.col(label_col))
-        .orderBy(id_col)
-        .collect()
-    )
     if any(r[0] is None or r[2] is None for r in snap):
         raise ValueError(
             f"label_agreement requires non-null {id_col!r}/{label_col!r}"
@@ -183,8 +196,17 @@ def label_agreement(
     Mn = M / nrm[:, None]
     # One torrent broadcast per call; the mapInPandas closure below
     # captures only this handle (bytes, not megabytes) so re-executing
-    # the frame never re-ships the snapshot.
-    bc = emb.sparkSession.sparkContext.broadcast((ids, labels, Mn))
+    # the frame never re-ships the snapshot. The PREVIOUS call's
+    # broadcast is unpersisted (not destroyed) so repeated calls in a
+    # long session don't accumulate ~5 MB executor-cached blocks per
+    # call (ADVICE r15): an older frame re-executed later lazily
+    # re-fetches its value from the driver — slower, never wrong.
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((ids, labels, Mn))
+    prev = _LA_PREV_BROADCAST.pop(sc.applicationId, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    _LA_PREV_BROADCAST[sc.applicationId] = bc
 
     def batches(it):
         ids, labels, Mn = bc.value

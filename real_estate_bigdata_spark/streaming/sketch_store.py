@@ -204,6 +204,21 @@ def streaming_hll_estimate(
     )
 
 
+def _ensure_commit_marker(fs, jvm, dir_path: str) -> None:
+    """Guarantee the ``_SUCCESS`` marker the loaders gate on exists under
+    ``dir_path`` after a parquet write has returned. On committers
+    configured with ``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false`` (common on object stores) the write commits but emits no
+    marker — the loader would then refuse the new base forever while the
+    compactor deletes the folded epochs, losing registers/counts (ADVICE
+    r15). The write call returning without exception IS the commit, so
+    materializing the marker ourselves is safe; cleanup below only runs
+    once the published tier is actually visible to the loader."""
+    ok = jvm.org.apache.hadoop.fs.Path(f"{dir_path}/_SUCCESS")
+    if not fs.exists(ok):
+        fs.create(ok, True).close()
+
+
 def compact_hll_store(spark: SparkSession, store_dir: str) -> int:
     """Fold all epoch partitions (and any prior base) into one base
     tier; run while the stream is stopped (the fingerprint-store
@@ -230,6 +245,9 @@ def compact_hll_store(spark: SparkSession, store_dir: str) -> int:
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(store_dir)
     fs = root.getFileSystem(hconf)
+    # the loader gates on _SUCCESS; make sure it exists before deleting
+    # the only other copy of the folded registers (ADVICE r15)
+    _ensure_commit_marker(fs, jvm, f"{store_dir}/base/v{new_v}")
     epochs = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/epochs")
     if fs.exists(epochs):
         fs.delete(epochs, True)
@@ -422,6 +440,9 @@ def compact_cms_store(
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     fs = jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(hconf)
+    # fencepost filter keys off the committed marker; publish it before
+    # deleting the folded epochs (ADVICE r15 — marker-less committers)
+    _ensure_commit_marker(fs, jvm, f"{store_dir}/base/v{new_f}")
     for b in fold:
         p = jvm.org.apache.hadoop.fs.Path(
             f"{store_dir}/epochs/ingest_batch={b}"

@@ -9,11 +9,48 @@ __all__ = [
     "ensure_min_parallelism",
     "finish_pending_dir_swap",
     "is_missing_path_error",
+    "local_frame",
     "read_fold_marker",
     "swap_in_rewrite",
     "with_run_metrics",
     "write_fold_marker",
 ]
+
+
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Driver-computed result rows -> DataFrame via the pandas/Arrow
+    fast path instead of ``createDataFrame(list)``'s pickled-RDD path.
+
+    ``createDataFrame`` over a plain Python list parallelizes PICKLED
+    rows: every downstream scan of the frame then launches a Python
+    worker per task just to unpickle them — measured as whole 32-task
+    stages of executor runtime with ~zero JVM CPU on the fast-path
+    operator outputs (union-find labels, numpy PageRank ranks), paid
+    again on EVERY re-scan. Routing through pandas + Arrow ships the
+    rows to the JVM once as Arrow batches at creation; scans are then
+    JVM-native. Values are bit-identical (Arrow casts exact ints/
+    floats/strings; None stays NULL). Falls back to the plain path if
+    the pandas/Arrow conversion rejects the data (exotic types), so
+    callers can use it unconditionally.
+    """
+    try:
+        import pandas as pd
+
+        if isinstance(schema, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _parse_datatype_string(schema)
+        else:
+            st = schema
+        names = [f.name for f in st.fields]
+        data = {}
+        for i, n in enumerate(names):
+            col = pd.Series([r[i] for r in rows], dtype=object)
+            data[n] = col
+        pdf = pd.DataFrame(data, columns=names)
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
 
 
 def is_missing_path_error(exc) -> bool:
