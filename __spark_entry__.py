@@ -31,6 +31,23 @@ from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators import windows as win
 from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA, load_table, load_tables
 
+
+def _concurrently(*fns):
+    """Build independent DataFrame pipelines in parallel driver threads
+    (guide §2.6): an operator call that eagerly localCheckpoints its
+    intermediate blocks the calling thread in a Spark job, so two
+    independent generator calls issued sequentially serialize their
+    materialization jobs even when the cluster has idle capacity. The
+    threads only overlap SPARK JOBS (the GIL releases on the py4j
+    socket); results and semantics are untouched — this is the
+    scheduler back-fill pattern the optimization guide prescribes for
+    independent work."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futures = [pool.submit(f) for f in fns]
+        return [f.result() for f in futures]
+
 # --------------------------------------------------------------------------
 # Listing-normalization parity corpus (FIXTURES.md §5). The same rows feed
 # the Spark query (createDataFrame) and the DuckDB oracle (VALUES literal),
@@ -972,8 +989,14 @@ def _q_pair_set_quality(spark, sf):
     )
 
     docs = load_table(spark, sf, "documents")
-    pred = dd.simhash_pairs(docs, max_hamming=7, bands=8, portable=True)
-    truth = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    # r16: the two generators' eager checkpoint jobs (simhash signature
+    # aggregate; jaccard shingle table) are independent — build them in
+    # parallel threads so the second materialization back-fills idle
+    # cores instead of queueing behind the first (guide §2.6)
+    pred, truth = _concurrently(
+        lambda: dd.simhash_pairs(docs, max_hamming=7, bands=8, portable=True),
+        lambda: dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8),
+    )
     return pair_set_metrics(pred, truth)
 
 
@@ -2294,16 +2317,21 @@ def _q_record_linkage(spark, sf):
         ).cast("bigint")
 
     cust = load_table(spark, sf, "customer")
-    name_pairs = fz.edit_distance_pairs(
-        cust, "c_custkey", "c_name", max_distance=1
-    )
     pts = cust.select(
         "c_custkey",
         (F.lit(10.3) + (h(":lat") % 12000) / 10000.0).alias("lat"),
         (F.lit(106.2) + (h(":lon") % 14000) / 10000.0).alias("lon"),
     )
-    geo_pairs = geo.geo_radius_pairs(
-        pts, "c_custkey", "lat", "lon", radius_km=5.0, max_abs_lat=15.0
+    # r16: the two evidence channels' eager checkpoint jobs (fuzzy
+    # variant table; geo point frame) are independent — overlap them
+    # (guide §2.6)
+    name_pairs, geo_pairs = _concurrently(
+        lambda: fz.edit_distance_pairs(
+            cust, "c_custkey", "c_name", max_distance=1
+        ),
+        lambda: geo.geo_radius_pairs(
+            pts, "c_custkey", "lat", "lon", radius_km=5.0, max_abs_lat=15.0
+        ),
     )
     return (
         name_pairs.join(geo_pairs, ["id_a", "id_b"])

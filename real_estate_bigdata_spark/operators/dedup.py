@@ -1658,13 +1658,20 @@ def cross_corpus_lsh_pairs(
     rows_per_band = num_hashes // bands
     # each side's shingle table feeds its signature aggregate AND its
     # verify join — checkpoint so the tokenize+hash pipeline runs once
-    # per side (r15; the minhash_lsh_pairs rationale)
-    hsh_a = _hashed_shingles(a, n, id_col, text_col).localCheckpoint(
-        eager=True
-    )
-    hsh_b = _hashed_shingles(b, n, id_col, text_col).localCheckpoint(
-        eager=True
-    )
+    # per side (r15; the minhash_lsh_pairs rationale). r16: the two
+    # sides' materialization jobs are independent, so they run in
+    # parallel driver threads (guide §2.6) — the second side back-fills
+    # cores the first side's job tail leaves idle; results untouched.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _cp(side: DataFrame) -> DataFrame:
+        return _hashed_shingles(side, n, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fa, _fb = _pool.submit(_cp, a), _pool.submit(_cp, b)
+        hsh_a, hsh_b = _fa.result(), _fb.result()
     bands_a = _band_keys(
         _minhash_signatures(hsh_a, num_hashes, id_col), bands, rows_per_band, id_col
     ).select(F.col(id_col).alias("id_a"), "band", "bucket")
