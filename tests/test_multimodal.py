@@ -436,6 +436,116 @@ def test_ahash_small_images_not_degenerate():
     assert mm.ahash64(np.zeros((0, 4, 3))) == 0
 
 
+def test_ahash_vectorized_matches_split_form():
+    """r16 internals pin: the divisible-dims reshape-mean fast path
+    must be BIT-equal to the general array_split form — the pair set
+    downstream keys on exact hash values, so a single flipped borderline
+    cell comparison would silently change q_image_neardup's rows. Runs
+    the split form inline as the reference (same construction the
+    pre-r16 operator used), over divisible, non-divisible, tiny and
+    all-flat (tie-heavy) shapes."""
+    import numpy as np
+
+    def reference(px, grid=8):
+        gray = px.mean(axis=2)
+        if gray.size == 0:
+            return 0
+        h, w = gray.shape
+        if h < grid:
+            gray = np.repeat(gray, -(-grid // h), axis=0)
+        if w < grid:
+            gray = np.repeat(gray, -(-grid // w), axis=1)
+        cells = [
+            c.mean()
+            for row in np.array_split(gray, grid, axis=0)
+            for c in np.array_split(row, grid, axis=1)
+        ]
+        mean = float(np.mean(cells))
+        bits = 0
+        for i, c in enumerate(cells):
+            if c > mean:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    rng = np.random.default_rng(99)
+    shapes = [(16, 16), (8, 8), (32, 48), (10, 10), (17, 23), (3, 5), (1, 1)]
+    for s in shapes:
+        for _ in range(30):
+            px = rng.random((*s, 3))
+            assert mm.ahash64(px) == reference(px), s
+        flat = np.full((*s, 3), 0.5)
+        assert mm.ahash64(flat) == reference(flat), s
+
+
+def test_png_unfilter_vectorized_matches_scalar_reference():
+    """r16 internals pin: the vectorized unfilter (bulk filter-0 path,
+    per-channel cumsum Sub, pixel-loop Average/Paeth) must reproduce
+    the spec's scalar per-byte recurrence exactly on random rows mixing
+    ALL filter types — including uint8 wraparound."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def build_png(w, h, raw):
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    def scalar_unfilter(raw, h, stride, ch=3):
+        out = np.empty((h, stride), dtype=np.int32)
+        prev = np.zeros(stride, dtype=np.int32)
+        for r in range(h):
+            ftype = raw[r * (stride + 1)]
+            cur = np.frombuffer(
+                raw, np.uint8, stride, r * (stride + 1) + 1
+            ).astype(np.int32)
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                rec[i] = (cur[i] + pred) & 0xFF
+            out[r] = rec
+            prev = rec
+        return out.astype(np.uint8)
+
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        w, h = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        stride = w * 3
+        raw = b"".join(
+            bytes([int(rng.integers(0, 5))])
+            + rng.integers(0, 256, stride, dtype=np.uint8).tobytes()
+            for _ in range(h)
+        )
+        expect = scalar_unfilter(raw, h, stride).reshape(h, w, 3)
+        got = mm._decode_png_stdlib(build_png(w, h, raw))
+        assert np.array_equal((got * 255.0).round().astype(np.uint8), expect)
+
+
 class TestPngStdlibCodec:
     """Pure-stdlib PNG tier (r11, VERDICT r10 task #2): encode_png /
     _decode_png_stdlib round-trips, all five scanline filters, every
