@@ -36,7 +36,7 @@ from real_estate_bigdata_spark.functions.text import (
     word_ngrams,
 )
 from real_estate_bigdata_spark.functions.vectors import cosine_from_norms, l2_norm
-from real_estate_bigdata_spark.util import ensure_min_parallelism
+from real_estate_bigdata_spark.util import checkpoint_frame, ensure_min_parallelism
 
 __all__ = [
     "exact_dup_groups",
@@ -324,6 +324,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_posting_len: int | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup pairs (id_a < id_b, jaccard).
 
@@ -345,8 +346,8 @@ def ngram_jaccard_pairs(
     # primitive longs (a struct-carried size variant measured slower —
     # interpreted struct array_sort) while both the posting stream and
     # the broadcast size sides read the materialization.
-    hsh = _hashed_shingles(docs, n, id_col, text_col).localCheckpoint(
-        eager=True
+    hsh = checkpoint_frame(
+        _hashed_shingles(docs, n, id_col, text_col), materialize
     )
     sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
     exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
@@ -376,6 +377,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_posting_len: int | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Exact word-n-gram CONTAINMENT near-dup pairs — the asymmetric
     relationship Jaccard structurally misses: a short document quoted
@@ -403,8 +405,8 @@ def ngram_containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     # one tokenize+hash pass via the shared checkpoint — see
     # ngram_jaccard_pairs
-    hsh = _hashed_shingles(docs, n, id_col, text_col).localCheckpoint(
-        eager=True
+    hsh = checkpoint_frame(
+        _hashed_shingles(docs, n, id_col, text_col), materialize
     )
     sizes = hsh.select(F.col(id_col), F.size("hs").alias("n_sh"))
     exploded = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
@@ -520,6 +522,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -549,8 +552,8 @@ def minhash_lsh_pairs(
     # r15: the shingle table feeds THREE consumers (the signature
     # aggregate and both verify sides), and unmaterialized lineage ran
     # the tokenize+hash pipeline once per consumer — checkpoint once.
-    hsh = _hashed_shingles(docs, n, id_col, text_col).localCheckpoint(
-        eager=True
+    hsh = checkpoint_frame(
+        _hashed_shingles(docs, n, id_col, text_col), materialize
     )
     sig = _minhash_signatures(hsh, num_hashes, id_col)
     banded = _band_keys(sig, bands, rows_per_band, id_col)
@@ -686,6 +689,7 @@ def simhash_pairs(
     text_col: str = "text",
     bands: int = 4,
     portable: bool = False,
+    materialize: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking (a pair within Hamming
     distance ``max_hamming`` <= bands-1 must agree exactly on >=1 of
@@ -712,9 +716,12 @@ def simhash_pairs(
     # signature frame twice, and unmaterialized lineage planned the
     # whole shingle + 64-sum pipeline once per side (4 corpus scans, 2
     # signature aggregations). The frame is (id, int64) — 16 bytes/row.
-    sig = simhash_signatures(
-        docs, n=n, id_col=id_col, text_col=text_col, portable=portable
-    ).localCheckpoint(eager=True)
+    sig = checkpoint_frame(
+        simhash_signatures(
+            docs, n=n, id_col=id_col, text_col=text_col, portable=portable
+        ),
+        materialize,
+    )
     return hamming_banded_pairs(
         sig, sig_col="sim", max_hamming=max_hamming, bands=bands, id_col=id_col
     )
@@ -1628,6 +1635,7 @@ def cross_corpus_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Document-level near-duplicate pairs ACROSS two corpora — "which
     of my training documents near-duplicate a benchmark / another
@@ -1665,8 +1673,8 @@ def cross_corpus_lsh_pairs(
     from concurrent.futures import ThreadPoolExecutor
 
     def _cp(side: DataFrame) -> DataFrame:
-        return _hashed_shingles(side, n, id_col, text_col).localCheckpoint(
-            eager=True
+        return checkpoint_frame(
+            _hashed_shingles(side, n, id_col, text_col), materialize
         )
 
     with ThreadPoolExecutor(max_workers=2) as _pool:
@@ -1689,6 +1697,7 @@ def novelty_scores(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: str | None = None,
 ) -> DataFrame:
     """Per-document content novelty: the fraction of a doc's DISTINCT
     word-``n``-grams whose global first occurrence (minimum owning doc
@@ -1722,8 +1731,8 @@ def novelty_scores(
     # (id, n_grams, hs) materialized ONCE: both the gram stream and the
     # per-doc sizes read it, where the r14 plan ran the tokenize+hash
     # pipeline once per consumer
-    hsh = _hashed_shingles(base, n, id_col, text_col).localCheckpoint(
-        eager=True
+    hsh = checkpoint_frame(
+        _hashed_shingles(base, n, id_col, text_col), materialize
     )
     grams = hsh.select(F.col(id_col), F.explode("hs").alias("g"))
     first = grams.groupBy("g").agg(F.min(id_col).alias("__first_id"))

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.util import ensure_min_parallelism
+from real_estate_bigdata_spark.util import checkpoint_frame, ensure_min_parallelism
 
 __all__ = [
     "edit_distance_pairs",
@@ -150,6 +150,7 @@ def edit_distance_pairs(
     col: str,
     max_distance: int = 1,
     max_len: int | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """All unordered pairs of rows whose ``col`` strings are within
     Levenshtein distance ``max_distance`` — EXACT semantics (complete
@@ -173,10 +174,11 @@ def edit_distance_pairs(
     # join-free posting-list form was measured ~40% SLOWER at sf0.1 —
     # interpreted HOF pair expansion — and rejected; see
     # OPTIMIZATION_r15.md.)
-    vars_df = (
-        _variants(df, id_col, col, k, max_len)
-        .select("__fid", "__fs", F.xxhash64("__fv").alias("__fh"))
-        .localCheckpoint(eager=True)
+    vars_df = checkpoint_frame(
+        _variants(df, id_col, col, k, max_len).select(
+            "__fid", "__fs", F.xxhash64("__fv").alias("__fh")
+        ),
+        materialize,
     )
     a, b = vars_df.alias("a"), vars_df.alias("b")
     cand = (

@@ -38,7 +38,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from real_estate_bigdata_spark.util import ensure_min_parallelism
+from real_estate_bigdata_spark.util import checkpoint_frame, ensure_min_parallelism
 
 __all__ = [
     "haversine_km",
@@ -116,6 +116,7 @@ def geo_radius_pairs(
     lon_col: str,
     radius_km: float,
     max_abs_lat: float = 75.0,
+    materialize: str | None = None,
 ) -> DataFrame:
     """All unordered pairs of rows within ``radius_km`` great-circle
     distance — EXACT semantics (the grid only prunes; haversine
@@ -137,15 +138,18 @@ def geo_radius_pairs(
     # scan + coordinate expressions once per join side (the entry
     # fixtures synthesize coordinates with md5 arithmetic — paying it
     # twice was measurable). Five skinny columns per point.
-    pts = ensure_min_parallelism(
-        df.where(lat.isNotNull() & lon.isNotNull())
-    ).select(
-        F.col(id_col).alias("__gid"),
-        _guarded_lat(lat, max_abs_lat).alias("__glat"),
-        lon.alias("__glon"),
-        F.floor(lat / cell_lat).cast("long").alias("__gcy"),
-        F.floor(lon / cell_lon).cast("long").alias("__gcx"),
-    ).localCheckpoint(eager=True)
+    pts = checkpoint_frame(
+        ensure_min_parallelism(
+            df.where(lat.isNotNull() & lon.isNotNull())
+        ).select(
+            F.col(id_col).alias("__gid"),
+            _guarded_lat(lat, max_abs_lat).alias("__glat"),
+            lon.alias("__glon"),
+            F.floor(lat / cell_lat).cast("long").alias("__gcy"),
+            F.floor(lon / cell_lon).cast("long").alias("__gcx"),
+        ),
+        materialize,
+    )
     nine = F.array(
         *[
             F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))

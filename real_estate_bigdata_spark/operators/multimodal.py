@@ -1171,6 +1171,7 @@ def image_neardup_pairs(
     bands: int = 8,
     use_pil: bool | None = None,
     sig: DataFrame | None = None,
+    materialize: str | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: perceptual hash + the SAME banded
     Hamming blocking the text SimHash family uses
@@ -1213,7 +1214,9 @@ def image_neardup_pairs(
     from real_estate_bigdata_spark.operators.dedup import hamming_banded_pairs
 
     if sig is None:
-        sig = image_phash(media, use_pil=use_pil).localCheckpoint(eager=True)
+        from real_estate_bigdata_spark.util import checkpoint_frame
+
+        sig = checkpoint_frame(image_phash(media, use_pil=use_pil), materialize)
     return hamming_banded_pairs(
         sig, sig_col="phash", max_hamming=max_hamming, bands=bands,
         id_col="media_id",

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "checkpoint_frame",
     "delete_dir",
     "ensure_min_parallelism",
     "finish_pending_dir_swap",
@@ -15,6 +16,55 @@ __all__ = [
     "with_run_metrics",
     "write_fold_marker",
 ]
+
+#: session conf key selecting how operators materialize shared
+#: intermediates when the caller passes materialize=None
+MATERIALIZE_CONF = "spark.real_estate_bigdata.materialize"
+
+
+def checkpoint_frame(df: DataFrame, materialize: str | None = None) -> DataFrame:
+    """Materialize a shared intermediate once for multiple consumers —
+    the knob behind every pair-generator checkpoint (VERDICT r15 task
+    #7: the r15 localCheckpoint fleet is a 100 TB fault-tolerance
+    trade that needed an escape hatch).
+
+    Modes (``materialize`` argument, falling back to the session conf
+    ``spark.real_estate_bigdata.materialize``, default ``"local"``):
+
+    - ``"local"`` — ``localCheckpoint(eager=True)``: blocks live on
+      executor-local storage, reclaimed by the ContextCleaner with the
+      frame. Fastest, but NOT fault-tolerant: losing an executor
+      mid-query fails the job instead of recomputing (lineage is
+      truncated). The right default for on-demand/static executors and
+      for local runs.
+    - ``"reliable"`` — ``checkpoint(eager=True)``: blocks written to
+      ``spark.sparkContext.setCheckpointDir(...)`` (typically HDFS/
+      object storage); executor loss re-reads the checkpoint instead
+      of failing. The 100 TB posture for preemptible/spot executors or
+      aggressive dynamic allocation — pay one durable write per shared
+      intermediate to keep multi-hour jobs restartable. Spark raises
+      its own clear error if no checkpoint dir is set.
+
+    ``persist(StorageLevel.DISK_ONLY)`` is deliberately NOT offered:
+    a persisted relation sits in the session's cache manager until an
+    explicit unpersist, which an operator cannot safely issue before
+    its caller materializes the result — long sessions would
+    accumulate cached relations indefinitely (the image_neardup_pairs
+    docstring documents the same rejection).
+    """
+    mode = materialize
+    if mode is None:
+        try:
+            mode = df.sparkSession.conf.get(MATERIALIZE_CONF, "local")
+        except Exception:
+            mode = "local"
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    raise ValueError(
+        f"unknown materialize mode {mode!r} — use 'local' or 'reliable'"
+    )
 
 
 def local_frame(spark, rows, schema) -> DataFrame:

@@ -1779,3 +1779,45 @@ def test_containment_cap_bounds_viral_shingle_blowup(spark):
     # cap is conservative: subset of pairs, never a raised score
     assert set(got_cap) <= set(got_un)
     assert all(got_cap[p] <= got_un[p] + 1e-9 for p in got_cap)
+
+
+def test_materialize_reliable_matches_local(spark, tmp_path):
+    """r16 (VERDICT r15 task #7): the checkpoint fleet's 100 TB escape
+    hatch. materialize='reliable' routes the shared intermediate
+    through a durable spark checkpoint (executor loss re-reads instead
+    of failing the job) and must be row-identical to the default
+    localCheckpoint path; the session conf
+    spark.real_estate_bigdata.materialize drives the default, and an
+    unknown mode fails loudly."""
+    import pytest
+
+    from real_estate_bigdata_spark.util import MATERIALIZE_CONF, checkpoint_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "a b c d e f x y"),
+            (4, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    local = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    durable = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, materialize="reliable"
+    )
+    assert sorted(map(tuple, local.collect())) == sorted(
+        map(tuple, durable.collect())
+    )
+    # conf-driven default: same rows through the conf route
+    spark.conf.set(MATERIALIZE_CONF, "reliable")
+    try:
+        via_conf = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+        assert sorted(map(tuple, local.collect())) == sorted(
+            map(tuple, via_conf.collect())
+        )
+    finally:
+        spark.conf.unset(MATERIALIZE_CONF)
+    with pytest.raises(ValueError, match="materialize"):
+        checkpoint_frame(docs, "ramdisk")
