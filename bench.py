@@ -214,6 +214,15 @@ def main() -> None:
                 "run_median_guard_ratio": round(med, 3),
                 "gate": "raw>2 AND normalized>2 AND abs>1s",
                 "flagged": flagged,
+                # ADVICE r15 #2: the normalized gate cannot flag a
+                # codewide slowdown — if EVERY query regresses ~3x the
+                # run median absorbs it and per-query flags stay quiet.
+                # Surface the whole-distribution shift separately so a
+                # uniform regression is at least visible in this file;
+                # adjudicating code-vs-environment still needs the
+                # BENCH_GUARDS same-code re-measure protocol (host
+                # steal alone produced 1.4-1.7x medians in r14).
+                "uniform_shift_flag": med > 2.0,
             }
 
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:

@@ -1713,6 +1713,14 @@ def novelty_scores(
     novelty; NULL-id docs are excluded entirely (they cannot own a
     first occurrence, and a NULL id is unusable downstream).
 
+    ``id_col`` values must be UNIQUE (the dsir_logweights target-id
+    precondition, stated per ADVICE r15 #5): the r15 plan emits one
+    output row per INPUT row with that row's own ``size(hs)`` but the
+    full per-id ``n_novel`` joined on, so a duplicated id would yield
+    rows whose novelty exceeds 1 where the r14 exploded form grouped
+    grams by id first. Dedup upstream (``exact_dedup``) before scoring
+    a corpus whose ids can repeat.
+
     Plan (r15 rework): one per-gram min-id aggregate (map-side
     combinable) over the exploded hashed-gram stream, then — instead
     of joining that result BACK against the gram stream (a second
