@@ -20,8 +20,11 @@ full family, each designed scale-out first:
 - **Embedding cosine** — near-dup by semantic similarity; exact
   threshold join at small scale, hyperplane-LSH blocking at large.
 
-All signatures are computed with xxhash64 (JVM-side, seeded,
-deterministic) — no Python in any hot path.
+Feature hashing is xxhash64/md5 (JVM-side, seeded, deterministic);
+the MinHash/SimHash signature tallies over those features run as
+vectorized numpy Arrow-batch kernels (``functions.nphash``, bit-exact
+mirrors pinned against the JVM spec Columns) — no row-at-a-time Python
+anywhere.
 """
 
 from __future__ import annotations
@@ -434,28 +437,51 @@ def _minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<num_hashes> bigint) from hashed shingles.
 
-    Signatures the scale-out way (same trick as simhash_signatures):
-    explode hashed shingles once, then ONE codegen'd hash aggregate
-    computing all num_hashes mins — instead of num_hashes interpreted
-    transform+array_min passes over the array per row. The hash family
-    is min(xxhash64(shingle_id, i)) over the 64-bit shingle universe —
-    same structure as functions.text.minhash_signature (the per-row
-    spec), applied to hashed rather than string shingles. Shingle-less
+    The hash family is min(xxhash64(shingle_id, i)) over the 64-bit
+    shingle universe — same structure as
+    functions.text.minhash_signature (the per-row spec), applied to
+    hashed rather than string shingles, and pinned bit-identical to it
+    by ``test_minhash_agg_signatures_match_per_row_spec``. Shingle-less
     docs (NULL/empty/too-short text) produce no signature row.
+
+    r16 (guide §4.2/§7.3): computed by one vectorized numpy kernel per
+    Arrow batch (:func:`functions.nphash.minhash_sigs`, bit-exact
+    xxhash64 mirror) instead of explode + a num_hashes-lane
+    min-aggregate. The lane tree cost ~1 s of single-threaded driver
+    planning per execution and re-hashed the full two-link xxhash64
+    chain per lane; the kernel shares the first link (shingle, seed 42)
+    across all lanes and needs no shuffle at all — the signature is a
+    per-document function of its shingle array.
     """
-    return (
-        hsh.select(F.col(id_col), F.explode("hs").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            *[
-                F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-        )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from real_estate_bigdata_spark.functions.nphash import minhash_sigs
+
+    out_schema = T.StructType(
+        [
+            hsh.schema[id_col],
+            T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def _sig_batches(it):
+        for pdf in it:
+            keep, arrays = [], []
+            for k, arr in enumerate(pdf["hs"]):
+                if arr is not None and len(arr):
+                    keep.append(k)
+                    arrays.append(np.asarray(arr, dtype=np.int64))
+            if not arrays:
+                continue
+            sig = minhash_sigs(arrays, num_hashes)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].iloc[keep].values, "sig": list(sig)}
+            )
+
+    return hsh.select(F.col(id_col), "hs").mapInPandas(
+        _sig_batches, schema=out_schema
     )
 
 
@@ -555,7 +581,13 @@ def minhash_lsh_pairs(
     hsh = checkpoint_frame(
         _hashed_shingles(docs, n, id_col, text_col), materialize
     )
-    sig = _minhash_signatures(hsh, num_hashes, id_col)
+    # r16: the numpy-kernel signature (see _minhash_signatures) has no
+    # exchange for the band self-join's two sides to reuse — without a
+    # materialization each side would re-run the whole kernel pipeline.
+    # The (id, 64xbigint) frame is small (~0.5 KB/doc, payload-free).
+    sig = checkpoint_frame(
+        _minhash_signatures(hsh, num_hashes, id_col), materialize
+    )
     banded = _band_keys(sig, bands, rows_per_band, id_col)
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -642,43 +674,58 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, sim) SimHash signatures, computed the scale-out way.
 
-    Identical bits to :func:`simhash64`, but instead of 64 higher-order
-    aggregate passes over the feature array per row (a giant interpreted
-    expression tree), this explodes features once and runs ONE
-    whole-stage-codegen hash aggregate with 64 conditional sums —
-    partial-aggregated map-side, a single shuffle on the doc id. This is
-    the formulation that survives 100 TB; the per-row Column variant is
-    kept as the readable spec and for ad-hoc use on small inputs.
+    Identical bits to :func:`simhash64` (pinned by
+    ``test_simhash_signatures_match_per_row_spec``): feature hashing
+    stays JVM-side (``_hashed_shingles``), and the 64 bit-votes are
+    tallied by ONE vectorized numpy kernel per Arrow batch
+    (:func:`functions.nphash.simhash_sims` — an unpackbits popcount;
+    the vote comparison ``2*ones > n_feats`` is integer arithmetic, so
+    the bits match the JVM formulation exactly, not approximately).
 
-    Docs with no features (empty/whitespace text) keep signature 0, as in
-    the per-row variant.
+    r16 (guide §4.2/§7.3): the previous explode + 64-conditional-sum
+    hash aggregate was whole-stage-codegen but its 64-lane expression
+    tree cost ~1.1 s of single-threaded driver PLANNING per execution
+    (measured as a zero-jobs-running gap) plus a full exchange on the
+    doc id. The signature is a per-document function of its feature
+    array, so the map-side kernel needs no shuffle and a ~20-node plan.
+    One row out per input row (the aggregate form merged duplicate-id
+    feature streams instead — the per-row spec semantics are the
+    documented ones, and every fixture has unique ids).
+
+    Docs with no features (empty/whitespace/NULL text) keep signature
+    0, as in the per-row variant.
 
     ``portable=True`` uses md5-derived 60-bit feature hashes (see
     ``_hashed_shingles``) so the whole signature is reproducible in
     DuckDB bit-for-bit; bits 60-63 are then always 0 (every feature
     votes -1 there).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from real_estate_bigdata_spark.functions.nphash import simhash_sims
+
     feats = _hashed_shingles(
         docs, n, id_col, text_col, distinct=False, portable=portable
-    ).select(F.col(id_col), F.explode("hs").alias("h"))
-    one = F.lit(1).cast("bigint")
-    votes = feats.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
     )
-    sim = F.lit(0).cast("bigint")
-    for i in range(64):
-        sim = sim + F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(0)
-    sigs = votes.select(F.col(id_col), sim.alias("sim"))
-    return (
-        docs.select(id_col)
-        .join(sigs, id_col, "left")
-        .select(F.col(id_col), F.coalesce("sim", F.lit(0).cast("bigint")).alias("sim"))
+    out_schema = T.StructType(
+        [feats.schema[id_col], T.StructField("sim", T.LongType(), False)]
     )
+
+    def _sig_batches(it):
+        for pdf in it:
+            sims = np.zeros(len(pdf), dtype=np.int64)
+            keep, arrays = [], []
+            for k, arr in enumerate(pdf["hs"]):
+                if arr is not None and len(arr):
+                    keep.append(k)
+                    arrays.append(np.asarray(arr, dtype=np.int64))
+            if arrays:
+                sims[keep] = simhash_sims(arrays)
+            yield pd.DataFrame({id_col: pdf[id_col], "sim": sims})
+
+    return feats.mapInPandas(_sig_batches, schema=out_schema)
 
 
 def simhash_pairs(
@@ -1473,6 +1520,7 @@ def neardup_against_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     return_additions: bool = False,
+    materialize: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-duplicate dedup for continuous ingest: drop
     every new document whose MinHash signature says it near-duplicates
@@ -1548,7 +1596,14 @@ def neardup_against_store(
     rows_per_band = num_hashes // bands
 
     hsh = _hashed_shingles(new_docs, n, id_col, text_col)
-    sig = _minhash_signatures(hsh, num_hashes, id_col)
+    # r16: the batch signature feeds the within-batch self-join (both
+    # sides), the store join, the estimator verify and the additions —
+    # five references. The pre-r16 aggregate's exchange was reused
+    # across all of them; the numpy-kernel signature has no exchange,
+    # so materialize it once instead of re-tokenizing per reference.
+    sig = checkpoint_frame(
+        _minhash_signatures(hsh, num_hashes, id_col), materialize
+    )
     batch_bands = _band_keys(sig, bands, rows_per_band, id_col)
 
     est = F.round(
