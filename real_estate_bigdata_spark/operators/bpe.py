@@ -277,6 +277,87 @@ def _disjoint_prefix_batch(
     return out
 
 
+def _train_bpe_local(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Exact Sennrich merge loop over a COLLECTED (word, cnt) table —
+    the bounded fast path of :func:`train_bpe_batched` (the
+    dawid_skene/bradley_terry precedent: once the corpus has collapsed
+    to a small vocab table, per-merge Spark aggregates are pure driver
+    round-trip overhead).
+
+    Bit-identical to the distributed loop by construction: same
+    end-of-word convention, same (count desc, left, right) tie-break,
+    same greedy left-to-right non-overlapping merge scan, same
+    ``min_pair_count`` stop. Callers guarantee every word is BMP-only
+    (checked at the probe) so Python's per-code-point split and string
+    order coincide exactly with the JVM's per-UTF-16-unit behavior —
+    astral-plane vocabularies take the distributed path.
+
+    Incremental bookkeeping: a pair -> containing-words index limits
+    each merge to the words it touches, and the argmax is a
+    lazy-deletion heap (every count CHANGE pushes a fresh entry;
+    stale heads are popped against the live counter) — never a full
+    rescan per merge.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    syms: list[list[str]] = []
+    cnts: list[int] = []
+    for w, c in word_counts:
+        s = list(w)
+        s[-1] = s[-1] + END_OF_WORD
+        syms.append(s)
+        cnts.append(c)
+    pc: Counter = Counter()
+    occ: defaultdict = defaultdict(set)
+    for k, s in enumerate(syms):
+        c = cnts[k]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pc[p] += c
+            occ[p].add(k)
+    heap = [(-n, l, r) for (l, r), n in pc.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        if pc.get((a, b)) != -negn:
+            continue  # stale entry — the count changed since the push
+        if -negn < min_pair_count:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for k in sorted(occ[(a, b)]):
+            s, c = syms[k], cnts[k]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] -= c
+                if pc[p] == 0:
+                    del pc[p]
+                else:
+                    heapq.heappush(heap, (-pc[p], p[0], p[1]))
+                occ[p].discard(k)
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[k] = out
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                pc[p] += c
+                heapq.heappush(heap, (-pc[p], p[0], p[1]))
+                occ[p].add(k)
+    return merges
+
+
 def train_bpe_batched(
     docs: DataFrame,
     n_merges: int = 100,
@@ -286,6 +367,7 @@ def train_bpe_batched(
     checkpoint_every: int = 8,
     batch_size: int = 16,
     stats: dict | None = None,
+    small_vocab_threshold: int = 65_536,
 ) -> list[tuple[str, str]]:
     """:func:`train_bpe` with up to ``batch_size`` merges applied per
     Spark iteration — BIT-IDENTICAL output (pytest-pinned against both
@@ -316,7 +398,21 @@ def train_bpe_batched(
     trainer (one extra fetched row, same argmax). A caller-provided
     ``stats`` dict receives ``round_trips`` (aggregate+collect
     iterations) and ``merges`` — the scale battery records both so the
-    batching ratio is a measured number, not a claim."""
+    batching ratio is a measured number, not a claim.
+
+    r16 fast path: after the (one, corpus-sized) collapse to the word
+    table, a vocab within ``small_vocab_threshold`` rows is collected
+    with ONE bounded LIMIT-k+1 probe and trained entirely on the driver
+    (:func:`_train_bpe_local` — bit-identical, pinned against both the
+    distributed trainers and the pytest mirror). Every further Spark
+    iteration on a small vocab was pure round-trip overhead: merge
+    statistics depend only on the word table, which is vocab-sized by
+    construction. Words containing non-BMP characters force the
+    distributed path (Python code-point split/order could diverge from
+    the JVM's UTF-16 behavior there); ``small_vocab_threshold=0``
+    forces it too (the dawid_skene test idiom). ``stats`` records
+    ``path`` ("local" or "distributed"); the local path's
+    ``round_trips`` is 1 (the probe collect)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_pair_count < 1:
@@ -326,6 +422,25 @@ def train_bpe_batched(
     words = _word_table(docs, text_col, max_vocab_words).localCheckpoint(
         eager=True
     )
+    if small_vocab_threshold > 0:
+        head = (
+            words.select("word", "cnt")
+            .limit(small_vocab_threshold + 1)
+            .collect()
+        )
+        if len(head) <= small_vocab_threshold and all(
+            (not r["word"]) or max(r["word"]) <= "\uffff" for r in head
+        ):
+            merges = _train_bpe_local(
+                [(r["word"], r["cnt"]) for r in head],
+                n_merges,
+                min_pair_count,
+            )
+            if stats is not None:
+                stats["round_trips"] = 1
+                stats["merges"] = len(merges)
+                stats["path"] = "local"
+            return merges
     merges: list[tuple[str, str]] = []
     since_checkpoint = 0
     round_trips = 0
@@ -358,13 +473,19 @@ def train_bpe_batched(
     if stats is not None:
         stats["round_trips"] = round_trips
         stats["merges"] = len(merges)
+        stats["path"] = "distributed"
     return merges
 
 
 def bpe_merge_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """The merge list as a DataFrame (rank, left, right) — the
-    persistable/joinable form of the artifact."""
-    return spark.createDataFrame(
+    persistable/joinable form of the artifact. Arrow-backed
+    (util.local_frame): the pickled-RDD path paid a Python worker per
+    task on every scan of the tiny table."""
+    from real_estate_bigdata_spark.util import local_frame
+
+    return local_frame(
+        spark,
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string",
     )

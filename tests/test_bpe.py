@@ -159,15 +159,24 @@ class TestBatchedTrainer:
         )
         seq = bpe.train_bpe(df, n_merges=15)
         for bs in (1, 2, 4, 16):
-            got = bpe.train_bpe_batched(df, n_merges=15, batch_size=bs)
-            assert got == seq, bs
+            for th in (0, 65_536):  # distributed loop AND r16 local fast path
+                got = bpe.train_bpe_batched(
+                    df, n_merges=15, batch_size=bs, small_vocab_threshold=th
+                )
+                assert got == seq, (bs, th)
 
     def test_equals_mirror_on_real_testdata(self, spark):
         docs = load_table(spark, "/root/testdata/sf0.001", "documents")
         texts = [r.text for r in docs.select("text").collect()]
-        got = bpe.train_bpe_batched(docs, n_merges=30, batch_size=8)
         want, _ = _py_bpe(texts, 30)
-        assert got == want
+        for th, path in ((0, "distributed"), (65_536, "local")):
+            stats = {}
+            got = bpe.train_bpe_batched(
+                docs, n_merges=30, batch_size=8,
+                small_vocab_threshold=th, stats=stats,
+            )
+            assert got == want, th
+            assert stats["path"] == path
 
     def test_entangled_rankings_fall_back_to_argmax(self, spark):
         """Single-letter runs entangle every top pair through shared
@@ -178,10 +187,12 @@ class TestBatchedTrainer:
             [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
         )
         want, _ = _py_bpe(texts, 12, min_pair_count=1)
-        got = bpe.train_bpe_batched(
-            df, n_merges=12, min_pair_count=1, batch_size=8
-        )
-        assert got == want
+        for th in (0, 65_536):
+            got = bpe.train_bpe_batched(
+                df, n_merges=12, min_pair_count=1, batch_size=8,
+                small_vocab_threshold=th,
+            )
+            assert got == want, th
 
     def test_self_pair_feeds_itself(self, spark):
         """Regression pin for the self-pair batch-breaker: merging
@@ -194,10 +205,12 @@ class TestBatchedTrainer:
             [(0, texts[0])], "doc_id long, text string"
         )
         want, _ = _py_bpe(texts, 4, min_pair_count=1)
-        got = bpe.train_bpe_batched(
-            df, n_merges=4, min_pair_count=1, batch_size=8
-        )
-        assert got == want
+        for th in (0, 65_536):
+            got = bpe.train_bpe_batched(
+                df, n_merges=4, min_pair_count=1, batch_size=8,
+                small_vocab_threshold=th,
+            )
+            assert got == want, th
         assert ("aa", "aa") in want  # scenario genuinely exercises it
 
     def test_boundary_tie_is_not_batched(self, spark):
@@ -211,10 +224,12 @@ class TestBatchedTrainer:
             [(0, texts[0])], "doc_id long, text string"
         )
         want, _ = _py_bpe(texts, 6, min_pair_count=1)
-        got = bpe.train_bpe_batched(
-            df, n_merges=6, min_pair_count=1, batch_size=8
-        )
-        assert got == want
+        for th in (0, 65_536):
+            got = bpe.train_bpe_batched(
+                df, n_merges=6, min_pair_count=1, batch_size=8,
+                small_vocab_threshold=th,
+            )
+            assert got == want, th
 
     def test_validation(self, spark):
         df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
@@ -239,7 +254,9 @@ class TestBatchedTrainer:
             return orig(rows, mpc, fl)
 
         monkeypatch.setattr(bpe, "_disjoint_prefix_batch", counting)
-        merges = bpe.train_bpe_batched(df, n_merges=15, batch_size=16)
+        merges = bpe.train_bpe_batched(
+            df, n_merges=15, batch_size=16, small_vocab_threshold=0
+        )
         assert len(merges) >= 10
         # Strictly fewer round-trips than merges. The reduction is
         # corpus-structural: natural-language ranking heads entangle
