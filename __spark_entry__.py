@@ -30,6 +30,7 @@ from real_estate_bigdata_spark.operators import temporal as tm
 from real_estate_bigdata_spark.operators import text_analysis as ta
 from real_estate_bigdata_spark.operators import windows as win
 from real_estate_bigdata_spark.schema import RAW_LISTING_SCHEMA, load_table, load_tables
+from real_estate_bigdata_spark.util import local_frame
 
 
 def _concurrently(*fns):
@@ -2427,7 +2428,8 @@ def _q_domain_authority_cap(spark, sf):
         F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("src"),
         F.col("domain").alias("dst"),
     )
-    hub_cycle = spark.createDataFrame(
+    hub_cycle = local_frame(
+        spark,
         [
             ("example.com", "example.org"),
             ("example.org", "example.co.uk"),

@@ -499,11 +499,32 @@ def pagerank(
         & (F.col(src) != F.col(dst))
     )
     if weight_col is None:
-        e = (
-            base.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-            .distinct()
-            .withColumn("__w", F.lit(1.0))
-        )
+        raw = base.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        # r16: probe the RAW bounded edge list and dedupe on the driver
+        # — the unweighted fast path otherwise paid a full distinct
+        # exchange (2 AQE jobs, ~0.4 s at sf0.1) just to bound the
+        # collect. A graph whose raw edge rows exceed the threshold but
+        # whose distinct edges would not takes the distributed path —
+        # conservative, both paths are exact and spec-pinned.
+        spark = edges.sparkSession
+        id_t = raw.schema["__s"].dataType.simpleString()
+        out_schema = f"node {id_t}, rank double"
+        rows = raw.limit(small_edges_threshold + 1).collect()
+        if len(rows) <= small_edges_threshold:
+            if not rows:
+                return spark.createDataFrame([], out_schema)
+            deduped = sorted({(r["__s"], r["__d"]) for r in rows})
+            return local_frame(
+                spark,
+                _pagerank_numpy(
+                    [{"__s": s, "__d": d, "__w": 1.0} for s, d in deduped],
+                    damping,
+                    max_iter,
+                    tol,
+                ),
+                out_schema,
+            )
+        e = raw.distinct().withColumn("__w", F.lit(1.0))
     else:
         e = (
             base.filter(

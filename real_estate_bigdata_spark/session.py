@@ -58,6 +58,20 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # LIMIT-k+1 probe collects (the bounded fast paths in
+        # connected_components / pagerank / dawid_skene / bradley_terry /
+        # train_bpe_batched) execute as incremental take(): the first
+        # round scans ONE partition, so a probe over a computed pipeline
+        # serializes the whole projection on a single core before the
+        # 4x scale-up rounds kick in (SPARK-40211's knob; measured the
+        # q_domain_authority_cap edge probe at 0.57 s single-task vs
+        # ~0.1 s wide). Start take() at the session's parallelism —
+        # each task still stops after emitting its bounded row share,
+        # so tiny limits on huge tables stay cheap.
+        .config(
+            "spark.sql.limit.initialNumPartitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Some testdata generations encode events.ts as parquet
         # TIMESTAMP(NANOS), which the vectorized reader rejects; with this
