@@ -544,8 +544,13 @@ def _q_embed_ivfpq_topk(spark, sf):
     prune the corpus, ADC scans only the probed lists' codes, exact
     rerank on the shortlist (operators/similarity.py:ivfpq_topk)."""
     emb = load_table(spark, sf, "embeddings")
-    idx = sim.build_ivf_index(emb, n_lists=16)
-    cb = sim.train_pq(emb, m=8, ksub=32)
+    # r16: the coarse-quantizer and product-quantizer fits are
+    # independent (each samples + fits driver-side) — overlap their
+    # sample jobs and fits in driver threads (guide §2.6)
+    idx, cb = _concurrently(
+        lambda: sim.build_ivf_index(emb, n_lists=16),
+        lambda: sim.train_pq(emb, m=8, ksub=32),
+    )
     codes = sim.pq_encode(emb, cb)
     return sim.ivfpq_topk(
         idx, cb, codes, emb.filter(F.col("vec_id") < 5), k=10, n_probe=6,

@@ -690,8 +690,14 @@ def _deterministic_vector_sample(
         .orderBy(F.xxhash64("neighbor_id", F.lit(seed)))
         .limit(max_train)
     )
-    X = np.array(
-        [r.c_vec for r in train.select("c_vec").collect()], dtype=np.float64
+    # Arrow driver transfer (guide §6): at the 100k x 768 production
+    # sample the pickled-row collect ships ~600 MB row objects; Arrow
+    # batches carry the same float64 bits (exact, order-preserving)
+    pdf = train.select("c_vec").toPandas()
+    X = (
+        np.stack(pdf["c_vec"].to_numpy()).astype(np.float64, copy=False)
+        if len(pdf)
+        else np.empty((0, dim), dtype=np.float64)
     )
     return X, dim
 
@@ -1510,7 +1516,10 @@ def pq_topk(
         .filter(F.col("rn") <= n_keep)
         .select("__qid", "neighbor_id")
     )
-    qdf = codes.sparkSession.createDataFrame(
+    from real_estate_bigdata_spark.util import local_frame
+
+    qdf = local_frame(
+        codes.sparkSession,
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, Q)],
         "__qid long, __qv array<double>",
     )
