@@ -141,7 +141,9 @@ def _variants(
     v = F.col("__fs")
     for p in reversed(pos_cols):
         v = _delete_one(v, F.col(p))
-    return out.select("__fid", "__fs", v.alias("__fv"))
+    # deletion positions ride along (one int per deletion slot) — the
+    # k=1 join prune needs them; callers that don't can drop them
+    return out.select("__fid", "__fs", v.alias("__fv"), *pos_cols)
 
 
 def edit_distance_pairs(
@@ -174,19 +176,35 @@ def edit_distance_pairs(
     # join-free posting-list form was measured ~40% SLOWER at sf0.1 —
     # interpreted HOF pair expansion — and rejected; see
     # OPTIMIZATION_r15.md.)
+    pos_cols = ["__fp0"] if k == 1 else []
     vars_df = checkpoint_frame(
         _variants(df, id_col, col, k, max_len).select(
-            "__fid", "__fs", F.xxhash64("__fv").alias("__fh")
+            "__fid", "__fs", F.xxhash64("__fv").alias("__fh"), *pos_cols
         ),
         materialize,
     )
     a, b = vars_df.alias("a"), vars_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__fh") == F.col("b.__fh"))
-            & (F.col("a.__fid") < F.col("b.__fid")),
+    cond = (F.col("a.__fh") == F.col("b.__fh")) & (
+        F.col("a.__fid") < F.col("b.__fid")
+    )
+    if k == 1:
+        # r16 position prune (FastSS §4.2's candidate refinement,
+        # specialized to k=1): a (1-del, 1-del) collision at DIFFERENT
+        # positions can never verify — lev(a,b) <= 1 with equal lengths
+        # forces a single substitution, whose common variant deletes
+        # the SAME position from both sides; a length-1 difference pair
+        # is always found via its (0-del, 1-del) collision. So pruning
+        # (pa != pb, both real) candidates loses no true pair, and the
+        # exact verify below still decides precision. Measured 956k ->
+        # ~60k candidates on the sf0.1 customer names (sequential-id
+        # strings collide heavily at differing positions).
+        cond = cond & (
+            (F.col("a.__fp0") == -1)
+            | (F.col("b.__fp0") == -1)
+            | (F.col("a.__fp0") == F.col("b.__fp0"))
         )
+    cand = (
+        a.join(b, cond)
         .groupBy(
             F.col("a.__fid").alias("id_a"),
             F.col("b.__fid").alias("id_b"),
@@ -240,9 +258,18 @@ def edit_distance_join(
         )
     lv = _variants(left, left_id, left_col, k, max_len)
     rv = _variants(right, right_id, right_col, k, max_len)
+    cond = F.col("a.__fv") == F.col("b.__fv")
+    if k == 1:
+        # same k=1 position prune as edit_distance_pairs (see there for
+        # the completeness argument — it does not involve id order)
+        cond = cond & (
+            (F.col("a.__fp0") == -1)
+            | (F.col("b.__fp0") == -1)
+            | (F.col("a.__fp0") == F.col("b.__fp0"))
+        )
     cand = (
         lv.alias("a")
-        .join(rv.alias("b"), F.col("a.__fv") == F.col("b.__fv"))
+        .join(rv.alias("b"), cond)
         .groupBy(
             F.col("a.__fid").alias(left_id),
             F.col("b.__fid").alias(right_id),
